@@ -1,0 +1,200 @@
+"""Reference-parity queries — the workloads the reference actually runs.
+
+These are the four demonstrated/designed jobs (SURVEY.md §2.3) plus the
+trivially-derivable distinct/top-k, each re-expressed as a declarative
+DataFrame plan over the ``documents``/``lineitem`` test tables:
+
+- word_count      — reference shared/samples/word_count.py:8-57
+- grep            — reference design.md:272-275 (filter, "no combiner")
+- weather_stats   — reference shared/samples/weather_stats.py:10-100
+                    (unpivot → per-metric avg/min/max/count)
+- inverted_index  — reference design.md:277-280 (word → doc list)
+
+Scale notes: every query here is scan → narrow transform → single
+hash-aggregate shuffle. Catalyst plans map-side partial aggregation
+automatically (the reference designed a combiner for exactly this,
+design.md:197-245, but never wired it in — SURVEY.md §2.1 #5); parquet
+scans read only the referenced columns. Nothing below materializes a
+driver-side collection, so the plans are unchanged at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.numeric import davg, dsum, sql_davg, sql_dsum
+from ..functions.text import SQL_WORD_TOKENS, word_tokens
+from ..registry import query
+from ..sources.catalog import table
+
+_TOKS = SQL_WORD_TOKENS.format(col="text")
+
+
+@query(
+    "word_count",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest({_TOKS}) AS word FROM documents
+    )
+    SELECT word, COUNT(*) AS cnt FROM toks GROUP BY word
+    """,
+    tags=("parity", "aggregation", "flagship-shape"),
+)
+def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship reference job: normalized word frequencies over documents.
+
+    explode(word_tokens) → groupBy(word).count(): one shuffle, partial
+    counts map-side. Token cardinality is bounded by vocabulary, so the
+    final aggregate is small regardless of corpus size.
+    """
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(word_tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "grep",
+    oracle="""
+    SELECT doc_id, text FROM documents
+    WHERE regexp_matches(text, 'spark.*join|join.*spark')
+    """,
+    tags=("parity", "filter"),
+)
+def grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference 'grep' design: emit records matching a regex.
+
+    Pure filter — no shuffle at all; predicate evaluates inside the scan
+    stage. (Regex contains-matches can't push to parquet row-group stats,
+    but column pruning still applies.)
+    """
+    docs = table(spark, sf_dir, "documents")
+    return docs.filter(F.col("text").rlike("spark.*join|join.*spark")).select("doc_id", "text")
+
+
+@query(
+    "weather_stats",
+    oracle=f"""
+    WITH m AS (
+        SELECT 'quantity' AS metric, l_quantity AS v FROM lineitem
+        UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+        UNION ALL SELECT 'discount', l_discount FROM lineitem
+    )
+    SELECT metric,
+           {sql_davg('v')} AS avg_v,
+           MIN(v) AS min_v,
+           MAX(v) AS max_v,
+           COUNT(*) AS cnt
+    FROM m GROUP BY metric
+    """,
+    tags=("parity", "aggregation", "unpivot"),
+)
+def weather_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference weather_stats shape: unpivot columns → per-metric stats.
+
+    The reference unpivots CSV columns inside map_fn and merges a
+    {sum,count,min,max} dict in its combiner/reducer
+    (weather_stats.py:33-75). Here: ``stack`` (zero-copy unpivot, no
+    Python) → one hash aggregate. Three-row result at any scale.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    m = li.selectExpr(
+        "stack(3, 'quantity', l_quantity, 'extendedprice', l_extendedprice,"
+        " 'discount', l_discount) AS (metric, v)"
+    )
+    return m.groupBy("metric").agg(
+        davg("v").alias("avg_v"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@query(
+    "inverted_index",
+    oracle=f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest({_TOKS}) AS word FROM documents
+    )
+    SELECT word,
+           list_sort(list(doc_id)) AS docs,
+           COUNT(*) AS n_docs
+    FROM toks GROUP BY word
+    """,
+    tags=("parity", "aggregation", "array"),
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference inverted-index design: word → sorted list of doc ids.
+
+    tokenize → explode → per-(word, doc) dedup → collect into a sorted
+    array. The distinct happens *before* collect_list, so the shuffled
+    payload is (word, doc_id) pairs, not full posting lists; Spark's
+    ObjectHashAggregate builds the lists spillably. Posting lists for stop
+    words get large at 100 TB — real deployments cap or bucket them; here
+    the vocabulary is small and lists are bounded by document count.
+    """
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.col("doc_id"), F.explode(word_tokens("text")).alias("word"))
+        .distinct()
+        .groupBy("word")
+        .agg(
+            F.array_sort(F.collect_list("doc_id")).alias("docs"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+@query(
+    "distinct_values",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    tags=("parity", "distinct"),
+)
+def distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT over low-cardinality keys — map-side partial dedup then one
+    tiny shuffle (same partial/final split as any aggregate)."""
+    return table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "top_k_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    tags=("parity", "topk", "sort"),
+)
+def top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition heaps
+    of size k, then a k·P-row driver merge; no global sort ever runs.
+    Deterministic under ties via the o_orderkey tiebreak."""
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "word_count_file_keyed",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest({_TOKS}) AS word FROM documents
+    )
+    SELECT source, word, COUNT(*) AS cnt FROM toks GROUP BY source, word
+    """,
+    tags=("parity", "aggregation"),
+)
+def word_count_file_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count keyed by origin — the reference's `filename:line` record
+    key made useful (its sample jobs all discard it; here `source` plays
+    the filename role as a grouping dimension)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", F.explode(word_tokens("text")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("cnt"))
+    )

@@ -1,0 +1,68 @@
+"""SparkSession construction with scale-sane defaults.
+
+The reference hand-rolls its cluster runtime (1 coordinator + 4 workers over
+gRPC, reference coordinator/server.py:629-786); here the entire layer is a
+``SparkSession``. Defaults chosen for the 100 TB target, applied identically
+in local test mode:
+
+- **AQE on** — runtime coalescing of shuffle partitions, skew-join
+  splitting, and dynamic join-strategy switches replace any hand-tuning of
+  the reference's fixed M×R task counts (reference design.md:67-108).
+- **shuffle.partitions** — sized to cores locally; on a real cluster AQE's
+  ``advisoryPartitionSizeInBytes`` makes the initial number mostly moot.
+- **UTC session timezone** — deterministic timestamp semantics and parity
+  with the DuckDB oracle.
+- **Arrow enabled** — every Python-side exchange (pandas UDFs, toPandas)
+  is columnar/batched, never row-at-a-time pickle (the reference's
+  intermediate format, reference task_executor.py:159-170).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 8)
+
+
+def get_session(app_name: str = "cooler-mapreduce-spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) a local SparkSession with the engine's defaults."""
+    n = cpus or default_parallelism()
+    return (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{n}]")
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .getOrCreate()
+    )
+
+
+def apply_session_defaults(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable defaults to an externally-built session.
+
+    The driver contract hands us a ready SparkSession; static configs can't
+    change then, but the semantics-critical ones (timezone, AQE, Arrow) are
+    runtime-settable.
+    """
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in this deployment — accept the session's value
+    return spark

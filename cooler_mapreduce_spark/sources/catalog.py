@@ -1,0 +1,41 @@
+"""Test-table catalog: the TPC-H-ish star schema + events/documents/embeddings.
+
+One parquet file per table per scale factor (TESTDATA.md). At 100 TB each
+"file" becomes a partitioned parquet/iceberg dataset; nothing here changes —
+``spark.read.parquet`` plans column-pruned, predicate-pushed, split-parallel
+scans either way, which is the Spark replacement for the reference's manual
+byte-range input splitting (reference coordinator/server.py:209-243).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at *any* scale factor —
+#: region/nation are fixed-cardinality; supplier/customer/part grow with SF
+#: but stay tiny relative to the fact tables (classic star-schema shape).
+BROADCAST_SAFE = ("region", "nation")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one catalog table from a scale-factor directory."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
