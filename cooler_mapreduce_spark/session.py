@@ -20,6 +20,8 @@ in local test mode:
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -28,10 +30,44 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 8)
 
 
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executors via ``addPyFile``.
+
+    Local mode forks Python workers that don't inherit the driver's
+    ``sys.path`` mutations; on a real cluster this is exactly the
+    ``--py-files`` deployment path. Zipping is cached per-process and the
+    RDD/compat tier (the only Python-on-executor consumer) depends on it.
+    """
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    stamp = 0
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fn in files:
+            if fn.endswith(".py"):
+                st = os.stat(os.path.join(root, fn))
+                stamp ^= hash((fn, st.st_mtime_ns, st.st_size))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"cooler_mapreduce_spark_pkg_{stamp & 0xFFFFFFFF:08x}.zip"
+    )
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+        os.replace(tmp, zip_path)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # already added under another name, or context shutting down
+
+
 def get_session(app_name: str = "cooler-mapreduce-spark", cpus: int | None = None) -> SparkSession:
     """Build (or fetch) a local SparkSession with the engine's defaults."""
     n = cpus or default_parallelism()
-    return (
+    spark = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{n}]")
         .config("spark.sql.shuffle.partitions", str(n))
@@ -45,6 +81,8 @@ def get_session(app_name: str = "cooler-mapreduce-spark", cpus: int | None = Non
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .getOrCreate()
     )
+    ship_package(spark)
+    return spark
 
 
 def apply_session_defaults(spark: SparkSession) -> SparkSession:
@@ -65,4 +103,5 @@ def apply_session_defaults(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # immutable in this deployment — accept the session's value
+    ship_package(spark)
     return spark

@@ -7,7 +7,15 @@ import sys
 
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_TESTS_DIR = os.path.dirname(os.path.abspath(__file__))
+_REPO_DIR = os.path.dirname(_TESTS_DIR)
+sys.path.insert(0, _REPO_DIR)
+
+# Python workers spawned by the local-mode JVM inherit this env, not the
+# driver's sys.path — make test modules importable for pickled closures.
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    p for p in (_REPO_DIR, _TESTS_DIR, os.environ.get("PYTHONPATH")) if p
+)
 
 from cooler_mapreduce_spark.session import get_session  # noqa: E402
 
