@@ -1,0 +1,194 @@
+"""Multi-dimensional and advanced aggregation operators.
+
+Absent from the reference (SURVEY.md §2.4: no grouping sets, no distinct,
+no pivot) — each would need a separate MapReduce job per grouping set.
+Catalyst expands CUBE/ROLLUP/GROUPING SETS into a single Expand + one
+aggregate: the input is scanned once regardless of how many groupings are
+requested, and partial aggregation still applies before the one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.numeric import dsum, sql_dsum
+from ..registry import query
+from ..sources.catalog import table
+
+
+@query(
+    "cube_sales",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items, {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("aggregation", "cube"),
+)
+def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping combinations in
+    one scan + one shuffle (Expand multiplies rows 4×, partial agg
+    collapses them before shuffling — still O(groups) network)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@query(
+    "rollup_region_nation_customers",
+    oracle=f"""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(*) AS n_customers, {sql_dsum('c.c_acctbal')} AS total_balance
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    tags=("aggregation", "rollup", "join"),
+)
+def rollup_region_nation_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP along the region → nation hierarchy after two broadcast
+    dimension joins (the fact side never shuffles for the joins; only the
+    final grouped aggregate moves data)."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.withColumn("region", F.col("r_name"))
+        .withColumn("nation", F.col("n_name"))
+        .rollup("region", "nation")
+        .agg(F.count("*").alias("n_customers"), dsum("c_acctbal").alias("total_balance"))
+    )
+
+
+@query(
+    "grouping_sets_orders",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders, {sql_dsum('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("aggregation", "grouping-sets"),
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (two independent dimensions + grand total) —
+    expressed in Spark SQL over a temp view; same single-scan Expand plan
+    as cube/rollup."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders, {sql_dsum('o_totalprice')} AS total_price
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "count_distinct_customers",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("aggregation", "distinct"),
+)
+def count_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group — Catalyst plans the two-phase
+    Expand + partial-dedup aggregation automatically; at extreme
+    cardinality switch to ``approx_distinct_users`` (HLL, one pass)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query(
+    "approx_distinct_users",
+    oracle=None,  # HLL sketches differ across engines by design; the exact
+    # counterpart is count_distinct_customers. Tests bound the error at 5%.
+    tags=("aggregation", "approx", "sketch"),
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++, rsd 1%) per event type — the
+    100 TB-scale path for distinct counting: single pass, fixed-size
+    sketch, mergeable across partitions (no Expand, no dedup shuffle)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    )
+
+
+@query(
+    "pivot_event_counts",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events GROUP BY user_id
+    """,
+    tags=("aggregation", "pivot"),
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type into per-user count columns. Explicit value list —
+    at scale an unlisted pivot triggers an extra distinct pass *and* makes
+    the output schema data-dependent; always enumerate."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+@query(
+    "value_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n, MIN(value) AS min_v, MAX(value) AS max_v
+    FROM events WHERE value IS NOT NULL GROUP BY 1
+    """,
+    tags=("aggregation", "histogram"),
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values — bucketing via integer floor
+    keeps the oracle exact (value/10 in double is deterministic; FLOOR of
+    it is exact)."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ev.groupBy(
+        F.floor(F.col("value") / 10.0).cast("long").alias("bucket")
+    ).agg(F.count("*").alias("n"), F.min("value").alias("min_v"), F.max("value").alias("max_v"))
+
+
+@query(
+    "exact_median_quantity",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_quantity, [0.25, 0.75]) AS iqr
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("aggregation", "percentile"),
+)
+def exact_median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per group. l_quantity is
+    whole-valued so the interpolation arithmetic is exact in both engines.
+    At 100 TB the one-pass sketch (``percentile_approx``) replaces this;
+    exact percentile requires a per-group sort."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
+        F.percentile("l_quantity", F.array(F.lit(0.25), F.lit(0.75))).alias("iqr"),
+    )

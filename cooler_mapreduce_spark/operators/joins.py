@@ -1,0 +1,179 @@
+"""Join operators — every join family the engine supports natively.
+
+The reference has **no** join operator (SURVEY.md §2.4: expressible only as
+a hand-written reduce-side join in user map/reduce code; no sample does
+it). Here each family is a declarative plan with the physical strategy the
+100 TB deployment wants:
+
+- dimension joins → **broadcast hash** (fact table never shuffles);
+- fact-fact joins → **sort-merge / shuffled hash**, AQE re-plans at
+  runtime (skew split, dynamic broadcast);
+- EXISTS / NOT EXISTS → **semi / anti** join (no row duplication, pruned
+  probe payload);
+- interval predicates → **broadcast nested-loop** against a tiny band
+  table (the only NL join that's ever acceptable at scale);
+- as-of ordering → **window carry-forward**, *not* a non-equi self-join:
+  one shuffle + one sort per key, linear work — the quadratic
+  range-join formulation would melt at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.numeric import dsum, sql_dsum
+from ..registry import query
+from ..sources.catalog import table
+
+
+@query(
+    "join_orders_customers",
+    oracle=f"""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o.o_totalprice')} AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("join", "broadcast"),
+)
+def join_orders_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner fact-to-dimension join, broadcast by hint.
+
+    customer is ~1/10th of orders at every SF and fits executor memory
+    far beyond sf100; broadcasting means orders is read once, never
+    shuffled, and the join runs at scan speed inside one stage.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total_price"))
+    )
+
+
+@query(
+    "join_left_outer_order_counts",
+    oracle="""
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+    tags=("join", "outer"),
+)
+def join_left_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders.
+
+    Build-side broadcast of the *left* table is illegal for left-outer, so
+    Spark broadcasts the right (orders is larger — at real scale AQE
+    decides; the aggregate keyed by custkey then coalesces). COUNT(col)
+    skips the NULLs from non-matches — same semantics both engines.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_anti_inactive_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join", "anti"),
+)
+def join_anti_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join: customers who never ordered.
+
+    The anti join shuffles only the single join column from the probe side
+    (column pruning), emits each customer at most once, and needs no
+    post-dedup — the formulation a hand-written MapReduce version always
+    gets subtly wrong on duplicates.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_range_price_bands",
+    oracle=f"""
+    WITH bands(band, lo, hi) AS (
+        VALUES ('budget', 0.0, 500.0), ('mid', 500.0, 1200.0),
+               ('premium', 1200.0, 100000.0)
+    )
+    SELECT b.band, COUNT(*) AS n_parts, {sql_dsum('p.p_retailprice')} AS total_price
+    FROM part p JOIN bands b ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band
+    """,
+    tags=("join", "range", "theta"),
+)
+def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join against a tiny in-memory band table.
+
+    Non-equi joins have no hash path; Spark plans BroadcastNestedLoopJoin.
+    That is O(|facts| × |bands|) — acceptable *only* because the band side
+    is a constant handful of rows broadcast everywhere; a fact-fact range
+    join would instead be rewritten to bucket + equi-join (see
+    ``similarity`` for that pattern at scale).
+    """
+    p = table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 500.0), ("mid", 500.0, 1200.0), ("premium", 1200.0, 100000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("n_parts"), dsum("p_retailprice").alias("total_price"))
+    )
+
+
+@query(
+    "join_asof_last_click",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT MAX(c.ts) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+           ) AS last_click_ts
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+    tags=("join", "asof", "window"),
+)
+def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest click at or
+    before it — implemented as a window carry-forward, not a join.
+
+    Union clicks+purchases, one shuffle on user_id, one sort on (ts,
+    kind), then ``last(click_ts, ignorenulls)`` over an unbounded-
+    preceding frame. Linear in events per user; the naive non-equi
+    self-join the oracle uses for *verification* is quadratic per user
+    and exists only because DuckDB can afford it at sf0.01.
+    Clicks sort before purchases at equal ts so `<=` semantics hold.
+    """
+    ev = table(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+        F.when(F.col("event_type") == "click", F.lit(0)).otherwise(F.lit(1)).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+    return carried.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "last_click_ts"
+    )

@@ -1,0 +1,200 @@
+"""Scalar-function suites: string / date-time / math / array / JSON.
+
+The reference's only "functions" are whatever Python its user map_fn runs
+per record (lower/strip/split/float — SURVEY.md §2.4). Here each family is
+a projection of built-in Catalyst expressions — whole-stage-codegen'd,
+vectorized over parquet, no Python in the hot path.
+
+Oracle-parity notes baked into the choices below:
+
+- transcendentals (exp/ln/sin…) are *not* bit-specified across engines →
+  kept out of oracle-checked projections (sqrt IS correctly rounded per
+  IEEE-754, so it stays);
+- Spark ``dayofweek`` is Sunday=1 while DuckDB's is Sunday=0 → expose ISO
+  weekday (Mon=1…Sun=7), identical in both;
+- JSON extraction goes through string-typed paths then exact integer
+  casts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import query
+from ..sources.catalog import table
+
+
+@query(
+    "string_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           length(p_name) AS name_len,
+           substring(p_name, 1, 8) AS name_prefix,
+           concat(p_brand, ':', p_type) AS brand_type,
+           replace(p_type, ' ', '_') AS type_snake,
+           contains(p_name, 'spark') AS mentions_spark,
+           regexp_extract(p_type, '^([A-Za-z]+)', 1) AS type_head,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           trim(p_name) AS name_trim,
+           reverse(p_brand) AS brand_rev,
+           split_part(p_type, ' ', 1) AS type_first_word
+    FROM part
+    """,
+    tags=("scalar", "string"),
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The string-function suite over part (upper/length/substring/concat/
+    replace/contains/regexp_extract/lpad/trim/reverse/split_part)."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.col("p_name").contains("spark").alias("mentions_spark"),
+        F.regexp_extract("p_type", r"^([A-Za-z]+)", 1).alias("type_head"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.trim("p_name").alias("name_trim"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_first_word"),
+    )
+
+
+@query(
+    "date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS order_year,
+           month(o_orderdate) AS order_month,
+           quarter(o_orderdate) AS order_quarter,
+           isodow(o_orderdate) AS order_isodow,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_ts,
+           date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_epoch_start,
+           strftime(o_orderdate, '%Y-%m') AS order_ym
+    FROM orders
+    """,
+    tags=("scalar", "datetime"),
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time suite over orders (extract/trunc/interval arithmetic/
+    diff/format). ISO weekday and explicit day-diff keep both engines on
+    identical integer conventions."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        (F.weekday("o_orderdate") + 1).alias("order_isodow"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_ts"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).alias(
+            "days_since_epoch_start"
+        ),
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_ym"),
+    )
+
+
+@query(
+    "math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05) AS disc_dev,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
+           CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_weeks,
+           round(l_quantity / 4.0, 2) AS qty_quarters,
+           sqrt(l_quantity) AS qty_sqrt,
+           CAST(l_quantity AS BIGINT) % 5 AS qty_mod5,
+           CAST(sign(l_discount - l_tax) AS DOUBLE) AS disc_vs_tax,
+           greatest(l_discount, l_tax) AS max_rate,
+           least(l_discount, l_tax) AS min_rate
+    FROM lineitem
+    """,
+    tags=("scalar", "math"),
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math suite over lineitem — every op here is IEEE-exact or integral
+    (abs/floor/ceil/round/sqrt/mod/sign/greatest/least), so per-row oracle
+    hashes match bit-for-bit. Transcendentals (exp/ln) are excluded by
+    design: libm results differ across engines in the last ULP."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_k_floor"),
+        F.ceil(F.col("l_quantity") / 7.0).alias("qty_weeks"),
+        # round() is oracle-safe only on values with an exact binary
+        # representation at the target scale (x/4 → .0/.25/.5/.75): rounding
+        # an inexact product differs across engines when the true value
+        # straddles a decimal tie (Spark rounds the shortest decimal repr,
+        # DuckDB the raw double).
+        F.round(F.col("l_quantity") / 4.0, 2).alias("qty_quarters"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_quantity").cast("long") % 5).alias("qty_mod5"),
+        F.signum(F.col("l_discount") - F.col("l_tax")).alias("disc_vs_tax"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+    )
+
+
+@query(
+    "array_functions",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    )
+    SELECT doc_id,
+           len(words) AS n_words,
+           words[1] AS first_word,
+           words[-1] AS last_word,
+           list_sort(list_distinct(words)) AS vocab,
+           len(list_distinct(words)) AS n_distinct,
+           list_contains(words, 'spark') AS has_spark,
+           array_to_string(words[1:3], '|') AS head3
+    FROM t
+    """,
+    tags=("scalar", "array"),
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array suite over tokenized documents (size/index/sort/distinct/
+    contains/slice/join). Arrays stay columnar end-to-end — no explode
+    needed for per-array scalars."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ", -1).alias("words"))
+    return t.select(
+        "doc_id",
+        F.size("words").alias("n_words"),
+        F.col("words").getItem(0).alias("first_word"),
+        F.element_at("words", -1).alias("last_word"),
+        F.array_sort(F.array_distinct("words")).alias("vocab"),
+        F.size(F.array_distinct("words")).alias("n_distinct"),
+        F.array_contains("words", "spark").alias("has_spark"),
+        F.array_join(F.slice("words", 1, 3), "|").alias("head3"),
+    )
+
+
+@query(
+    "json_functions",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           json_extract_string(props, '$.missing') AS missing_field
+    FROM events
+    """,
+    tags=("scalar", "json"),
+)
+def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props payload column — string-path
+    extraction + exact integer cast (identical NULL semantics for missing
+    fields in both engines)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+        F.get_json_object("props", "$.missing").alias("missing_field"),
+    )

@@ -1,0 +1,67 @@
+"""Set operators: UNION [ALL] / INTERSECT / EXCEPT.
+
+Absent from the reference — it cannot even take two input files
+(single-path submit, reference coordinator/server.py:464). Spark set ops
+are plan-level: UNION ALL is free (concatenated partitions, no shuffle);
+INTERSECT/EXCEPT plan as semi/anti joins with partial dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import query
+from ..sources.catalog import table
+
+
+def _year_custkeys(spark: SparkSession, sf_dir: str, year: int) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.filter(F.year("o_orderdate") == year).select("o_custkey")
+
+
+@query(
+    "union_all_high_low_value_orders",
+    oracle="""
+    SELECT o_orderkey, 'high' AS tier FROM orders WHERE o_totalprice > 400000
+    UNION ALL
+    SELECT o_orderkey, 'low' AS tier FROM orders WHERE o_totalprice < 1000
+    """,
+    tags=("setop", "union"),
+)
+def union_all_high_low_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two tagged filters — pure partition concatenation,
+    zero shuffle; both branches share one cached scan under AQE."""
+    o = table(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 400000).select("o_orderkey", F.lit("high").alias("tier"))
+    lo = o.filter(F.col("o_totalprice") < 1000).select("o_orderkey", F.lit("low").alias("tier"))
+    return hi.unionAll(lo)
+
+
+@query(
+    "intersect_repeat_customers",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+    tags=("setop", "intersect"),
+)
+def intersect_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers active in both 1996 and 1997 — INTERSECT plans as a
+    left-semi join over pre-deduplicated sides (single-column shuffle)."""
+    return _year_custkeys(spark, sf_dir, 1996).intersect(_year_custkeys(spark, sf_dir, 1997))
+
+
+@query(
+    "except_churned_customers",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+    tags=("setop", "except"),
+)
+def except_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers active in 1996 but gone in 1997 — EXCEPT (distinct
+    semantics) = dedup + left-anti join; ``subtract`` is Spark's EXCEPT."""
+    return _year_custkeys(spark, sf_dir, 1996).subtract(_year_custkeys(spark, sf_dir, 1997))

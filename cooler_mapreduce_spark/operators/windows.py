@@ -1,0 +1,210 @@
+"""Window-function operators: ranking, analytic offsets, frames, sessions.
+
+Absent from the reference (SURVEY.md §2.4) — a MapReduce formulation needs
+a full secondary sort inside reduce. Spark plans each of these as one
+shuffle on the partition key + an in-partition sort; there is no per-group
+memory blowup because the window operator streams sorted rows.
+
+Determinism notes: every ORDER BY carries a unique tiebreaker column
+(event_id / orderkey / custkey) so ranks and offsets are reproducible under
+ties; running/moving sums aggregate through decimals (see
+``functions.numeric``) so frames produce bit-identical doubles in any
+engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..registry import query
+from ..sources.catalog import table
+
+
+@query(
+    "window_top_orders_per_customer",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+    tags=("window", "ranking", "topk-per-group"),
+)
+def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via row_number — the scalable top-k-per-
+    group idiom (rank filter prunes during the sorted stream; never
+    collect-and-sort-per-group in Python)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_rank_dense_rank",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS bal_rank,
+           DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS bal_dense_rank,
+           NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS bal_quartile
+    FROM customer
+    """,
+    tags=("window", "ranking"),
+)
+def window_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile over account balance within segment."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.ntile(4).over(w).alias("bal_quartile"),
+    )
+
+
+@query(
+    "window_lag_lead_events",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           LAG(event_type) OVER w AS prev_type,
+           LEAD(event_type) OVER w AS next_type,
+           CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS BIGINT) AS us_since_prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window", "analytic", "offset"),
+)
+def window_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over each user's event stream + inter-event gap in µs.
+
+    The gap is computed on integer epoch-microseconds, exact in both
+    engines (no float time arithmetic).
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev_us = F.unix_micros(F.lag("ts").over(w))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (us - prev_us).alias("us_since_prev"),
+    )
+
+
+@query(
+    "window_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_spend,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_orders_so_far
+    FROM orders
+    """,
+    tags=("window", "frame", "running"),
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative spend per customer — unbounded-preceding frame over an
+    exact decimal sum (running double sums are order-*and*-algorithm
+    dependent across engines; decimal is bit-stable)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).over(w).cast("double").alias("running_spend"),
+        F.count("*").over(w).alias("n_orders_so_far"),
+    )
+
+
+@query(
+    "window_moving_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS moving_spend_3
+    FROM orders
+    """,
+    tags=("window", "frame", "moving"),
+)
+def window_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving sum — a bounded sliding frame."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).over(w).cast("double").alias("moving_spend_3"),
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH gapped AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE OR
+                         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+    ), sessions AS (
+        SELECT user_id, event_id, ts,
+               CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_seq
+        FROM gapped
+    )
+    SELECT user_id, session_seq, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_seq
+    """,
+    tags=("window", "session", "streaming-batch-equivalent"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: 30-minute-gap sessions via lag + cumulative
+    start-marker sum — the classic two-window idiom. One shuffle on
+    user_id, one sort; the streaming twin (``streaming.windows``) uses
+    ``session_window`` with a watermark for the unbounded case.
+    """
+    ev = table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(wo)
+    gapped = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_start"),
+    )
+    sessions = gapped.withColumn("session_seq", F.sum("is_start").over(wrun))
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )

@@ -9,7 +9,7 @@ byte-range input splitting (reference coordinator/server.py:209-243).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 TABLES = (
     "region",
@@ -31,9 +31,22 @@ BROADCAST_SAFE = ("region", "nation")
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one catalog table from a scale-factor directory."""
+    """Load one catalog table from a scale-factor directory.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]); the
+    ``nanosAsLong`` legacy conf reads it as an int64 of nanoseconds and we
+    rebuild a proper timestamp at microsecond precision — the same ns→µs
+    truncation DuckDB applies, so both engines see identical instants.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
