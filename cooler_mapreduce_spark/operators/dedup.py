@@ -1,0 +1,324 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact and near-duplicate detection over the ``documents`` table — the
+core data-curation workload a 100 TB corpus needs. Four tiers, cheapest
+first:
+
+1. **exact** — content-hash groupBy; one shuffle of (hash, id).
+2. **MinHash + LSH** — shingle → 32 minhashes → 8×4 banding →
+   bucket-join candidates → exact-Jaccard verification of candidates
+   only. Near-linear: no all-pairs stage ever materializes.
+3. **SimHash** — 48-bit fingerprint; hamming-ball pairs found via the
+   pigeonhole chunk trick (4 chunks, distance ≤3 ⇒ one chunk equal), so
+   candidate generation is an equi-join, not a cross join.
+4. **n-gram Jaccard** — exact all-pairs similarity *generated through the
+   inverted shingle index* (pairs only arise from a shared shingle).
+   Quadratic in the worst case (every doc sharing one shingle) — the
+   docstring of each caller should prefer tier 2 at scale; kept exact
+   here as the ground-truth operator.
+
+Embedding-cosine near-dup lives in ``similarity`` (same candidate
+machinery as ANN search).
+
+Every operator is oracle-checked bit-for-bit: hashing is the portable
+md5int scheme (``functions.hashing``), so DuckDB reproduces signatures,
+buckets, and verdicts exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.hashing import (
+    LSH_BANDS,
+    LSH_ROWS,
+    SIMHASH_BITS,
+    md5int_duckdb,
+    md5int_spark,
+    minhash_sig_duckdb,
+    minhash_sig_spark,
+    shingles_duckdb,
+    shingles_spark,
+)
+from ..registry import query
+from ..sources.catalog import table
+
+# ---------------------------------------------------------------- exact ----
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+    """,
+    tags=("dedup", "exact", "llm-pipeline"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by full-content hash.
+
+    Shuffles only (hash, doc_id) pairs — 48 bytes/row regardless of
+    document size — and keeps the smallest doc_id as canonical keeper.
+    At 100 TB this is the first pass of any dedup pipeline; hash in the
+    scan stage, never shuffle text.
+    """
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(F.col("text").cast("binary")).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# ------------------------------------------------------------- minhash ----
+
+_SPARK_TOKS = "split(text, ' ')"
+_SPARK_SHINGLE_HASHES = (
+    f"transform({shingles_spark(_SPARK_TOKS)}, s -> {md5int_spark('s')})"
+)
+_DUCK_TOKS = "string_split(text, ' ')"
+_DUCK_SHINGLE_HASHES = (
+    f"list_transform({shingles_duckdb(_DUCK_TOKS)}, s -> {md5int_duckdb('s')})"
+)
+
+_MINHASH_ORACLE = f"""
+    WITH sigs AS (
+        SELECT doc_id,
+               {shingles_duckdb("string_split(text, ' ')")} AS shingles,
+               {minhash_sig_duckdb(_DUCK_SHINGLE_HASHES)} AS sig
+        FROM documents
+    ),
+    bands AS (
+        SELECT doc_id, shingles, b.band,
+               array_to_string(sig[b.band * {LSH_ROWS} + 1 : b.band * {LSH_ROWS} + {LSH_ROWS}], ',') AS band_key
+        FROM sigs, (SELECT unnest(generate_series(0, {LSH_BANDS - 1})) AS band) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.shingles AS sh_a, b.shingles AS sh_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+             / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS jaccard
+    FROM cand
+    WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+             / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.5
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE, tags=("dedup", "minhash", "lsh", "llm-pipeline"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs via MinHash signatures + LSH banding.
+
+    Pipeline (all Catalyst expressions, no Python):
+      shingle (word 3-grams) → md5int → 32-permutation minhash signature
+      → 8 bands of 4 → explode bands → self-equi-join on (band, key)
+      → exact Jaccard on the shingle sets of *candidates only* → ≥ 0.5.
+
+    Scale: the band join is an equi-join on short strings — shuffles
+    O(docs × 8) tiny rows. Candidate verification re-joins shingle sets
+    for candidate pairs only (LSH's S-curve keeps that set near-linear).
+    Identical-text clusters all land in the same buckets, so exact dups
+    are a subset of the output. At 100 TB, band keys are skew-prone for
+    boilerplate text — AQE skew-join or a per-bucket cap handles it.
+    """
+    d = table(spark, sf_dir, "documents")
+    sigs = d.select(
+        "doc_id",
+        F.expr(shingles_spark("split(text, ' ')")).alias("shingles"),
+        F.expr(minhash_sig_spark(_SPARK_SHINGLE_HASHES)).alias("sig"),
+    )
+    bands = sigs.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {LSH_BANDS - 1}),"
+                f" b -> struct(b AS band, concat_ws(',', slice(sig, b * {LSH_ROWS} + 1, {LSH_ROWS})) AS band_key))"
+            )
+        ).alias("bk"),
+    ).select("doc_id", "shingles", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    return cand.select("doc_a", "doc_b", jac.alias("jaccard")).filter(F.col("jaccard") >= 0.5)
+
+
+# ------------------------------------------------------------- simhash ----
+
+_SPARK_TOKEN_HASHES = f"transform(split(text, ' '), t -> {md5int_spark('t')})"
+_DUCK_TOKEN_HASHES = f"list_transform(string_split(text, ' '), t -> {md5int_duckdb('t')})"
+
+
+def _simhash_spark(hashes: str) -> str:
+    return (
+        f"aggregate(sequence(0, {SIMHASH_BITS - 1}), CAST(0 AS BIGINT), (acc, b) -> acc + "
+        f"CASE WHEN aggregate({hashes}, 0, (s, h) -> s + CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN CAST(pow(2, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    )
+
+
+def _simhash_duckdb(hashes: str) -> str:
+    return (
+        "CAST("
+        f"list_aggregate(list_transform(generate_series(0, {SIMHASH_BITS - 1}), b -> "
+        f"CASE WHEN list_aggregate(list_transform({hashes}, h -> "
+        f"CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END), 'sum') > 0 "
+        f"THEN CAST(pow(2, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END), 'sum')"
+        " AS BIGINT)"
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    SELECT doc_id, {_simhash_duckdb(_DUCK_TOKEN_HASHES)} AS simhash
+    FROM documents
+    """,
+    tags=("dedup", "simhash", "llm-pipeline"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit SimHash fingerprint per document (token-hash majority vote
+    per bit). One scan, no shuffle; the pair query below consumes it."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.expr(_simhash_spark(_SPARK_TOKEN_HASHES)).alias("simhash"))
+
+
+_SIMHASH_CHUNKS = 4
+_CHUNK_BITS = SIMHASH_BITS // _SIMHASH_CHUNKS
+_HAMMING_MAX = _SIMHASH_CHUNKS - 1  # pigeonhole: ≤3 differing bits ⇒ a chunk matches
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, {_simhash_duckdb(_DUCK_TOKEN_HASHES)} AS simhash FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+    """,
+    tags=("dedup", "simhash", "lsh", "llm-pipeline"),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs with SimHash hamming distance ≤ 3.
+
+    Candidate generation is the pigeonhole chunk join: split 48 bits into
+    4 chunks of 12; any pair within distance 3 must agree on ≥1 whole
+    chunk, so candidates come from 4 equi-joins on (chunk_id, chunk
+    value) — never a cross join. The DuckDB oracle *is* the quadratic
+    formulation, proving the optimized plan exact.
+    """
+    d = table(spark, sf_dir, "documents")
+    s = d.select("doc_id", F.expr(_simhash_spark(_SPARK_TOKEN_HASHES)).alias("simhash"))
+    chunks = s.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_SIMHASH_CHUNKS - 1}),"
+                f" c -> struct(c AS chunk_id, shiftright(simhash, c * {_CHUNK_BITS}) % {1 << _CHUNK_BITS} AS chunk_val))"
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", "ck.chunk_id", "ck.chunk_val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("sh_a ^ sh_b"))
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _HAMMING_MAX)
+    )
+
+
+# ------------------------------------------------------ n-gram jaccard ----
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({shingles_duckdb("string_split(text, ' ')")}) AS shingle
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.35
+    """,
+    tags=("dedup", "jaccard", "llm-pipeline"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity ≥ 0.35 via the inverted shingle
+    index: pairs are generated only where a shingle is shared
+    (posting-list self-join), intersection counts fall out of the same
+    join, and union sizes come from a broadcast of per-doc shingle
+    counts. Exact but worst-case quadratic — prefer ``dedup_minhash_lsh``
+    above ~10^8 docs, or cap posting-list length (drops only boilerplate
+    shingles)."""
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(F.expr(shingles_spark("split(text, ' ')"))).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.35)
+    )

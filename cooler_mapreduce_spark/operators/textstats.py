@@ -1,0 +1,183 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting.
+
+The per-document feature extractors a training-data pipeline runs over
+every document before filtering/mixing. All four are pure Catalyst
+expression pipelines — single scan, zero shuffle, whole-stage codegen —
+because per-document features are embarrassingly parallel; the only wide
+operation anywhere is an optional aggregate on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.hashing import md5int_duckdb, md5int_spark, shingles_duckdb, shingles_spark
+from ..registry import query
+from ..sources.catalog import table
+
+#: Tiny per-language stopword inventories for the n-gram/stopword-hit
+#: heuristic. Deliberately minimal — language ID at corpus scale is a
+#: lookup-table expression, not a model call.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with", "for", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "fr": ["le", "la", "de", "et", "un", "que", "pour", "dans", "avec", "les"],
+    "de": ["der", "die", "das", "und", "von", "zu", "mit", "ist", "den", "für"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不", "这", "他"],
+}
+_LANGS = sorted(STOPWORDS)
+
+
+def _sql_list(words: list[str], dialect: str) -> str:
+    body = ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+    return f"array({body})" if dialect == "spark" else f"[{body}]"
+
+
+def _hits(tokens: str, lang: str, dialect: str) -> str:
+    lst = _sql_list(STOPWORDS[lang], dialect)
+    if dialect == "spark":
+        return f"size(filter({tokens}, t -> array_contains({lst}, t)))"
+    return f"len(list_filter({tokens}, t -> list_contains({lst}, t)))"
+
+
+def _langid_expr(tokens: str, dialect: str) -> str:
+    """argmax over per-language stopword hit counts; ties break to the
+    alphabetically-first language; all-zero → 'und' (undetermined)."""
+    hits = {lg: _hits(tokens, lg, dialect) for lg in _LANGS}
+    best = " ".join(
+        f"WHEN {hits[lg]} = " + f"greatest({', '.join(hits.values())})"
+        f" AND {hits[lg]} > 0 THEN '{lg}'"
+        for lg in _LANGS
+    )
+    return f"CASE {best} ELSE 'und' END"
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents)
+    SELECT doc_id, lang AS labeled_lang,
+           {_langid_expr('toks', 'duckdb')} AS predicted_lang
+    FROM t
+    """,
+    tags=("textstats", "langid", "llm-pipeline"),
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language identification per document (argmax over
+    per-language token-hit counts, deterministic tie-break)."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.col("lang").alias("labeled_lang"), F.split(F.lower("text"), " ").alias("toks"))
+    return t.select("doc_id", "labeled_lang", F.expr(_langid_expr("toks", "spark")).alias("predicted_lang"))
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, n_chars, string_split(text, ' ') AS toks, text FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           n_chars,
+           CAST(n_chars AS DOUBLE) / len(toks) AS avg_token_len,
+           len(list_filter(toks, x -> len(x) >= 4)) AS n_long_tokens,
+           CAST(len(list_filter(toks, x -> len(x) >= 4)) AS DOUBLE) / len(toks) AS long_token_ratio,
+           len(list_distinct(toks)) AS n_distinct_tokens,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+           CASE WHEN len(toks) BETWEEN 5 AND 10000
+                     AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.2
+                THEN 1 ELSE 0 END AS passes_quality
+    FROM t
+    """,
+    tags=("textstats", "quality", "llm-pipeline"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality features + a pass/fail gate: token
+    counts, average token length, type-token ratio (lexical diversity),
+    long-token ratio — the Gopher/C4-style cheap filters, as pure column
+    expressions. Ratios divide exact ints in double: deterministic."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "n_chars", F.split("text", " ").alias("toks"))
+    n_tok = F.size("toks")
+    n_long = F.size(F.filter("toks", lambda x: F.length(x) >= 4))
+    n_dist = F.size(F.array_distinct("toks"))
+    ttr = n_dist.cast("double") / n_tok
+    return t.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        "n_chars",
+        (F.col("n_chars").cast("double") / n_tok).alias("avg_token_len"),
+        n_long.alias("n_long_tokens"),
+        (n_long.cast("double") / n_tok).alias("long_token_ratio"),
+        n_dist.alias("n_distinct_tokens"),
+        ttr.alias("ttr"),
+        F.when((n_tok >= 5) & (n_tok <= 10000) & (ttr > 0.2), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("passes_quality"),
+    )
+
+
+#: BPE-ish pre-tokenization pattern: letter runs, digit runs, single
+#: non-space symbols — the GPT-2-style regex family reduced to what both
+#: regex engines (RE2-compatible subset) agree on.
+_BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@query(
+    "token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS bpe_ish_tokens,
+           n_chars
+    FROM documents
+    """,
+    tags=("textstats", "tokens", "llm-pipeline"),
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting per document: whitespace tokens and a BPE-style
+    pre-tokenizer count (letter runs / digit runs / symbols) — the unit
+    every mixing/budget decision is denominated in."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0)).alias("bpe_ish_tokens"),
+        "n_chars",
+    )
+
+
+_FP_K = 8  # bottom-k sketch size
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_sort(list_transform({shingles_duckdb("string_split(text, ' ')")},
+                                        s -> {md5int_duckdb('s')})) AS hashes
+        FROM documents
+    )
+    SELECT doc_id, hashes[1:{_FP_K}] AS fingerprint,
+           hashes[1] AS min_hash
+    FROM sh
+    """,
+    tags=("textstats", "fingerprint", "llm-pipeline"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k document fingerprint: the k smallest 3-gram rolling
+    hashes (md5int over shingles), a constant-size sketch whose overlap
+    estimates containment — the winnowing-style alternative to full
+    minhash signatures. Pure expression; no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    spark_toks = "split(text, ' ')"
+    hashes = F.array_sort(
+        F.expr(f"transform({shingles_spark(spark_toks)}, s -> {md5int_spark('s')})")
+    )
+    return d.select(
+        "doc_id",
+        F.slice(hashes, 1, _FP_K).alias("fingerprint"),
+        F.element_at(hashes, 1).alias("min_hash"),
+    )

@@ -1,0 +1,117 @@
+"""Behavior tests for the LLM-pipeline operators (dedup / similarity /
+multimodal) beyond the oracle hash gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cooler_mapreduce_spark.operators.multimodal import decode_media
+from cooler_mapreduce_spark.registry import load_all
+
+SPECS = load_all()
+
+
+def test_lsh_recall_vs_bruteforce(spark, oracle_sf_dir):
+    """Random-hyperplane LSH must recover ≥60% of the true top-10
+    neighbors (single 12-bit table; more tables → higher recall)."""
+    exact = SPECS["ann_topk_bruteforce"].fn(spark, oracle_sf_dir).collect()
+    approx = SPECS["ann_topk_lsh"].fn(spark, oracle_sf_dir).collect()
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    found = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.6, f"recall@10 = {recall:.2f}"
+
+
+def test_lsh_cosines_are_exact_for_found_pairs(spark, sf_dir):
+    """LSH may miss pairs but must never mis-score one: every (query,
+    neighbor, cosine) it emits appears identically in brute force."""
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in SPECS["ann_topk_bruteforce"].fn(spark, sf_dir).collect()
+    }
+    for r in SPECS["ann_topk_lsh"].fn(spark, sf_dir).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:  # pairs outside exact top-10 can't be compared
+            assert exact[key] == r["cosine"]
+
+
+def test_minhash_no_false_negatives_for_exact_dups(spark, sf_dir):
+    """Identical documents always collide in every band → any exact dup
+    pair must be found by LSH with jaccard 1.0."""
+    docs = SPECS["dedup_exact"].fn(spark, sf_dir).collect()
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in SPECS["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    }
+    # dedup_exact only reports groups; regenerate member pairs via text join
+    from cooler_mapreduce_spark.sources.catalog import table
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    a, b = d.alias("a"), d.alias("b")
+    dup_pairs = (
+        a.join(b, (F.col("a.text") == F.col("b.text")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .collect()
+    )
+    for r in dup_pairs:
+        assert lsh.get((r["doc_a"], r["doc_b"])) == 1.0
+
+
+def test_simhash_pairs_have_similar_text(spark, sf_dir):
+    """Hamming ≤ 3 on 48-bit simhash implies strongly overlapping token
+    multisets — sanity-check one pair if any exist."""
+    pairs = SPECS["dedup_simhash_pairs"].fn(spark, sf_dir).collect()
+    for r in pairs:
+        assert 0 <= r["hamming"] <= 3
+
+
+def test_decode_media_stub_contract():
+    """Real decode is explicitly not implemented; the deterministic fake
+    produces byte-exact features."""
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8\xff", "image/jpeg")
+    feats = decode_media(b"abc", "text/utf-8", fake=True)
+    assert feats == {
+        "n_bytes": 3,
+        "first_byte": 97,
+        "byte_checksum": 97 + 98 + 99,
+        "media_kind": "text/utf-8",
+    }
+
+
+def test_multimodal_checksum_column(spark, sf_dir):
+    """The mapInPandas pipeline's checksum (not oracle-checkable in SQL)
+    equals a JVM-side recomputation via aggregate over the blob bytes."""
+    from cooler_mapreduce_spark.operators.multimodal import _extract_features
+    from cooler_mapreduce_spark.sources.catalog import table
+
+    d = table(spark, sf_dir, "documents")
+    media = d.select("doc_id", F.encode("text", "utf-8").alias("media"))
+    feats = media.mapInPandas(
+        _extract_features,
+        schema="doc_id bigint, n_bytes bigint, first_byte int, byte_checksum bigint, media_kind string",
+    )
+    sample = {r["doc_id"]: r for r in feats.limit(50).collect()}
+    for r in d.select("doc_id", "text").limit(20).collect():
+        blob = r["text"].encode("utf-8")
+        if r["doc_id"] in sample:
+            got = sample[r["doc_id"]]
+            assert got["n_bytes"] == len(blob)
+            assert got["byte_checksum"] == sum(blob) % 1_000_000_007
+
+
+def test_language_id_predicts_known_language_tokens(spark):
+    """Docs made of pure stopwords must be identified exactly."""
+    df = spark.createDataFrame(
+        [(1, "the and of to in", "en"), (2, "el la de que y", "es"), (3, "xyzzy qwerty", "??")],
+        "doc_id long, text string, lang string",
+    )
+    from cooler_mapreduce_spark.operators.textstats import _langid_expr
+
+    t = df.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    ).select("doc_id", F.expr(_langid_expr("toks", "spark")).alias("pred"))
+    out = {r["doc_id"]: r["pred"] for r in t.collect()}
+    assert out == {1: "en", 2: "es", 3: "und"}
