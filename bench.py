@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "headline_total_sec", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query executes end-to-end into the ``noop`` sink — the full plan runs
+(scans, shuffles, UDFs) with no collect/driver materialization, which is the
+cluster-faithful way to time a distributed plan. The reference times its one
+workload client-side with 2 s polling granularity (reference
+benchmark.py:246-284); here timing wraps the Spark action directly.
+
+Headline set: one query per major subsystem — TPC-H-style shuffle agg and
+joins, windows, MR-compat word count, dedup tiers, similarity search, text
+analysis, streaming batch-twin — so a regression anywhere in the engine moves
+the headline number.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "pricing_summary",          # flagship: full lineitem scan + hash agg
+    "word_count",               # explode + shuffle agg (reference flagship)
+    "revenue_by_nation",        # multi-join star query (broadcast dims)
+    "join_orders_customers",    # broadcast hash join
+    "window_top_orders_per_customer",  # ranking window + filter
+    "mr_word_count",            # RDD MapReduce-compat tier
+    "dedup_exact",              # hash-dedup over documents
+    "dedup_minhash_lsh",        # shingle→minhash→band→bucket-join
+    "ann_topk_bruteforce",      # embedding cosine top-k
+    "text_quality_score",       # text-analysis scalar pipeline
+    "stream_tumbling_counts",   # windowed event agg (batch twin)
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 8)
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = -1.0
+
+    from cooler_mapreduce_spark.session import get_session
+    from cooler_mapreduce_spark.registry import load_all
+
+    spark = get_session("bench", cpus=cpus)
+    specs = load_all()
+
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # plan, not first-touch JIT/metadata costs (all runs share the session)
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = specs[name]
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

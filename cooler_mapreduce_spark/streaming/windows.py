@@ -1,0 +1,214 @@
+"""Windowed event aggregations — batch twins (oracle-checked) + streaming
+runners.
+
+Scale notes: streaming state for tumbling/sliding windows is bounded by
+(watermark horizon / slide) × key cardinality; the watermark bounds both
+lateness tolerance and state size — at 100 TB/day the 10-minute watermark
+here is the knob that keeps the state store finite. Session windows merge
+in the state store; ``session_window`` + watermark is the streaming twin
+of the lag/cumsum batch sessionization in ``operators.windows``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.numeric import davg, sql_davg
+from ..registry import query
+from ..sources.catalog import table
+
+# ------------------------------------------------------- batch twins ----
+
+
+@query(
+    "stream_tumbling_counts",
+    oracle=f"""
+    SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS window_start,
+           CAST(time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_davg('value', 6)} AS avg_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+    tags=("streaming", "window", "tumbling"),
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event type (batch twin of the
+    streaming query in :func:`run_tumbling_stream` — same ``window``
+    expression, same results on bounded input)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), davg("value", 6).alias("avg_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+@query(
+    "stream_sliding_value_sum",
+    oracle=f"""
+    WITH k AS (SELECT unnest(generate_series(0, 3)) AS k),
+    windows AS (
+        SELECT CAST(time_bucket(INTERVAL 15 MINUTE, ts) - to_minutes(k.k * 15) AS TIMESTAMP) AS window_start,
+               event_type, value
+        FROM events, k
+    )
+    SELECT window_start,
+           CAST(window_start + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_davg('value', 6)} AS avg_value
+    FROM windows GROUP BY 1, 2, 3
+    """,
+    tags=("streaming", "window", "sliding"),
+)
+def stream_sliding_value_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 minutes (each event lands in 4
+    windows — Spark's ``window(ts, '1 hour', '15 minutes')`` and the
+    oracle's explicit 4-way window expansion are the same algebra)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), davg("value", 6).alias("avg_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+    WITH gapped AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts,
+               CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_seq
+        FROM gapped
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_seq
+    """,
+    tags=("streaming", "window", "session"),
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``session_window(ts, '30 minutes')`` per user — Spark merges events
+    whose windows overlap (gap *strictly* less than 30 min ⇒ same
+    session; the oracle's is_start uses ``>=`` accordingly). Session end
+    is last-event + gap, per session-window semantics."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# --------------------------------------------------- streaming runners ----
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (one file ⇒ one micro-batch;
+    real deployments point this at Kafka/files with the same schema)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string,"
+        " value double, props string"
+    )
+    # file-stream sources demand a directory basePath; the glob pins the
+    # match to the events table while keeping basePath = sf_dir
+    raw = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parque*")
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def run_tumbling_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "10 minutes",
+    query_name: str = "tumbling_out",
+    output_mode: str = "complete",
+):
+    """Start the streaming twin of ``stream_tumbling_counts``: watermarked
+    tumbling-window counts into a memory sink. Returns the StreamingQuery
+    (caller drives it, e.g. ``processAllAvailable()``).
+
+    Default output mode is ``complete`` because a bounded file source is
+    one micro-batch — append mode only emits a window once a *later*
+    batch advances the watermark past its end, so a single-batch drive
+    would emit nothing. Long-running deployments use ``append`` +
+    watermark so state is evicted and each window emits exactly once.
+    """
+    ev = _event_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), davg("value", 6).alias("avg_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+    return (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
+def run_sliding_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "10 minutes",
+    query_name: str = "sliding_out",
+    output_mode: str = "complete",
+):
+    """Streaming twin of ``stream_sliding_value_sum`` (see
+    :func:`run_tumbling_stream` for the output-mode rationale)."""
+    ev = _event_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), davg("value", 6).alias("avg_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+    return (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

@@ -1,0 +1,78 @@
+"""Streaming tests: incremental execution must reproduce the batch twins.
+
+Strategy from SURVEY.md §5 carry-over: the batch twin is oracle-checked
+(test_oracle_parity), so streaming == batch ⇒ streaming == oracle.
+Memory sink + processAllAvailable drives the bounded parquet source to
+completion synchronously.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cooler_mapreduce_spark.registry import load_all
+from cooler_mapreduce_spark.sources.catalog import table
+from cooler_mapreduce_spark.streaming.stateful import run_user_totals_stream
+from cooler_mapreduce_spark.streaming.windows import run_sliding_stream, run_tumbling_stream
+
+SPECS = load_all()
+
+
+def _drain(q):
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir):
+    q = run_tumbling_stream(spark, sf_dir, query_name="t_tumbling")
+    _drain(q)
+    got = _rows(spark.sql("SELECT * FROM t_tumbling"))
+    want = _rows(SPECS["stream_tumbling_counts"].fn(spark, sf_dir))
+    assert got == want
+
+
+def test_sliding_stream_equals_batch(spark, sf_dir):
+    q = run_sliding_stream(spark, sf_dir, query_name="t_sliding")
+    _drain(q)
+    got = _rows(spark.sql("SELECT * FROM t_sliding"))
+    want = _rows(SPECS["stream_sliding_value_sum"].fn(spark, sf_dir))
+    assert got == want
+
+
+def test_stateful_user_totals_equals_batch(spark, sf_dir):
+    q = run_user_totals_stream(spark, sf_dir, query_name="t_totals")
+    _drain(q)
+    # update mode: last emitted row per user is the final state
+    got = spark.sql(
+        """
+        SELECT user_id, n_events, total_value FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+            FROM t_totals
+        ) WHERE rn = 1
+        """
+    )
+    ev = table(spark, sf_dir, "events")
+    want = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.sum("value").alias("total_value")
+    )
+    g = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in got.collect()}
+    w = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in want.collect()}
+    assert g == w
+
+
+def test_session_window_batch_twin_matches_manual_sessionization(spark, sf_dir):
+    """session_window must agree with the lag/cumsum formulation on
+    session boundaries (n_events per user)."""
+    sw = SPECS["stream_session_windows"].fn(spark, sf_dir)
+    manual = SPECS["sessionize_events"].fn(spark, sf_dir)
+    a = sorted((r["user_id"], r["n_events"]) for r in sw.collect())
+    b = sorted((r["user_id"], r["n_events"]) for r in manual.collect())
+    assert a == b
