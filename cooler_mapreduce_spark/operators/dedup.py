@@ -120,50 +120,63 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       → 8 bands of 4 → explode bands → self-equi-join on (band, key)
       → exact Jaccard on the shingle sets of *candidates only* → ≥ 0.5.
 
-    Scale: the band join is an equi-join on short strings — shuffles
-    O(docs × 8) tiny rows. Candidate verification re-joins shingle sets
-    for candidate pairs only (LSH's S-curve keeps that set near-linear).
-    Identical-text clusters all land in the same buckets, so exact dups
-    are a subset of the output. At 100 TB, band keys are skew-prone for
-    boilerplate text — AQE skew-join or a per-bucket cap handles it.
+    Scale: the band join carries only (doc_id, band, band_key) — the
+    shingle arrays are NOT shuffled through the 8-way band explode.
+    Candidate (doc_a, doc_b) pairs are deduped while still 16 bytes wide,
+    then the shingle sets are joined back for candidate pairs only
+    (LSH's S-curve keeps that set near-linear), so each shingle array is
+    shuffled at most once per side instead of 8× per band. Identical-text
+    clusters all land in the same buckets, so exact dups are a subset of
+    the output. At 100 TB, band keys are skew-prone for boilerplate
+    text — AQE skew-join or a per-bucket cap handles it.
     """
     d = table(spark, sf_dir, "documents")
-    sigs = d.select(
-        "doc_id",
-        F.expr(shingles_spark("split(text, ' ')")).alias("shingles"),
-        F.expr(minhash_sig_spark(_SPARK_SHINGLE_HASHES)).alias("sig"),
-    )
+    # two-step projection: hash each shingle ONCE, then take the 32
+    # permutation minima over the hash array. Inlining the hash expression
+    # into minhash_sig_spark would re-evaluate md5 per permutation (32×);
+    # CollapseProject keeps the split because `hv` is non-cheap and
+    # referenced 32 times.
+    hv = d.select("doc_id", F.expr(_SPARK_SHINGLE_HASHES).alias("hv"))
+    sigs = hv.select("doc_id", F.expr(minhash_sig_spark("hv")).alias("sig"))
     bands = sigs.select(
         "doc_id",
-        "shingles",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {LSH_BANDS - 1}),"
                 f" b -> struct(b AS band, concat_ws(',', slice(sig, b * {LSH_ROWS} + 1, {LSH_ROWS})) AS band_key))"
             )
         ).alias("bk"),
-    ).select("doc_id", "shingles", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # bucket-local pair generation (one scan + one shuffle of
+    # (band, band_key, doc_id)) — a band self-join would scan documents
+    # and recompute signatures twice; buckets are LSH-small by design
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        bands.groupBy("band", "band_key")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") > 1)
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) ->"
+                    " transform(filter(ds, y -> y > x),"
+                    " y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
         )
+        .select("p.*")
         .distinct()
+    )
+    shing = d.select("doc_id", F.expr(shingles_spark("split(text, ' ')")).alias("shingles"))
+    sa, sb = shing.alias("sa"), shing.alias("sb")
+    pairs = (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", F.col("sa.shingles").alias("sh_a"), F.col("sb.shingles").alias("sh_b"))
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
-    return cand.select("doc_a", "doc_b", jac.alias("jaccard")).filter(F.col("jaccard") >= 0.5)
+    return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).filter(F.col("jaccard") >= 0.5)
 
 
 # ------------------------------------------------------------- simhash ----
@@ -203,7 +216,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """48-bit SimHash fingerprint per document (token-hash majority vote
     per bit). One scan, no shuffle; the pair query below consumes it."""
     d = table(spark, sf_dir, "documents")
-    return d.select("doc_id", F.expr(_simhash_spark(_SPARK_TOKEN_HASHES)).alias("simhash"))
+    # hash each token ONCE; the 48-bit majority vote re-traverses the
+    # precomputed hash array, not the md5 expression (which an inlined
+    # form would re-evaluate per bit — 48×)
+    hv = d.select("doc_id", F.expr(_SPARK_TOKEN_HASHES).alias("hv"))
+    return hv.select("doc_id", F.expr(_simhash_spark("hv")).alias("simhash"))
 
 
 _SIMHASH_CHUNKS = 4
@@ -234,7 +251,8 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation, proving the optimized plan exact.
     """
     d = table(spark, sf_dir, "documents")
-    s = d.select("doc_id", F.expr(_simhash_spark(_SPARK_TOKEN_HASHES)).alias("simhash"))
+    hv = d.select("doc_id", F.expr(_SPARK_TOKEN_HASHES).alias("hv"))
+    s = hv.select("doc_id", F.expr(_simhash_spark("hv")).alias("simhash"))
     chunks = s.select(
         "doc_id",
         "simhash",
@@ -245,25 +263,30 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ck"),
     ).select("doc_id", "simhash", "ck.chunk_id", "ck.chunk_val")
-    a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk_id") == F.col("b.chunk_id"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .distinct()
+    # bucket-local pair generation instead of a self-join: one scan + one
+    # shuffle of (chunk, doc_id, simhash); a self-join would scan and
+    # recompute the simhash twice (no exchange reuse across aliases).
+    # Pairs are emitted JVM-side from each bucket's collected doc list —
+    # bucket sizes are LSH-small; a hot bucket at 100 TB means identical
+    # chunk values from boilerplate, capped upstream by exact dedup.
+    buckets = (
+        chunks.groupBy("chunk_id", "chunk_val")
+        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("ds"))
+        .filter(F.size("ds") > 1)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) ->"
+                " transform(filter(ds, y -> y.doc_id > x.doc_id),"
+                " y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,"
+                " x.simhash AS sh_a, y.simhash AS sh_b))))"
+            )
+        ).alias("p")
+    ).select("p.*").distinct()
     hamming = F.bit_count(F.expr("sh_a ^ sh_b"))
     return (
-        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        pairs.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= _HAMMING_MAX)
     )
 

@@ -58,6 +58,28 @@ def spark_cosine(a: str, b: str) -> str:
     return f"round({dot} / ({na} * {nb}), 9)"
 
 
+#: dot over pre-cast double arrays (no per-pair CAST) and cosine from
+#: per-row precomputed norms — bit-identical to :func:`spark_cosine`
+#: (the fold order is unchanged and IEEE multiply is commutative), but
+#: each vector's norm is computed once per ROW instead of once per PAIR.
+_SPARK_DOT_RAW = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def spark_cosine_prenorm(a: str, b: str, na: str, nb: str) -> str:
+    return f"round({_SPARK_DOT_RAW.format(a=a, b=b)} / ({na} * {nb}), 9)"
+
+
+def _embeddings_normed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings with the vector pre-cast to double and its norm."""
+    return table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("emb_d"),
+    ).withColumn("nrm", F.expr(_SPARK_NORM.format(a="emb_d")))
+
+
 def duckdb_cosine(a: str, b: str, dim: int = _DIM) -> str:
     dot = _DUCK_DOT.format(a=a, b=b, dim=dim)
     na = _DUCK_NORM.format(a=a, dim=dim)
@@ -97,17 +119,18 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    e = table(spark, sf_dir, "embeddings")
+    e = _embeddings_normed(spark, sf_dir)
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("emb_d").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
     scored = (
-        table(spark, sf_dir, "embeddings")
-        .join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.expr(spark_cosine("q_emb", "embedding")).alias("cosine"),
+            F.expr(spark_cosine_prenorm("q_emb", "emb_d", "q_nrm", "nrm")).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -169,14 +192,16 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    e = table(spark, sf_dir, "embeddings").select(
+    e = _embeddings_normed(spark, sf_dir).select(
         "vec_id",
-        "embedding",
-        F.explode(F.expr(_buckets_expr("embedding"))).alias("tb"),
-    ).select("vec_id", "embedding", "tb.table_id", "tb.bucket")
+        "emb_d",
+        "nrm",
+        F.explode(F.expr(_buckets_expr("emb_d"))).alias("tb"),
+    ).select("vec_id", "emb_d", "nrm", "tb.table_id", "tb.bucket")
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
+        F.col("emb_d").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
         F.col("table_id").alias("q_table_id"),
         F.col("bucket").alias("q_bucket"),
     )
@@ -187,13 +212,13 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("bucket") == F.col("q_bucket"))
             & (F.col("vec_id") != F.col("query_id")),
         )
-        .select("query_id", "vec_id", "q_emb", "embedding")
+        .select("query_id", "vec_id", "q_emb", "q_nrm", "emb_d", "nrm")
         .distinct()
     )
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.expr(spark_cosine("q_emb", "embedding")).alias("cosine"),
+        F.expr(spark_cosine_prenorm("q_emb", "emb_d", "q_nrm", "nrm")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -223,14 +248,19 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast cross for the LSH bucket join above — same verification
     predicate, candidate generation changes.
     """
-    a = table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    e = _embeddings_normed(spark, sf_dir)
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("emb_d").alias("emb_a"), F.col("nrm").alias("nrm_a")
     )
-    b = table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("emb_d").alias("emb_b"), F.col("nrm").alias("nrm_b")
     )
     return (
         a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", F.expr(spark_cosine("emb_a", "emb_b")).alias("cosine"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.expr(spark_cosine_prenorm("emb_a", "emb_b", "nrm_a", "nrm_b")).alias("cosine"),
+        )
         .filter(F.col("cosine") >= 0.99)
     )
