@@ -167,16 +167,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.*")
         .distinct()
     )
-    shing = d.select("doc_id", F.expr(shingles_spark("split(text, ' ')")).alias("shingles"))
-    sa, sb = shing.alias("sa"), shing.alias("sb")
+    # verification: join raw TEXT to the (few) candidate pairs first and
+    # shingle only the survivors — shingling all docs on both join sides
+    # would triple the scan+hash cost for a candidate set that LSH keeps
+    # near-linear (and tiny relative to the corpus)
+    txt = d.select("doc_id", "text")
+    ta, tb = txt.alias("ta"), txt.alias("tb")
     pairs = (
-        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", F.col("sa.shingles").alias("sh_a"), F.col("sb.shingles").alias("sh_b"))
+        cand.join(ta, F.col("doc_a") == F.col("ta.doc_id"))
+        .join(tb, F.col("doc_b") == F.col("tb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(shingles_spark("split(ta.text, ' ')")).alias("sh_a"),
+            F.expr(shingles_spark("split(tb.text, ' ')")).alias("sh_b"),
+        )
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
-    return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).filter(F.col("jaccard") >= 0.5)
+    sized = pairs.select(
+        "doc_a",
+        "doc_b",
+        F.size(F.array_intersect("sh_a", "sh_b")).alias("i"),
+        (F.size("sh_a") + F.size("sh_b")).alias("u2"),
+    )
+    jac = F.col("i").cast("double") / (F.col("u2") - F.col("i"))
+    return sized.select("doc_a", "doc_b", jac.alias("jaccard")).filter(F.col("jaccard") >= 0.5)
 
 
 # ------------------------------------------------------------- simhash ----
@@ -325,23 +339,32 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     above ~10^8 docs, or cap posting-list length (drops only boilerplate
     shingles)."""
     d = table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id",
-        F.explode(F.expr(shingles_spark("split(text, ' ')"))).alias("shingle"),
+    # single scan: shingle once, carry the per-doc shingle count through
+    # the posting-list explode so union sizes ride along with the pairs —
+    # the self-join formulation scans and re-shingles the corpus 4 times
+    # (two join sides + two size lookups)
+    sh_arr = d.select("doc_id", F.expr(shingles_spark("split(text, ' ')")).alias("shingles"))
+    sh = sh_arr.select(
+        "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("shingle")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("i"))
+    buckets = (
+        sh.groupBy("shingle")
+        .agg(F.collect_list(F.struct("doc_id", "n")).alias("ds"))
+        .filter(F.size("ds") > 1)
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) ->"
+                " transform(filter(ds, y -> y.doc_id > x.doc_id),"
+                " y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,"
+                " x.n AS n_a, y.n AS n_b))))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    inter = pairs.groupBy("doc_a", "doc_b", "n_a", "n_b").agg(F.count("*").alias("i"))
+    jac = F.col("i").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("i"))
     return (
-        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        inter.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.35)
     )

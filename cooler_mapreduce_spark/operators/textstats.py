@@ -68,7 +68,22 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-language token-hit counts, deterministic tie-break)."""
     d = table(spark, sf_dir, "documents")
     t = d.select("doc_id", F.col("lang").alias("labeled_lang"), F.split(F.lower("text"), " ").alias("toks"))
-    return t.select("doc_id", "labeled_lang", F.expr(_langid_expr("toks", "spark")).alias("predicted_lang"))
+    # materialize each language's hit count once — the argmax CASE
+    # references every count up to 6 times, and inlining would re-filter
+    # the token array per reference
+    hits = t.select(
+        "doc_id",
+        "labeled_lang",
+        *[F.expr(_hits("toks", lg, "spark")).alias(f"h_{lg}") for lg in _LANGS],
+    )
+    best = " ".join(
+        f"WHEN h_{lg} = greatest({', '.join('h_' + l for l in _LANGS)})"
+        f" AND h_{lg} > 0 THEN '{lg}'"
+        for lg in _LANGS
+    )
+    return hits.select(
+        "doc_id", "labeled_lang", F.expr(f"CASE {best} ELSE 'und' END").alias("predicted_lang")
+    )
 
 
 @query(
@@ -99,18 +114,25 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions. Ratios divide exact ints in double: deterministic."""
     d = table(spark, sf_dir, "documents")
     t = d.select("doc_id", "n_chars", F.split("text", " ").alias("toks"))
-    n_tok = F.size("toks")
-    n_long = F.size(F.filter("toks", lambda x: F.length(x) >= 4))
-    n_dist = F.size(F.array_distinct("toks"))
-    ttr = n_dist.cast("double") / n_tok
-    return t.select(
+    # count the array traversals (filter, array_distinct) once; the ratio
+    # columns reference them repeatedly
+    counts = t.select(
         "doc_id",
-        n_tok.alias("n_tokens"),
+        "n_chars",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.filter("toks", lambda x: F.length(x) >= 4)).alias("n_long_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct_tokens"),
+    )
+    n_tok = F.col("n_tokens")
+    ttr = F.col("n_distinct_tokens").cast("double") / n_tok
+    return counts.select(
+        "doc_id",
+        "n_tokens",
         "n_chars",
         (F.col("n_chars").cast("double") / n_tok).alias("avg_token_len"),
-        n_long.alias("n_long_tokens"),
-        (n_long.cast("double") / n_tok).alias("long_token_ratio"),
-        n_dist.alias("n_distinct_tokens"),
+        "n_long_tokens",
+        (F.col("n_long_tokens").cast("double") / n_tok).alias("long_token_ratio"),
+        "n_distinct_tokens",
         ttr.alias("ttr"),
         F.when((n_tok >= 5) & (n_tok <= 10000) & (ttr > 0.2), F.lit(1))
         .otherwise(F.lit(0))
@@ -173,11 +195,15 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash signatures. Pure expression; no shuffle."""
     d = table(spark, sf_dir, "documents")
     spark_toks = "split(text, ' ')"
-    hashes = F.array_sort(
-        F.expr(f"transform({shingles_spark(spark_toks)}, s -> {md5int_spark('s')})")
-    )
-    return d.select(
+    # sort the hash array once; both output columns slice it
+    h = d.select(
         "doc_id",
-        F.slice(hashes, 1, _FP_K).alias("fingerprint"),
-        F.element_at(hashes, 1).alias("min_hash"),
+        F.array_sort(
+            F.expr(f"transform({shingles_spark(spark_toks)}, s -> {md5int_spark('s')})")
+        ).alias("hashes"),
+    )
+    return h.select(
+        "doc_id",
+        F.slice("hashes", 1, _FP_K).alias("fingerprint"),
+        F.element_at("hashes", 1).alias("min_hash"),
     )
