@@ -37,6 +37,7 @@ HEADLINE = [
     "dedup_exact",              # hash-dedup over documents
     "dedup_minhash_lsh",        # shingle→minhash→band→bucket-join
     "ann_topk_bruteforce",      # embedding cosine top-k
+    "ann_topk_ivf",             # IVF cell-probe ANN (scale path)
     "text_quality_score",       # text-analysis scalar pipeline
     "stream_tumbling_counts",   # windowed event agg (batch twin)
 ]

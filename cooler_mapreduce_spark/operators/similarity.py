@@ -228,6 +228,97 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF tier -------------------------------------------------------------
+
+_IVF_NPROBE = 4
+
+
+def _dots_expr(emb: str, centroids: list[list[float]]) -> str:
+    """Array of cosine scores of ``emb`` against each centroid (centroid
+    norms folded into the literals — centroids are model constants)."""
+    scored = []
+    for c in centroids:
+        nrm = sum(v * v for v in c) ** 0.5 or 1.0
+        unit = [v / nrm for v in c]
+        arr = f"array({', '.join(f'CAST({v!r} AS DOUBLE)' for v in unit)})"
+        scored.append(_SPARK_DOT.format(a=emb, b=arr))
+    return f"array({', '.join(scored)})"
+
+
+@query(
+    "ann_topk_ivf",
+    oracle=None,  # probabilistic recall by design, like ann_topk_lsh;
+    # tests pin recall@10 against ann_topk_bruteforce.
+    tags=("similarity", "ann", "ivf", "llm-pipeline"),
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 neighbors via IVF (inverted-file) cells.
+
+    A coarse quantizer assigns every vector to its nearest centroid cell
+    (one scan, no shuffle — centroids are broadcast literals); each query
+    probes its ``nprobe`` nearest cells and re-ranks candidates by exact
+    cosine. Shuffle volume is O(corpus) for cell assignment + the probed
+    fraction for scoring — never O(corpus²).
+
+    Centroids are per-cluster mean vectors — one distributed aggregation
+    (posexplode → groupBy(label, dim) → avg), i.e. a Lloyd step over the
+    corpus's cluster assignments, collected to the driver as model
+    constants (k × dim doubles — the same footprint a ``pyspark.ml``
+    KMeans fit would hand this plan at 100 TB; the fit itself is an
+    offline step there).
+    """
+    from pyspark.sql import Window
+
+    e = _embeddings_normed(spark, sf_dir)
+    lab = table(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode(F.expr("CAST(embedding AS ARRAY<DOUBLE>)")).alias("pos", "v")
+    )
+    cent_rows = (
+        lab.groupBy("label", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("label", F.expr("transform(pm, s -> s.m)").alias("centroid"))
+        .orderBy("label")
+        .collect()
+    )
+    cents = [r["centroid"] for r in cent_rows]
+    dots = _dots_expr("emb_d", cents)
+    # rank cells once per row: sort (score, cell_id) structs descending
+    ranked = (
+        f"transform(array_sort(zip_with({dots}, sequence(0, {len(cents) - 1}),"
+        f" (d, i) -> struct(-d AS nd, i AS cell))), s -> s.cell)"
+    )
+    assigned = e.withColumn("cells", F.expr(ranked))
+    corpus = assigned.select(
+        "vec_id", "emb_d", "nrm", F.element_at("cells", 1).alias("cell")
+    )
+    q = (
+        assigned.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb_d").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            F.explode(F.slice("cells", 1, _IVF_NPROBE)).alias("cell"),
+        )
+    )
+    scored = (
+        corpus.join(F.broadcast(q), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(spark_cosine_prenorm("q_emb", "emb_d", "q_nrm", "nrm")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
 _DUP_COS = duckdb_cosine("a.embedding", "b.embedding")
 
 

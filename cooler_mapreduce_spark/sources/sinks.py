@@ -1,0 +1,76 @@
+"""Sinks — the reference's output contract plus the columnar formats a
+100 TB pipeline actually ships.
+
+Reference sink (reference task_executor.py:244-250, design.md:187-191):
+one plain-text TSV file per reduce partition, ``str(key)\\tstr(value)``
+rows, ``part-*`` layout. :func:`write_tsv` reproduces that contract with
+``DataFrameWriter`` — every column ``str()``-rendered, tab-separated, one
+``part-*`` file per partition — while inheriting Spark's atomic job
+commit (the reference writes output files in place with no commit
+protocol; a mid-write worker crash leaves torn files, reference
+task_executor.py:245-250).
+
+For real pipelines TSV is the wrong format at scale (no schema, no
+column pruning, no predicate pushdown) — :func:`write_parquet` with
+``partition_by`` is the scale path, and what every downstream query in
+this engine assumes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def write_tsv(df: DataFrame, path: str, num_partitions: int | None = None) -> None:
+    """Write the reference's TSV part-file layout.
+
+    ``num_partitions`` plays the reference's R (num_reduce_tasks): it
+    fixes the part-file count. Columns are rendered with ``CAST AS
+    STRING`` — the analogue of the reference's ``str(value)`` sink
+    (arrays/structs render in Spark's canonical bracket form).
+    """
+    out = df.select([F.col(c).cast("string").alias(c) for c in df.columns])
+    if num_partitions:
+        out = out.repartition(num_partitions)
+    (
+        out.write.mode("overwrite")
+        .option("sep", "\t")
+        .option("header", "false")
+        .option("nullValue", "None")  # reference prints Python None
+        .csv(path)
+    )
+
+
+def read_tsv(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """Read a TSV part-file directory back (all-string unless a schema is
+    given — the reference's outputs are untyped text either way)."""
+    reader = spark.read.option("sep", "\t").option("header", "false")
+    if schema:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Columnar sink — the scale path.
+
+    ``partition_by`` buys partition pruning for downstream readers (the
+    scan skips whole directories); ``max_records_per_file`` bounds file
+    sizes so a 1000-executor read gets balanced splits.
+    """
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.parquet(path)
+
+
+def write_json_lines(df: DataFrame, path: str) -> None:
+    """Newline-delimited JSON — the interchange sink (one object per
+    row; schema travels in-band, unlike TSV)."""
+    df.write.mode("overwrite").json(path)

@@ -1,0 +1,117 @@
+"""Sinks (TSV part-file contract, parquet/json roundtrips), CLI surface,
+and the IVF ANN tier."""
+
+from __future__ import annotations
+
+import glob
+import os
+import subprocess
+import sys
+
+from pyspark.sql import functions as F
+
+from cooler_mapreduce_spark.registry import load_all
+from cooler_mapreduce_spark.sources.sinks import (
+    read_tsv,
+    write_json_lines,
+    write_parquet,
+    write_tsv,
+)
+
+SPECS = load_all()
+
+
+def test_tsv_sink_partfile_contract(spark, sf_dir, tmp_path):
+    """Reference sink contract: part-* files, tab-separated str() rows,
+    partition count = the R knob (reference design.md:187-191)."""
+    df = SPECS["word_count"].fn(spark, sf_dir).orderBy(F.desc("cnt")).limit(100)
+    n = df.count()
+    out = str(tmp_path / "wc_tsv")
+    write_tsv(df, out, num_partitions=4)
+    parts = sorted(glob.glob(os.path.join(out, "part-*")))
+    assert len(parts) == 4
+    rows = []
+    for p in parts:
+        with open(p) as f:
+            rows += [line.rstrip("\n").split("\t") for line in f if line]
+    assert len(rows) == n > 0
+    assert all(len(r) == 2 and r[1].isdigit() for r in rows)
+
+
+def test_tsv_roundtrip(spark, sf_dir, tmp_path):
+    df = SPECS["top_k_orders"].fn(spark, sf_dir)
+    out = str(tmp_path / "tsv_rt")
+    write_tsv(df, out)
+    back = read_tsv(spark, out)
+    assert back.count() == df.count()
+    assert len(back.columns) == len(df.columns)
+
+
+def test_parquet_sink_partition_pruning(spark, sf_dir, tmp_path):
+    """partition_by must produce a layout whose scan prunes directories."""
+    ev = SPECS["stream_tumbling_counts"].fn(spark, sf_dir)
+    out = str(tmp_path / "ev_parquet")
+    write_parquet(ev, out, partition_by=["event_type"])
+    types = [d for d in os.listdir(out) if d.startswith("event_type=")]
+    assert len(types) >= 2
+    one = spark.read.parquet(out).filter(F.col("event_type") == types[0].split("=")[1])
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_json_lines_roundtrip(spark, sf_dir, tmp_path):
+    df = SPECS["text_quality_score"].fn(spark, sf_dir).limit(50)
+    out = str(tmp_path / "json_rt")
+    write_json_lines(df, out)
+    back = spark.read.json(out)
+    assert back.count() == 50
+
+
+def test_cli_submit_and_results(tmp_path, spark):
+    """End-to-end reference workflow: submit a job file over a text input,
+    TSV part files appear, results lists them. Runs in-process via main()
+    (a subprocess would build a second JVM for nothing)."""
+    from cooler_mapreduce_spark.cli import main
+
+    inp = tmp_path / "input.txt"
+    inp.write_text("hello world\nhello spark\nworld of spark\n")
+    job = tmp_path / "job.py"
+    job.write_text(
+        "def map_fn(key, value):\n"
+        "    for w in value.split():\n"
+        "        yield (w, 1)\n"
+        "def reduce_fn(key, values):\n"
+        "    return sum(values)\n"
+    )
+    out = str(tmp_path / "out")
+    rc = main(["submit", str(inp), out, str(job), "--num-reduce", "2"])
+    assert rc == 0
+    rc = main(["results", out])
+    assert rc == 0
+    rows = {}
+    for p in glob.glob(os.path.join(out, "part-*")):
+        with open(p) as f:
+            for line in f:
+                if line.strip():
+                    k, v = line.rstrip("\n").split("\t")
+                    rows[k] = int(v)
+    assert rows == {"hello": 2, "world": 2, "spark": 2, "of": 1}
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF must find ≥50% of the true top-10 (the fixture's clusters are
+    weak for cosine — max neighbor cosine ~0.4 — so cell-probing recall
+    is modest by data construction, not by algorithm; nprobe is the
+    recall/cost dial)."""
+    bf = {(r["query_id"], r["neighbor_id"]) for r in SPECS["ann_topk_bruteforce"].fn(spark, sf_dir).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"]) for r in SPECS["ann_topk_ivf"].fn(spark, sf_dir).collect()}
+    assert len(bf & ivf) / len(bf) >= 0.5
+
+
+def test_ann_ivf_probes_subset(spark, sf_dir):
+    """IVF output must be a subset of brute-force scoring universe and
+    carry exactly top-k per query."""
+    ivf = SPECS["ann_topk_ivf"].fn(spark, sf_dir)
+    counts = ivf.groupBy("query_id").count().collect()
+    assert all(r["count"] <= 10 for r in counts)
+    assert ivf.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
