@@ -1,0 +1,103 @@
+"""Skew mitigation: salted aggregation and salted joins.
+
+AQE's runtime skew-join splitting handles most cases (enabled in
+``session.py``); these operators are the *planned* form for keys known to
+be pathological — the 100 TB reality where one event type or one join key
+holds 30% of all rows and a single reducer would run for hours.
+
+- **Salted aggregation**: shard each hot key across ``salt`` sub-keys,
+  aggregate partially per shard, then combine shards — two small shuffles
+  instead of one skewed one. Works for any algebraic aggregate (sum,
+  count, min, max, and any merge-able partial).
+- **Salted join**: salt the skewed (fact) side, replicate the compact
+  side once per salt value, join on (key, salt) — the hot key's rows
+  spread over ``salt`` reducers. The replication factor prices the fix:
+  compact side bytes × salt.
+
+The reference has no answer to skew at all — a hot key simply lands on
+one worker (hash % R, reference task_executor.py:147-149) and serializes
+the job. These operators exist to make the engine's answer explicit and
+testable: results must be IDENTICAL to the unsalted plan (the oracle is
+the unsalted SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..functions.numeric import sql_davg
+from ..registry import query
+from ..sources.catalog import table
+
+DEFAULT_SALT = 16
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[Column, Column]],
+    salt: int = DEFAULT_SALT,
+) -> DataFrame:
+    """Two-stage aggregation sharding hot keys over ``salt`` sub-keys.
+
+    ``aggs`` maps output-column name → (partial_agg, final_agg) where the
+    partial runs per (keys, salt) shard and the final merges shards —
+    e.g. ``{"n": (F.count("*"), F.sum("n"))}``. Each aggregate's merge
+    algebra is the caller's contract (count→sum, sum→sum, min→min...),
+    exactly the combine_fn/reduce_fn split of the reference's designed
+    combiner (reference design.md:197-245).
+    """
+    salted = df.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[p.alias(name) for name, (p, _f) in aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[f.alias(name) for name, (_p, f) in aggs.items()]
+    )
+
+
+def salted_join(
+    fact: DataFrame,
+    compact: DataFrame,
+    on: str,
+    salt: int = DEFAULT_SALT,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resilient equi-join: salt the fact side, replicate the
+    compact side ``salt``×, join on (key, salt). Use when the compact
+    side is too big to broadcast but small enough to replicate."""
+    f_s = fact.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    c_s = compact.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return f_s.join(c_s, [on, "__salt"], how).drop("__salt")
+
+
+@query(
+    "skew_salted_event_stats",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {sql_davg('value', 6)} AS avg_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("aggregation", "skew", "salting"),
+)
+def skew_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type stats through the salted two-stage plan — the hot
+    event type shards over 16 sub-keys before merging. The oracle is the
+    UNSALTED SQL: salting must be invisible in the result, bit for bit
+    (decimal partials make the sum merge order-independent)."""
+    ev = table(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("__salt", (F.rand(seed=42) * DEFAULT_SALT).cast("int"))
+        .groupBy("event_type", "__salt")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)")).alias("s"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("n").alias("n_events"),
+        (F.sum("s").cast("double") / F.sum("n")).alias("avg_value"),
+    )

@@ -9,4 +9,5 @@ verifies the semantics and the streaming tests verify the incremental
 execution (watermarks, state, output modes) produces the same rows.
 """
 
+from .dedup import run_session_stream, run_streaming_dedup  # noqa: F401
 from .windows import run_sliding_stream, run_tumbling_stream  # noqa: F401

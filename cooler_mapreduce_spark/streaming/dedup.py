@@ -1,0 +1,88 @@
+"""Streaming deduplication — the ingest-time twin of ``operators.dedup``.
+
+A training-data pipeline dedups at ingest (stream) and at rest (batch).
+Spark's ``dropDuplicates`` on a streaming DataFrame keeps per-key state of
+seen keys; with a watermark the state is bounded to the lateness horizon
+— the 100 TB/day shape: exact-dup keys are dropped within the watermark
+window, and the at-rest batch pass (``dedup_exact``) catches cross-window
+stragglers.
+
+Also here: streaming session windows (gap-merged per-user sessions in the
+state store) — the streaming twin of the oracle-checked
+``stream_session_windows`` batch query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, functions as F
+
+from .windows import _event_stream
+
+
+def run_streaming_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "dedup_out",
+    watermark: str | None = None,
+):
+    """Start exact-dedup-on-ingest over the documents stream: first
+    occurrence of each content hash passes, later copies are dropped by
+    the state store.
+
+    Without a watermark the seen-hash state grows with distinct keys
+    (the bounded-input test case); production sets ``watermark`` so keys
+    expire after the lateness horizon — state is then O(keys per
+    horizon), not O(keys ever).
+    """
+    schema = "doc_id bigint, source string, lang string, text string, n_chars bigint"
+    raw = spark.readStream.schema(schema).parquet(f"{sf_dir}/documents.parque*")
+    hashed = raw.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("content_hash")
+    )
+    if watermark:
+        # dedup state expiry needs an event-time column in the key scope
+        hashed = hashed.withColumn("ingest_ts", F.current_timestamp()).withWatermark(
+            "ingest_ts", watermark
+        )
+        deduped = hashed.dropDuplicates(["content_hash", "ingest_ts"])
+    else:
+        deduped = hashed.dropDuplicates(["content_hash"])
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
+def run_session_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    query_name: str = "session_out",
+    output_mode: str = "complete",
+):
+    """Streaming twin of ``stream_session_windows``: gap-merged per-user
+    sessions maintained in the state store. Complete mode for the
+    bounded single-batch drive (see ``run_tumbling_stream`` rationale);
+    production uses append + watermark so closed sessions emit once and
+    their state is evicted."""
+    ev = _event_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

@@ -76,3 +76,32 @@ def test_session_window_batch_twin_matches_manual_sessionization(spark, sf_dir):
     a = sorted((r["user_id"], r["n_events"]) for r in sw.collect())
     b = sorted((r["user_id"], r["n_events"]) for r in manual.collect())
     assert a == b
+
+
+def test_streaming_dedup_equals_batch_distinct(spark, sf_dir):
+    """Streaming dropDuplicates must pass exactly one row per distinct
+    content hash — the streaming twin of dedup_exact's universe."""
+    from cooler_mapreduce_spark.sources.catalog import table
+    from cooler_mapreduce_spark.streaming.dedup import run_streaming_dedup
+
+    q = run_streaming_dedup(spark, sf_dir, query_name="t_dedup")
+    _drain(q)
+    got = spark.sql("SELECT content_hash FROM t_dedup")
+    assert got.count() == got.distinct().count()
+    want = (
+        table(spark, sf_dir, "documents")
+        .select(F.md5(F.col("text").cast("binary")).alias("h"))
+        .distinct()
+        .count()
+    )
+    assert got.count() == want
+
+
+def test_session_stream_equals_batch_twin(spark, sf_dir):
+    from cooler_mapreduce_spark.streaming.dedup import run_session_stream
+
+    q = run_session_stream(spark, sf_dir, query_name="t_sessions")
+    _drain(q)
+    got = _rows(spark.sql("SELECT * FROM t_sessions"))
+    want = _rows(SPECS["stream_session_windows"].fn(spark, sf_dir))
+    assert got == want
