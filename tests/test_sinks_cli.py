@@ -115,3 +115,27 @@ def test_ann_ivf_probes_subset(spark, sf_dir):
     counts = ivf.groupBy("query_id").count().collect()
     assert all(r["count"] <= 10 for r in counts)
     assert ivf.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Same-bucketed tables must join with zero shuffle on either side —
+    the write-once/join-free forever contract of bucketBy."""
+    from cooler_mapreduce_spark.sources.bucketing import bucketed_join, write_bucketed
+    from cooler_mapreduce_spark.sources.catalog import table
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed(orders, "t_orders_b", "o_orderkey", num_buckets=8)
+    write_bucketed(li, "t_lineitem_b", "o_orderkey", num_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        joined = bucketed_join(spark, "t_orders_b", "t_lineitem_b", "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        want = orders.join(li, "o_orderkey").count()
+        assert joined.count() == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
