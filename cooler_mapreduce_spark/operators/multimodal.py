@@ -95,6 +95,68 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "n_bytes", "first_byte", "media_kind")
 
 
+#: binary-in → binary-out transform schema (resize, transcode, crop...).
+_TRANSFORM_SCHEMA = "doc_id bigint, media binary, n_bytes bigint"
+
+
+def resize_media(blob: bytes, target: tuple[int, int], fake: bool = False) -> bytes:
+    """Resize one image blob (production: PIL/libvips). The deterministic
+    fake truncates/pads to a size derived from ``target`` — wrong as
+    pixels, right as plumbing: binary in, binary out, bounded size."""
+    if not fake:
+        raise NotImplementedError("image codecs unavailable in this environment")
+    w, h = target
+    want = min(len(blob), max(16, (w * h) // 64))
+    return blob[:want].ljust(want, b"\0")
+
+
+def sample_frames(blob: bytes, every_n: int, fake: bool = False) -> list[bytes]:
+    """Sample frames from a video blob (production: ffmpeg/pyav). The
+    fake slices the byte stream into fixed 256-byte 'frames' and keeps
+    every n-th — exercising the 1→many row shape real frame sampling
+    has."""
+    if not fake:
+        raise NotImplementedError("video codecs unavailable in this environment")
+    frames = [blob[i : i + 256] for i in range(0, len(blob), 256)]
+    return frames[::every_n]
+
+
+def media_resize_pipeline(spark: SparkSession, sf_dir: str, target=(64, 64)) -> DataFrame:
+    """mapInPandas binary→binary transform over the blob column — the
+    resize/transcode stage shape (partition-preserving, no shuffle)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [resize_media(b, target, fake=True) for b in pdf["media"]]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "media": resized,
+                 "n_bytes": [len(b) for b in resized]}
+            )
+
+    d = table(spark, sf_dir, "documents")
+    media = d.select("doc_id", F.encode("text", "utf-8").alias("media"))
+    return media.mapInPandas(run, schema=_TRANSFORM_SCHEMA)
+
+
+def media_frame_sample_pipeline(
+    spark: SparkSession, sf_dir: str, every_n: int = 4
+) -> DataFrame:
+    """mapInPandas 1→many frame sampling (each blob explodes to its kept
+    frames) — the video-ingest stage shape."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames, idxs = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                for i, fr in enumerate(sample_frames(blob, every_n, fake=True)):
+                    ids.append(doc_id), frames.append(fr), idxs.append(i)
+            yield pd.DataFrame({"doc_id": ids, "frame_no": idxs, "frame": frames})
+
+    d = table(spark, sf_dir, "documents")
+    media = d.select("doc_id", F.encode("text", "utf-8").alias("media"))
+    return media.mapInPandas(run, schema="doc_id bigint, frame_no int, frame binary")
+
+
 @query(
     "multimodal_catalog",
     oracle="""

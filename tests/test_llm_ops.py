@@ -115,3 +115,39 @@ def test_language_id_predicts_known_language_tokens(spark):
     ).select("doc_id", F.expr(_langid_expr("toks", "spark")).alias("pred"))
     out = {r["doc_id"]: r["pred"] for r in t.collect()}
     assert out == {1: "en", 2: "es", 3: "und"}
+
+
+def test_media_resize_pipeline_shapes(spark, sf_dir):
+    """binary->binary transform: every output blob bounded, one row per
+    input, stub decode raises without fake=True."""
+    import pytest as _pytest
+
+    from cooler_mapreduce_spark.operators.multimodal import (
+        media_resize_pipeline,
+        resize_media,
+    )
+    from cooler_mapreduce_spark.sources.catalog import table
+
+    out = media_resize_pipeline(spark, sf_dir, target=(64, 64)).collect()
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert len(out) == n_docs
+    assert all(isinstance(r["media"], (bytes, bytearray)) for r in out)
+    assert all(r["n_bytes"] == len(r["media"]) for r in out)
+    with _pytest.raises(NotImplementedError):
+        resize_media(b"xx", (8, 8))
+
+
+def test_media_frame_sample_pipeline_shapes(spark, sf_dir):
+    """1->many frame explode: every doc contributes >=1 frame, frame_no
+    dense from 0."""
+    from cooler_mapreduce_spark.operators.multimodal import media_frame_sample_pipeline
+    from cooler_mapreduce_spark.sources.catalog import table
+
+    df = media_frame_sample_pipeline(spark, sf_dir, every_n=4)
+    n_docs = table(spark, sf_dir, "documents").count()
+    per_doc = {r["doc_id"]: r["cnt"] for r in df.groupBy("doc_id").agg(
+        F.count("*").alias("cnt")).collect()}
+    assert len(per_doc) == n_docs
+    assert all(c >= 1 for c in per_doc.values())
+    firsts = df.groupBy("doc_id").agg(F.min("frame_no").alias("m")).collect()
+    assert all(r["m"] == 0 for r in firsts)
