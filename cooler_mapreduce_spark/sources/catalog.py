@@ -30,6 +30,17 @@ TABLES = (
 BROADCAST_SAFE = ("region", "nation")
 
 
+#: Fan out single-split scans above this size. The test parquet files are
+#: written as ONE row group each, and parquet can't split below row-group
+#: granularity — so without intervention every scan (and everything fused
+#: into it: tokenize, hash, aggregate partials) runs in ONE task no matter
+#: how many cores exist. Real deployments never hit this branch: a 100 TB
+#: table arrives as thousands of files/row groups and splits natively, and
+#: an extra shuffle there would be pure waste — hence the partition-count
+#: guard, not an unconditional repartition.
+_FANOUT_MIN_BYTES = 2 * 1024 * 1024
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one catalog table from a scale-factor directory.
 
@@ -46,8 +57,24 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _fan_out(spark, df, f"{sf_dir}/{name}.parquet")
+
+
+def _fan_out(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    import os
+
+    target = spark.sparkContext.defaultParallelism
+    try:
+        size = os.path.getsize(path)
+    except OSError:
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if size < _FANOUT_MIN_BYTES or target < 4:
+        return df
+    if df.rdd.getNumPartitions() >= max(2, target // 2):
+        return df
+    return df.repartition(target)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
