@@ -57,9 +57,17 @@ def main() -> None:
     spark = get_session("bench", cpus=cpus)
     specs = load_all()
 
-    # warm the JVM + parquet footers once so per-query numbers measure the
-    # plan, not first-touch JIT/metadata costs (all runs share the session)
+    # Warm the session the way a long-lived cluster is warm: JVM JIT +
+    # parquet footer cache (count), the Python-worker pool (every core
+    # forks a reusable pyspark worker on first RDD use — mr-compat
+    # queries would otherwise pay all 32 forks inside their timing), and
+    # the Arrow serialization path (pandas-UDF queries).
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    spark.sparkContext.parallelize(range(cpus * 2), cpus).map(lambda x: x).count()
+    import pandas as pd  # noqa: F401
+    spark.createDataFrame([(1,)], "x int").mapInPandas(
+        lambda it: it, schema="x int"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -62,19 +62,30 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _fan_out(spark, df, f"{sf_dir}/{name}.parquet")
 
 
+#: fan-out decision per (path, parallelism) — the split count of a static
+#: file never changes within a run, and the .rdd partition probe costs a
+#: plan construction per call.
+_FANOUT_CACHE: dict[tuple[str, int], bool] = {}
+
+
 def _fan_out(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     import os
 
     target = spark.sparkContext.defaultParallelism
-    try:
-        size = os.path.getsize(path)
-    except OSError:
-        return df
-    if size < _FANOUT_MIN_BYTES or target < 4:
-        return df
-    if df.rdd.getNumPartitions() >= max(2, target // 2):
-        return df
-    return df.repartition(target)
+    key = (path, target)
+    fan = _FANOUT_CACHE.get(key)
+    if fan is None:
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            size = 0
+        fan = (
+            size >= _FANOUT_MIN_BYTES
+            and target >= 4
+            and df.rdd.getNumPartitions() < max(2, target // 2)
+        )
+        _FANOUT_CACHE[key] = fan
+    return df.repartition(target) if fan else df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
