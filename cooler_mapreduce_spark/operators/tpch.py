@@ -170,3 +170,43 @@ def revenue_topn_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "orders_above_customer_avg",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE CAST(o.o_totalprice AS DECIMAL(30,2)) * 2 *
+          (SELECT COUNT(*) FROM orders c WHERE c.o_custkey = o.o_custkey)
+        > 3 * (SELECT SUM(CAST(s.o_totalprice AS DECIMAL(30,2)))
+               FROM orders s WHERE s.o_custkey = o.o_custkey)
+    """,
+    tags=("subquery", "correlated", "tpch"),
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders 50% above their customer's own
+    average. Written as literal correlated SQL — Catalyst DECORRELATES it
+    into an aggregate + join (RewriteCorrelatedScalarSubquery), the
+    optimizer capability SURVEY.md §4 calls out as impossible in the
+    reference (queries there are opaque Python). The oracle runs the
+    identical SQL, so the rewrite is proven semantics-preserving.
+
+    The "50% above the mean" predicate runs entirely in exact
+    integer/decimal arithmetic (price × 2 × count > 3 × sum — the 1.5
+    factor as a 2:3 ratio, AVG unrolled to SUM/COUNT) because
+    o_totalprice is stored as double: a float AVG would be
+    partition-order-dependent in Spark AND DuckDB's AVG(DECIMAL)
+    returns DOUBLE (see functions/numeric.py for the general rule).
+    """
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM orders o
+        WHERE CAST(o.o_totalprice AS DECIMAL(30,2)) * 2 *
+              (SELECT COUNT(*) FROM orders c WHERE c.o_custkey = o.o_custkey)
+            > 3 * (SELECT SUM(CAST(s.o_totalprice AS DECIMAL(30,2)))
+                   FROM orders s WHERE s.o_custkey = o.o_custkey)
+        """
+    )
