@@ -192,3 +192,27 @@ def exact_median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
         F.percentile("l_quantity", F.array(F.lit(0.25), F.lit(0.75))).alias("iqr"),
     )
+
+
+@query(
+    "approx_quantiles_price",
+    oracle=None,  # sketch output is algorithm-specific; accuracy is
+    # test-pinned against exact quantiles (tests/test_operators.py)
+    tags=("aggregation", "approx", "sketch", "percentile"),
+)
+def approx_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate order-price quantiles via percentile_approx
+    (Greenwald-Khanna sketch, relative error 1e-3).
+
+    The sketch is mergeable: partials combine associatively across
+    partitions, so at 100 TB this is one narrow pass + a tiny merge —
+    versus exact percentiles, which need a full sort or two-pass
+    count-then-seek (see exact_median_quantity). accuracy=10000 bounds
+    rank error at n/10000 with O(accuracy) state per partition.
+    """
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        F.percentile_approx(
+            "o_totalprice", [0.25, 0.5, 0.75, 0.95, 0.99], 10000
+        ).alias("quantiles")
+    )

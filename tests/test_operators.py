@@ -46,3 +46,40 @@ def test_topk_is_prefix_of_full_sort(spark, sf_dir):
         .collect()
     ]
     assert top == full
+
+
+def test_read_lines_keyed(spark, tmp_path):
+    """Text source reproduces the reference record model: one row per
+    line; with_keys adds (fname, ordinal line_id) — the reference's
+    'filename:line_num' key split into typed columns."""
+    from cooler_mapreduce_spark.sources.text import read_lines
+
+    p = tmp_path / "in.txt"
+    p.write_text("alpha\nbeta\ngamma\n")
+    plain = read_lines(spark, str(p))
+    assert [r["value"] for r in plain.collect()] == ["alpha", "beta", "gamma"]
+
+    keyed = read_lines(spark, str(p), with_keys=True)
+    rows = sorted((r["line_id"], r["value"]) for r in keyed.collect())
+    assert rows == [(0, "alpha"), (1, "beta"), (2, "gamma")]
+    assert all(r["fname"].endswith("in.txt") for r in keyed.collect())
+
+
+def test_approx_quantiles_close_to_exact(spark, oracle_sf_dir):
+    """GK sketch quantiles must land within 1% rank error of exact."""
+    import duckdb
+
+    got = SPECS["approx_quantiles_price"].fn(spark, oracle_sf_dir).collect()[0]["quantiles"]
+    con = duckdb.connect()
+    exact = con.execute(
+        f"SELECT quantile_cont(o_totalprice, [0.25, 0.5, 0.75, 0.95, 0.99]) "
+        f"FROM '{oracle_sf_dir}/orders.parquet'"
+    ).fetchone()[0]
+    n = con.execute(f"SELECT COUNT(*) FROM '{oracle_sf_dir}/orders.parquet'").fetchone()[0]
+    vals = con.execute(
+        f"SELECT o_totalprice FROM '{oracle_sf_dir}/orders.parquet' ORDER BY o_totalprice"
+    ).df()["o_totalprice"].tolist()
+    import bisect
+    for q, g, e in zip([0.25, 0.5, 0.75, 0.95, 0.99], got, exact):
+        rank_g = bisect.bisect_left(vals, g) / n
+        assert abs(rank_g - q) < 0.01, (q, g, e, rank_g)

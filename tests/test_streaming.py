@@ -105,3 +105,21 @@ def test_session_stream_equals_batch_twin(spark, sf_dir):
     got = _rows(spark.sql("SELECT * FROM t_sessions"))
     want = _rows(SPECS["stream_session_windows"].fn(spark, sf_dir))
     assert got == want
+
+
+def test_stream_to_parquet_sink(spark, sf_dir, tmp_path):
+    """foreachBatch parquet sink: partitioned layout appears and totals
+    match the batch twin's event counts."""
+    from cooler_mapreduce_spark.streaming.dedup import run_stream_to_parquet
+
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_stream_to_parquet(spark, sf_dir, out, ckpt)
+    _drain(q)
+    import os
+
+    assert any(d.startswith("event_type=") for d in os.listdir(out))
+    back = spark.read.parquet(out)
+    got = back.groupBy().sum("n_events").collect()[0][0]
+    want = SPECS["stream_tumbling_counts"].fn(spark, sf_dir).groupBy().sum("n_events").collect()[0][0]
+    assert got == want
