@@ -50,6 +50,7 @@ _QUERY_MODULES = (
     "cooler_mapreduce_spark.operators.textstats",
     "cooler_mapreduce_spark.operators.multimodal",
     "cooler_mapreduce_spark.operators.skew",
+    "cooler_mapreduce_spark.operators.udtf_ops",
     "cooler_mapreduce_spark.operators.mapreduce",
     "cooler_mapreduce_spark.streaming.windows",
 )
