@@ -123,3 +123,63 @@ def test_stream_to_parquet_sink(spark, sf_dir, tmp_path):
     got = back.groupBy().sum("n_events").collect()[0][0]
     want = SPECS["stream_tumbling_counts"].fn(spark, sf_dir).groupBy().sum("n_events").collect()[0][0]
     assert got == want
+
+
+def test_watermark_evicts_state_and_drops_late_events(spark, tmp_path):
+    """The late-data contract that bounds state at scale: once the
+    watermark passes a window's end, the window emits (append mode),
+    its state is EVICTED, and rows arriving for it afterwards are
+    dropped — no duplicate emission, no state resurrection. (Spark's
+    watermark is a state-retention bound, not a strict admission filter:
+    a late row whose window never had state may still aggregate
+    best-effort, which is why this test drives eviction first.)"""
+    import time as _time
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    ts = lambda h, m: f"TIMESTAMP'2026-01-01 {h:02d}:{m:02d}:00'"
+
+    def write_file(name, stamps):
+        spark.sql(
+            "SELECT * FROM VALUES "
+            + ", ".join(f"(CAST(1 AS BIGINT), {ts(h, m)})" for h, m in stamps)
+            + " AS t(user_id, ts)"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+        _time.sleep(1.1)  # distinct mtimes -> deterministic trigger order
+
+    # batch 1: the 12:00 window gets state
+    write_file("b1", [(12, 0)])
+    # batch 2: 14:00 raises the max event time; the watermark the NEXT
+    # batch runs with becomes 13:50 > window end 13:00
+    write_file("b2", [(14, 0)])
+    # batch 3: runs with watermark 13:50 -> the 12:00 window emits {n=1}
+    # and its state is evicted (a row for it would still merge in this
+    # batch — eviction happens at batch end)
+    write_file("b3", [(15, 0)])
+    # batch 4: a late 12:15 event for the already-evicted window -> must
+    # be dropped, not re-open the window or re-emit
+    write_file("b4", [(12, 15)])
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = agg.writeStream.outputMode("append").format("memory").queryName("t_late").start()
+    _drain(q)
+    rows = spark.sql("SELECT * FROM t_late").collect()
+    got = {r["ws"].hour: r["n"] for r in rows}
+    assert got == {12: 1}  # emitted exactly once, count WITHOUT the late row
+    assert len(rows) == 1  # no duplicate emission after the late arrival
+    dropped = sum(
+        op["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    assert dropped == 1  # the 12:15 row was dropped by the watermark
