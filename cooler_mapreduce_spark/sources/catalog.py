@@ -37,8 +37,13 @@ BROADCAST_SAFE = ("region", "nation")
 #: how many cores exist. Real deployments never hit this branch: a 100 TB
 #: table arrives as thousands of files/row groups and splits natively, and
 #: an extra shuffle there would be pure waste — hence the partition-count
-#: guard, not an unconditional repartition.
-_FANOUT_MIN_BYTES = 2 * 1024 * 1024
+#: guard, not an unconditional repartition. The threshold is deliberately
+#: low: compressed size is a poor proxy for downstream compute (600 KB of
+#: parquet text fans out into millions of md5 calls in the dedup
+#: pipelines), and redistributing a sub-MB table costs ~nothing; only
+#: the KB-scale dimension tables (region/nation), which broadcast
+#: anyway, stay single-partition.
+_FANOUT_MIN_BYTES = 256 * 1024
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
