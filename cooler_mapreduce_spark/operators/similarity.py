@@ -363,3 +363,49 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= 0.99)
     )
+
+
+@query(
+    "embedding_cosine_dups_lsh",
+    oracle=None,  # candidate recall is probabilistic; tests pin coverage
+    # of the exact all-pairs result (near-identical vectors share sign
+    # patterns with probability ~(1 - theta/pi)^P per table, theta -> 0)
+    tags=("dedup", "similarity", "embedding", "lsh", "llm-pipeline"),
+)
+def embedding_cosine_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of :func:`embedding_cosine_dups`: candidate pairs
+    from the multi-table hyperplane buckets (bucket-local pair
+    generation — one scan, shuffle O(corpus × tables)), verified by the
+    SAME exact-cosine >= 0.99 predicate. Near-identical vectors land in
+    the same bucket in ~every table, so recall at this threshold is
+    ~1 while the all-pairs product is never materialized."""
+    e = _embeddings_normed(spark, sf_dir)
+    bucketed = e.select(
+        "vec_id",
+        "emb_d",
+        "nrm",
+        F.explode(F.expr(_buckets_expr("emb_d"))).alias("tb"),
+    ).select("vec_id", "emb_d", "nrm", F.col("tb.table_id").alias("t"), F.col("tb.bucket").alias("b"))
+    cand = (
+        bucketed.groupBy("t", "b")
+        .agg(F.collect_list(F.struct("vec_id", "emb_d", "nrm")).alias("vs"))
+        .filter(F.size("vs") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(vs, (x, i) ->"
+                    " transform(filter(vs, y -> y.vec_id > x.vec_id),"
+                    " y -> struct(x.vec_id AS vec_a, y.vec_id AS vec_b,"
+                    " x.emb_d AS emb_a, y.emb_d AS emb_b,"
+                    " x.nrm AS nrm_a, y.nrm AS nrm_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return cand.select(
+        "vec_a",
+        "vec_b",
+        F.expr(spark_cosine_prenorm("emb_a", "emb_b", "nrm_a", "nrm_b")).alias("cosine"),
+    ).filter(F.col("cosine") >= 0.99)

@@ -151,3 +151,22 @@ def test_media_frame_sample_pipeline_shapes(spark, sf_dir):
     assert all(c >= 1 for c in per_doc.values())
     firsts = df.groupBy("doc_id").agg(F.min("frame_no").alias("m")).collect()
     assert all(r["m"] == 0 for r in firsts)
+
+
+def test_embedding_dups_lsh_covers_exact(spark, oracle_sf_dir):
+    """The LSH-candidate variant must recover the exact all-pairs dups
+    (cosine >= 0.99 pairs are near-parallel -> same sign pattern in
+    ~every table) and emit identical cosines for shared pairs."""
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in SPECS["embedding_cosine_dups"].fn(spark, oracle_sf_dir).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in SPECS["embedding_cosine_dups_lsh"].fn(spark, oracle_sf_dir).collect()
+    }
+    assert set(lsh) <= set(exact) or not exact  # verification is exact -> no false pairs
+    if exact:
+        assert len(set(lsh) & set(exact)) / len(exact) >= 0.9
+        for k in set(lsh) & set(exact):
+            assert lsh[k] == exact[k]
