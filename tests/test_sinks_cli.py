@@ -139,3 +139,14 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         assert joined.count() == want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_cli_status_reports(spark, capsys):
+    """status must report cleanly both with an active session (no active
+    stages between jobs) and report stage progress format correctly."""
+    from cooler_mapreduce_spark.cli import main
+
+    rc = main(["status"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "no active stages" in out or "stage" in out
