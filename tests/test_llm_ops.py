@@ -172,3 +172,21 @@ def test_embedding_dups_lsh_covers_exact(spark, oracle_sf_dir):
     assert len(set(lsh) & set(exact)) / len(exact) >= 0.8
     for k in set(lsh) & set(exact):
         assert lsh[k] == exact[k]
+
+
+def test_dedup_exact_positive_path_sf01():
+    """The sf0.1 fixture injects 8 exact-duplicate groups (the smaller
+    SFs have none — their dedup_exact result is legitimately empty);
+    run at sf0.1 so the operator's positive path is exercised: every
+    group keeps its smallest doc_id and counts >= 2 copies."""
+    import duckdb
+
+    from cooler_mapreduce_spark.session import get_session
+
+    spark = get_session("t-dedup-sf01")
+    rows = SPECS["dedup_exact"].fn(spark, "/root/testdata/sf0.1").collect()
+    assert len(rows) == duckdb.connect().execute(
+        "SELECT COUNT(*) FROM (SELECT text FROM '/root/testdata/sf0.1/documents.parquet'"
+        " GROUP BY text HAVING COUNT(*)>1)"
+    ).fetchone()[0] > 0
+    assert all(r["n_copies"] >= 2 for r in rows)
