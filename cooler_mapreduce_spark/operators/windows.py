@@ -208,3 +208,55 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+@query(
+    "window_range_frame_stats",
+    oracle="""
+    WITH e AS (SELECT event_id, event_type, ts, value,
+                      -- floor, not round: Spark's timestamp->long cast
+                      -- truncates fractional seconds
+                      CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
+    SELECT event_id, event_type,
+           COUNT(*) OVER (PARTITION BY event_type ORDER BY sec
+                          RANGE BETWEEN 900 PRECEDING AND 900 FOLLOWING)
+             AS n_nearby,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id), 9)
+             AS value_pctl,
+           ROUND(CUME_DIST() OVER (PARTITION BY event_type
+                                   ORDER BY value, event_id), 9)
+             AS value_cume,
+           FIRST_VALUE(event_id) OVER (PARTITION BY event_type
+                                       ORDER BY ts, event_id)
+             AS first_event_id
+    FROM e
+    """,
+    tags=("window", "frame", "range", "analytic"),
+)
+def window_range_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-RANGE frames + distribution analytics: per event type, how
+    many events fall within ±15 minutes of each event (range frame over
+    epoch seconds — a frame by VALUE distance, not row count), the
+    percent_rank/cume_dist of its value (integer-derived ratios,
+    deterministic under the event_id tiebreak), and the partition's
+    first event id. One shuffle on event_type; the range frame streams
+    the sorted partition with a sliding pointer — no per-row rescan."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "sec", F.col("ts").cast("long")
+    )
+    wr = (
+        Window.partitionBy("event_type")
+        .orderBy("sec")
+        .rangeBetween(-900, 900)
+    )
+    wv = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wf = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.count("*").over(wr).alias("n_nearby"),
+        F.round(F.percent_rank().over(wv), 9).alias("value_pctl"),
+        F.round(F.cume_dist().over(wv), 9).alias("value_cume"),
+        F.first("event_id").over(wf).alias("first_event_id"),
+    )
