@@ -198,3 +198,34 @@ def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("long").alias("k_value"),
         F.get_json_object("props", "$.missing").alias("missing_field"),
     )
+
+
+@query(
+    "map_functions",
+    oracle="""
+    SELECT event_id,
+           len(json_keys(props)) AS n_keys,
+           list_sort(json_keys(props)) AS key_list,
+           json_extract_string(props, '$.k') AS k_str,
+           CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                THEN 1 ELSE 0 END AS has_k
+    FROM events
+    """,
+    tags=("scalar", "map", "json"),
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType suite: parse the JSON props payload into a
+    ``map<string,string>`` column, then key inventory / sorted key list /
+    typed lookup / membership — the schema-flexible column pattern
+    (absent from the reference, whose values are opaque pickles;
+    SURVEY.md §1.2). The map stays columnar; no explode."""
+    ev = table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    t = ev.select("event_id", m.alias("m"))
+    return t.select(
+        "event_id",
+        F.size("m").alias("n_keys"),
+        F.array_sort(F.map_keys("m")).alias("key_list"),
+        F.element_at("m", "k").alias("k_str"),
+        F.array_contains(F.map_keys("m"), "k").cast("int").alias("has_k"),
+    )
