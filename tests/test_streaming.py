@@ -183,3 +183,21 @@ def test_watermark_evicts_state_and_drops_late_events(spark, tmp_path):
         for op in p["stateOperators"]
     )
     assert dropped == 1  # the 12:15 row was dropped by the watermark
+
+
+def test_stream_checkpoint_prevents_duplicate_writes(spark, sf_dir, tmp_path):
+    """Exactly-once via checkpoint: restarting the foreachBatch sink from
+    the same checkpoint with no new source data must not re-append
+    already-committed batches."""
+    from cooler_mapreduce_spark.streaming.dedup import run_stream_to_parquet
+
+    out = str(tmp_path / "ckpt_out")
+    ckpt = str(tmp_path / "ckpt_dir")
+    q1 = run_stream_to_parquet(spark, sf_dir, out, ckpt)
+    _drain(q1)
+    first = spark.read.parquet(out).groupBy().sum("n_events").collect()[0][0]
+    # restart from the same checkpoint — batch ids already committed
+    q2 = run_stream_to_parquet(spark, sf_dir, out, ckpt)
+    _drain(q2)
+    second = spark.read.parquet(out).groupBy().sum("n_events").collect()[0][0]
+    assert second == first
