@@ -177,3 +177,34 @@ def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carried.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "last_click_ts"
     )
+
+
+@query(
+    "join_null_safe_props",
+    oracle="""
+    WITH e AS (SELECT event_id, json_extract_string(props, '$.missing') AS grp
+               FROM events),
+    d AS (SELECT DISTINCT json_extract_string(props, '$.missing') AS grp
+          FROM events)
+    SELECT e.event_id, CASE WHEN d.grp IS NULL THEN 'null-group' ELSE d.grp END AS matched
+    FROM e JOIN d ON e.grp IS NOT DISTINCT FROM d.grp
+    """,
+    tags=("join", "null-safe"),
+)
+def join_null_safe_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics dimension
+    standard equi-joins silently drop. Planned as a hash join on the
+    null-safe key, so it scales like any other equi-join."""
+    ev = table(spark, sf_dir, "events")
+    e = ev.select("event_id", F.get_json_object("props", "$.missing").alias("grp"))
+    d = e.select("grp").distinct().withColumnRenamed("grp", "d_grp")
+    return (
+        e.join(d, F.col("grp").eqNullSafe(F.col("d_grp")))
+        .select(
+            "event_id",
+            F.when(F.col("d_grp").isNull(), F.lit("null-group"))
+            .otherwise(F.col("d_grp"))
+            .alias("matched"),
+        )
+    )

@@ -65,3 +65,43 @@ def except_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers active in 1996 but gone in 1997 — EXCEPT (distinct
     semantics) = dedup + left-anti join; ``subtract`` is Spark's EXCEPT."""
     return _year_custkeys(spark, sf_dir, 1996).subtract(_year_custkeys(spark, sf_dir, 1997))
+
+
+@query(
+    "intersect_all_multiset",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+    """,
+    tags=("setop", "intersect", "multiset"),
+)
+def intersect_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset semantics: a customer appearing 3× on the
+    urgent side and 2× on the high side contributes min(3,2)=2 rows
+    (``intersectAll``, planned as a counted semi-join; the DISTINCT
+    variant collapses to one). The reference has no notion of multiset
+    ops at all."""
+    o = table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    high = o.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    return urgent.intersectAll(high)
+
+
+@query(
+    "except_all_multiset",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+    """,
+    tags=("setop", "except", "multiset"),
+)
+def except_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference: occurrence counts subtract
+    (3 urgent − 2 high = 1 surviving row), vs the DISTINCT variant's
+    all-or-nothing membership (``exceptAll``)."""
+    o = table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    high = o.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    return urgent.exceptAll(high)
