@@ -210,3 +210,207 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                    FROM orders s WHERE s.o_custkey = o.o_custkey)
         """
     )
+
+
+@query(
+    "shipping_priority_topk",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "aggregation", "topk", "tpch"),
+)
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-order revenue, top 10.
+
+    The segment filter prunes customer BEFORE the broadcast (one-fifth of
+    the dimension ships to executors), the date filters push into both
+    parquet scans, and the top-10 is TakeOrdered over the aggregate — no
+    global sort of the grouped output. l_orderkey is unique per group so
+    the revenue-desc/orderkey tiebreak is a total order (deterministic
+    top-k, bit-stable revenue via decimal sums).
+    """
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-07-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "forecast_revenue_change",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount', 4)} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("aggregation", "pushdown", "tpch"),
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, zero joins.
+
+    The whole query is one parquet scan with every predicate pushed to the
+    reader (date range + discount band + quantity cap prune row groups via
+    min/max stats) and a 4-column ReadSchema — at 100 TB this reads a few
+    percent of the table and aggregates map-side to a single row. The
+    canonical "is pushdown actually working" probe.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"))
+    )
+
+
+@query(
+    "priority_line_counts",
+    oracle="""
+    SELECT l.l_linestatus,
+           COUNT(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS high_line_count,
+           COUNT(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+    """,
+    tags=("join", "conditional-aggregation", "tpch"),
+)
+def priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + pivoted conditional aggregation.
+
+    One pass over the joined rows produces both counters via
+    COUNT(CASE ...) — the pivot-by-predicate idiom that replaces two
+    separate filtered scans with a single shuffle. The lineitem side is
+    date-pruned at the scan; the join shuffles only (orderkey, linestatus)
+    against (orderkey, orderpriority).
+    """
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "promo_revenue_ratio",
+    oracle=f"""
+    SELECT CAST(100 AS DOUBLE) *
+           ({sql_dsum("CASE WHEN p.p_type = 'PROMO' "
+                      "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END", 4)}
+            / {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)}) AS promo_revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+    """,
+    tags=("join", "conditional-aggregation", "tpch"),
+)
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share in one month.
+
+    part broadcasts (it is a dimension at every SF); the month filter
+    prunes the fact scan; both sums come out of one aggregate pass. The
+    ratio divides two bit-deterministic decimal sums in double — one FP
+    op, identical in both engines.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    part = table(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (F.lit(100.0) * (dsum(promo, 4) / dsum(disc, 4))).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "disjunctive_predicate_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("join", "disjunctive-predicate", "tpch"),
+)
+def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: equi-join with an OR-of-ANDs residual.
+
+    Catalyst keeps p_partkey = l_partkey as the hash-join key and
+    evaluates the disjunction as a post-join residual. We additionally
+    push the brand/size envelope onto the part scan and the quantity
+    envelope onto the lineitem scan by hand — implied single-side
+    predicates an optimizer cannot always derive from a disjunction —
+    so both scans prune before the (broadcast) join, the difference
+    between scanning 100 TB and scanning the 3-brand slice.
+    """
+    brands = ("Brand#12", "Brand#23", "Brand#34")
+    part = table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin(*brands) & F.col("p_size").between(1, 15)
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity").between(1, 30))
+    cases = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cases)
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+    )
