@@ -368,3 +368,42 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.35)
     )
+
+
+@query(
+    "dedup_keep_latest",
+    oracle="""
+    SELECT user_id, ts AS last_ts, event_id AS last_event_id, value AS last_value
+    FROM (
+        SELECT user_id, ts, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("dedup", "argmax", "cdc"),
+)
+def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-newest-version-per-key — the CDC/upsert compaction at the
+    head of every incremental ingest.
+
+    Implemented as an ARGMAX AGGREGATE, ``max(struct(ts, event_id,
+    payload))``: struct comparison orders by (ts, event_id) — event_id
+    unique, so the winner is total-order deterministic — and the payload
+    rides along with the winner. Unlike the row_number() formulation
+    (which the oracle uses, proving equivalence), the aggregate form is
+    partial-aggregable: each map task pre-reduces to one candidate row
+    per key before the shuffle, so at 100 TB the exchange carries one
+    row per (partition × key), not the full history.
+    """
+    ev = table(spark, sf_dir, "events")
+    latest = (
+        ev.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "value")).alias("m"))
+    )
+    return latest.select(
+        "user_id",
+        F.col("m.ts").alias("last_ts"),
+        F.col("m.event_id").alias("last_event_id"),
+        F.col("m.value").alias("last_value"),
+    )

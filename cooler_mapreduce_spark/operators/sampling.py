@@ -1,0 +1,100 @@
+"""Deterministic sampling & dataset splitting — training-pipeline staples.
+
+A 100 TB corpus cannot be sampled with ``rand()``: the sample must be
+*reproducible* across reruns, engines, and partition layouts, or every
+downstream experiment becomes unrepeatable. The standard fix is
+hash-mod sampling — a row is in the sample iff ``hash(key) % 100`` falls
+under the rate — which is stateless, shuffle-free (a pure filter pushed
+into the scan stage), stable under repartitioning, and consistent across
+engines when the hash is portable (``functions/hashing.py`` md5int, the
+same primitive the dedup tier uses). Spark's own ``df.sample``/
+``sampleBy`` use seeded per-partition RNGs, so their output changes with
+the partition layout — exactly what a training pipeline must avoid; the
+reference (text-only MapReduce, SURVEY.md §2.4) has no sampling story at
+all.
+
+Every operator here is a narrow transform: no shuffle, no state, trivially
+scales to any table size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.hashing import md5int_duckdb, md5int_spark
+from ..registry import query
+from ..sources.catalog import table
+
+#: Bucket expression: md5int is a positive 60-bit int in both dialects, so
+#: ``% 100`` is a uniform, non-negative bucket id.
+_SPARK_PCT = f"({md5int_spark('CAST(doc_id AS STRING)')} % 100)"
+_DUCK_PCT = f"({md5int_duckdb('CAST(doc_id AS VARCHAR)')} % 100)"
+
+
+@query(
+    "sample_hash_documents",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE {_DUCK_PCT} < 10
+    """,
+    tags=("sampling", "llm-pipeline"),
+)
+def sample_hash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% Bernoulli sample by content key.
+
+    A pure filter — evaluated in whole-stage codegen during the scan, no
+    shuffle, and the SAME rows come back at any partition count, any
+    cluster size, any engine. Rerunning the pipeline tomorrow on 100 TB
+    re-selects the identical sample.
+    """
+    d = table(spark, sf_dir, "documents")
+    return d.filter(F.expr(_SPARK_PCT) < 10).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "train_test_split",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_DUCK_PCT} < 80 THEN 'train'
+                WHEN {_DUCK_PCT} < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    tags=("sampling", "split", "llm-pipeline"),
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/valid/test assignment by key hash.
+
+    Stateless per-row labeling: membership is a function of the document
+    id alone, so the split never leaks rows between sets when data is
+    re-partitioned, re-ingested, or appended — adding new documents
+    never moves an existing one across the boundary (the property
+    ``randomSplit`` cannot give you).
+    """
+    d = table(spark, sf_dir, "documents")
+    pct = F.expr(_SPARK_PCT)
+    return d.select(
+        "doc_id",
+        F.when(pct < 80, "train").when(pct < 90, "valid").otherwise("test").alias("split"),
+    )
+
+
+@query(
+    "stratified_sample_by_lang",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_DUCK_PCT} <
+          CASE WHEN lang = 'en' THEN 20 ELSE 50 END
+    """,
+    tags=("sampling", "stratified", "llm-pipeline"),
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum rates: downsample dominant English, keep half of the
+    rest — the language-rebalancing step of corpus curation
+    (``sampleBy`` semantics, but deterministic). Still a pure scan-stage
+    filter; the rate table would broadcast if it were data-driven."""
+    d = table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", 20).otherwise(50)
+    return d.filter(F.expr(_SPARK_PCT) < rate).select("doc_id", "lang")

@@ -207,3 +207,71 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice("hashes", 1, _FP_K).alias("fingerprint"),
         F.element_at("hashes", 1).alias("min_hash"),
     )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.term, df.df,
+               round(tf.tf * ln((n.n_docs + 1) / (df.df + 1.0)), 6) AS score
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT term, df,
+           CAST(SUM(CAST(score AS DECIMAL(30,6))) AS DOUBLE) AS total_tfidf
+    FROM scored
+    GROUP BY term, df
+    ORDER BY total_tfidf DESC, term
+    LIMIT 100
+    """,
+    tags=("textstats", "tfidf", "llm-pipeline"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary weighting: top-100 terms by summed TF-IDF.
+
+    The classic two-aggregation pipeline — term frequency per (doc, term),
+    document frequency per term, idf = ln((N+1)/(df+1)) — expressed so
+    every stage is a partial-aggregable shuffle on one key. The explode
+    never materializes the corpus token stream anywhere but inside a
+    pipelined stage; at 100 TB both aggregations are ordinary hash aggs
+    and the final top-100 is TakeOrdered. Per-(doc,term) scores are
+    rounded to 6 dp BEFORE the decimal re-sum, so the result is
+    bit-deterministic despite ln() (both engines' libm agree far beyond
+    6 dp; the decimal sum removes order dependence).
+    """
+    d = table(spark, sf_dir, "documents")
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    tf = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "df",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1.0)), 6
+            ).alias("score"),
+        )
+    )
+    return (
+        scored.groupBy("term", "df")
+        .agg(F.sum(F.col("score").cast("decimal(30,6)")).cast("double").alias("total_tfidf"))
+        .orderBy(F.desc("total_tfidf"), F.asc("term"))
+        .limit(100)
+    )

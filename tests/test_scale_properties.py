@@ -21,6 +21,7 @@ _NL_ALLOWED = {
     "embedding_cosine_dups",   # exact all-pairs tier (oracle ground truth)
     "join_range_price_bands",  # theta join against a literal band table
     "join_asof_last_click",    # bounded theta as-of candidates
+    "tfidf_top_terms",         # single-row N_docs scalar broadcast to every task
 }
 
 
