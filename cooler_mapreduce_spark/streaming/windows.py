@@ -212,3 +212,71 @@ def run_sliding_stream(
         .queryName(query_name)
         .start()
     )
+
+
+@query(
+    "stream_enriched_segment_counts",
+    oracle=f"""
+    SELECT CAST(time_bucket(INTERVAL 1 HOUR, e.ts) AS TIMESTAMP) AS window_start,
+           c.c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           {sql_davg('e.value', 6)} AS avg_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "join", "enrichment"),
+)
+def stream_enriched_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment join: events decorated
+    with the customer's market segment, then hourly counts per segment.
+    The dimension broadcasts; the only shuffle is the windowed agg."""
+    ev = table(spark, sf_dir, "events")
+    cust = table(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").alias("n_events"), davg("value", 6).alias("avg_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "segment",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def run_enriched_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "10 minutes",
+    query_name: str = "enriched_out",
+    output_mode: str = "complete",
+):
+    """Stream-static join: the event stream enriched against the STATIC
+    customer dimension — no watermark needed on the static side, no
+    state kept for it; Spark re-broadcasts the dimension per micro-batch
+    (so slowly-changing dims pick up updates between batches). This is
+    the canonical streaming-ETL enrichment; stream-stream joins (both
+    sides unbounded + dual watermarks) are the state-heavy cousin the
+    pipeline avoids when one side is a dimension.
+    """
+    ev = _event_stream(spark, sf_dir)
+    cust = table(spark, sf_dir, "customer")
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").alias("n_events"), davg("value", 6).alias("avg_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "segment",
+            "n_events",
+            "avg_value",
+        )
+    )
+    return (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

@@ -201,3 +201,13 @@ def test_stream_checkpoint_prevents_duplicate_writes(spark, sf_dir, tmp_path):
     _drain(q2)
     second = spark.read.parquet(out).groupBy().sum("n_events").collect()[0][0]
     assert second == first
+
+
+def test_enriched_stream_equals_batch(spark, sf_dir):
+    from cooler_mapreduce_spark.streaming.windows import run_enriched_stream
+
+    q = run_enriched_stream(spark, sf_dir, query_name="t_enriched")
+    _drain(q)
+    got = _rows(spark.sql("SELECT * FROM t_enriched"))
+    want = _rows(SPECS["stream_enriched_segment_counts"].fn(spark, sf_dir))
+    assert got == want
