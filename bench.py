@@ -31,14 +31,18 @@ HEADLINE = [
     "pricing_summary",          # flagship: full lineitem scan + hash agg
     "word_count",               # explode + shuffle agg (reference flagship)
     "revenue_by_nation",        # multi-join star query (broadcast dims)
+    "shipping_priority_topk",   # 3-way join + agg + TakeOrdered (TPC-H Q3)
+    "forecast_revenue_change",  # pure pushdown scan-agg probe (TPC-H Q6)
     "join_orders_customers",    # broadcast hash join
     "window_top_orders_per_customer",  # ranking window + filter
     "mr_word_count",            # RDD MapReduce-compat tier
     "dedup_exact",              # hash-dedup over documents
+    "dedup_keep_latest",        # argmax compaction (partial-agg shuffle)
     "dedup_minhash_lsh",        # shingle→minhash→band→bucket-join
     "ann_topk_bruteforce",      # embedding cosine top-k
     "ann_topk_ivf",             # IVF cell-probe ANN (scale path)
     "text_quality_score",       # text-analysis scalar pipeline
+    "tfidf_top_terms",          # two-stage agg + scalar broadcast (TF-IDF)
     "stream_tumbling_counts",   # windowed event agg (batch twin)
 ]
 
