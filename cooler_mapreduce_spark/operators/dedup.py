@@ -407,3 +407,100 @@ def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.event_id").alias("last_event_id"),
         F.col("m.value").alias("last_value"),
     )
+
+
+# ------------------------------------------------- duplicate clusters ----
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE s AS (
+        SELECT doc_id, {_simhash_duckdb(_DUCK_TOKEN_HASHES)} AS simhash FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT src AS doc_id, src AS node FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON r.node = e.src
+    )
+    SELECT doc_id, MIN(node) AS cluster_id FROM reach GROUP BY doc_id
+    """,
+    tags=("dedup", "clustering", "iterative", "llm-pipeline"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from pairwise near-dup edges — the transitive
+    closure a real dedup pipeline needs between "A~B, B~C" pairs and
+    "keep one of {A,B,C}": connected components, labeling every member
+    with the smallest doc_id in its component (that minimum is the
+    keeper).
+
+    Iterative min-label propagation as DataFrame joins: each round every
+    node takes the min of its own label and its neighbors' labels —
+    convergence in graph-diameter rounds, and dup clusters are
+    shallow (boilerplate cliques have diameter 1-2). Every round is one
+    keyed shuffle join; ``localCheckpoint`` truncates the lineage so the
+    plan doesn't grow with iterations. At web scale the same loop runs
+    with the large-star/small-star edge rewriting (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") to bound round count
+    at O(log n) for pathological diameters; the propagation step is
+    identical. The DuckDB oracle computes full reachability with a
+    recursive CTE and takes per-node minima — same fixpoint, proving the
+    iterative plan exact.
+    """
+    pairs = dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(pairs)
+
+
+def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Min-label propagation over an undirected edge list.
+
+    ``pairs`` has two integer id columns (one row per undirected edge);
+    returns (doc_id, cluster_id) for every node that appears in an edge,
+    cluster_id = the component's minimum id. See :func:`dedup_clusters`
+    for the scale rationale.
+    """
+    a, b = pairs.columns
+    edges = pairs.union(pairs.select(F.col(b), F.col(a))).toDF("src", "dst")
+    edges = edges.localCheckpoint()  # computed once, reused every round
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):  # >> cluster diameter; loop exits at fixpoint
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nb_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nb_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

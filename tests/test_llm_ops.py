@@ -190,3 +190,16 @@ def test_dedup_exact_positive_path_sf01():
         " GROUP BY text HAVING COUNT(*)>1)"
     ).fetchone()[0] > 0
     assert all(r["n_copies"] >= 2 for r in rows)
+
+
+def test_connected_components_transitive_closure(spark):
+    """A~B, B~C (never A~C directly) must land in ONE cluster — the
+    transitivity the pairwise tiers cannot express; plus a disjoint pair
+    and proof that propagation crosses >1 hop."""
+    from cooler_mapreduce_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a bigint, doc_b bigint"
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
