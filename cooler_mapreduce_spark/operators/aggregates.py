@@ -216,3 +216,32 @@ def approx_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice", [0.25, 0.5, 0.75, 0.95, 0.99], 10000
         ).alias("quantiles")
     )
+
+
+@query(
+    "global_sort_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    ORDER BY o_orderdate, o_orderkey
+    """,
+    tags=("sort", "range-partitioning"),
+)
+def global_sort_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Totally-ordered export (time-ordered output files): a true global
+    ORDER BY, planned as a RangePartitioning exchange — Spark samples the
+    sort key, computes balanced range bounds, shuffles each row to its
+    range, sorts within partitions; partition i's rows all precede
+    partition i+1's. That sampling step is what makes a 100 TB sort
+    feasible without a single-reducer bottleneck — contrast top-k
+    (TakeOrdered, no full shuffle), the right tool when only the head is
+    needed. The (o_orderdate, o_orderkey) key is a total order, so output
+    is deterministic row-for-row.
+    """
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderdate", "o_orderkey")
+    )

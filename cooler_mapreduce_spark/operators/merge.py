@@ -1,0 +1,101 @@
+"""MERGE / upsert — snapshot maintenance without a table format.
+
+The lakehouse MERGE INTO (insert + update + delete in one pass) expressed
+as plain DataFrame algebra: one full-outer join between the snapshot and
+the change batch, then per-row resolution. Delta/Iceberg implement exactly
+this plan under their MERGE syntax; writing it as algebra keeps the engine
+format-agnostic, and the reference (append-only TSV output,
+task_executor.py:244-250) has no notion of mutation at all.
+
+Scale shape: the change batch is small relative to the snapshot in every
+real CDC pipeline → broadcast it and the snapshot is never shuffled; a
+bucketed snapshot (sources/bucketing.py) keeps even same-size merges
+exchange-free on the snapshot side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import query
+from ..sources.catalog import table
+
+
+@query(
+    "merge_cdc_orders",
+    oracle="""
+    WITH changes AS (
+        SELECT o_orderkey, 'D' AS op,
+               CAST(NULL AS DOUBLE) AS new_totalprice,
+               CAST(NULL AS VARCHAR) AS new_status
+        FROM orders WHERE o_orderkey % 13 = 0
+        UNION ALL
+        SELECT o_orderkey, 'U', o_totalprice * 1.1, 'P'
+        FROM orders WHERE o_orderkey % 13 <> 0 AND o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'I', 42.0, 'O'
+        FROM orders WHERE o_orderkey % 97 = 0
+    )
+    SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice
+    FROM orders s LEFT JOIN changes c ON s.o_orderkey = c.o_orderkey
+    WHERE c.op IS NULL
+    UNION ALL
+    SELECT c.o_orderkey, c.new_status, c.new_totalprice
+    FROM changes c LEFT JOIN orders s ON s.o_orderkey = c.o_orderkey
+    WHERE c.op = 'U' AND s.o_orderkey IS NOT NULL
+    UNION ALL
+    SELECT c.o_orderkey, c.new_status, c.new_totalprice
+    FROM changes c WHERE c.op = 'I'
+    """,
+    tags=("merge", "cdc", "upsert"),
+)
+def merge_cdc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE a deterministic CDC batch into the orders snapshot:
+    deletes (keys % 13), updates (keys % 7, price uplift to 'P' status),
+    inserts (fresh keys).
+
+    Decomposed as survivors ∪ updates ∪ inserts: the survivor branch is
+    a LEFT ANTI join against the change keys — and anti joins (unlike
+    full-outer, which Spark refuses to broadcast) take a broadcast build
+    side, so the snapshot is filtered in place with NO shuffle; the
+    update/insert branches project the change batch directly. UNION ALL
+    is partition concatenation — also shuffle-free. Total exchanges on
+    the 100 TB side: zero. (A full-outer-join formulation would
+    sort-merge-shuffle the entire snapshot — Spark logs "build right
+    for full outer join" unsupported and silently degrades.)
+    """
+    o = table(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    changes = (
+        base.filter(F.col("o_orderkey") % 13 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("D").alias("op"),
+            F.lit(None).cast("double").alias("new_totalprice"),
+            F.lit(None).cast("string").alias("new_status"),
+        )
+        .union(
+            base.filter((F.col("o_orderkey") % 13 != 0) & (F.col("o_orderkey") % 7 == 0))
+            .select(
+                "o_orderkey",
+                F.lit("U").alias("op"),
+                (F.col("o_totalprice") * 1.1).alias("new_totalprice"),
+                F.lit("P").alias("new_status"),
+            )
+        )
+        .union(
+            base.filter(F.col("o_orderkey") % 97 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                F.lit("I").alias("op"),
+                F.lit(42.0).alias("new_totalprice"),
+                F.lit("O").alias("new_status"),
+            )
+        )
+    )
+    survivors = base.join(F.broadcast(changes), "o_orderkey", "left_anti")
+    applied = changes.filter(F.col("op").isin("U", "I")).select(
+        "o_orderkey",
+        F.col("new_status").alias("o_orderstatus"),
+        F.col("new_totalprice").alias("o_totalprice"),
+    )
+    return survivors.union(applied)
