@@ -280,3 +280,92 @@ def run_enriched_stream(
         .queryName(query_name)
         .start()
     )
+
+
+@query(
+    "stream_stream_click_purchase",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id, c.ts AS click_ts, p.ts AS purchase_ts
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("streaming", "join", "stream-stream"),
+)
+def stream_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream join: purchases attributed to a
+    click by the same user within the preceding 30 minutes. Equi-join on
+    user_id with a time-range residual — a hash join, never a cross
+    product."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        c.join(
+            p,
+            (c.user_id == p.p_user_id)
+            & (p.purchase_ts >= c.click_ts)
+            & (p.purchase_ts < c.click_ts + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+    )
+
+
+def run_stream_stream_join(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "1 hour",
+    query_name: str = "ss_join_out",
+):
+    """Stream-stream inner join, BOTH sides unbounded: clicks wait in the
+    state store for purchases and vice versa. The dual watermarks plus
+    the time-range join condition are what make state finite — Spark
+    derives a state-eviction horizon from them (a click older than
+    watermark + 30 min can never match a future purchase and is
+    dropped), so state is bounded by the event rate × horizon, not the
+    stream's lifetime. Inner-join matches emit immediately in append
+    mode; this is the attribution-pipeline pattern where BOTH sides are
+    live feeds (contrast run_enriched_stream's static dimension).
+    """
+    c = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    p = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = c.join(
+        p,
+        (c.user_id == p.p_user_id)
+        & (p.purchase_ts >= c.click_ts)
+        & (p.purchase_ts < c.click_ts + F.expr("INTERVAL 30 MINUTES")),
+    ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+    return (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

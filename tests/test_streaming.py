@@ -211,3 +211,14 @@ def test_enriched_stream_equals_batch(spark, sf_dir):
     got = _rows(spark.sql("SELECT * FROM t_enriched"))
     want = _rows(SPECS["stream_enriched_segment_counts"].fn(spark, sf_dir))
     assert got == want
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    from cooler_mapreduce_spark.streaming.windows import run_stream_stream_join
+
+    q = run_stream_stream_join(spark, sf_dir, query_name="t_ss_join")
+    _drain(q)
+    got = _rows(spark.sql("SELECT * FROM t_ss_join"))
+    want = _rows(SPECS["stream_stream_click_purchase"].fn(spark, sf_dir))
+    assert len(got) > 0  # positive path: fixtures contain matches
+    assert got == want
