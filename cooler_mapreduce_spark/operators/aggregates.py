@@ -245,3 +245,123 @@ def global_sort_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderdate", "o_totalprice")
         .orderBy("o_orderdate", "o_orderkey")
     )
+
+
+@query(
+    "gapfill_hourly_events",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT s.hour, t.event_type, COALESCE(c.n, 0) AS n_events
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN counts c ON c.hour = s.hour AND c.event_type = t.event_type
+    """,
+    tags=("timeseries", "gapfill", "densify"),
+)
+def gapfill_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: every (hour, event_type) cell over the
+    observed range, zero-filled where no events landed — the gap-filling
+    step dashboards and downstream ML featurization require (a plain
+    GROUP BY silently omits empty buckets).
+
+    The spine is generated, not scanned: sequence() over the min/max
+    bound aggregate, exploded, crossed with the distinct type list —
+    both sides are bounded by (hours × types), never by row count, so
+    the cross join is safe at any scale. The counts side is itself an
+    aggregate output of the same bounded size; the fact table is
+    touched exactly twice (bounds+counts), both as partial-agg scans.
+    """
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    counts = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    return (
+        spine.crossJoin(types)
+        .join(counts, ["hour", "event_type"], "left")
+        .select("hour", "event_type", F.coalesce(F.col("n"), F.lit(0)).alias("n_events"))
+    )
+
+
+@query(
+    "profile_orders",
+    oracle="""
+    WITH stats AS (
+        SELECT COUNT(*) AS n_rows,
+               COUNT(o_orderkey) AS nn_key, COUNT(DISTINCT o_orderkey) AS nd_key,
+               CAST(MIN(o_orderkey) AS VARCHAR) AS min_key, CAST(MAX(o_orderkey) AS VARCHAR) AS max_key,
+               COUNT(o_orderstatus) AS nn_status, COUNT(DISTINCT o_orderstatus) AS nd_status,
+               CAST(MIN(o_orderstatus) AS VARCHAR) AS min_status, CAST(MAX(o_orderstatus) AS VARCHAR) AS max_status,
+               COUNT(o_orderpriority) AS nn_prio, COUNT(DISTINCT o_orderpriority) AS nd_prio,
+               CAST(MIN(o_orderpriority) AS VARCHAR) AS min_prio, CAST(MAX(o_orderpriority) AS VARCHAR) AS max_prio,
+               COUNT(o_orderdate) AS nn_date, COUNT(DISTINCT o_orderdate) AS nd_date,
+               CAST(MIN(o_orderdate) AS VARCHAR) AS min_date, CAST(MAX(o_orderdate) AS VARCHAR) AS max_date
+        FROM orders
+    )
+    SELECT 'o_orderkey' AS column_name, n_rows - nn_key AS n_nulls, nd_key AS n_distinct,
+           min_key AS min_value, max_key AS max_value FROM stats
+    UNION ALL
+    SELECT 'o_orderstatus', n_rows - nn_status, nd_status, min_status, max_status FROM stats
+    UNION ALL
+    SELECT 'o_orderpriority', n_rows - nn_prio, nd_prio, min_prio, max_prio FROM stats
+    UNION ALL
+    SELECT 'o_orderdate', n_rows - nn_date, nd_date, min_date, max_date FROM stats
+    """,
+    tags=("profiling", "data-quality"),
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (null count / exact distinct / min / max per
+    column) — the data-quality summary every ingest gate runs first.
+
+    All statistics for all columns come from ONE scan and one aggregate
+    row (count-distinct for multiple columns expands to Catalyst's
+    expand-node plan, still a single pass over the table); the per-column
+    long format is a projection-only unpivot of that row. Timestamp
+    min/max are CAST to VARCHAR identically in both engines
+    ('YYYY-MM-DD HH:MM:SS' for midnight-free values).
+    """
+    o = table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"min_{c}"),
+            F.max(c).cast("string").alias(f"max_{c}"),
+        ]
+    stats = o.agg(*aggs)
+    # unpivot via explode-of-structs, NOT a union of selects over `stats`
+    # — union branches re-evaluate the aggregate subtree (Catalyst does
+    # no CSE across union children: 4 branches = 4 table scans); the
+    # explode keeps one aggregate, one scan, and unpivots projection-only
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_nulls"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"min_{c}").alias("min_value"),
+                F.col(f"max_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return stats.select(F.explode(rows).alias("p")).select("p.*")

@@ -22,6 +22,7 @@ _NL_ALLOWED = {
     "join_range_price_bands",  # theta join against a literal band table
     "join_asof_last_click",    # bounded theta as-of candidates
     "tfidf_top_terms",         # single-row N_docs scalar broadcast to every task
+    "gapfill_hourly_events",   # spine × types cross: both sides bounded by (hours × types)
 }
 
 
