@@ -436,3 +436,58 @@ def embedding_cosine_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_b",
         F.expr(spark_cosine_prenorm("emb_a", "emb_b", "nrm_a", "nrm_b")).alias("cosine"),
     ).filter(F.col("cosine") >= _DUP_THR)
+
+
+@query(
+    "embedding_centroids_by_label",
+    oracle=f"""
+    WITH el AS (
+        SELECT label, u.idx, u.val
+        FROM embeddings,
+             LATERAL (SELECT unnest(embedding) AS val,
+                             generate_subscripts(embedding, 1) AS idx) u
+    ),
+    means AS (
+        SELECT label, idx,
+               CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1073741824.0) AS BIGINT)) AS DOUBLE)
+                   / 1073741824.0 / COUNT(*) AS mean_val
+        FROM el GROUP BY label, idx
+    )
+    SELECT label, list(mean_val ORDER BY idx) AS centroid
+    FROM means GROUP BY label
+    """,
+    tags=("embedding", "centroid", "llm-pipeline"),
+)
+def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class mean vector (label centroids) — the reduction behind
+    nearest-class-mean classifiers, cluster summaries, and IVF coarse
+    quantizers.
+
+    posexplode flattens (vector, dim) → one row per element, so the mean
+    is an ordinary partial-aggregable groupBy on (label, dim): the
+    shuffle carries 64 running sums per label per task, never raw
+    vectors. Element sums use BINARY fixed-point — floor(val * 2^30)
+    summed as integers, divided back after — because decimal
+    fixed-point is a trap here: float32 values are dyadic rationals
+    that frequently land EXACTLY on decimal rounding boundaries
+    (e.g. -0.27392578125 at scale 1e-10), where DuckDB rounds
+    half-even and Spark half-up. Multiplying by a power of two is
+    exact in IEEE double and floor is tie-free, so the integer sum is
+    order-independent and bit-identical in both engines at any
+    partition count (quantization error ≤ 2^-30 per element is part
+    of the operator's definition). The final
+    array_sort(collect_list(struct(idx, v))) reassembles the centroid
+    in dimension order deterministically.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    el = emb.select("label", F.posexplode("embedding").alias("idx", "val"))
+    q = F.floor(F.col("val").cast("double") * F.lit(1073741824.0))
+    means = el.groupBy("label", "idx").agg(
+        (F.sum(q).cast("double") / F.lit(1073741824.0) / F.count("*")).alias("mean_val")
+    )
+    return means.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "mean_val"))),
+            lambda s: s.mean_val,
+        ).alias("centroid")
+    )

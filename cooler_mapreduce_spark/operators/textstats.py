@@ -275,3 +275,32 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_tfidf"), F.asc("term"))
         .limit(100)
     )
+
+
+@query(
+    "quality_top_decile",
+    oracle="""
+    WITH thr AS (SELECT quantile_cont(n_chars, 0.9) AS t FROM documents)
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d, thr
+    WHERE d.n_chars > thr.t
+    """,
+    tags=("textstats", "quantile-filter", "llm-pipeline"),
+)
+def quality_top_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-threshold gating: keep documents above the corpus's 90th
+    length percentile — the "top-X% by quality score" selection step of
+    corpus curation, done WITHOUT a global window: pass 1 reduces to a
+    single exact-percentile scalar (sort-based per-group percentile over
+    one group — bounded output), pass 2 broadcasts that scalar into a
+    scan-stage filter. A percent_rank() window over all rows would need
+    a global sort and a single-partition window at 100 TB; the two-pass
+    form never materializes an ordering.
+    """
+    d = table(spark, sf_dir, "documents")
+    thr = d.agg(F.percentile("n_chars", F.lit(0.9)).alias("t"))
+    return (
+        d.crossJoin(F.broadcast(thr))
+        .filter(F.col("n_chars") > F.col("t"))
+        .select("doc_id", "lang", "n_chars")
+    )

@@ -23,6 +23,7 @@ _NL_ALLOWED = {
     "join_asof_last_click",    # bounded theta as-of candidates
     "tfidf_top_terms",         # single-row N_docs scalar broadcast to every task
     "gapfill_hourly_events",   # spine × types cross: both sides bounded by (hours × types)
+    "quality_top_decile",      # single-row percentile threshold broadcast to every task
 }
 
 
