@@ -1,0 +1,141 @@
+"""Behavioral analytics — cohort retention and funnel conversion.
+
+The event-stream workloads every product-analytics stack runs daily,
+expressed as two-phase aggregations over the ``events`` table. Both
+reduce the fact table to per-user rows FIRST (a partial-aggregable
+groupBy), then analyze the tiny per-user table — the fact table is
+scanned once and never self-joined at full width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import query
+from ..sources.catalog import table
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(datediff('day', DATE '1970-01-01', ts) // 7) AS cohort_w
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id,
+               f.cohort_w,
+               (datediff('day', DATE '1970-01-01', e.ts) // 7) - f.cohort_w AS week_offset
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_w, week_offset, COUNT(*) AS n_active_users
+    FROM activity GROUP BY cohort_w, week_offset
+    """,
+    tags=("analytics", "cohort", "retention"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted
+    in each subsequent week they remained active.
+
+    Phase 1 collapses events to one (user, cohort_week) row — a
+    partial-aggregable min(). Phase 2 joins that per-user table (tiny:
+    one row per user, broadcastable at most scales) back to events,
+    distinct-s (user, cohort, offset), and counts. Week numbering is
+    pure integer arithmetic (epoch-days // 7), so every value is exact.
+    """
+    ev = table(spark, sf_dir, "events")
+    week_num = lambda c: F.floor(F.datediff(c, F.lit("1970-01-01")) / 7)  # noqa: E731
+    firsts = ev.groupBy("user_id").agg(F.min(week_num(F.col("ts"))).alias("cohort_w"))
+    activity = (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_w",
+            (week_num(F.col("ts")) - F.col("cohort_w")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_w", "week_offset").agg(
+        F.count("*").alias("n_active_users")
+    )
+
+
+@query(
+    "funnel_signup_click_purchase",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+        FROM events GROUP BY user_id
+    ),
+    with_click AS (
+        SELECT p.user_id, p.t_signup,
+               MIN(CASE WHEN e.event_type = 'click' AND e.ts > p.t_signup
+                        THEN e.ts END) AS t_click
+        FROM per_user p LEFT JOIN events e ON e.user_id = p.user_id
+        GROUP BY p.user_id, p.t_signup
+    ),
+    with_purchase AS (
+        SELECT c.user_id, c.t_signup, c.t_click,
+               MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > c.t_click
+                             AND e.ts <= c.t_click + INTERVAL 24 HOUR
+                        THEN e.ts END) AS t_purchase
+        FROM with_click c LEFT JOIN events e ON e.user_id = c.user_id
+        GROUP BY c.user_id, c.t_signup, c.t_click
+    )
+    SELECT COUNT(t_signup) AS n_signup,
+           COUNT(t_click) AS n_signup_then_click,
+           COUNT(t_purchase) AS n_full_funnel
+    FROM with_purchase
+    """,
+    tags=("analytics", "funnel", "sequence"),
+)
+def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion: signup → later click → purchase
+    within 24 h of that click, counted per stage.
+
+    Each stage is a conditional min-aggregate keyed by user — the
+    "earliest qualifying event after the previous stage" recurrence.
+    All three stages shuffle on user_id, so under one fixed
+    partitioning the whole funnel is a single exchange followed by
+    co-partitioned joins; per-user state is three timestamps, never an
+    event list. (The window-function alternative — sort each user's
+    full history — shuffles every event's payload; this form reduces
+    first.)
+    """
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup")
+    )
+    with_click = (
+        per_user.join(ev, "user_id", "left")
+        .groupBy("user_id", "t_signup")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t_signup")),
+                    F.col("ts"),
+                )
+            ).alias("t_click")
+        )
+    )
+    with_purchase = (
+        with_click.join(ev, "user_id", "left")
+        .groupBy("user_id", "t_signup", "t_click")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click"))
+                    & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 24 HOURS")),
+                    F.col("ts"),
+                )
+            ).alias("t_purchase")
+        )
+    )
+    return with_purchase.agg(
+        F.count("t_signup").alias("n_signup"),
+        F.count("t_click").alias("n_signup_then_click"),
+        F.count("t_purchase").alias("n_full_funnel"),
+    )

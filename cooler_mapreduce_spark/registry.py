@@ -50,6 +50,7 @@ _QUERY_MODULES = (
     "cooler_mapreduce_spark.operators.textstats",
     "cooler_mapreduce_spark.operators.sampling",
     "cooler_mapreduce_spark.operators.merge",
+    "cooler_mapreduce_spark.operators.behavioral",
     "cooler_mapreduce_spark.operators.multimodal",
     "cooler_mapreduce_spark.operators.skew",
     "cooler_mapreduce_spark.operators.udtf_ops",
