@@ -229,3 +229,80 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("m", "k").alias("k_str"),
         F.array_contains(F.map_keys("m"), "k").cast("int").alias("has_k"),
     )
+
+
+@query(
+    "conditional_bitwise_functions",
+    oracle="""
+    SELECT o_orderkey,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+           CASE WHEN o_totalprice > 200000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           IF(o_orderpriority = '1-URGENT', 1, 0) AS is_urgent,
+           o_orderkey & 255 AS key_low_byte,
+           o_orderkey | 1 AS key_odd,
+           xor(o_orderkey, 21845) AS key_xor,
+           o_orderkey << 2 AS key_shl,
+           o_orderkey >> 3 AS key_shr,
+           bit_count(o_orderkey) AS key_popcount
+    FROM orders
+    """,
+    tags=("scalar", "conditional", "bitwise"),
+)
+def conditional_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional (coalesce/nullif/if/case) and bitwise (and/or/xor/
+    shifts/popcount) scalar suites — pure codegen expressions; bitwise
+    integer ops are exact in any engine."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_or_open"
+        ),
+        F.when(F.col("o_totalprice") > 200000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("is_urgent"),
+        F.col("o_orderkey").bitwiseAND(F.lit(255)).alias("key_low_byte"),
+        F.col("o_orderkey").bitwiseOR(F.lit(1)).alias("key_odd"),
+        F.col("o_orderkey").bitwiseXOR(F.lit(21845)).alias("key_xor"),
+        F.shiftleft(F.col("o_orderkey"), 2).alias("key_shl"),
+        F.shiftright(F.col("o_orderkey"), 3).alias("key_shr"),
+        F.bit_count("o_orderkey").alias("key_popcount"),
+    )
+
+
+@query(
+    "higher_order_array_functions",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+    SELECT doc_id,
+           list_transform(words, w -> length(w)) AS word_lens,
+           list_filter(words, w -> length(w) > 5) AS long_words,
+           list_reduce(list_prepend(0, list_transform(words, w -> length(w))),
+                       (a, b) -> a + b) AS total_chars,
+           len(list_filter(words, w -> w LIKE '%e%')) AS n_with_e
+    FROM t
+    """,
+    tags=("scalar", "higher-order", "lambda"),
+)
+def higher_order_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order lambda functions over arrays (transform / filter /
+    aggregate) — Catalyst evaluates the lambdas inside codegen, no
+    Python involved; integer folds are order-fixed left folds in both
+    engines, so results are exact."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("words"))
+    return t.select(
+        "doc_id",
+        F.transform("words", lambda w: F.length(w)).alias("word_lens"),
+        F.filter("words", lambda w: F.length(w) > 5).alias("long_words"),
+        F.aggregate(
+            F.transform("words", lambda w: F.length(w)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+        F.size(F.filter("words", lambda w: w.like("%e%"))).alias("n_with_e"),
+    )

@@ -203,3 +203,34 @@ def test_connected_components_transitive_closure(spark):
     )
     got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_matches_union_find(spark):
+    """Cross-check the distributed label propagation against a classic
+    union-find on seeded random graphs (independent algorithm, same
+    fixpoint)."""
+    import random
+
+    from cooler_mapreduce_spark.operators.dedup import connected_components
+
+    for seed in (7, 42, 1234):
+        rng = random.Random(seed)
+        nodes = list(range(100, 160))
+        edges = [tuple(rng.sample(nodes, 2)) for _ in range(40)]
+
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        touched = {n for e in edges for n in e}
+        want = {n: min(m for m in touched if find(m) == find(n)) for n in touched}
+
+        pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+        got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+        assert got == want, f"seed {seed}"
