@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..functions.numeric import dsum, sql_dsum
 from ..registry import query
 from ..sources.catalog import table
+from .tpch import revenue_by_nation
 
 
 @query(
@@ -365,3 +366,45 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return stats.select(F.explode(rows).alias("p")).select("p.*")
+
+
+@query(
+    "revenue_share_by_nation",
+    oracle=f"""
+    WITH per_nation AS (
+        SELECT n.n_name AS nation,
+               {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    )
+    SELECT nation, revenue,
+           round(revenue / (SELECT CAST(SUM(CAST(revenue AS DECIMAL(30,4))) AS DOUBLE)
+                            FROM per_nation), 9) AS share
+    FROM per_nation
+    """,
+    tags=("aggregation", "ratio-to-total"),
+)
+def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (ratio-to-report): each nation's revenue share.
+
+    Two-level aggregation: the 25-row per-nation aggregate re-aggregates
+    to one grand total, which joins back as a broadcast scalar — the
+    second pass costs nothing because its input is already tiny (a
+    window-over-everything SUM would force a single partition). The
+    grand total re-sums the per-nation DOUBLES through decimal so the
+    total is bit-stable; share is one double division, rounded at 9 dp.
+    """
+    per_nation = revenue_by_nation(spark, sf_dir).select("nation", "revenue")
+    total = per_nation.agg(
+        F.sum(F.col("revenue").cast("decimal(30,4)")).cast("double").alias("total")
+    )
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        .select(
+            "nation",
+            "revenue",
+            F.round(F.col("revenue") / F.col("total"), 9).alias("share"),
+        )
+    )

@@ -139,3 +139,52 @@ def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_click").alias("n_signup_then_click"),
         F.count("t_purchase").alias("n_full_funnel"),
     )
+
+
+@query(
+    "rolling_7d_distinct_users",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events
+    ),
+    contrib AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) + to_days(CAST(k.k AS INTEGER)) AS TIMESTAMP) AS day,
+               user_id
+        FROM events, (SELECT unnest(generate_series(0, 6)) AS k) k
+    )
+    SELECT d.day, COUNT(*) AS n_active_7d
+    FROM days d JOIN contrib c ON c.day = d.day
+    GROUP BY d.day
+    """,
+    tags=("analytics", "rolling-window", "distinct"),
+)
+def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day (the WAU curve).
+
+    COUNT(DISTINCT) over a sliding window cannot be expressed as a
+    window frame (distinct state doesn't merge by frame); the scalable
+    formulation EXPLODES each event into the 7 day-buckets it
+    contributes to, dedups (day, user), and counts — turning the
+    sliding-distinct into two ordinary hash aggregations at a bounded
+    7× row amplification of (day, user) pairs, never of payloads. The
+    join restricts output to observed days.
+    """
+    ev = table(spark, sf_dir, "events")
+    days = ev.select(F.date_trunc("day", "ts").alias("day")).distinct()
+    contrib = (
+        ev.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"),
+            F.date_trunc("day", "ts").alias("d0"),
+            "user_id",
+        )
+        .select(
+            (F.col("d0") + F.col("k").cast("int") * F.expr("INTERVAL 1 DAY")).alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    return (
+        contrib.join(days, "day")
+        .groupBy("day")
+        .agg(F.count("*").alias("n_active_7d"))
+    )

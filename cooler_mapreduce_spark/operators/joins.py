@@ -208,3 +208,43 @@ def join_null_safe_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("matched"),
         )
     )
+
+
+@query(
+    "fuzzy_match_parts",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    tags=("join", "fuzzy", "levenshtein"),
+)
+def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching (entity resolution): near-identical part
+    names within a brand, edit distance ≤ 2.
+
+    BLOCKED self-join — the equi-key (p_brand) makes it a hash join
+    whose candidate count is Σ(block²), not n²; levenshtein runs only
+    on within-block candidates. The blocking-key choice is the entire
+    scale story of entity resolution: at 100 TB blocks come from
+    cheaper signatures (first-k chars, phonetic codes, LSH buckets —
+    the dedup tier's machinery). Integer edit distances are exact in
+    both engines.
+    """
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 2)
+    )

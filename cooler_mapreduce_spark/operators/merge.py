@@ -99,3 +99,58 @@ def merge_cdc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_totalprice").alias("o_totalprice"),
     )
     return survivors.union(applied)
+
+
+@query(
+    "scd2_customer_history",
+    oracle="""
+    WITH versions AS (
+        SELECT o_custkey AS custkey, o_orderdate AS valid_from, o_totalprice AS attr,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS vn,
+               LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey) AS next_from
+        FROM orders
+    )
+    SELECT custkey, vn AS version, valid_from,
+           CAST(COALESCE(next_from, TIMESTAMP '2200-01-01 00:00:00') AS TIMESTAMP) AS valid_to,
+           (next_from IS NULL) AS is_current,
+           attr
+    FROM versions
+    """,
+    tags=("merge", "scd2", "history"),
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2: each key's change events become
+    versioned rows with [valid_from, valid_to) ranges and a current-row
+    flag — the warehouse history-tracking pattern (orders stand in as the
+    change feed; o_totalprice as the tracked attribute). The open-ended
+    sentinel is 2200-01-01, not 9999-12-31: Arrow nanosecond timestamps
+    (the driver's collect path) top out in 2262.
+
+    One window over (key, time): lead() supplies each version's
+    expiration, row_number its version ordinal — a single hash-partition
+    shuffle on the key, state per row O(1). The (orderdate, orderkey)
+    sort key is a total order, so version numbering is deterministic
+    under ties.
+    """
+    o = table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    v = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.col("o_totalprice").alias("attr"),
+        F.row_number().over(w).alias("version"),
+        F.lead("o_orderdate").over(w).alias("next_from"),
+    )
+    return v.select(
+        "custkey",
+        "version",
+        "valid_from",
+        F.coalesce(F.col("next_from"), F.lit("2200-01-01").cast("timestamp")).alias(
+            "valid_to"
+        ),
+        F.col("next_from").isNull().alias("is_current"),
+        "attr",
+    )

@@ -24,6 +24,7 @@ _NL_ALLOWED = {
     "tfidf_top_terms",         # single-row N_docs scalar broadcast to every task
     "gapfill_hourly_events",   # spine × types cross: both sides bounded by (hours × types)
     "quality_top_decile",      # single-row percentile threshold broadcast to every task
+    "revenue_share_by_nation", # single-row grand-total scalar broadcast to 25 rows
 }
 
 
