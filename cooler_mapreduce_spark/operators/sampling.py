@@ -98,3 +98,39 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     rate = F.when(F.col("lang") == "en", 20).otherwise(50)
     return d.filter(F.expr(_SPARK_PCT) < rate).select("doc_id", "lang")
+
+
+_SPARK_DOC_H = md5int_spark("CAST(doc_id AS STRING)")
+_DUCK_DOC_H = md5int_duckdb("CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "sample_k_per_group",
+    oracle=f"""
+    SELECT lang, doc_id, n_chars FROM (
+        SELECT lang, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {_DUCK_DOC_H}, doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 5
+    """,
+    tags=("sampling", "per-group", "llm-pipeline"),
+)
+def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sample (5 docs per language): rank rows
+    within each group by their portable content hash and keep the k
+    smallest — reservoir-sampling semantics (uniform-ish, size-bounded)
+    but reproducible across engines and reruns. The hash order is
+    data-independent, so appending documents only perturbs the sample
+    where new hashes land in the bottom k. One hash-partitioned window
+    per group; at extreme group sizes the same selection runs as
+    min-k aggregation instead of a full window sort.
+    """
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.expr(_SPARK_DOC_H), "doc_id")
+    return (
+        d.select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "doc_id", "n_chars")
+    )

@@ -304,3 +304,46 @@ def quality_top_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_chars") > F.col("t"))
         .select("doc_id", "lang", "n_chars")
     )
+
+
+@query(
+    "bigram_counts",
+    oracle="""
+    WITH toks AS (
+        SELECT string_split(lower(text), ' ') AS w FROM documents
+    ),
+    bigrams AS (
+        SELECT array_to_string(w[i:i+1], ' ') AS bigram
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+        WHERE w[i] <> '' AND w[i+1] <> ''
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM bigrams GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 50
+    """,
+    tags=("textstats", "ngram", "llm-pipeline"),
+)
+def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency table (top 50) — the n-gram statistic
+    under language models, collocation mining, and contamination checks.
+    Adjacent-token pairs come from zipping the token array with its own
+    tail (transform over indices) INSIDE the scan projection, so the
+    only shuffle is the count aggregate and the top-50 is TakeOrdered."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.split(F.lower("text"), " ").alias("w"))
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(1, greatest(size(w) - 1, 1)),"
+                " i -> IF(i <= size(w) - 1 AND w[i-1] <> '' AND w[i] <> '',"
+                "        concat(w[i-1], ' ', w[i]), NULL)),"
+                " x -> x IS NOT NULL)"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(50)
+    )
