@@ -408,3 +408,107 @@ def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("revenue") / F.col("total"), 9).alias("share"),
         )
     )
+
+
+@query(
+    "stat_corr_qty_price",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_items,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS corr_qty_price,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 9) AS intercept
+    FROM s
+    """,
+    tags=("aggregation", "statistics"),
+)
+def stat_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + least-squares slope/intercept of
+    (quantity, extendedprice) per returnflag — the co-moment algebra the
+    reference's weather sample carries by hand in its combiner
+    (shared/samples/weather_stats.py:56-75: {sum,count,min,max} merged
+    associatively) generalized to second moments.
+
+    Spark has ``corr``/``regr_slope`` built in, but their float partials
+    combine in shuffle-arrival order — not bit-deterministic. Staged
+    instead: the five co-moment sums are exact decimals (associative,
+    order-independent, single map-side-combined shuffle — same cost as
+    the built-in), and the correlation formula is one deterministic
+    double expression on 4 rows.  100 TB: identical plan shape — O(groups)
+    state, no extra pass versus ``corr``.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    xd = F.col("l_quantity").cast("decimal(9,2)")
+    yd = F.col("l_extendedprice").cast("decimal(12,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(yd * yd).cast("double").alias("syy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+    )
+    n, sx, sy, sxx, syy, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "syy", "sxy"))
+    num = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_items"),
+        F.round(num / (F.sqrt(var_x) * F.sqrt(n * syy - sy * sy)), 9).alias("corr_qty_price"),
+        F.round(num / var_x, 9).alias("slope"),
+        F.round((sy - (num / var_x) * sx) / n, 9).alias("intercept"),
+    )
+
+
+@query(
+    "argmax_customer_by_nation",
+    oracle="""
+    SELECT n_name AS nation,
+           max_by(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000000 + c_custkey)
+               AS richest_customer,
+           min_by(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000000 + c_custkey)
+               AS poorest_customer,
+           max(c_acctbal) AS top_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("aggregation", "argmax"),
+)
+def argmax_customer_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARGMAX/ARGMIN as single-pass aggregates: the customer holding each
+    nation's highest/lowest balance via ``max_by``/``min_by`` — no
+    self-join, no window, one map-side-combined shuffle carrying one
+    candidate row per (group, aggregate).  The reference can only express
+    this as reduce_fn scanning its whole value list (task_executor.py:
+    230-241).
+
+    Ties on c_acctbal are broken deterministically by folding the unique
+    c_custkey into a composite ordering key (balance-cents * 1e10 +
+    custkey — exact bigint arithmetic, no float compare; custkeys stay
+    below 1e10 even at 100 TB).  The nation dim is broadcast.
+    """
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    key = (
+        F.round(F.col("c_acctbal") * 100).cast("bigint") * F.lit(10_000_000_000).cast("bigint")
+        + F.col("c_custkey")
+    )
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.max_by("c_name", key).alias("richest_customer"),
+            F.min_by("c_name", key).alias("poorest_customer"),
+            F.max("c_acctbal").alias("top_bal"),
+        )
+    )

@@ -306,3 +306,45 @@ def higher_order_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_chars"),
         F.size(F.filter("words", lambda w: w.like("%e%"))).alias("n_with_e"),
     )
+
+
+@query(
+    "json_parse_quality",
+    oracle="""
+    WITH raw AS (
+        SELECT event_id,
+               CASE WHEN event_id % 10 = 0 THEN substring(props, 3) ELSE props END AS payload
+        FROM events
+    )
+    SELECT CASE WHEN json_valid(payload) THEN 'ok' ELSE 'corrupt' END AS parse_status,
+           COUNT(*) AS n,
+           MIN(event_id) AS first_event
+    FROM raw GROUP BY 1
+    """,
+    tags=("scalar", "json", "data-quality"),
+)
+def json_parse_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record accounting: classify every payload as parseable
+    or corrupt and count each class — the ingest-gate report that decides
+    whether a batch is quarantined. Corruption is injected
+    deterministically (every 10th payload truncated) so the negative
+    path is guaranteed; validity comes from a full JSON parse
+    (``from_json`` PERMISSIVE semantics: unparseable → NULL struct),
+    evaluated inside codegen, one scan, one 2-group aggregate.
+    """
+    ev = table(spark, sf_dir, "events")
+    raw = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 10 == 0, F.expr("substring(props, 3)"))
+        .otherwise(F.col("props"))
+        .alias("payload"),
+    )
+    parsed = raw.select(
+        "event_id",
+        F.when(F.from_json("payload", "map<string,string>").isNotNull(), "ok")
+        .otherwise("corrupt")
+        .alias("parse_status"),
+    )
+    return parsed.groupBy("parse_status").agg(
+        F.count("*").alias("n"), F.min("event_id").alias("first_event")
+    )

@@ -347,3 +347,71 @@ def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(50)
     )
+
+
+@query(
+    "pii_redaction",
+    oracle="""
+    WITH seeded AS (
+        SELECT source,
+               CASE WHEN doc_id % 7 = 0
+                    THEN text || ' reach me at user' || CAST(doc_id AS VARCHAR) || '@example.com thanks'
+                    ELSE text END AS payload
+        FROM documents
+    ),
+    scrubbed AS (
+        SELECT source, payload,
+               regexp_replace(payload, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                              '<EMAIL>', 'g') AS clean
+        FROM seeded
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN payload <> clean THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted,
+           CAST(SUM(length(payload) - length(clean)) AS BIGINT) AS chars_removed
+    FROM scrubbed GROUP BY source
+    """,
+    tags=("text", "pii", "data-quality"),
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the corpus-cleaning pass every training-data
+    pipeline runs before tokenization: regex-redact email addresses and
+    account per-source how many documents were touched and how many
+    characters were removed (the audit row a compliance gate signs off
+    on).  The synthetic corpus has no PII, so addresses are injected
+    deterministically (every 7th doc) to guarantee both paths.
+
+    All string work (inject, regex scrub, length delta) runs inside
+    whole-stage codegen — no UDF — followed by one tiny per-source
+    aggregate.  The regex is anchored to a dialect-portable subset
+    (character classes + bounded repeat) so Spark's Java regex and the
+    oracle's RE2 agree.  100 TB: embarrassingly parallel map work;
+    the real pattern set (emails, phones, SSNs, credit cards) is a
+    chain of the same regexp_replace calls at identical plan cost.
+    """
+    d = table(spark, sf_dir, "documents")
+    seeded = d.select(
+        "source",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" reach me at user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com thanks"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("payload"),
+    )
+    scrubbed = seeded.select(
+        "source",
+        "payload",
+        F.regexp_replace(
+            "payload", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+        ).alias("clean"),
+    )
+    return scrubbed.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("payload") != F.col("clean"), 1).otherwise(0)).alias("n_redacted"),
+        F.sum(F.length("payload") - F.length("clean")).alias("chars_removed"),
+    )

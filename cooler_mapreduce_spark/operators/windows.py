@@ -260,3 +260,44 @@ def window_range_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(wv), 9).alias("value_cume"),
         F.first("event_id").over(wf).alias("first_event_id"),
     )
+
+
+@query(
+    "ntile_order_deciles",
+    oracle="""
+    WITH t AS (
+        SELECT o_totalprice,
+               ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        FROM orders
+    )
+    SELECT decile, COUNT(*) AS n_orders,
+           min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS decile_revenue
+    FROM t GROUP BY decile
+    """,
+    tags=("window", "ntile", "distribution"),
+)
+def ntile_order_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-count decile banding: ``ntile(10)`` over the global order-value
+    ranking, then per-decile count/min/max/revenue — the revenue-by-
+    customer-decile report.  Ordering is made total (price, orderkey) so
+    bucket edges are deterministic; min/max are selections (bit-exact)
+    and the sum is decimal-staged.
+
+    The unpartitioned ORDER BY is a single-task sort — fine at test SF,
+    the known scale ceiling of exact ntile.  The 100 TB form computes
+    decile *boundaries* with approx_percentile (one pass, mergeable
+    sketch) and bands by range comparison — see
+    :func:`~cooler_mapreduce_spark.operators.behavioral.quality_top_decile`
+    for that pattern; ``global_sort_orders`` shows the range-partitioned
+    total sort when exact ranks are required.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    t = o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+    return t.groupBy("decile").agg(
+        F.count("*").alias("n_orders"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).cast("double").alias("decile_revenue"),
+    )
