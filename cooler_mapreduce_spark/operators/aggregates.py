@@ -512,3 +512,66 @@ def argmax_customer_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c_acctbal").alias("top_bal"),
         )
     )
+
+
+@query(
+    "zscore_outlier_orders",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderpriority AS p,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))
+                        * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sxx
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority, CAST(s.n AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN abs((o.o_totalprice - s.sx / s.n)
+                                  / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1))) > 2.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           max(CASE WHEN abs((o.o_totalprice - s.sx / s.n)
+                             / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1))) > 2.0
+                    THEN o.o_totalprice END) AS max_outlier_price
+    FROM orders o JOIN s ON o.o_orderpriority = s.p
+    GROUP BY o.o_orderpriority, s.n
+    """,
+    tags=("aggregation", "statistics", "outlier"),
+)
+def zscore_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass z-score outlier gate: per-priority mean/stddev from exact
+    decimal moments (pass 1, tiny result), broadcast back onto the fact
+    table (pass 2) to flag orders more than 2σ from their group mean —
+    the distribution-shift tripwire a data-quality monitor runs per
+    batch.
+
+    The group stats are O(groups) rows, so the join back is a broadcast
+    — the fact table is scanned twice but never shuffled.  Stddev is
+    derived from the same bit-deterministic (n, Σx, Σx²) staging as
+    :func:`stat_corr_qty_price`; the 2σ comparison is then exact on
+    both engines because every input bit matches.  100 TB: pass 1 is a
+    map-side-combined aggregate; pass 2 is map-only — no wide exchange
+    anywhere.
+    """
+    o = table(spark, sf_dir, "orders")
+    xd = F.col("o_totalprice").cast("decimal(12,2)")
+    s = o.groupBy(F.col("o_orderpriority").alias("p")).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    z = F.abs((F.col("o_totalprice") - sx / n) / F.sqrt((sxx - sx * sx / n) / (n - 1)))
+    return (
+        o.join(F.broadcast(s), o.o_orderpriority == F.col("p"))
+        .groupBy("o_orderpriority", "n")
+        .agg(
+            F.sum(F.when(z > 2.0, 1).otherwise(0)).alias("n_outliers"),
+            F.max(F.when(z > 2.0, F.col("o_totalprice"))).alias("max_outlier_price"),
+        )
+        .select(
+            "o_orderpriority",
+            n.cast("bigint").alias("n_orders"),
+            "n_outliers",
+            "max_outlier_price",
+        )
+    )

@@ -248,3 +248,59 @@ def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= 2)
     )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               date_diff('microseconds', a.ts, b.ts) AS gap_us
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_id < b.event_id
+         AND b.ts >= a.ts
+         AND b.ts <= a.ts + INTERVAL 300 SECOND
+    )
+    SELECT type_a, type_b, COUNT(*) AS n_pairs,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           round(CAST(SUM(gap_us) AS BIGINT) / COUNT(*) / 1000000.0, 9) AS avg_gap_sec
+    FROM pairs GROUP BY type_a, type_b
+    """,
+    tags=("join", "interval", "temporal"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal band self-join: pairs of events by the same user within a
+    5-minute window, aggregated per (earlier-type, later-type) — the
+    near-in-time correlation shape (double-fire detection, cause→effect
+    pairing) that completes the join inventory alongside equi, range,
+    and as-of (SURVEY.md §2.4: the reference expresses no join at all).
+
+    The theta condition rides on an equi-join: Catalyst hashes on
+    user_id (SortMergeJoin) and evaluates the time band as a residual
+    filter per user — never a cartesian product.  Gap arithmetic is
+    exact microsecond integers (``unix_micros``), timestamps compared
+    raw.  100 TB: per-user grouping bounds the pair blow-up (pairs grow
+    quadratically *per user*, not globally); for dense users, bucketing
+    both sides on user_id removes the shuffle entirely, and the window
+    bound caps the search to adjacent time buckets.
+    """
+    ev = table(spark, sf_dir, "events")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_id") < F.col("b.event_id"))
+        & (F.col("b.ts") >= F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 300 SECONDS")),
+    ).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        (F.unix_micros("b.ts") - F.unix_micros("a.ts")).alias("gap_us"),
+    )
+    return pairs.groupBy("type_a", "type_b").agg(
+        F.count("*").alias("n_pairs"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.round(F.sum("gap_us") / F.count("*") / 1_000_000.0, 9).alias("avg_gap_sec"),
+    )
