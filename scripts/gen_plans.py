@@ -86,6 +86,35 @@ CASES = {
             ("single shuffle", lambda p: p.count("Exchange hashpartitioning") == 1),
         ],
     ),
+    "join_interval_overlap": (
+        "temporal band self-join rides the user_id equi-join; time band is a residual filter, never a cartesian",
+        [
+            ("no cartesian/NL join", lambda p: "Cartesian" not in p and "BroadcastNestedLoop" not in p),
+            ("keyed join", lambda p: "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p),
+        ],
+    ),
+    "zscore_outlier_orders": (
+        "two-pass outlier gate: O(groups) stats broadcast back, fact table never shuffled pre-agg",
+        [
+            ("stats joined by broadcast", lambda p: "BroadcastHashJoin" in p),
+            ("no sort-merge join", lambda p: "SortMergeJoin" not in p),
+        ],
+    ),
+    "stat_corr_qty_price": (
+        "co-moment statistics: all five sums partial-aggregated in one pass, ONE shuffle",
+        [
+            ("partial agg before shuffle", lambda p: "partial_sum" in p),
+            ("single shuffle", lambda p: p.count("Exchange hashpartitioning") == 1),
+        ],
+    ),
+    "argmax_customer_by_nation": (
+        "max_by/min_by aggregate: dim broadcast, one candidate row per group shuffles",
+        [
+            ("dim broadcast", lambda p: "BroadcastHashJoin" in p),
+            ("partial argmax before shuffle", lambda p: "partial_max_by" in p or "partial_max" in p),
+            ("single agg shuffle", lambda p: p.count("Exchange hashpartitioning") == 1),
+        ],
+    ),
 }
 
 
