@@ -575,3 +575,40 @@ def zscore_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_outlier_price",
         )
     )
+
+
+@query(
+    "weighted_avg_discount",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(6,2))) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS wavg_discount,
+           (CAST(SUM(CAST(l_discount AS DECIMAL(6,2))) AS DOUBLE) / COUNT(l_discount))
+               AS avg_discount,
+           COUNT(*) AS n_items
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("aggregation", "weighted"),
+)
+def weighted_avg_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-weighted average discount per returnflag, next to the
+    unweighted mean — the weighted-aggregate algebra (Σwx / Σw) that a
+    plain AVG cannot express and that mis-states the effective discount
+    whenever weights correlate with values.
+
+    Both numerator and denominator are exact decimal sums (the same
+    order-independent staging as :func:`~cooler_mapreduce_spark.functions.
+    numeric.dsum`), so the single double division is bit-deterministic.
+    One scan, one map-side-combined shuffle — identical cost to the
+    unweighted aggregate.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    w = F.col("l_extendedprice").cast("decimal(12,2)")
+    x = F.col("l_discount").cast("decimal(6,2)")
+    return li.groupBy("l_returnflag").agg(
+        (F.sum(w * x).cast("double") / F.sum(w).cast("double")).alias("wavg_discount"),
+        (F.sum(x).cast("double") / F.count("l_discount")).alias("avg_discount"),
+        F.count("*").alias("n_items"),
+    )

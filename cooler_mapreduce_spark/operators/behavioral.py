@@ -9,7 +9,7 @@ scanned once and never self-joined at full width.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..registry import query
 from ..sources.catalog import table
@@ -187,4 +187,58 @@ def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         contrib.join(days, "day")
         .groupBy("day")
         .agg(F.count("*").alias("n_active_7d"))
+    )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS next_type
+        FROM events
+    ),
+    counts AS (
+        SELECT event_type, next_type, COUNT(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    )
+    SELECT event_type, next_type, n,
+           round(n / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE), 9)
+               AS transition_prob
+    FROM counts
+    """,
+    tags=("behavioral", "sequence", "markov"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    for each (type → next-type) pair, the count and the conditional
+    transition probability — the what-happens-after-X statistic behind
+    next-action prediction and funnel discovery (the ordered-sequence
+    generalization of :func:`funnel_signup_click_purchase`).
+
+    ``lead`` needs one shuffle on user_id (each user's history sorted
+    within its partition — bounded by per-user event counts, not total
+    rows); the pair count is a second map-side-combined aggregate over
+    |types|² ≪ n rows, and the probability normalization windows over
+    that tiny result.  Ordering is made total with (ts, event_id) so the
+    successor of every event is deterministic.  100 TB: identical shape
+    — the only wide exchange carries (user, type, ts), three narrow
+    columns.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("event_type", F.lead("event_type").over(w).alias("next_type"))
+    counts = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    wt = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wt).cast("double"), 9).alias("transition_prob"),
     )
