@@ -414,3 +414,104 @@ def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(cases)
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
     )
+
+
+@query(
+    "small_quantity_revenue_q17",
+    oracle="""
+    WITH pa AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+               AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND l.l_quantity < 0.2 * pa.avg_qty
+    """,
+    tags=("tpch", "join", "correlated-subquery"),
+)
+def small_quantity_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): revenue lost if
+    orders below 20% of a part's average quantity were dropped, for one
+    brand.  The correlated AVG-per-part subquery is decorrelated by hand
+    into the plan Catalyst would pick anyway — and better: the brand
+    filter (1/|brands| selectivity) broadcasts FIRST, so the per-part
+    average aggregates only brand lineitems instead of the whole fact
+    table (the textbook plan averages everything, then throws 96% away).
+    The per-part averages (2 narrow columns, |parts|/|brands| rows)
+    broadcast back; the threshold compare is bit-exact because both
+    engines stage the average identically (exact decimal sum / count).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    brand_lines = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pa = brand_lines.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum(F.col("l_quantity").cast("decimal(9,2)")).cast("double") / F.count("*"))
+        .alias("avg_qty")
+    )
+    return (
+        brand_lines.join(F.broadcast(pa), F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double") / 7.0)
+            .alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "large_orders_q18",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(9,2))) > 300
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           b.total_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+    tags=("tpch", "join", "having", "topk"),
+)
+def large_orders_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose summed
+    quantity tops 300, with their customer, ranked by order value.
+
+    The HAVING collapses the fact table to a handful of order keys
+    before any join — that survivor set broadcasts onto orders and the
+    enriched (still tiny) result broadcasts onto customer, so neither
+    big table ever shuffles.  The final ranking is TakeOrdered (per-
+    partition heaps), tie-broken by orderkey for a total order.  The
+    quantity sum is exact decimal, so the >300 gate admits identical
+    rows on both engines.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(9,2)")).alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey", F.col("q").cast("double").alias("total_qty"))
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
