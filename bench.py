@@ -44,6 +44,9 @@ HEADLINE = [
     "text_quality_score",       # text-analysis scalar pipeline
     "tfidf_top_terms",          # two-stage agg + scalar broadcast (TF-IDF)
     "stream_tumbling_counts",   # windowed event agg (batch twin)
+    "stat_corr_qty_price",      # co-moment statistics (decimal staging)
+    "join_interval_overlap",    # temporal band self-join
+    "large_orders_q18",         # HAVING-collapsed broadcast chain (TPC-H Q18)
 ]
 
 

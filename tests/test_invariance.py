@@ -22,6 +22,7 @@ CASES = [
     "dedup_minhash_lsh",
     "skew_salted_event_stats",
     "window_top_orders_per_customer",
+    "stat_corr_qty_price",
 ]
 
 
