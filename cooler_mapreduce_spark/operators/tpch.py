@@ -515,3 +515,47 @@ def large_orders_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(20)
     )
+
+
+@query(
+    "top_supplier_by_revenue_q15",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,4))) AS r
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(rev.r AS DOUBLE) AS total_revenue
+    FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+    WHERE rev.r = (SELECT MAX(r) FROM rev)
+    """,
+    tags=("tpch", "argmax", "scalar-subquery"),
+)
+def top_supplier_by_revenue_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): the supplier(s) with maximum
+    revenue in a quarter — max-equality selection against a scalar
+    subquery, which unlike a LIMIT 1 keeps ALL tied winners.
+
+    The per-supplier revenue aggregate stays in exact decimal so the
+    ``r = MAX(r)`` equality is bit-safe (a double-rounded revenue could
+    admit different tie sets on different engines).  The global max is a
+    one-row broadcast; the surviving winner rows (ties only) broadcast
+    onto supplier — the fact table shuffles once for the aggregate and
+    nothing else moves.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,4)"))
+        .alias("r")
+    )
+    mx = rev.agg(F.max("r").alias("mr"))
+    winners = rev.crossJoin(F.broadcast(mx)).filter(F.col("r") == F.col("mr"))
+    s = table(spark, sf_dir, "supplier")
+    return s.join(F.broadcast(winners), s.s_suppkey == F.col("l_suppkey")).select(
+        "s_suppkey", "s_name", F.col("r").cast("double").alias("total_revenue")
+    )

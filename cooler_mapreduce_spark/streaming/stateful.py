@@ -17,6 +17,8 @@ from typing import Any
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import query
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double, last_ts timestamp"
@@ -65,4 +67,34 @@ def run_user_totals_stream(
         .format("memory")
         .queryName(query_name)
         .start()
+    )
+
+
+@query(
+    "stream_user_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST((value) AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+           max(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "batch-twin"),
+)
+def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of :func:`run_user_totals_stream` (the
+    ``applyInPandasWithState`` operator): per-user lifetime totals.  The
+    chain of evidence for the custom stateful op is two links — the
+    streaming run equals this batch query on bounded input
+    (tests/test_streaming.py::test_stateful_user_totals_equals_batch),
+    and this batch query equals the SQL oracle (driver gate) — so the
+    state-store accumulation is transitively oracle-checked.
+    """
+    from ..functions.numeric import dsum
+    from ..sources.catalog import table
+
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        dsum("value", 6).alias("total_value"),
+        F.max("ts").alias("last_ts"),
     )
