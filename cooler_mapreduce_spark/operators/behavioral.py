@@ -242,3 +242,122 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(wt).cast("double"), 9).alias("transition_prob"),
     )
+
+
+@query(
+    "session_conversion_rate",
+    oracle="""
+    WITH gapped AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('microseconds', lag(ts) OVER w, ts) > 1800000000
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_type, ts,
+               SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM gapped
+    ),
+    per AS (
+        SELECT user_id, session_seq,
+               MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS first_click_us,
+               MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS last_purchase_us
+        FROM sess GROUP BY user_id, session_seq
+    )
+    SELECT COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN first_click_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_with_click,
+           CAST(SUM(CASE WHEN last_purchase_us > first_click_us THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_converted
+    FROM per
+    """,
+    tags=("behavioral", "session", "funnel"),
+)
+def session_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped conversion: of all 30-minute-gap sessions, how many
+    contain a click, and how many convert (a purchase strictly after the
+    session's first click) — the funnel restricted to one visit, where
+    cross-day conversions (which :func:`funnel_signup_click_purchase`
+    counts) don't.
+
+    Same two-window sessionization as ``sessionize_events`` (one shuffle
+    on user_id), then per-session first-click/last-purchase reduce to
+    exact microsecond integers and a 3-counter global rollup.  100 TB:
+    state is two bigints per session; the final single-row aggregate is
+    a partial-aggregated O(partitions) merge.
+    """
+    ev = table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(wo)
+    gapped = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_start"),
+    )
+    sess = gapped.withColumn("session_seq", F.sum("is_start").over(wrun))
+    per = sess.groupBy("user_id", "session_seq").agg(
+        F.min(F.when(F.col("event_type") == "click", F.unix_micros("ts"))).alias("first_click_us"),
+        F.max(F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))).alias(
+            "last_purchase_us"
+        ),
+    )
+    return per.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.when(F.col("first_click_us").isNotNull(), 1).otherwise(0)).alias("n_with_click"),
+        F.sum(
+            F.when(F.col("last_purchase_us") > F.col("first_click_us"), 1).otherwise(0)
+        ).alias("n_converted"),
+    )
+
+
+@query(
+    "user_event_paths",
+    oracle="""
+    WITH paths AS (
+        SELECT user_id,
+               array_to_string(
+                   (list(event_type ORDER BY ts, event_id))[1:5], '>') AS path5
+        FROM events GROUP BY user_id
+    )
+    SELECT path5, COUNT(*) AS n_users
+    FROM paths GROUP BY path5
+    ORDER BY n_users DESC, path5 LIMIT 20
+    """,
+    tags=("behavioral", "sequence", "ordered-collect"),
+)
+def user_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining: each user's first five event types as an ordered
+    '>'-joined path, counted across users — the onboarding-flow
+    discovery query.  Demonstrates DETERMINISTIC ordered collection:
+    ``collect_list`` alone has no order guarantee post-shuffle, so the
+    list is collected as (ts, event_id, type) structs and sorted
+    in-expression (``sort_array``) before slicing — order is imposed by
+    data, not by partition layout.
+
+    100 TB: the collect shuffles (user, ts-key, type) narrow rows; the
+    5-slice caps the carried array; path counting is a second tiny
+    aggregate.  Top-20 is TakeOrdered.
+    """
+    ev = table(spark, sf_dir, "events")
+    collected = ev.groupBy("user_id").agg(
+        F.collect_list(F.struct("ts", "event_id", "event_type")).alias("evs")
+    )
+    path5 = collected.select(
+        F.array_join(
+            F.slice(F.transform(F.sort_array("evs"), lambda s: s.event_type), 1, 5), ">"
+        ).alias("path5")
+    )
+    return (
+        path5.groupBy("path5")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path5"))
+        .limit(20)
+    )

@@ -1,0 +1,41 @@
+"""SQL-text query surface: ``spark.sql`` over the registered catalog.
+
+The reference's only user surface is imperative (map_fn/reduce_fn job
+files loaded by importlib — task_executor.py:80-97); this engine's second
+surface is declarative SQL text. The proof of equivalence is maximal
+here: the Spark side and the DuckDB oracle execute the IDENTICAL ANSI
+string — one query text, two engines, same rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import query
+from ..sources.catalog import register_views
+
+#: One ANSI-SQL string both engines run verbatim: a 3-way join rollup in
+#: the dialect-portable subset (explicit CASTs, decimal-staged sum).
+_SEGMENT_REVENUE_SQL = """
+    SELECT n_name AS nation, c_mktsegment AS segment,
+           COUNT(DISTINCT o.o_custkey) AS n_buyers,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS segment_revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n_name, c_mktsegment
+"""
+
+
+@query("sql_segment_revenue", oracle=_SEGMENT_REVENUE_SQL, tags=("sql", "join", "aggregation"))
+def sql_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by (nation, market segment) expressed as SQL TEXT and
+    executed by ``spark.sql`` — the oracle is the very same string, so
+    this query also certifies the engine's ANSI-dialect compatibility.
+    Catalyst plans it identically to the DataFrame formulation: nation
+    broadcasts, customer⋈orders shuffles once on custkey, then one
+    distinct-aggregate expansion for the buyer count.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_SEGMENT_REVENUE_SQL)

@@ -95,3 +95,11 @@ def _fan_out(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose every catalog table as a temp view so ``spark.sql`` text
+    queries run against the same (ts-fixed, fan-out-guarded) DataFrames
+    the programmatic API uses."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
