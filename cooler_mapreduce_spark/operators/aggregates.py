@@ -612,3 +612,77 @@ def weighted_avg_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(x).cast("double") / F.count("l_discount")).alias("avg_discount"),
         F.count("*").alias("n_items"),
     )
+
+
+@query(
+    "mad_order_price",
+    oracle="""
+    WITH med AS (
+        SELECT o_orderpriority AS p, quantile_cont(o_totalprice, 0.5) AS med
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority, med AS median_price,
+           quantile_cont(abs(o.o_totalprice - med), 0.5) AS mad
+    FROM orders o JOIN med m ON o.o_orderpriority = m.p
+    GROUP BY o.o_orderpriority, med
+    """,
+    tags=("aggregation", "statistics", "robust"),
+)
+def mad_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per priority — the robust dispersion
+    measure (stddev is dragged by the very outliers you're hunting; MAD
+    is not, which is why monitoring gates prefer it).  Two exact-
+    percentile passes: group medians (O(groups) rows) broadcast back,
+    absolute deviations re-aggregate.  Both engines interpolate the
+    median identically on identical doubles, so the deviations — and
+    their median — match bit-for-bit.  100 TB: swap ``percentile`` for
+    ``percentile_approx`` (mergeable sketch) in both passes; the plan
+    shape (agg → broadcast → agg) is unchanged.
+    """
+    o = table(spark, sf_dir, "orders")
+    med = o.groupBy(F.col("o_orderpriority").alias("p")).agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("med")
+    )
+    dev = o.join(F.broadcast(med), o.o_orderpriority == F.col("p")).select(
+        "o_orderpriority",
+        "med",
+        F.abs(F.col("o_totalprice") - F.col("med")).alias("adev"),
+    )
+    return (
+        dev.groupBy("o_orderpriority", "med")
+        .agg(F.percentile("adev", F.lit(0.5)).alias("mad"))
+        .select("o_orderpriority", F.col("med").alias("median_price"), "mad")
+    )
+
+
+@query(
+    "mode_quantity_by_flag",
+    oracle="""
+    WITH counts AS (
+        SELECT l_returnflag, l_quantity, COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag, l_quantity
+    )
+    SELECT l_returnflag,
+           max_by(l_quantity,
+                  n * 100000 + CAST(round(l_quantity * 100) AS BIGINT)) AS mode_qty,
+           max(n) AS mode_n
+    FROM counts GROUP BY l_returnflag
+    """,
+    tags=("aggregation", "statistics", "mode"),
+)
+def mode_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode with a DETERMINISTIC tie rule: the most frequent
+    quantity per returnflag, ties resolved toward the larger value via a
+    composite argmax key (count * 1e5 + quantity-cents, exact bigint).
+    Spark's built-in ``mode()`` is explicitly non-deterministic on ties
+    — unusable under a value-hash gate; this two-level formulation
+    (count per (group, value), then argmax) is the portable form, and
+    both levels partial-aggregate before their shuffles.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("n"))
+    key = F.col("n") * 100000 + F.round(F.col("l_quantity") * 100).cast("bigint")
+    return counts.groupBy("l_returnflag").agg(
+        F.max_by("l_quantity", key).alias("mode_qty"),
+        F.max("n").alias("mode_n"),
+    )
