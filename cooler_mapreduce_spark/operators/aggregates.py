@@ -9,7 +9,7 @@ requested, and partial aggregation still applies before the one shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.numeric import dsum, sql_dsum
 from ..registry import query
@@ -685,4 +685,112 @@ def mode_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.groupBy("l_returnflag").agg(
         F.max_by("l_quantity", key).alias("mode_qty"),
         F.max("n").alias("mode_n"),
+    )
+
+
+@query(
+    "event_type_gini",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM events GROUP BY user_id, event_type
+    ),
+    tot AS (
+        SELECT user_id, CAST(SUM(n) AS BIGINT) AS total,
+               CAST(SUM(n * n) AS BIGINT) AS sum_sq
+        FROM c GROUP BY user_id
+    )
+    SELECT CAST(total AS BIGINT) AS n_events,
+           COUNT(*) AS n_users,
+           CAST(SUM(CAST(round(1.0 - CAST(sum_sq AS DOUBLE)
+                               / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)), 9)
+                         AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*) AS avg_gini
+    FROM tot GROUP BY total
+    """,
+    tags=("aggregation", "statistics", "diversity"),
+)
+def event_type_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity via Gini impurity (= 1 − HHI): how mixed each
+    user's event types are, rolled up by activity level — computed as
+    1 − Σnᵢ²/n², pure integer counts and one rational double expression,
+    so unlike Shannon entropy it needs no transcendental function and
+    stays bit-deterministic across engines (libm ``log`` is not
+    correctly-rounded everywhere; division and multiplication are).
+
+    Two partial-aggregable count passes (user×type, then user), zero
+    joins.  100 TB: shuffle volume is O(users × types) then O(users) —
+    both narrow integer rows.
+    """
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    tot = c.groupBy("user_id").agg(
+        F.sum("n").alias("total"), F.sum(F.col("n") * F.col("n")).alias("sum_sq")
+    )
+    gini = F.round(
+        1.0 - F.col("sum_sq").cast("double")
+        / (F.col("total").cast("double") * F.col("total").cast("double")),
+        9,
+    )
+    return tot.groupBy(F.col("total").alias("n_events")).agg(
+        F.count("*").alias("n_users"),
+        (F.sum(gini.cast("decimal(20,9)")).cast("double") / F.count("*")).alias("avg_gini"),
+    )
+
+
+@query(
+    "chisq_segment_priority",
+    oracle="""
+    WITH obs AS (
+        SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri, COUNT(*) AS n
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment, o.o_orderpriority
+    ),
+    m AS (
+        SELECT seg, pri, CAST(n AS DOUBLE) AS n,
+               CAST(SUM(n) OVER (PARTITION BY seg) AS DOUBLE) AS row_n,
+               CAST(SUM(n) OVER (PARTITION BY pri) AS DOUBLE) AS col_n,
+               CAST(SUM(n) OVER () AS DOUBLE) AS grand_n
+        FROM obs
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(CAST(round((n - row_n * col_n / grand_n)
+                               * (n - row_n * col_n / grand_n)
+                               / (row_n * col_n / grand_n), 9)
+                         AS DECIMAL(20,9))) AS DOUBLE) AS chi_square
+    FROM m
+    """,
+    tags=("aggregation", "statistics", "independence"),
+)
+def chisq_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square statistic for independence of market segment ×
+    order priority — the drift detector that flags when a categorical
+    mix shifts between batches.  Everything derives from one exact
+    contingency table (|segments × priorities| cells): marginals via
+    windows over the tiny aggregate, expected counts and the statistic
+    as rational double arithmetic (no transcendentals → cross-engine
+    bit-determinism); per-cell terms round at 9 dp and the final
+    25-term sum runs in exact decimal, so no reduction is
+    order-sensitive.
+
+    100 TB: the fact join shuffles once into the contingency aggregate;
+    everything after operates on 25 rows.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    obs = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pri"))
+        .agg(F.count("*").alias("n"))
+    )
+    m = obs.select(
+        F.col("n").cast("double").alias("n"),
+        F.sum("n").over(Window.partitionBy("seg")).cast("double").alias("row_n"),
+        F.sum("n").over(Window.partitionBy("pri")).cast("double").alias("col_n"),
+        F.sum("n").over(Window.partitionBy()).cast("double").alias("grand_n"),
+    )
+    exp = F.col("row_n") * F.col("col_n") / F.col("grand_n")
+    term = F.round((F.col("n") - exp) * (F.col("n") - exp) / exp, 9)
+    return m.agg(
+        F.count("*").alias("n_cells"),
+        F.sum(term.cast("decimal(20,9)")).cast("double").alias("chi_square"),
     )

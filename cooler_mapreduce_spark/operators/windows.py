@@ -301,3 +301,48 @@ def ntile_order_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_totalprice").alias("hi"),
         F.sum(F.col("o_totalprice").cast("decimal(30,2)")).cast("double").alias("decile_revenue"),
     )
+
+
+@query(
+    "debounce_events",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               date_diff('microseconds',
+                         lag(ts) OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts, event_id),
+                         ts) AS gap_us
+        FROM events
+    )
+    SELECT event_type, COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN gap_us IS NOT NULL AND gap_us < 900000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_debounced,
+           CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us >= 900000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM g GROUP BY event_type
+    """,
+    tags=("window", "dedup", "debounce"),
+)
+def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debouncing: events of the same (user, type) arriving
+    within 15 minutes of the previous one are rate-limit suppressed;
+    report the kept/suppressed split per type — the ingest thinning pass
+    that keeps double-fires and retry storms out of a training corpus
+    (the time-window cousin of exact dedup: same key, *near* time
+    instead of same content).
+
+    One ``lag`` window (shuffle on (user, type), narrow rows), exact
+    microsecond gaps, one tiny rollup.  The streaming twin is
+    ``dropDuplicatesWithinWatermark`` semantics; at 100 TB both forms
+    hold state/sort bounded per key, never globally.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    g = ev.select("event_type", gap.alias("gap_us"))
+    dropped = F.col("gap_us").isNotNull() & (F.col("gap_us") < 900_000_000)
+    return g.groupBy("event_type").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(dropped, 1).otherwise(0)).alias("n_debounced"),
+        F.sum(F.when(~dropped | F.col("gap_us").isNull(), 1).otherwise(0)).alias("n_kept"),
+    )
