@@ -348,3 +348,103 @@ def json_parse_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.groupBy("parse_status").agg(
         F.count("*").alias("n"), F.min("event_id").alias("first_event")
     )
+
+
+@query(
+    "url_functions",
+    oracle="""
+    WITH u AS (
+        SELECT 'https://' || source || '.example.org/docs/' || CAST(doc_id AS VARCHAR)
+               || '?lang=' || lang || '&v=2' AS url
+        FROM documents
+    )
+    SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+           regexp_extract(url, 'lang=([a-z]+)', 1) AS lang_param,
+           COUNT(*) AS n_docs,
+           MIN(regexp_extract(url, 'https://[^/]+(/[^?]*)', 1)) AS first_path
+    FROM u GROUP BY 1, 2
+    """,
+    tags=("scalar", "url", "web-corpus"),
+)
+def url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing — the per-document provenance extraction every web
+    corpus pipeline runs (host for domain-level filtering/dedup, query
+    params for variant collapsing).  URLs are synthesized
+    deterministically from catalog columns, then parsed with Spark's
+    ``parse_url`` (HOST / PATH / QUERY-key extraction, all codegen);
+    the oracle replicates each extraction with anchored regexes, which
+    the synthesized URL shape keeps exactly equivalent.  One scan, one
+    small (host, lang) rollup.
+    """
+    d = table(spark, sf_dir, "documents")
+    u = d.select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.org/docs/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?lang="),
+            F.col("lang"),
+            F.lit("&v=2"),
+        ).alias("url")
+    )
+    parsed = u.select(
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+    )
+    return parsed.groupBy("host", "lang_param").agg(
+        F.count("*").alias("n_docs"),
+        F.min("path").alias("first_path"),
+    )
+
+
+@query(
+    "csv_functions",
+    oracle="""
+    WITH enc AS (
+        SELECT CAST(o_orderkey AS VARCHAR) || ',' || o_orderstatus || ','
+               || CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS line
+        FROM orders
+    ),
+    dec AS (
+        SELECT string_split(line, ',') AS parts FROM enc
+    )
+    SELECT parts[2] AS status,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(parts[3] AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+           MIN(CAST(parts[1] AS BIGINT)) AS first_key
+    FROM dec GROUP BY 1
+    """,
+    tags=("scalar", "csv", "roundtrip"),
+)
+def csv_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scalar round-trip: rows serialize to CSV lines (``to_csv``)
+    and parse back (``from_csv`` with an explicit schema) — the
+    embedded-delimited-payload path (CSV-in-a-column is the reference's
+    entire input model: its weather sample parses CSV lines inside
+    map_fn, shared/samples/weather_stats.py:31).  The price travels as
+    decimal text so both engines render and re-parse identical digits;
+    the aggregate over parsed fields proves the round-trip lossless.
+    All codegen — no Python in the loop.
+    """
+    o = table(spark, sf_dir, "orders")
+    enc = o.select(
+        F.to_csv(
+            F.struct(
+                F.col("o_orderkey"),
+                F.col("o_orderstatus"),
+                F.col("o_totalprice").cast("decimal(12,2)").alias("p"),
+            )
+        ).alias("line")
+    )
+    dec = enc.select(
+        F.from_csv(
+            "line", "k bigint, status string, p decimal(12,2)"
+        ).alias("r")
+    )
+    return dec.groupBy(F.col("r.status").alias("status")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum("r.p").cast("double").alias("total_price"),
+        F.min("r.k").alias("first_key"),
+    )
