@@ -121,3 +121,32 @@ def run_session_stream(
         .queryName(query_name)
         .start()
     )
+
+
+def run_debounce_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "debounce_out",
+    horizon: str = "30 minutes",
+):
+    """Streaming debounce: ``dropDuplicatesWithinWatermark`` on
+    (user_id, event_type) — the first event per key passes, repeats are
+    suppressed until the key's state expires at the watermark horizon.
+    This is the streaming twin of the batch ``debounce_events`` operator
+    and the production form of rate-limit suppression: unlike plain
+    ``dropDuplicates`` (state = every key ever seen), state here is
+    bounded to keys active within the horizon — O(active keys), the
+    only shape that survives an unbounded 100 TB/day stream.
+    """
+    from .windows import _event_stream
+
+    ev = _event_stream(spark, sf_dir).withWatermark("ts", horizon)
+    deduped = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
+        "user_id", "event_type", "ts"
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

@@ -222,3 +222,19 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
     want = _rows(SPECS["stream_stream_click_purchase"].fn(spark, sf_dir))
     assert len(got) > 0  # positive path: fixtures contain matches
     assert got == want
+
+
+def test_debounce_stream_suppresses_repeats(spark, sf_dir):
+    """Within-watermark dedup on bounded input: one micro-batch means no
+    state ever expires, so exactly one event per (user, type) key
+    survives — the batch-distinct key count, never more."""
+    from cooler_mapreduce_spark.streaming.dedup import run_debounce_stream
+    from cooler_mapreduce_spark.sources.catalog import table
+
+    q = run_debounce_stream(spark, sf_dir, query_name="t_debounce")
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT user_id, event_type FROM t_debounce")
+    keys = table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    assert got.count() == keys.count()
+    assert got.distinct().count() == keys.count()
