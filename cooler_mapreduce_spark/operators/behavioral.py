@@ -361,3 +361,72 @@ def user_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), F.asc("path5"))
         .limit(20)
     )
+
+
+def _streaks(pdf):
+    """Per-user longest consecutive-day streak (plain-int arithmetic —
+    deterministic regardless of row arrival order)."""
+    import pandas as pd
+
+    days = sorted(set(int(d) for d in pdf["day_idx"]))
+    best = cur = 1
+    for prev, nxt in zip(days, days[1:]):
+        cur = cur + 1 if nxt == prev + 1 else 1
+        best = max(best, cur)
+    return pd.DataFrame(
+        [
+            {
+                "user_id": int(pdf["user_id"].iloc[0]),
+                "n_active_days": len(days),
+                "longest_streak": best,
+            }
+        ]
+    )
+
+
+@query(
+    "longest_daily_streak",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    r AS (
+        SELECT user_id, day,
+               row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        FROM d
+    ),
+    isl AS (
+        SELECT user_id, COUNT(*) AS len
+        FROM r GROUP BY user_id, day - CAST(rn AS INTEGER)
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(MAX(len) AS BIGINT) AS longest_streak
+    FROM isl GROUP BY user_id
+    """,
+    tags=("behavioral", "grouped-map", "pandas-udf"),
+)
+def longest_daily_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of consecutive active days per user — engagement-streak
+    analytics, implemented with GROUPED ``applyInPandas``: one Arrow
+    batch per user, arbitrary imperative Python per group.  This is the
+    modern form of the reference's ``reduce_fn`` generality (a user
+    function over one key's full value list, task_executor.py:230-241)
+    — and the oracle proves it against the declarative gaps-and-islands
+    SQL (row_number difference groups runs), so the imperative and
+    relational formulations pin each other.
+
+    The UDF sees pre-deduped (user, day-index) ints — the shuffle
+    carries two integer columns, Arrow-batched, and per-group state is
+    O(active days).  100 TB: grouped-map cost is one hash shuffle on
+    user_id, the same as any per-user aggregate; the Python stage is
+    the price of imperative logic, which is exactly why only this op
+    pays it.
+    """
+    ev = table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("day_idx")
+    ).distinct()
+    return days.groupBy("user_id").applyInPandas(
+        _streaks, "user_id bigint, n_active_days bigint, longest_streak bigint"
+    )
