@@ -150,3 +150,47 @@ def test_cli_status_reports(spark, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "no active stages" in out or "stage" in out
+
+
+def test_observe_scan_quality(spark, sf_dir):
+    """Observation metrics fill during the consuming action — no second
+    scan — and match directly computed values."""
+    from cooler_mapreduce_spark.observability import observe_scan_quality
+    from cooler_mapreduce_spark.sources.catalog import table
+
+    o = table(spark, sf_dir, "orders")
+    gated, obs = observe_scan_quality(
+        o, null_cols=["o_custkey"], nonneg_cols=["o_totalprice"], name="t_obs"
+    )
+    n = gated.count()
+    m = obs.get
+    assert m["n_rows"] == n
+    assert m["null_o_custkey"] == o.filter("o_custkey IS NULL").count()
+    assert m["neg_o_totalprice"] == o.filter("o_totalprice < 0").count()
+
+
+def test_python_datasource_synthetic_events(spark):
+    """Custom Python DataSource: planned partitions honored, rows
+    deterministic across reads."""
+    from cooler_mapreduce_spark.sources.pysource import register
+
+    register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("partitions", "5")
+        .option("rowsPerPartition", "200")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 5
+    rows = df.collect()
+    assert len(rows) == 5 * 200
+    again = sorted(
+        spark.read.format("synthetic_events")
+        .option("partitions", "5")
+        .option("rowsPerPartition", "200")
+        .load()
+        .collect()
+    )
+    assert sorted(rows) == again
+    one = [r for r in rows if r.event_id == 0][0]
+    assert one.user_id == 0 and one.event_type == "view" and one.value == 0.0
