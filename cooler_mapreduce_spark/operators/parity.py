@@ -198,3 +198,49 @@ def word_count_file_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "word")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+@query(
+    "pysource_event_mix",
+    oracle="""
+    WITH g AS (
+        SELECT (i * 2654435761) % 4294967296 AS h
+        FROM (SELECT unnest(generate_series(0, 9999)) AS i)
+    )
+    SELECT CASE h % 5 WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+                      WHEN 2 THEN 'purchase' WHEN 3 THEN 'signup'
+                      ELSE 'error' END AS event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST((CAST(h % 10000 AS DOUBLE) / 100.0) AS DECIMAL(30,2)))
+                AS DOUBLE) AS total_value,
+           CAST(MIN(h % 1000) AS BIGINT) AS min_user
+    FROM g GROUP BY 1
+    """,
+    tags=("source", "connector", "python-datasource"),
+)
+def pysource_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over the CUSTOM PYTHON DATASOURCE (sources/pysource.py)
+    — the Spark-native replacement for the reference's hand-rolled
+    input-split + scan machinery (coordinator/server.py:209-243,
+    task_executor.py:103-183).  8 planned input partitions stream 10k
+    deterministic rows straight into a hash aggregate; no file ever
+    exists.  The oracle REGENERATES the identical rows in pure SQL
+    (the generator is one multiplicative-hash expression), so even the
+    connector path is value-checked, not just row-counted.  ``sf_dir``
+    is unused: the source is its own data.
+    """
+    from ..functions.numeric import dsum as _dsum
+    from ..sources.pysource import register
+
+    register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("partitions", "8")
+        .option("rowsPerPartition", "1250")
+        .load()
+    )
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        _dsum("value", 2).alias("total_value"),
+        F.min("user_id").alias("min_user"),
+    )
