@@ -20,8 +20,10 @@ you'd ship tier 1).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.functions import udtf
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import pandas_udf, udtf
 
 from ..registry import query
 from ..sources.catalog import table
@@ -68,4 +70,51 @@ def udtf_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents_v, LATERAL split_words(text) s
         GROUP BY s.word
         """
+    )
+
+
+@query(
+    "pandas_udaf_second_max",
+    oracle="""
+    SELECT l_returnflag,
+           MAX(l_quantity) AS max_qty,
+           MAX(CASE WHEN l_quantity < (SELECT MAX(l2.l_quantity) FROM lineitem l2
+                                       WHERE l2.l_returnflag = lineitem.l_returnflag)
+                    THEN l_quantity END) AS second_max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("udf", "udaf", "pandas"),
+)
+def pandas_udaf_second_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF tier: a GROUPED_AGG ``pandas_udf`` computing the
+    second-largest distinct quantity per returnflag — the aggregate
+    shape Spark has no built-in for and the reference would write as a
+    reduce_fn scanning its value list (design.md:84-94).  The Arrow
+    path hands the UDF one column per group; the oracle expresses the
+    same semantics relationally (max below the correlated max), so the
+    imperative aggregate is value-pinned.  At 100 TB the same UDF runs
+    unchanged — grouped-agg shuffles only (group, value) columns — but
+    note no partial aggregation: a built-in composition (two-level
+    max/filter) is the hot-path form; this tier exists for semantics
+    Spark cannot compose.
+    """
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def pandas_max(v: pd.Series) -> float:
+        return float(v.max())
+
+    @pandas_udf(DoubleType())
+    def second_max(v: pd.Series) -> float:
+        # set semantics: no accumulation-order dependence, hence
+        # deterministic under any partitioning
+        u = v.drop_duplicates().nlargest(2)
+        return float(u.iloc[1]) if len(u) > 1 else float("nan")
+
+    # grouped-agg pandas UDFs cannot mix with JVM aggregates in one agg,
+    # so the max rides the same Arrow path
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        pandas_max("l_quantity").alias("max_qty"),
+        second_max("l_quantity").alias("second_max_qty"),
     )
