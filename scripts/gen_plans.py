@@ -115,6 +115,34 @@ CASES = {
             ("single agg shuffle", lambda p: p.count("Exchange hashpartitioning") == 1),
         ],
     ),
+    "small_quantity_revenue_q17": (
+        "Q17 decorrelated: brand filter broadcasts FIRST, per-part averages broadcast back — no sort-merge join",
+        [
+            ("all joins broadcast", lambda p: "BroadcastHashJoin" in p and "SortMergeJoin" not in p),
+            ("no cartesian/NL join", lambda p: "Cartesian" not in p and "BroadcastNestedLoop" not in p),
+        ],
+    ),
+    "top_supplier_by_revenue_q15": (
+        "Q15 max-equality: winners broadcast onto supplier, fact shuffles once for its aggregate",
+        [
+            ("winners broadcast", lambda p: "BroadcastHashJoin" in p),
+            ("no sort-merge join", lambda p: "SortMergeJoin" not in p),
+        ],
+    ),
+    "mad_order_price": (
+        "MAD two-pass: O(groups) medians broadcast back; fact scanned twice, never shuffled wide",
+        [
+            ("medians broadcast", lambda p: "BroadcastHashJoin" in p),
+            ("no sort-merge join", lambda p: "SortMergeJoin" not in p),
+        ],
+    ),
+    "pii_redaction": (
+        "corpus scrub: pure codegen map work, only the tiny audit aggregate exchanges",
+        [
+            ("no join anywhere", lambda p: "Join" not in p),
+            ("single agg shuffle", lambda p: p.count("Exchange hashpartitioning") == 1),
+        ],
+    ),
 }
 
 
