@@ -304,3 +304,53 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_us").alias("min_gap_us"),
         F.round(F.sum("gap_us") / F.count("*") / 1_000_000.0, 9).alias("avg_gap_sec"),
     )
+
+
+@query(
+    "join_full_outer_hourly",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, COUNT(*) AS n_signups
+        FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    e AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, COUNT(*) AS n_errors
+        FROM events WHERE event_type = 'error' GROUP BY 1
+    )
+    SELECT COALESCE(s.hour, e.hour) AS hour,
+           COALESCE(n_signups, 0) AS n_signups,
+           COALESCE(n_errors, 0) AS n_errors
+    FROM s FULL OUTER JOIN e ON s.hour = e.hour
+    """,
+    tags=("join", "full-outer", "reconciliation"),
+)
+def join_full_outer_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation: hourly signup counts against hourly
+    error counts, keeping hours where either side is absent (zero-filled
+    by COALESCE) — the two-ledger comparison shape where inner/left
+    joins silently drop exactly the discrepant rows you're looking for.
+    Completes the outer-join family (left outer: order counts; anti:
+    inactive customers; semi: Q4).
+
+    Both inputs pre-aggregate to O(hours) rows before the join, so the
+    full-outer — which cannot broadcast (both sides must retain
+    unmatched rows) — joins two tiny keyed sets; at 100 TB the pattern
+    holds because the reduction happens BEFORE the join, never on raw
+    events.
+    """
+    ev = table(spark, sf_dir, "events")
+
+    def hourly(event_type: str, out: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+            .agg(F.count("*").alias(out))
+        )
+
+    s = hourly("signup", "n_signups")
+    e = hourly("error", "n_errors")
+    return s.join(e, "hour", "full").select(
+        "hour",
+        F.coalesce("n_signups", F.lit(0)).alias("n_signups"),
+        F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
+    )
