@@ -47,6 +47,7 @@ HEADLINE = [
     "stat_corr_qty_price",      # co-moment statistics (decimal staging)
     "join_interval_overlap",    # temporal band self-join
     "large_orders_q18",         # HAVING-collapsed broadcast chain (TPC-H Q18)
+    "pipeline_training_corpus", # composed scrub->gate->dedup->split pipeline
 ]
 
 

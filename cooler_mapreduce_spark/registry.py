@@ -56,6 +56,7 @@ _QUERY_MODULES = (
     "cooler_mapreduce_spark.operators.udtf_ops",
     "cooler_mapreduce_spark.operators.mapreduce",
     "cooler_mapreduce_spark.operators.sqlapi",
+    "cooler_mapreduce_spark.operators.pipeline",
     "cooler_mapreduce_spark.streaming.windows",
     "cooler_mapreduce_spark.streaming.stateful",
 )
