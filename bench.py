@@ -77,15 +77,16 @@ def main() -> None:
         lambda it: it, schema="x int"
     ).count()
 
-    # min of two runs per query: the second run reuses compiled codegen
-    # and JIT'd paths, so the min reflects the plan's steady-state cost —
+    # min of three runs per query: later runs reuse compiled codegen and
+    # JIT'd paths, so the min reflects the plan's steady-state cost —
     # what a warm cluster pays per query — rather than one-time compile
-    # overhead or transient host load.
+    # overhead or transient load on a shared benchmark host (observed
+    # swings up to 7x between identical runs).
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = specs[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
