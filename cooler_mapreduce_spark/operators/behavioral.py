@@ -430,3 +430,73 @@ def longest_daily_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     return days.groupBy("user_id").applyInPandas(
         _streaks, "user_id bigint, n_active_days bigint, longest_streak bigint"
     )
+
+
+@query(
+    "event_cooccurrence_lift",
+    oracle="""
+    WITH ut AS (
+        SELECT DISTINCT user_id, event_type FROM events
+    ),
+    marg AS (
+        SELECT event_type, COUNT(*) AS n FROM ut GROUP BY event_type
+    ),
+    total AS (
+        SELECT COUNT(DISTINCT user_id) AS n_total FROM ut
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS n_both,
+           round(COUNT(*) * CAST(n_total AS DOUBLE)
+                 / (CAST(ma.n AS DOUBLE) * CAST(mb.n AS DOUBLE)), 9) AS lift
+    FROM ut a
+    JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    JOIN marg ma ON ma.event_type = a.event_type
+    JOIN marg mb ON mb.event_type = b.event_type
+    CROSS JOIN total
+    GROUP BY a.event_type, b.event_type, ma.n, mb.n, n_total
+    """,
+    tags=("behavioral", "affinity", "market-basket"),
+)
+def event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: for each unordered event-type pair, how
+    many users did both, and the lift over independence
+    (P(a,b)/(P(a)·P(b))) — the did-X-also-did-Y signal behind
+    recommendations, computed on users-as-baskets.
+
+    Events collapse to DISTINCT (user, type) first — the self-join then
+    operates on ≤ |users|×|types| narrow rows, co-partitioned on
+    user_id (one shuffle, no cartesian; at 100 TB this is the
+    bucketed-join shape).  Marginals are an O(types) broadcast, lift is
+    exact-count rational arithmetic, deterministic everywhere.
+    """
+    ev = table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    marg = ut.groupBy("event_type").agg(F.count("*").alias("n"))
+    total = ut.agg(F.countDistinct("user_id").alias("n_total"))
+    a = ut.alias("a")
+    b = ut.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    ).select(
+        F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b")
+    )
+    counted = pairs.groupBy("type_a", "type_b").agg(F.count("*").alias("n_both"))
+    ma = marg.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    mb = marg.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        counted.join(F.broadcast(ma), "type_a")
+        .join(F.broadcast(mb), "type_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                F.col("n_both") * F.col("n_total").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                9,
+            ).alias("lift"),
+        )
+    )

@@ -448,3 +448,61 @@ def csv_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("r.p").cast("double").alias("total_price"),
         F.min("r.k").alias("first_key"),
     )
+
+
+@query(
+    "ansi_safety_functions",
+    oracle="""
+    WITH base AS (
+        SELECT l_orderkey, l_quantity, l_linenumber,
+               CASE WHEN l_orderkey % 5 = 0 THEN 'x' || CAST(l_linenumber AS VARCHAR)
+                    ELSE CAST(l_linenumber AS VARCHAR) END AS maybe_num
+        FROM lineitem
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN l_linenumber = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_div_by_zero,
+           CAST(SUM(CASE WHEN TRY_CAST(maybe_num AS INTEGER) IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_unparseable,
+           CAST(SUM(CASE WHEN CAST(l_orderkey AS HUGEINT) * 1000000000000000
+                              > 9223372036854775807 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_overflow
+    FROM base
+    """,
+    tags=("scalar", "ansi", "error-safety"),
+)
+def ansi_safety_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI error-safety surface: ``try_divide`` (÷0 → NULL instead of
+    exception), ``try_cast`` (malformed string → NULL), ``try_multiply``
+    (int64 overflow → NULL) — counted per failure class.  This is the
+    dirty-data contract the reference leaves to each user's map_fn
+    try/except (its weather sample silently skips malformed rows,
+    weather_stats.py:37-39); under ANSI mode these expressions are the
+    difference between a quarantine column and a 3 a.m. job abort.
+    Malformed numerics are injected deterministically (every 5th order's
+    line number prefixed); the oracle reproduces each NULL-production
+    rule relationally.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_orderkey",
+        "l_quantity",
+        "l_linenumber",
+        F.when(
+            F.col("l_orderkey") % 5 == 0,
+            F.concat(F.lit("x"), F.col("l_linenumber").cast("string")),
+        )
+        .otherwise(F.col("l_linenumber").cast("string"))
+        .alias("maybe_num"),
+    )
+    probed = base.select(
+        F.try_divide(F.col("l_quantity"), F.col("l_linenumber") - 1).alias("safe_ratio"),
+        F.expr("try_cast(maybe_num AS INT)").alias("parsed"),
+        F.try_multiply(F.col("l_orderkey"), F.lit(1_000_000_000_000_000)).alias("scaled"),
+    )
+    return probed.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("safe_ratio").isNull(), 1).otherwise(0)).alias("n_div_by_zero"),
+        F.sum(F.when(F.col("parsed").isNull(), 1).otherwise(0)).alias("n_unparseable"),
+        F.sum(F.when(F.col("scaled").isNull(), 1).otherwise(0)).alias("n_overflow"),
+    )

@@ -25,6 +25,7 @@ _NL_ALLOWED = {
     "gapfill_hourly_events",   # spine × types cross: both sides bounded by (hours × types)
     "quality_top_decile",      # single-row percentile threshold broadcast to every task
     "revenue_share_by_nation", # single-row grand-total scalar broadcast to 25 rows
+    "event_cooccurrence_lift", # single-row user-total scalar broadcast to 10 pair rows
 }
 
 
