@@ -794,3 +794,51 @@ def chisq_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_cells"),
         F.sum(term.cast("decimal(20,9)")).cast("double").alias("chi_square"),
     )
+
+
+@query(
+    "winsorized_mean_price",
+    oracle="""
+    WITH p AS (
+        SELECT o_orderpriority AS pr,
+               quantile_cont(o_totalprice, 0.05) AS p05,
+               quantile_cont(o_totalprice, 0.95) AS p95
+        FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(least(greatest(o.o_totalprice, p05), p95) AS DECIMAL(20,6)))
+                AS DOUBLE) / COUNT(*) AS winsorized_mean,
+           (CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+               AS raw_mean
+    FROM orders o JOIN p ON o.o_orderpriority = p.pr
+    GROUP BY 1
+    """,
+    tags=("aggregation", "statistics", "robust"),
+)
+def winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean (clip at p5/p95, then average) next to the raw
+    mean — the robust central tendency that tames heavy tails without
+    discarding rows (trimming drops them; winsorizing clamps them).
+    Same two-pass shape as :func:`mad_order_price`: O(groups) exact
+    percentiles broadcast back, then one clipped decimal-staged
+    aggregate.  Both engines clip identical doubles against identical
+    interpolated bounds, and the clipped sum runs in exact decimal —
+    bit-deterministic end to end.
+    """
+    o = table(spark, sf_dir, "orders")
+    p = o.groupBy(F.col("o_orderpriority").alias("pr")).agg(
+        F.percentile("o_totalprice", F.lit(0.05)).alias("p05"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("p95"),
+    )
+    clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("p05")), F.col("p95"))
+    return (
+        o.join(F.broadcast(p), o.o_orderpriority == F.col("pr"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(clipped.cast("decimal(20,6)")).cast("double") / F.count("*"))
+            .alias("winsorized_mean"),
+            (F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double") / F.count("*"))
+            .alias("raw_mean"),
+        )
+    )

@@ -346,3 +346,46 @@ def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(dropped, 1).otherwise(0)).alias("n_debounced"),
         F.sum(F.when(~dropped | F.col("gap_us").isNull(), 1).otherwise(0)).alias("n_kept"),
     )
+
+
+@query(
+    "yoy_revenue_by_month",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           lag(revenue, 12) OVER (ORDER BY month) AS revenue_prior_year,
+           round((revenue - lag(revenue, 12) OVER (ORDER BY month))
+                 / lag(revenue, 12) OVER (ORDER BY month), 9) AS yoy_change
+    FROM m
+    """,
+    tags=("window", "timeseries", "seasonality"),
+)
+def yoy_revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue: the seasonal comparison every
+    finance dashboard leads with — a 12-step ``lag`` over the monthly
+    aggregate, so each month compares against the SAME month last year
+    instead of the previous month (which mixes seasonality into the
+    delta; :func:`~cooler_mapreduce_spark.operators.tpch.
+    forecast_revenue_change` shows the adjacent-period form).
+
+    The fact table collapses to O(months) rows before the window, so
+    the unpartitioned ORDER BY sorts ~80 rows — the aggregate-then-
+    window shape that stays trivially cheap at any fact scale.  Revenue
+    is decimal-staged; the YoY ratio is one double division.
+    """
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("revenue")
+    )
+    w = Window.orderBy("month")
+    prior = F.lag("revenue", 12).over(w)
+    return m.select(
+        "month",
+        "revenue",
+        prior.alias("revenue_prior_year"),
+        F.round((F.col("revenue") - prior) / prior, 9).alias("yoy_change"),
+    )
