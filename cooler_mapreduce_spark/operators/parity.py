@@ -244,3 +244,50 @@ def pysource_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dsum("value", 2).alias("total_value"),
         F.min("user_id").alias("min_user"),
     )
+
+
+@query(
+    "positional_index_top_terms",
+    oracle="""
+    WITH words AS (
+        SELECT d.doc_id, d.lst[i.i] AS word, i.i AS pos
+        FROM (SELECT doc_id, string_split(text, ' ') AS lst FROM documents) d,
+             LATERAL (SELECT unnest(generate_series(1, len(d.lst))) AS i) i
+    ),
+    agg AS (
+        SELECT word,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               COUNT(*) AS n_occurrences,
+               list_sort(list(doc_id * 100000 + pos)) AS postings
+        FROM words GROUP BY word
+    )
+    SELECT word, n_docs, n_occurrences, postings
+    FROM agg ORDER BY n_occurrences DESC, word LIMIT 25
+    """,
+    tags=("parity", "inverted-index", "positional"),
+)
+def positional_index_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITIONAL inverted index: word → sorted posting list of
+    (doc, position) — the structure phrase search and proximity scoring
+    need, one step past the reference's designed word→[documents] index
+    (design.md:277-280, no positions).  Postings are encoded as
+    doc_id·10⁵+position bigints (documents are ≪10⁵ tokens), keeping
+    the list a flat sorted int array — compact to shuffle, mergeable,
+    and engine-portable.  Determinism: ``sort_array`` imposes posting
+    order (collect order is partition-dependent), top-25 is tie-broken
+    by word.  100 TB: one explode-shuffle on word, posting lists bounded
+    per word by document frequency — the classic search-index build as
+    a two-aggregate plan.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word")
+    ).select("doc_id", "word", (F.col("pos0") + 1).alias("pos"))
+    agg = words.groupBy("word").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_occurrences"),
+        F.sort_array(
+            F.collect_list(F.col("doc_id") * 100000 + F.col("pos"))
+        ).alias("postings"),
+    )
+    return agg.orderBy(F.desc("n_occurrences"), F.asc("word")).limit(25)
