@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from ..functions.numeric import sql_davg
+from ..functions.numeric import dsum, sql_davg, sql_dsum
 from ..registry import query
 from ..sources.catalog import table
 
@@ -100,4 +100,45 @@ def skew_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.groupBy("event_type").agg(
         F.sum("n").alias("n_events"),
         (F.sum("s").cast("double") / F.sum("n")).alias("avg_value"),
+    )
+
+@query(
+    "skew_salted_join_tiers",
+    oracle=f"""
+    WITH tiers AS (
+        SELECT user_id,
+               CASE WHEN COUNT(*) >= 80 THEN 'heavy'
+                    WHEN COUNT(*) >= 50 THEN 'mid'
+                    ELSE 'light' END AS tier
+        FROM events GROUP BY user_id
+    )
+    SELECT tier, COUNT(*) AS n_events, {sql_dsum('value', 6)} AS total_value
+    FROM events e JOIN tiers t ON e.user_id = t.user_id
+    GROUP BY tier
+    """,
+    tags=("join", "skew", "salting"),
+)
+def skew_salted_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-tier enrichment through the SALTED JOIN path: the fact
+    side salts each user across {DEFAULT_SALT} sub-keys and the compact
+    tier table replicates once per salt value, so a pathological user
+    spreads over {DEFAULT_SALT} reducers instead of melting one.  The
+    oracle is the plain unsalted join — salting is a physical rewrite
+    that must be invisible in the result, bit for bit (the downstream
+    sum is decimal-staged, so merge order cannot leak through).
+
+    This is the 100 TB fix when the compact side is too big to
+    broadcast but cheap to replicate; AQE's runtime skew-join split
+    (enabled in session defaults) covers the keys nobody predicted.
+    """
+    ev = table(spark, sf_dir, "events")
+    tiers = ev.groupBy("user_id").agg(
+        F.when(F.count("*") >= 80, "heavy")
+        .when(F.count("*") >= 50, "mid")
+        .otherwise("light")
+        .alias("tier")
+    )
+    enriched = salted_join(ev.select("user_id", "value"), tiers, "user_id")
+    return enriched.groupBy("tier").agg(
+        F.count("*").alias("n_events"), dsum("value", 6).alias("total_value")
     )
