@@ -506,3 +506,42 @@ def ansi_safety_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("parsed").isNull(), 1).otherwise(0)).alias("n_unparseable"),
         F.sum(F.when(F.col("scaled").isNull(), 1).otherwise(0)).alias("n_overflow"),
     )
+
+
+@query(
+    "json_roundtrip",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+           MIN(o_orderkey) AS first_key
+    FROM orders GROUP BY 1
+    """,
+    tags=("scalar", "json", "roundtrip"),
+)
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON serialization round-trip: rows pack into JSON text
+    (``to_json``) and parse back through an explicit schema
+    (``from_json``), then aggregate the PARSED fields.  The oracle is
+    the direct aggregate on the source columns — i.e. the assertion is
+    ``parse ∘ serialize = identity``, which pins both directions of the
+    JSON codec (the price travels as decimal so digits survive
+    verbatim).  Complements :func:`csv_functions` (same proof for CSV)
+    and :func:`json_parse_quality` (the failure path).
+    """
+    o = table(spark, sf_dir, "orders")
+    enc = o.select(
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_totalprice").cast("decimal(12,2)").alias("p"),
+            )
+        ).alias("j")
+    )
+    dec = enc.select(F.from_json("j", "k bigint, status string, p decimal(12,2)").alias("r"))
+    return dec.groupBy(F.col("r.status").alias("status")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum("r.p").cast("double").alias("total_price"),
+        F.min("r.k").alias("first_key"),
+    )
