@@ -1,6 +1,8 @@
 """Behavioral analytics — cohort retention and funnel conversion.
 
-The event-stream workloads every product-analytics stack runs daily,
+Absent from the reference (SURVEY.md §2.4: no windows, no joins — each of
+these would be a chain of hand-written MapReduce jobs with intermediate
+files). The event-stream workloads every product-analytics stack runs daily,
 expressed as two-phase aggregations over the ``events`` table. Both
 reduce the fact table to per-user rows FIRST (a partial-aggregable
 groupBy), then analyze the tiny per-user table — the fact table is

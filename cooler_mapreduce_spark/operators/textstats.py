@@ -2,7 +2,9 @@
 document fingerprinting.
 
 The per-document feature extractors a training-data pipeline runs over
-every document before filtering/mixing. All four are pure Catalyst
+every document before filtering/mixing (driver-brief tier; no reference
+analogue — SURVEY.md §2.4 stops at word_count's lower/strip/split,
+shared/samples/word_count.py:19-22). All four are pure Catalyst
 expression pipelines — single scan, zero shuffle, whole-stage codegen —
 because per-document features are embarrassingly parallel; the only wide
 operation anywhere is an optional aggregate on top.
