@@ -16,7 +16,7 @@ arithmetic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.hashing import md5int_duckdb, md5int_spark
 from ..registry import query
@@ -126,4 +126,99 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
             F.countDistinct("source").alias("n_sources"),
         )
+    )
+
+
+@query(
+    "pipeline_behavioral_sessions",
+    oracle="""
+    WITH deb AS (
+        SELECT user_id, event_id, event_type, ts,
+               date_diff('microseconds',
+                         lag(ts) OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts, event_id), ts) AS same_gap
+        FROM events
+    ),
+    kept AS (
+        SELECT user_id, event_id, event_type, ts FROM deb
+        WHERE same_gap IS NULL OR same_gap >= 900000000
+    ),
+    gapped AS (
+        SELECT user_id, event_id, event_type, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('microseconds', lag(ts) OVER w, ts) > 1800000000
+                    THEN 1 ELSE 0 END AS is_start
+        FROM kept
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_type, ts,
+               SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM gapped
+    ),
+    per AS (
+        SELECT user_id, session_seq, COUNT(*) AS n_events,
+               date_diff('microseconds', MIN(ts), MAX(ts)) AS dur_us,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+        FROM sess GROUP BY user_id, session_seq
+    )
+    SELECT COUNT(*) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS total_events,
+           CAST(SUM(has_purchase) AS BIGINT) AS n_purchase_sessions,
+           round(CAST(SUM(n_events) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 9)
+               AS avg_session_events,
+           round(CAST(SUM(dur_us) AS BIGINT) / COUNT(*) / 1000000.0, 9)
+               AS avg_session_sec
+    FROM per
+    """,
+    tags=("pipeline", "behavioral", "composition"),
+)
+def pipeline_behavioral_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The behavioral twin of :func:`pipeline_training_corpus`: debounce
+    (15-min same-key rate-limit) → sessionize the survivors (30-min
+    gaps) → per-session stats → one audit row.  Catalyst fuses the
+    chain into TWO wide exchanges — (user, type) for the debounce lag,
+    then user for everything else: the session lag, the running session
+    counter, and the per-session aggregate (with map-side partials) all
+    share the second partitioning, no exchange between them (the
+    reference would run a job per stage, re-shuffling the full stream
+    each time, design.md:178-191).
+
+    All arithmetic is exact microsecond integers until two final
+    rounded divisions.  100 TB: both exchanges carry four narrow
+    columns, per-user sorted chains, O(sessions) final state.
+    """
+    ev = table(spark, sf_dir, "events")
+    wdt = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    same_gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(wdt)
+    kept = (
+        ev.select("user_id", "event_id", "event_type", "ts", same_gap.alias("same_gap"))
+        .filter(F.col("same_gap").isNull() | (F.col("same_gap") >= 900_000_000))
+        .drop("same_gap")
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(wo)
+    gapped = kept.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_start"),
+    )
+    sess = gapped.withColumn("session_seq", F.sum("is_start").over(wrun))
+    per = sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("has_purchase"),
+    )
+    return per.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("total_events"),
+        F.sum("has_purchase").alias("n_purchase_sessions"),
+        F.round(F.sum("n_events") / F.count("*").cast("double"), 9).alias("avg_session_events"),
+        F.round(F.sum("dur_us") / F.count("*") / 1_000_000.0, 9).alias("avg_session_sec"),
     )
