@@ -143,6 +143,20 @@ CASES = {
             ("single agg shuffle", lambda p: p.count("Exchange hashpartitioning") == 1),
         ],
     ),
+    "pipeline_training_corpus": (
+        "5-stage corpus pipeline fused: scrub+gate+hash in one codegen stage, 1 dedup shuffle + 2-phase distinct rollup, no join",
+        [
+            ("no join anywhere", lambda p: "Join" not in p),
+            ("3 agg shuffles (dedup + count-distinct expansion)", lambda p: p.count("Exchange hashpartitioning") == 3),
+        ],
+    ),
+    "pipeline_behavioral_sessions": (
+        "debounce→sessionize→audit fused into 2 wide exchanges; session windows + per-session agg share one partitioning",
+        [
+            ("two wide exchanges", lambda p: p.count("Exchange hashpartitioning") == 2),
+            ("no join anywhere", lambda p: "Join" not in p),
+        ],
+    ),
 }
 
 
