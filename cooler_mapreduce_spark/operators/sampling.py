@@ -134,3 +134,57 @@ def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("lang", "doc_id", "n_chars")
     )
+
+
+@query(
+    "split_leakage_audit",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT doc_id,
+               {md5int_duckdb('text')} AS content_hash,
+               CASE WHEN {_DUCK_PCT} < 80 THEN 'train' ELSE 'test' END AS split
+        FROM documents
+    ),
+    per_hash AS (
+        SELECT content_hash,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT split) AS n_splits
+        FROM tagged GROUP BY content_hash
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_contents,
+           CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_leaked_contents,
+           CAST(SUM(CASE WHEN n_splits > 1 THEN n_docs ELSE 0 END) AS BIGINT)
+               AS n_leaked_docs
+    FROM per_hash
+    """,
+    tags=("sampling", "leakage", "llm-pipeline"),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE audit: content hashes that land in BOTH splits
+    — the eval-contamination check every ML team runs, and the reason
+    the composed pipeline dedups BEFORE splitting (splitting on doc_id
+    hashes puts byte-identical duplicate docs on both sides of the
+    fence; this query counts exactly how often).  A non-zero
+    n_leaked_contents here is the motivating negative path for
+    :func:`~cooler_mapreduce_spark.operators.pipeline.
+    pipeline_training_corpus`'s dedup-then-split ordering.
+
+    One scan (hash + split tag in codegen), one aggregate per content
+    hash, one 3-counter rollup — the same O(rows) cost as the split
+    itself at any scale.
+    """
+    d = table(spark, sf_dir, "documents")
+    tagged = d.select(
+        F.expr(md5int_spark("text")).alias("content_hash"),
+        F.when(F.expr(_SPARK_PCT) < 80, "train").otherwise("test").alias("split"),
+    )
+    per_hash = tagged.groupBy("content_hash").agg(
+        F.count("*").alias("n_docs"), F.countDistinct("split").alias("n_splits")
+    )
+    leaked = F.col("n_splits") > 1
+    return per_hash.agg(
+        F.count("*").alias("n_distinct_contents"),
+        F.sum(F.when(leaked, 1).otherwise(0)).alias("n_leaked_contents"),
+        F.sum(F.when(leaked, F.col("n_docs")).otherwise(0)).alias("n_leaked_docs"),
+    )

@@ -234,3 +234,26 @@ def test_connected_components_matches_union_find(spark):
         pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
         got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
         assert got == want, f"seed {seed}"
+
+
+def test_split_leakage_positive_path_sf01():
+    """At sf0.1 the duplicate-text groups straddle the 80/20 hash split
+    (3 contents land in both splits), so the leakage audit's positive
+    path is exercised — and it must agree with a direct DuckDB count."""
+    import duckdb
+
+    from cooler_mapreduce_spark.session import get_session
+
+    spark = get_session("t-leak-sf01")
+    row = SPECS["split_leakage_audit"].fn(spark, "/root/testdata/sf0.1").collect()[0]
+    want = duckdb.connect().execute("""
+        WITH tagged AS (
+            SELECT md5(text) h,
+                   CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                             AS BIGINT) % 100 < 80 THEN 'train' ELSE 'test' END AS split
+            FROM '/root/testdata/sf0.1/documents.parquet')
+        SELECT COUNT(*) FILTER (WHERE n_splits > 1) FROM (
+            SELECT h, COUNT(DISTINCT split) AS n_splits FROM tagged GROUP BY h)
+    """).fetchone()[0]
+    assert row["n_leaked_contents"] == want > 0
+    assert row["n_leaked_docs"] >= 2 * row["n_leaked_contents"]
