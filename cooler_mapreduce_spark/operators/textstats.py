@@ -417,3 +417,51 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("payload") != F.col("clean"), 1).otherwise(0)).alias("n_redacted"),
         F.sum(F.length("payload") - F.length("clean")).alias("chars_removed"),
     )
+
+
+@query(
+    "seqlen_bucket_packing",
+    oracle="""
+    WITH t AS (
+        SELECT len(string_split(text, ' ')) AS n_tokens FROM documents
+    ),
+    b AS (
+        SELECT n_tokens,
+               CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32
+                    WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128
+                    WHEN n_tokens <= 256 THEN 256 ELSE 512 END AS bucket
+        FROM t
+    )
+    SELECT bucket, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(bucket - n_tokens) AS BIGINT) AS padding_waste
+    FROM b GROUP BY bucket
+    """,
+    tags=("textstats", "batching", "llm-pipeline"),
+)
+def seqlen_bucket_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing for batch packing: documents assigned to
+    power-of-2 token-length buckets, with per-bucket doc counts, token
+    mass, and PADDING WASTE (bucket_len − n_tokens summed) — the report
+    that decides bucket boundaries for a training dataloader, where
+    padding waste is compute burned on pad tokens.  Buckets are an
+    explicit CASE ladder (integer compares — no log2, whose libm
+    rounding differs across engines).  One scan, one O(buckets)
+    aggregate.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = d.select(F.size(F.split("text", " ")).alias("n_tokens"))
+    bucket = (
+        F.when(F.col("n_tokens") <= 16, 16)
+        .when(F.col("n_tokens") <= 32, 32)
+        .when(F.col("n_tokens") <= 64, 64)
+        .when(F.col("n_tokens") <= 128, 128)
+        .when(F.col("n_tokens") <= 256, 256)
+        .otherwise(512)
+    )
+    b = t.select("n_tokens", bucket.alias("bucket"))
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.col("bucket") - F.col("n_tokens")).alias("padding_waste"),
+    )
