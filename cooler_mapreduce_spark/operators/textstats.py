@@ -465,3 +465,70 @@ def seqlen_bucket_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.sum(F.col("bucket") - F.col("n_tokens")).alias("padding_waste"),
     )
+
+
+#: Data-mixing targets: desired share of the training token budget per
+#: language, and the total budget (tokens). Literals shared with the
+#: oracle so both engines price the identical mix.
+_MIX_BUDGET = 1_000_000
+_MIX_SHARES = {"en": 0.40, "zh": 0.20, "es": 0.15, "fr": 0.15, "de": 0.10}
+
+
+def _mix_share_sql(col: str) -> str:
+    whens = " ".join(
+        f"WHEN {col} = '{lg}' THEN {s}" for lg, s in sorted(_MIX_SHARES.items())
+    )
+    return f"CASE {whens} ELSE 0.0 END"
+
+
+@query(
+    "mixing_rates_by_lang",
+    oracle=f"""
+    WITH avail AS (
+        SELECT lang,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS available_tokens
+        FROM documents GROUP BY lang
+    )
+    SELECT lang, available_tokens,
+           CAST(round({_MIX_BUDGET} * {_mix_share_sql('lang')}) AS BIGINT)
+               AS target_tokens,
+           round(least(1.0, CAST(round({_MIX_BUDGET} * {_mix_share_sql('lang')}) AS BIGINT)
+                            / CAST(available_tokens AS DOUBLE)), 9) AS sample_rate,
+           CASE WHEN CAST(round({_MIX_BUDGET} * {_mix_share_sql('lang')}) AS BIGINT)
+                     > available_tokens THEN 1 ELSE 0 END AS undersupplied
+    FROM avail
+    """,
+    tags=("textstats", "mixing", "llm-pipeline"),
+)
+def mixing_rates_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data MIXING: given a token budget and target language
+    shares, compute each language's sampling rate (and flag languages
+    whose corpus can't supply its target — the upsample-or-reweight
+    decision).  This is the step after dedup/quality/leakage: the same
+    audit numbers those ops produce, turned into per-slice sampling
+    rates a dataloader applies via the deterministic hash-mod sampler
+    (:func:`~cooler_mapreduce_spark.operators.sampling.
+    sample_hash_documents`).
+
+    One scan → O(langs) aggregate; targets are shared literals, rates
+    are exact-int divisions rounded once — deterministic across
+    engines.  At 100 TB this query IS the mixing plan: its output
+    feeds the sampler's threshold, no further passes.
+    """
+    d = table(spark, sf_dir, "documents")
+    avail = d.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).alias("available_tokens")
+    )
+    share = F.lit(0.0)
+    for lg, s in sorted(_MIX_SHARES.items()):
+        share = F.when(F.col("lang") == lg, F.lit(s)).otherwise(share)
+    target = F.round(F.lit(_MIX_BUDGET) * share).cast("bigint")
+    return avail.select(
+        "lang",
+        "available_tokens",
+        target.alias("target_tokens"),
+        F.round(
+            F.least(F.lit(1.0), target / F.col("available_tokens").cast("double")), 9
+        ).alias("sample_rate"),
+        F.when(target > F.col("available_tokens"), 1).otherwise(0).alias("undersupplied"),
+    )
