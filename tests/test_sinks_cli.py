@@ -194,3 +194,22 @@ def test_python_datasource_synthetic_events(spark):
     assert sorted(rows) == again
     one = [r for r in rows if r.event_id == 0][0]
     assert one.user_id == 0 and one.event_type == "view" and one.value == 0.0
+
+
+def test_parquet_schema_evolution(spark, sf_dir, tmp_path):
+    """Schema evolution on the parquet sink: a column added by a later
+    writer is visible under mergeSchema, null-filled for old files —
+    the append-only table lifecycle every long-lived corpus follows."""
+    from cooler_mapreduce_spark.sources.catalog import table
+
+    out = str(tmp_path / "evolving")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    o.limit(10).write.mode("append").parquet(out)
+    o2 = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    o2.limit(5).write.mode("append").parquet(out)
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"o_orderkey", "o_orderstatus", "o_totalprice"}
+    assert merged.count() == 15
+    assert merged.filter("o_totalprice IS NULL").count() == 10
