@@ -491,3 +491,64 @@ def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: s.mean_val,
         ).alias("centroid")
     )
+
+
+@query(
+    "embedding_cluster_compactness",
+    oracle="""
+    WITH el AS (
+        SELECT label, vec_id, u.idx, CAST(u.val AS DOUBLE) AS val
+        FROM embeddings,
+             LATERAL (SELECT unnest(embedding) AS val,
+                             generate_subscripts(embedding, 1) AS idx) u
+    ),
+    means AS (
+        SELECT label, idx,
+               CAST(SUM(CAST(floor(val * 1073741824.0) AS BIGINT)) AS DOUBLE)
+                   / 1073741824.0 / COUNT(*) AS mean_val
+        FROM el GROUP BY label, idx
+    )
+    SELECT el.label,
+           CAST(COUNT(*) / 64 AS BIGINT) AS n_vectors,
+           CAST(SUM(CAST(floor((el.val - m.mean_val) * (el.val - m.mean_val)
+                               * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+               / 1099511627776.0 / (COUNT(*) / 64) AS mean_sq_dist
+    FROM el JOIN means m ON el.label = m.label AND el.idx = m.idx
+    GROUP BY el.label
+    """,
+    tags=("embedding", "clustering", "llm-pipeline"),
+)
+def embedding_cluster_compactness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-cluster compactness: mean squared distance of each label's
+    vectors to their own centroid — the embedding-quality/drift metric
+    (a label whose compactness degrades between snapshots signals noisy
+    data or a collapsing class).  Pass 1 is the centroid aggregate of
+    :func:`embedding_centroids_by_label`; pass 2 broadcasts the
+    O(labels × dims) means back and accumulates squared deviations in
+    the same BINARY fixed-point (floor(diff² · 2⁴⁰) summed through
+    decimal — ×2^k is exact in IEEE, floor is tie-free, so the sum is
+    order-independent at any partition count; see the centroid
+    docstring for why decimal staging would NOT be safe on dyadic
+    float32 values).  The fact side never re-shuffles: explode, join
+    broadcast, one partial-aggregated rollup per label.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "label", "vec_id", F.posexplode("embedding").alias("idx", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    q = F.floor(F.col("val") * F.lit(1073741824.0))
+    means = el.groupBy("label", "idx").agg(
+        (F.sum(q).cast("double") / F.lit(1073741824.0) / F.count("*")).alias("mean_val")
+    )
+    diff = F.col("val") - F.col("mean_val")
+    e = F.floor(diff * diff * F.lit(1099511627776.0)).cast("decimal(24,0)")
+    return (
+        el.join(F.broadcast(means), ["label", "idx"])
+        .groupBy("label")
+        .agg(
+            (F.count("*") / 64).cast("bigint").alias("n_vectors"),
+            (
+                F.sum(e).cast("double") / F.lit(1099511627776.0) / (F.count("*") / 64)
+            ).alias("mean_sq_dist"),
+        )
+    )
