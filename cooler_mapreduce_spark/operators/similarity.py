@@ -509,10 +509,10 @@ def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM el GROUP BY label, idx
     )
     SELECT el.label,
-           CAST(COUNT(*) / 64 AS BIGINT) AS n_vectors,
+           COUNT(DISTINCT el.vec_id) AS n_vectors,
            CAST(SUM(CAST(floor((el.val - m.mean_val) * (el.val - m.mean_val)
                                * 1099511627776.0) AS BIGINT)) AS DOUBLE)
-               / 1099511627776.0 / (COUNT(*) / 64) AS mean_sq_dist
+               / 1099511627776.0 / COUNT(DISTINCT el.vec_id) AS mean_sq_dist
     FROM el JOIN means m ON el.label = m.label AND el.idx = m.idx
     GROUP BY el.label
     """,
@@ -546,9 +546,10 @@ def embedding_cluster_compactness(spark: SparkSession, sf_dir: str) -> DataFrame
         el.join(F.broadcast(means), ["label", "idx"])
         .groupBy("label")
         .agg(
-            (F.count("*") / 64).cast("bigint").alias("n_vectors"),
+            F.countDistinct("vec_id").alias("n_vectors"),
             (
-                F.sum(e).cast("double") / F.lit(1099511627776.0) / (F.count("*") / 64)
+                F.sum(e).cast("double") / F.lit(1099511627776.0)
+                / F.countDistinct("vec_id")
             ).alias("mean_sq_dist"),
         )
     )
