@@ -842,3 +842,49 @@ def winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("raw_mean"),
         )
     )
+
+
+@query(
+    "pareto_revenue_share",
+    oracle="""
+    WITH p AS (
+        SELECT quantile_cont(o_totalprice, 0.99) AS p99 FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN o_totalprice >= p99 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_top_orders,
+           round(CAST(SUM(CASE WHEN o_totalprice >= p99
+                               THEN CAST(o_totalprice AS DECIMAL(12,2))
+                               ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 9)
+               AS top1pct_revenue_share
+    FROM orders CROSS JOIN p
+    """,
+    tags=("aggregation", "statistics", "concentration"),
+)
+def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto check): what fraction of total
+    revenue the top 1% of orders carries — the whale-dependence metric
+    behind capacity planning and fraud thresholds.  The p99 threshold
+    is one exact percentile (single-row broadcast); membership and both
+    sums resolve in one scan with decimal staging, so the share is a
+    single deterministic division.  100 TB: percentile_approx for pass
+    1; pass 2 unchanged — map-only plus a single-row aggregate.
+    """
+    o = table(spark, sf_dir, "orders")
+    p = o.agg(F.percentile("o_totalprice", F.lit(0.99)).alias("p99"))
+    top = F.col("o_totalprice") >= F.col("p99")
+    dec = F.col("o_totalprice").cast("decimal(12,2)")
+    zero = F.lit(0).cast("decimal(12,2)")
+    return (
+        o.crossJoin(F.broadcast(p))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.when(top, 1).otherwise(0)).alias("n_top_orders"),
+            F.round(
+                F.sum(F.when(top, dec).otherwise(zero)).cast("double")
+                / F.sum(dec).cast("double"),
+                9,
+            ).alias("top1pct_revenue_share"),
+        )
+    )

@@ -26,6 +26,7 @@ _NL_ALLOWED = {
     "quality_top_decile",      # single-row percentile threshold broadcast to every task
     "revenue_share_by_nation", # single-row grand-total scalar broadcast to 25 rows
     "event_cooccurrence_lift", # single-row user-total scalar broadcast to 10 pair rows
+    "pareto_revenue_share",    # single-row p99 threshold broadcast to every task
 }
 
 
