@@ -389,3 +389,41 @@ def yoy_revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         prior.alias("revenue_prior_year"),
         F.round((F.col("revenue") - prior) / prior, 9).alias("yoy_change"),
     )
+
+
+@query(
+    "window_max_quantity_with_ties",
+    oracle="""
+    WITH r AS (
+        SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+               rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS rk
+        FROM lineitem
+    )
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_tied_rows,
+           MIN(l_quantity) AS max_qty,
+           MIN(l_orderkey) AS first_orderkey
+    FROM r WHERE rk = 1
+    GROUP BY l_returnflag
+    """,
+    tags=("window", "rank", "ties"),
+)
+def window_max_quantity_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-rank selection WITH ties: every lineitem sharing the maximum
+    quantity per returnflag survives (``rank() = 1``), where
+    ``row_number`` would arbitrarily keep one — the WITH TIES semantics
+    of SQL:2008 FETCH FIRST, and the difference between "a top item"
+    and "all items tied for the top".  Quantities are coarse-grained so
+    hundreds of rows tie: the positive path is structural, not luck.
+    The rollup counts the tie group per flag; MIN over the tied
+    quantity is exact (all equal by construction).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("l_quantity"))
+    r = li.select(
+        "l_returnflag", "l_orderkey", "l_quantity", F.rank().over(w).alias("rk")
+    ).filter(F.col("rk") == 1)
+    return r.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_tied_rows"),
+        F.min("l_quantity").alias("max_qty"),
+        F.min("l_orderkey").alias("first_orderkey"),
+    )
