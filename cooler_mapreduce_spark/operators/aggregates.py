@@ -178,7 +178,8 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            quantile_cont(l_quantity, 0.5) AS median_qty,
-           quantile_cont(l_quantity, [0.25, 0.75]) AS iqr
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.75) AS p75
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("aggregation", "percentile"),
@@ -186,12 +187,15 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def exact_median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (linear interpolation) per group. l_quantity is
     whole-valued so the interpolation arithmetic is exact in both engines.
+    The IQR bounds are emitted as scalar p25/p75 columns (not a 2-element
+    array) so hash-comparing harnesses can canonicalize each cell.
     At 100 TB the one-pass sketch (``percentile_approx``) replaces this;
     exact percentile requires a per-group sort."""
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
-        F.percentile("l_quantity", F.array(F.lit(0.25), F.lit(0.75))).alias("iqr"),
+        F.percentile("l_quantity", F.lit(0.25)).alias("p25"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("p75"),
     )
 
 

