@@ -70,7 +70,9 @@ def main() -> None:
     # forks a reusable pyspark worker on first RDD use — mr-compat
     # queries would otherwise pay all 32 forks inside their timing), and
     # the Arrow serialization path (pandas-UDF queries).
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    from cooler_mapreduce_spark.sources.catalog import TABLES, table
+    for t in TABLES:
+        table(spark, sf_dir, t).count()
     spark.sparkContext.parallelize(range(cpus * 2), cpus).map(lambda x: x).count()
     import pandas as pd  # noqa: F401
     spark.createDataFrame([(1,)], "x int").mapInPandas(

@@ -63,9 +63,21 @@ def _sum_reduce(key, values):
     tags=("mr-compat", "aggregation"),
 )
 def mr_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference word-count job (map/combine/reduce) via the compat layer."""
+    """Reference word-count job (map/combine/reduce) via the compat layer.
+
+    ``sort_output=False``: sorted keys are the reference's *TSV output*
+    contract (task_executor.py:226), not a semantic one for an unordered
+    DataFrame hand-off — and ``sortByKey`` costs an extra shuffle plus a
+    range-bound sampling job that re-evaluates the whole lineage. The
+    CLI/TSV sink path keeps the sort. ``num_reduce=8``: the reduce
+    cardinality is vocabulary-sized; 32 shuffle partitions for a ~31-key
+    keyspace is pure task-scheduling overhead.
+    """
     docs = table(spark, sf_dir, "documents").select("text")
-    out = run_job(spark, docs, _wc_map, _sum_reduce, combine_fn=_sum_reduce)
+    out = run_job(
+        spark, docs, _wc_map, _sum_reduce, combine_fn=_sum_reduce,
+        num_reduce=8, sort_output=False,
+    )
     schema = StructType(
         [StructField("word", StringType(), False), StructField("cnt", LongType(), False)]
     )
@@ -109,7 +121,10 @@ def mr_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weather-stats algebra ({sum,count,min,max} combiner → merge reducer)
     over lineitem quantities, keyed by return flag."""
     li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
-    out = run_job(spark, li, _stats_map, _stats_reduce, combine_fn=_stats_combine)
+    out = run_job(
+        spark, li, _stats_map, _stats_reduce, combine_fn=_stats_combine,
+        num_reduce=8, sort_output=False,  # see mr_word_count docstring
+    )
     rows = out.map(
         lambda kv: (kv[0], kv[1]["average"], kv[1]["min"], kv[1]["max"], kv[1]["count"])
     )
@@ -146,7 +161,7 @@ def mr_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's designed grep job: map-side filter, identity reduce
     (design.md:272-275 — 'no combiner: not applicable')."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    out = run_job(spark, docs, _grep_map, _first_reduce)
+    out = run_job(spark, docs, _grep_map, _first_reduce, sort_output=False)
     schema = StructType(
         [StructField("doc_id", LongType(), False), StructField("text", StringType(), False)]
     )
@@ -192,7 +207,10 @@ def mr_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists are emitted comma-joined so every output cell is a hashable
     scalar."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    out = run_job(spark, docs, _ii_map, _ii_reduce, combine_fn=_ii_combine)
+    out = run_job(
+        spark, docs, _ii_map, _ii_reduce, combine_fn=_ii_combine,
+        num_reduce=8, sort_output=False,  # see mr_word_count docstring
+    )
     schema = StructType(
         [
             StructField("word", StringType(), False),
