@@ -12,7 +12,16 @@ a SparkSession, so:
   execution with live stage progress from ``statusTracker()``.
 - **status** reports active stages/tasks from the StatusTracker — the
   analogue of the reference's per-phase task counts
-  (reference coordinator/server.py:497-518).
+  (reference coordinator/server.py:497-518). ``--watch`` loops with a
+  progress bar until no work remains (reference
+  client/monitoring.py:34-85's monitor loop, phase = Spark stage).
+- **list** shows the StatusTracker's job inventory (active + known job
+  ids, per-group), the analogue of the reference's ListJobs
+  (reference client/client.py:169-176).
+- **cancel** cancels a job group via ``sc.cancelJobGroup`` — the
+  reference's CancelJob (client/monitoring.py:87-97); ``submit`` tags
+  its run with a job-group id so a concurrent thread/process sharing
+  the session can target it.
 - **results** lists output part files (the reference's stubbed
   ``GetResults`` — reference coordinator/server.py:533-552 — done for
   real).
@@ -42,17 +51,49 @@ def _submit(args: argparse.Namespace) -> int:
 
     spark = get_session("mr-submit")
     sc = spark.sparkContext
+    job_id = args.job_id or f"mr-{int(time.time())}"
+    # Tag everything this submit schedules with a job group so `cancel
+    # <job_id>` (from another thread sharing the session) can target it —
+    # the Spark analogue of the reference's job_id (client.py:154-157).
+    # interruptOnCancel stays False: cancellation reaches Python workers
+    # via Spark's task-kill polling; interrupting JVM task threads can
+    # take down the whole context in local mode.
+    sc.setJobGroup(job_id, f"submit {args.job_file}")
     t0 = time.perf_counter()
 
-    lines = sc.textFile(args.input, minPartitions=args.num_map)
-    kv = lines.zipWithIndex().map(lambda t: (f"{args.input}:{t[1]}", t[0]))
-    result = run_job_file(spark, kv, args.job_file, num_reduce=args.num_reduce)
-    to_tsv_lines(result).saveAsTextFile(args.output)
+    try:
+        lines = sc.textFile(args.input, minPartitions=args.num_map)
+        kv = lines.zipWithIndex().map(lambda t: (f"{args.input}:{t[1]}", t[0]))
+        result = run_job_file(spark, kv, args.job_file, num_reduce=args.num_reduce)
+        to_tsv_lines(result).saveAsTextFile(args.output)
+    finally:
+        sc.setJobGroup("", "")
 
     elapsed = time.perf_counter() - t0
     parts = sorted(glob.glob(os.path.join(args.output, "part-*")))
-    print(f"job COMPLETED in {elapsed:.2f}s; {len(parts)} output partitions -> {args.output}")
+    print(f"job {job_id} COMPLETED in {elapsed:.2f}s; "
+          f"{len(parts)} output partitions -> {args.output}")
     return 0
+
+
+def _progress_bar(completed: int, total: int, width: int = 30) -> str:
+    pct = (completed / total) if total > 0 else 0.0
+    filled = int(width * pct)
+    return f"[{'#' * filled}{'.' * (width - filled)}] {pct:.0%}"
+
+
+def _print_active_stages(st) -> int:
+    """Print one line per active stage; return the number printed."""
+    sids = st.getActiveStageIds()
+    for sid in sids:
+        info = st.getStageInfo(sid)
+        if info:
+            print(
+                f"stage {sid}: {_progress_bar(info.numCompletedTasks, info.numTasks)} "
+                f"{info.numCompletedTasks}/{info.numTasks} tasks "
+                f"({info.numActiveTasks} running, {info.numFailedTasks} failed)"
+            )
+    return len(sids)
 
 
 def _status(args: argparse.Namespace) -> int:
@@ -64,13 +105,66 @@ def _status(args: argparse.Namespace) -> int:
               "a finished submit has no residual state)")
         return 0
     st = spark.sparkContext.statusTracker()
-    for sid in st.getActiveStageIds():
-        info = st.getStageInfo(sid)
-        if info:
-            print(f"stage {sid}: {info.numCompletedTasks}/{info.numTasks} tasks "
-                  f"({info.numActiveTasks} running, {info.numFailedTasks} failed)")
-    if not st.getActiveStageIds():
-        print("no active stages")
+    if not getattr(args, "watch", False):
+        if not _print_active_stages(st):
+            print("no active stages")
+        return 0
+
+    # --watch: the reference's monitor loop (client/monitoring.py:34-85) —
+    # redraw progress every interval until no work remains. Spark stages
+    # play the reference's MAP/REDUCE phases; the loop keeps watching
+    # through brief inter-stage gaps and exits after the grace period.
+    interval = getattr(args, "interval", 1.0) or 1.0
+    t0 = time.time()
+    idle = 0
+    saw_work = False
+    while True:
+        n = _print_active_stages(st)
+        if n:
+            saw_work, idle = True, 0
+        else:
+            idle += 1
+            if idle >= 2:  # two consecutive idle polls = done (or nothing ran)
+                break
+        time.sleep(interval)
+    status = "COMPLETED" if saw_work else "idle (no stages observed)"
+    print(f"{status}; watched {time.time() - t0:.1f}s")
+    return 0
+
+
+def _list(args: argparse.Namespace) -> int:
+    """Job inventory from the StatusTracker — the reference's ListJobs."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        print("no active SparkSession in this process")
+        return 0
+    st = spark.sparkContext.statusTracker()
+    active = set(st.getActiveJobsIds())
+    job_ids = sorted(set(st.getJobIdsForGroup(None)) | active) if args.all else sorted(active)
+    if not job_ids:
+        print("no jobs" if args.all else "no active jobs")
+        return 0
+    for jid in job_ids:
+        info = st.getJobInfo(jid)
+        status = info.status if info else "UNKNOWN"
+        stages = list(info.stageIds) if info else []
+        print(f"job {jid}: {status} stages={stages}")
+    return 0
+
+
+def _cancel(args: argparse.Namespace) -> int:
+    """Cancel every job in a job group (the reference's CancelJob)."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        print("no active SparkSession in this process; nothing to cancel",
+              file=sys.stderr)
+        return 1
+    spark.sparkContext.cancelJobGroup(args.job_id)
+    print(f"cancel requested for job group {args.job_id}")
     return 0
 
 
@@ -98,10 +192,25 @@ def main(argv: list[str] | None = None) -> int:
                    help="input split parallelism (reference M)")
     s.add_argument("--num-reduce", type=int, default=None,
                    help="reduce/output partitions (reference R)")
+    s.add_argument("--job-id", default=None,
+                   help="job-group id for cancel/list targeting")
     s.set_defaults(fn=_submit)
 
     st = sub.add_parser("status", help="active stage/task progress")
+    st.add_argument("--watch", "-w", action="store_true",
+                    help="watch progress until no work remains")
+    st.add_argument("--interval", type=float, default=1.0,
+                    help="update interval for watch mode (seconds)")
     st.set_defaults(fn=_status)
+
+    ls = sub.add_parser("list", help="list jobs known to the StatusTracker")
+    ls.add_argument("--all", action="store_true",
+                    help="include completed jobs, not just active")
+    ls.set_defaults(fn=_list)
+
+    c = sub.add_parser("cancel", help="cancel a submitted job group")
+    c.add_argument("job_id")
+    c.set_defaults(fn=_cancel)
 
     r = sub.add_parser("results", help="list (and print) job output files")
     r.add_argument("output")

@@ -44,6 +44,47 @@ def test_combiner_ab_equivalence(spark):
     assert without == with_c == [("hello", 5), ("mapreduce", 2), ("world", 2)]
 
 
+def test_combiner_reduces_shuffle_volume(spark):
+    """Reference test_task_executor.py:250-287: the combiner must shrink
+    the intermediate (pre-shuffle) data ≥50×. Same input shape — one
+    record of "test word other" × 100 → 300 map-output pairs, 3 unique
+    keys — counted at the exact point the compat layer hands pairs to the
+    shuffle, and cross-checked against Spark's shuffle-write metrics."""
+    from cooler_mapreduce_spark.mr import _adapt_map, _partition_combine
+
+    sc = spark.sparkContext
+    data = [(None, " ".join(["test word other"] * 100))]
+    pairs = sc.parallelize(data, 1).flatMap(_adapt_map(wc_map))
+
+    # record counts at the shuffle boundary (the reference's len(pickle))
+    n_raw = pairs.count()
+    n_combined = pairs.mapPartitions(_partition_combine(wc_reduce)).count()
+    assert n_raw == 300
+    assert n_combined == 3
+    assert n_combined < n_raw / 50  # the reference's ≥50× claim
+
+    # and the actual bytes Spark writes to the shuffle shrink too
+    def shuffle_write_bytes(combine_fn):
+        tracker = sc.statusTracker()
+        before = set(tracker.getJobIdsForGroup(None))
+        run_job(spark, data, wc_map, wc_reduce, combine_fn=combine_fn,
+                num_reduce=2, sort_output=False).count()
+        new_jobs = [j for j in tracker.getJobIdsForGroup(None) if j not in before]
+        stage_ids = {s for j in new_jobs for s in tracker.getJobInfo(j).stageIds}
+        status = sc._jsc.sc().statusStore()
+        total = 0
+        for sid in stage_ids:
+            total += status.lastStageAttempt(sid).shuffleWriteBytes()
+        return total
+
+    try:
+        no_combine = shuffle_write_bytes(None)
+        with_combine = shuffle_write_bytes(wc_reduce)
+    except Exception:
+        pytest.skip("status-store internals unavailable in this Spark build")
+    assert 0 < with_combine < no_combine
+
+
 @pytest.mark.parametrize("num_reduce", [1, 2, 8])
 def test_partition_count_invariance(spark, num_reduce):
     """Spark analogue of the reference's partitioning invariant

@@ -152,6 +152,102 @@ def test_cli_status_reports(spark, capsys):
     assert "no active stages" in out or "stage" in out
 
 
+def test_cli_list_jobs(spark, capsys):
+    """list shows the StatusTracker job inventory: empty when idle, and a
+    completed job's id/status with --all after running one (reference
+    client.py ListJobs parity)."""
+    from cooler_mapreduce_spark.cli import main
+
+    rc = main(["list"])
+    assert rc == 0
+    assert "no active jobs" in capsys.readouterr().out
+
+    spark.sparkContext.parallelize(range(10), 2).count()  # leave a job behind
+    rc = main(["list", "--all"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "job " in out and "SUCCEEDED" in out
+
+
+def test_cli_cancel_running_job_group(spark, capsys):
+    """cancel <job_id> must abort a running job tagged with that group —
+    the reference's CancelJob (client/monitoring.py:87-97) on Spark's
+    cancelJobGroup. The job runs in a worker thread (the reference's jobs
+    are async server-side; here the session is shared across threads)."""
+    import threading
+    import time as _time
+
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from cooler_mapreduce_spark.cli import main
+
+    sc = spark.sparkContext
+    errors: list[Exception] = []
+
+    def _slow(x):
+        _time.sleep(30)
+        return x
+
+    def slow_job():
+        # interruptOnCancel=False (default): thread interrupts can kill the
+        # shared local-mode context; task-kill polling stops Python workers.
+        sc.setJobGroup("cancel-me", "slow job")
+        try:
+            sc.parallelize(range(8), 8).map(_slow).count()
+        except Py4JJavaError as e:
+            errors.append(e)
+        finally:
+            sc.setJobGroup("", "")
+
+    t = threading.Thread(target=slow_job)
+    t.start()
+    st = sc.statusTracker()
+    deadline = _time.time() + 60
+    while not st.getActiveJobsIds() and _time.time() < deadline:
+        _time.sleep(0.1)
+    assert st.getActiveJobsIds(), "job never started"
+    rc = main(["cancel", "cancel-me"])
+    assert rc == 0
+    assert "cancel requested" in capsys.readouterr().out
+    t.join(timeout=60)
+    assert not t.is_alive(), "cancelled job still running after 60s"
+    assert errors, "job completed instead of being cancelled"
+    assert "cancelled" in str(errors[0]).lower()
+
+
+def test_cli_status_watch_tracks_job_to_completion(spark, capsys):
+    """status --watch loops until no work remains and prints progress for
+    a concurrently running job (reference monitoring.py watch loop)."""
+    import threading
+    import time as _time
+
+    from cooler_mapreduce_spark.cli import main
+
+    sc = spark.sparkContext
+
+    def _tick(x):
+        _time.sleep(1.5)
+        return x
+
+    def short_job():
+        sc.parallelize(range(4), 4).map(_tick).count()
+
+    t = threading.Thread(target=short_job)
+    t.start()
+    st = sc.statusTracker()
+    deadline = _time.time() + 60
+    while not st.getActiveStageIds() and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert st.getActiveStageIds(), "job never started"
+    rc = main(["status", "--watch", "--interval", "0.2"])
+    t.join(timeout=60)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "COMPLETED" in out
+    assert "stage" in out and "tasks" in out
+
+
 def test_observe_scan_quality(spark, sf_dir):
     """Observation metrics fill during the consuming action — no second
     scan — and match directly computed values."""
