@@ -65,7 +65,20 @@ def salted_join(
 ) -> DataFrame:
     """Skew-resilient equi-join: salt the fact side, replicate the
     compact side ``salt``×, join on (key, salt). Use when the compact
-    side is too big to broadcast but small enough to replicate."""
+    side is too big to broadcast but small enough to replicate.
+
+    Only ``inner`` and fact-side-preserving ``left`` semantics survive
+    the rewrite: a right/full outer join would emit each *unmatched*
+    compact row once per salt replica (``salt`` duplicates). Those
+    variants raise rather than silently multiply rows — express them as
+    an unsalted join, or swap sides so the preserved side is the fact.
+    """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' only, got {how!r}: "
+            "right/full outer would duplicate unmatched compact rows "
+            "(one per salt replica)"
+        )
     f_s = fact.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
     c_s = compact.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

@@ -19,6 +19,7 @@ in local test mode:
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 import zipfile
@@ -39,14 +40,22 @@ def ship_package(spark: SparkSession) -> None:
     RDD/compat tier (the only Python-on-executor consumer) depends on it.
     """
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    stamp = 0
-    for root, _dirs, files in os.walk(pkg_dir):
-        for fn in files:
+    # Stable digest (NOT built-in hash(), which is salted per process via
+    # PYTHONHASHSEED): the cache path must be reproducible across
+    # processes so reruns hit the same zip instead of accumulating stale
+    # ones in the tempdir.
+    digest = hashlib.sha1()
+    for root, dirs, files in os.walk(pkg_dir):
+        dirs.sort()  # make the walk order (and so the digest) deterministic
+        for fn in sorted(files):
             if fn.endswith(".py"):
-                st = os.stat(os.path.join(root, fn))
-                stamp ^= hash((fn, st.st_mtime_ns, st.st_size))
+                full = os.path.join(root, fn)
+                st = os.stat(full)
+                rel = os.path.relpath(full, pkg_dir)
+                digest.update(f"{rel}:{st.st_mtime_ns}:{st.st_size}\n".encode())
     zip_path = os.path.join(
-        tempfile.gettempdir(), f"cooler_mapreduce_spark_pkg_{stamp & 0xFFFFFFFF:08x}.zip"
+        tempfile.gettempdir(),
+        f"cooler_mapreduce_spark_pkg_{digest.hexdigest()[:12]}.zip",
     )
     if not os.path.exists(zip_path):
         tmp = zip_path + ".tmp"

@@ -24,6 +24,7 @@ def run_streaming_dedup(
     sf_dir: str,
     query_name: str = "dedup_out",
     watermark: str | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """Start exact-dedup-on-ingest over the documents stream: first
     occurrence of each content hash passes, later copies are dropped by
@@ -32,19 +33,34 @@ def run_streaming_dedup(
     Without a watermark the seen-hash state grows with distinct keys
     (the bounded-input test case); production sets ``watermark`` so keys
     expire after the lateness horizon — state is then O(keys per
-    horizon), not O(keys ever).
+    horizon), not O(keys ever). The horizon-bounded branch uses
+    ``dropDuplicatesWithinWatermark(["content_hash"])``: duplicates
+    arriving in *different* micro-batches within the horizon are still
+    dropped (state keys on the hash alone, expiring at the watermark) —
+    putting the ingest timestamp *in the dedup key* would silently pass
+    any cross-batch duplicate, since processing time differs per batch.
+
+    ``max_files_per_trigger`` forces multi-micro-batch ingestion for
+    tests that assert cross-batch behavior.
     """
     schema = "doc_id bigint, source string, lang string, text string, n_chars bigint"
-    raw = spark.readStream.schema(schema).parquet(f"{sf_dir}/documents.parque*")
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(f"{sf_dir}/documents.parque*")
     hashed = raw.select(
         "doc_id", F.md5(F.col("text").cast("binary")).alias("content_hash")
     )
     if watermark:
-        # dedup state expiry needs an event-time column in the key scope
-        hashed = hashed.withColumn("ingest_ts", F.current_timestamp()).withWatermark(
-            "ingest_ts", watermark
+        # State expiry needs an event-time watermark; the dedup key stays
+        # (content_hash) alone so cross-batch duplicates within the
+        # horizon are caught.
+        deduped = (
+            hashed.withColumn("ingest_ts", F.current_timestamp())
+            .withWatermark("ingest_ts", watermark)
+            .dropDuplicatesWithinWatermark(["content_hash"])
+            .drop("ingest_ts")
         )
-        deduped = hashed.dropDuplicates(["content_hash", "ingest_ts"])
     else:
         deduped = hashed.dropDuplicates(["content_hash"])
     return (

@@ -43,6 +43,24 @@ def test_salted_join_equals_plain(spark, sf_dir):
     assert _rows(got.select("o_orderkey", "c_name")) == _rows(want.select("o_orderkey", "c_name"))
 
 
+def test_salted_join_rejects_outer_variants(spark, sf_dir):
+    """right/full outer would emit each unmatched compact row once per
+    salt replica — the rewrite must refuse instead of silently
+    duplicating; left (fact-preserving) stays allowed."""
+    import pytest
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = table(spark, sf_dir, "customer").select("c_custkey").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    for how in ("right", "full", "outer", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="inner.*left"):
+            salted_join(orders, cust, on="o_custkey", how=how)
+    # left is fact-side preserving: row count must equal the unsalted left join
+    got = salted_join(orders, cust, on="o_custkey", how="left")
+    assert got.count() == orders.join(cust, "o_custkey", "left").count()
+
+
 def test_salted_join_spreads_hot_key(spark, sf_dir):
     """The hot key's rows must actually land in multiple salt shards."""
     ev = table(spark, sf_dir, "events").select("event_id", "event_type")

@@ -97,6 +97,46 @@ def test_streaming_dedup_equals_batch_distinct(spark, sf_dir):
     assert got.count() == want
 
 
+def test_streaming_dedup_watermarked_across_batches(spark, tmp_path):
+    """The horizon-bounded dedup branch must drop duplicates that arrive
+    in DIFFERENT micro-batches while inside the lateness horizon — the
+    semantics its docstring claims. Two parquet files share one text;
+    maxFilesPerTrigger=1 forces them into separate batches, so a dedup
+    key that included per-batch processing time would leak the duplicate
+    through."""
+    from cooler_mapreduce_spark.streaming.dedup import run_streaming_dedup
+
+    import glob as _glob
+    import shutil
+
+    src = tmp_path / "stream_src"
+    files = src / "documents.parquet"
+    files.mkdir(parents=True)
+    cols = ["doc_id", "source", "lang", "text", "n_chars"]
+    batches = [
+        [(1, "s", "en", "shared text", 11), (2, "s", "en", "only in batch one", 17)],
+        [(3, "s", "en", "shared text", 11), (4, "s", "en", "only in batch two", 17)],
+    ]
+    for i, rows_ in enumerate(batches):
+        stage = tmp_path / f"stage{i}"
+        spark.createDataFrame(rows_, cols).coalesce(1).write.parquet(str(stage))
+        (part,) = _glob.glob(str(stage / "part-*.parquet"))
+        shutil.copy(part, files / f"{i}.parquet")
+
+    q = run_streaming_dedup(
+        spark,
+        str(src),
+        query_name="t_dedup_wm",
+        watermark="1 hour",
+        max_files_per_trigger=1,
+    )
+    _drain(q)
+    out = spark.sql("SELECT content_hash FROM t_dedup_wm")
+    # 3 distinct texts -> 3 rows; the cross-batch duplicate is dropped
+    assert out.count() == 3
+    assert out.distinct().count() == 3
+
+
 def test_session_stream_equals_batch_twin(spark, sf_dir):
     from cooler_mapreduce_spark.streaming.dedup import run_session_stream
 
