@@ -49,6 +49,7 @@ _QUERY_MODULES = (
     "cooler_mapreduce_spark.operators.similarity",
     "cooler_mapreduce_spark.operators.textstats",
     "cooler_mapreduce_spark.operators.sampling",
+    "cooler_mapreduce_spark.operators.corpus",
     "cooler_mapreduce_spark.operators.merge",
     "cooler_mapreduce_spark.operators.behavioral",
     "cooler_mapreduce_spark.operators.multimodal",

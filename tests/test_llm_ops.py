@@ -257,3 +257,77 @@ def test_split_leakage_positive_path_sf01():
     """).fetchone()[0]
     assert row["n_leaked_contents"] == want > 0
     assert row["n_leaked_docs"] >= 2 * row["n_leaked_contents"]
+
+
+# --------------------------------------------------------------------------
+# corpus-hygiene pin tests (synthetic docs with known-good answers)
+
+
+def _write_docs(spark, tmp_path, rows):
+    """Write synthetic rows in the documents schema to a temp sf dir."""
+    df = spark.createDataFrame(
+        [(i, t, lang, "src0", len(t)) for i, t, lang in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def test_repetition_filter_flags_repeated_doc(spark, tmp_path):
+    """An all-one-token doc must be flagged (dup-trigram frac = 1, top
+    bigram covers everything); an all-distinct doc must not."""
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, " ".join(["spam"] * 40), "en"),
+            (2, " ".join(f"w{i}" for i in range(40)), "fr"),
+        ],
+    )
+    out = {r["lang"]: r.asDict() for r in SPECS["repetition_filter"].fn(spark, sf).collect()}
+    assert out["en"]["n_flagged"] == 1 and out["en"]["total_dup_trigrams"] == 37
+    assert out["fr"]["n_flagged"] == 0 and out["fr"]["total_dup_trigrams"] == 0
+
+
+def test_decontaminate_finds_verbatim_benchmark_copy(spark, tmp_path):
+    """doc 17k is benchmark (id % 17 == 0); a train doc repeating its text
+    verbatim is 100% contaminated, a disjoint doc 0%."""
+    leak = " ".join(f"b{i}" for i in range(12))
+    clean = " ".join(f"c{i}" for i in range(12))
+    sf = _write_docs(spark, tmp_path, [(0, leak, "en"), (1, leak, "en"), (2, clean, "en")])
+    out = {r["doc_id"]: r.asDict() for r in
+           SPECS["decontaminate_ngram_overlap"].fn(spark, sf).collect()}
+    assert set(out) == {1, 2}  # doc 0 is benchmark, not train
+    assert out[1]["n_contaminated"] == out[1]["n_shingles"] > 0
+    assert out[2]["n_contaminated"] == 0
+
+
+def test_boilerplate_ngrams_detects_shared_header(spark, tmp_path):
+    """A 4-gram header present in every doc is boilerplate; unique tails
+    are not. Every doc's n_boiler ≥ 1 → total_boilerplate ≥ n_docs."""
+    header = "terms of service apply"
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(i, f"{header} " + " ".join(f"u{i}x{j}" for j in range(8)), "en") for i in range(30)],
+    )
+    row = SPECS["boilerplate_ngrams"].fn(spark, sf).collect()[0]
+    assert row["n_docs"] == 30
+    assert row["total_boilerplate"] >= 30  # the shared header shingle, per doc
+    assert row["total_boilerplate"] < row["total_shingles"]  # tails unique
+
+
+def test_corpus_shuffle_is_deterministic_permutation(spark, tmp_path):
+    """Every doc appears exactly once; positions are 1..n per shard; two
+    runs give identical assignments (seeded, engine-stable)."""
+    sf = _write_docs(spark, tmp_path, [(i, f"t {i}", "en") for i in range(64)])
+    a = SPECS["corpus_shuffle_shards"].fn(spark, sf).collect()
+    b = SPECS["corpus_shuffle_shards"].fn(spark, sf).collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    assert sorted(r["doc_id"] for r in a) == list(range(64))
+    from collections import defaultdict
+    by_shard = defaultdict(list)
+    for r in a:
+        by_shard[r["shard"]].append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert poss == list(range(1, len(poss) + 1)), f"shard {shard}"
