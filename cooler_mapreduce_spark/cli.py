@@ -120,8 +120,12 @@ def _status(args: argparse.Namespace) -> int:
     saw_work = False
     while True:
         n = _print_active_stages(st)
-        if n:
-            saw_work, idle = True, 0
+        # A poll only counts as idle when no stages AND no active jobs: an
+        # inter-stage scheduling gap (e.g. between an MR job's map and
+        # reduce Spark jobs) keeps the job active with zero active stages,
+        # and must not end the watch while work remains.
+        if n or st.getActiveJobsIds():
+            saw_work, idle = (saw_work or bool(n)), 0
         else:
             idle += 1
             if idle >= 2:  # two consecutive idle polls = done (or nothing ran)

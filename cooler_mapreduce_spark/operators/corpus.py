@@ -94,6 +94,13 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     coverage of the single most frequent bigram, flags documents over
     the published thresholds, and reports per-language flag rates.
 
+    Top-bigram coverage counts OVERLAPPING occurrences (``top_bg * 2``
+    tokens), so a degenerate run like "a a a" yields coverage 4 > 3
+    tokens; this over-flags relative to a non-overlapping reading of the
+    Gopher rule but is applied identically in the Spark and oracle
+    expressions, and for any threshold < 100% the flag outcome is
+    unchanged (coverage > n_tok implies coverage > pct·n_tok either way).
+
     Both signals are pure array expressions over the token vector — the
     per-document work is embarrassingly parallel inside one codegen'd
     map stage (no explode, nothing wide until the final per-language

@@ -82,13 +82,16 @@ def canonical_rows(df: pd.DataFrame) -> list[tuple]:
 
 
 def _reject_complex_columns(df, name: str, side: str) -> None:
-    """Driver-gate fidelity: its canonicalizer can't sort/hash array cells."""
+    """Driver-gate fidelity: its canonicalizer can't sort/hash array cells.
+
+    Scans EVERY cell, not a head sample — a nullable array column whose
+    first rows happen to be NULL must still be rejected."""
     complex_cols = [
         c
         for c in df.columns
         if any(
             isinstance(v, (np.ndarray, list, tuple, dict))
-            for v in df[c].head(5)
+            for v in df[c]
         )
     ]
     assert not complex_cols, (

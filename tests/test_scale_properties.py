@@ -22,6 +22,7 @@ _NL_ALLOWED = {
     "join_range_price_bands",  # theta join against a literal band table
     "join_asof_last_click",    # bounded theta as-of candidates
     "tfidf_top_terms",         # single-row N_docs scalar broadcast to every task
+    "boilerplate_ngrams",      # single-row corpus-count scalar broadcast to df counts
     "gapfill_hourly_events",   # spine × types cross: both sides bounded by (hours × types)
     "quality_top_decile",      # single-row percentile threshold broadcast to every task
     "revenue_share_by_nation", # single-row grand-total scalar broadcast to 25 rows
