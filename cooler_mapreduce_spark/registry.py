@@ -60,6 +60,7 @@ _QUERY_MODULES = (
     "cooler_mapreduce_spark.operators.pipeline",
     "cooler_mapreduce_spark.streaming.windows",
     "cooler_mapreduce_spark.streaming.stateful",
+    "cooler_mapreduce_spark.sources.sinks",
 )
 
 
@@ -82,71 +83,76 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: than whatever module-import order yields. Queries without a DuckDB oracle
 #: (rows-only checks by design: sketches, ANN recall-pinned tiers) are
 #: deliberately NOT listed here so they sort after the verified window.
+#:
+#: Round-3 rotation: rounds 1+2 drove 78 distinct queries green, so this
+#: window keeps 15 per-category ANCHORS (regression canaries, all green in
+#: r2) and fills the other 35 slots with never-driver-checked oracle
+#: queries, retiring the unverified tail fastest. The ~28 still-unchecked
+#: names rotate in next round.
 PRIORITY_QUERIES: tuple[str, ...] = (
-    # parity / core dataflow (scan, filter, unpivot, inverted index, source)
-    "word_count",
-    "grep",
-    "weather_stats",
-    "inverted_index",
-    "positional_index_top_terms",
-    "pysource_event_mix",
-    # aggregation / TPC-H shapes (hash agg, join+agg, correlated subquery, having+topk)
-    "pricing_summary",
-    "revenue_by_nation",
-    "orders_above_customer_avg",
-    "large_orders_q18",
-    # join variants (outer, anti, range, as-of)
-    "join_left_outer_order_counts",
-    "join_anti_inactive_customers",
-    "join_range_price_bands",
-    "join_asof_last_click",
-    # window functions (ranking, frame, session batch-twin)
-    "window_top_orders_per_customer",
-    "window_running_total",
-    "sessionize_events",
-    # advanced aggregation (cube, grouping sets, distinct, pivot, percentile, sort)
-    "cube_sales",
-    "grouping_sets_orders",
-    "count_distinct_customers",
-    "pivot_event_counts",
-    "exact_median_quantity",
-    "global_sort_orders",
-    # statistics
-    "stat_corr_qty_price",
-    "argmax_customer_by_nation",
-    # set operations
-    "union_all_high_low_value_orders",
-    "intersect_repeat_customers",
-    "except_churned_customers",
-    # scalar function suites
-    "string_functions",
-    "date_functions",
-    "math_functions",
-    "array_functions",
-    "json_functions",
-    # LLM pipeline: dedup family
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_keep_latest",
-    # LLM pipeline: similarity / embeddings
-    "ann_topk_bruteforce",
-    "embedding_cosine_dups",
-    # LLM pipeline: text analysis
-    "text_quality_score",
-    "tfidf_top_terms",
-    # LLM pipeline: sampling + multimodal + pipeline composition
-    "sample_hash_documents",
-    "multimodal_catalog",
-    "pipeline_training_corpus",
-    # MR-compat + UDF surface
-    "mr_word_count",
-    "mr_quantity_stats",
-    "udtf_word_count",
-    # streaming (batch-twin oracle), merge/CDC, behavioral, skew handling
-    "stream_tumbling_counts",
-    "merge_cdc_orders",
-    "cohort_retention",
-    "skew_salted_event_stats",
+    # --- anchors: one green r2 representative per §2.4 category ---
+    "word_count",                     # parity / scan / flatMap
+    "pricing_summary",                # hash + partial agg (TPC-H Q1)
+    "join_asof_last_click",           # join family
+    "window_top_orders_per_customer", # window functions
+    "cube_sales",                     # grouping sets / cube
+    "union_all_high_low_value_orders",# set ops
+    "string_functions",               # scalar suites
+    "dedup_minhash_lsh",              # LLM dedup
+    "ann_topk_bruteforce",            # LLM similarity
+    "tfidf_top_terms",                # LLM text analysis
+    "sample_hash_documents",          # LLM sampling
+    "multimodal_catalog",             # multimodal
+    "mr_word_count",                  # MR-compat / UDF surface
+    "stream_tumbling_counts",         # streaming batch-twin
+    "merge_cdc_orders",               # merge / CDC
+    # --- rotation: never-driver-checked oracle queries ---
+    # corpus curation (new in r2, locally green only)
+    "repetition_filter",
+    "decontaminate_ngram_overlap",
+    "boilerplate_ngrams",
+    "corpus_shuffle_shards",
+    # behavioral analytics
+    "funnel_signup_click_purchase",
+    "event_transition_matrix",
+    "longest_daily_streak",
+    "event_cooccurrence_lift",
+    # merge / history
+    "scd2_customer_history",
+    # sampling / splits
+    "train_test_split",
+    "stratified_sample_by_lang",
+    "split_leakage_audit",
+    # multiset set ops
+    "intersect_all_multiset",
+    "except_all_multiset",
+    # scalar suites not yet driver-checked
+    "map_functions",
+    "url_functions",
+    "csv_functions",
+    "ansi_safety_functions",
+    "higher_order_array_functions",
+    # text analysis tail
+    "text_language_id",
+    "token_count",
+    "doc_fingerprint",
+    "quality_top_decile",
+    "bigram_counts",
+    "pii_redaction",
+    "seqlen_bucket_packing",
+    "mixing_rates_by_lang",
+    # dedup tail
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    # pipeline composition
+    "pipeline_behavioral_sessions",
+    # streaming batch-twins not yet driver-checked
+    "stream_sliding_value_sum",
+    "stream_session_windows",
+    "stream_stream_click_purchase",
+    # sinks: the last driver-unverified §2 component (TSV contract)
+    "sink_tsv_roundtrip",
 )
 
 

@@ -18,7 +18,12 @@ this engine assumes.
 
 from __future__ import annotations
 
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cooler_mapreduce_spark.registry import query
 
 
 def write_tsv(df: DataFrame, path: str, num_partitions: int | None = None) -> None:
@@ -68,6 +73,45 @@ def write_parquet(
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
     w.parquet(path)
+
+
+@query(
+    "sink_tsv_roundtrip",
+    oracle="""
+        SELECT l_returnflag AS ret_flag, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("sink", "tsv", "roundtrip"),
+)
+def sink_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercise the reference's TSV sink contract end-to-end.
+
+    Aggregates lineitem counts per return flag, writes them through
+    :func:`write_tsv` (the reference's ``str(key)\\tstr(value)``
+    part-file layout, reference task_executor.py:244-250), reads the
+    part files back with :func:`read_tsv`, and returns the parsed
+    DataFrame. The oracle is the pre-sink aggregate, so a hash match
+    proves the sink/read pair is lossless for the reference's key/value
+    contract (3 part files — the reference's R=num_reduce_tasks knob).
+
+    The materialized roundtrip is tiny (one row per return flag) no
+    matter the corpus size — sink throughput itself is exercised by the
+    parquet path every other query reads, so this stays cheap at 100 TB.
+    """
+    agg = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy(F.col("l_returnflag").alias("ret_flag"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    out_dir = tempfile.mkdtemp(prefix="sink_tsv_roundtrip_")
+    try:
+        write_tsv(agg, out_dir, num_partitions=3)
+        back = read_tsv(spark, out_dir, schema="ret_flag STRING, cnt BIGINT")
+        # Materialize before the part files are deleted.
+        return spark.createDataFrame(back.collect(), schema=back.schema)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 def write_json_lines(df: DataFrame, path: str) -> None:
