@@ -9,3 +9,4 @@ rewrite.
 
 from .numeric import davg, dsum, sql_davg, sql_dsum  # noqa: F401
 from .text import tokens, word_tokens  # noqa: F401
+from .timeutil import us_between  # noqa: F401

@@ -1,0 +1,37 @@
+"""Timestamp arithmetic that is agnostic to TIMESTAMP vs TIMESTAMP_NTZ.
+
+Parquet writers differ on whether event time is annotated as
+UTC-adjusted (``isAdjustedToUTC=true`` → Spark ``TIMESTAMP``) or naive
+(``isAdjustedToUTC=false`` → Spark ``TIMESTAMP_NTZ`` under the default
+``spark.sql.parquet.inferTimestampNTZ.enabled``). ``unix_micros`` only
+accepts the former, so any operator using it breaks the moment a source
+switches annotation — exactly what a multi-tenant 100 TB lake does.
+``timestamp_diff`` accepts both types, and every gap/duration here is a
+*difference*, which is annotation-invariant. Use these helpers instead
+of ``unix_micros`` in operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+from pyspark.sql.column import Column as ColumnType
+
+
+def us_between(start: Column | str, end: Column | str) -> Column:
+    """Microseconds from ``start`` to ``end`` (end - start), exact
+    integer arithmetic; NULL if either side is NULL. Works for both
+    ``TIMESTAMP`` and ``TIMESTAMP_NTZ`` columns (both sides must be the
+    same type, which same-column lag/min/max always satisfies)."""
+    s = start if isinstance(start, ColumnType) else F.col(start)
+    e = end if isinstance(end, ColumnType) else F.col(end)
+    return F.timestamp_diff("MICROSECOND", s, e)
+
+
+def sec_since_epoch(ts: Column | str) -> Column:
+    """Whole seconds since 1970-01-01 00:00:00 in the column's own clock
+    (wall-clock for NTZ). Replaces ``cast(ts as long)``, which Spark
+    forbids on TIMESTAMP_NTZ. Truncates like the long cast (diff is
+    non-negative for post-epoch data, so truncation == floor)."""
+    c = ts if isinstance(ts, ColumnType) else F.col(ts)
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    return F.timestamp_diff("SECOND", epoch, c)

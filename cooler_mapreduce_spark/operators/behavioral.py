@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..functions.timeutil import us_between
 from ..registry import query
 from ..sources.catalog import table
 
@@ -294,7 +295,7 @@ def session_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(wo)
+    gap_us = us_between(F.lag("ts").over(wo), F.col("ts"))
     gapped = ev.select(
         "user_id",
         "event_id",
@@ -306,16 +307,16 @@ def session_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sess = gapped.withColumn("session_seq", F.sum("is_start").over(wrun))
     per = sess.groupBy("user_id", "session_seq").agg(
-        F.min(F.when(F.col("event_type") == "click", F.unix_micros("ts"))).alias("first_click_us"),
-        F.max(F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))).alias(
-            "last_purchase_us"
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click_ts"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "last_purchase_ts"
         ),
     )
     return per.agg(
         F.count("*").alias("n_sessions"),
-        F.sum(F.when(F.col("first_click_us").isNotNull(), 1).otherwise(0)).alias("n_with_click"),
+        F.sum(F.when(F.col("first_click_ts").isNotNull(), 1).otherwise(0)).alias("n_with_click"),
         F.sum(
-            F.when(F.col("last_purchase_us") > F.col("first_click_us"), 1).otherwise(0)
+            F.when(F.col("last_purchase_ts") > F.col("first_click_ts"), 1).otherwise(0)
         ).alias("n_converted"),
     )
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.numeric import dsum, sql_dsum
+from ..functions.timeutil import us_between
 from ..registry import query
 from ..sources.catalog import table
 
@@ -297,7 +298,7 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.event_type").alias("type_a"),
         F.col("b.event_type").alias("type_b"),
-        (F.unix_micros("b.ts") - F.unix_micros("a.ts")).alias("gap_us"),
+        us_between(F.col("a.ts"), F.col("b.ts")).alias("gap_us"),
     )
     return pairs.groupBy("type_a", "type_b").agg(
         F.count("*").alias("n_pairs"),

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.hashing import md5int_duckdb, md5int_spark
+from ..functions.timeutil import us_between
 from ..registry import query
 from ..sources.catalog import table
 
@@ -191,7 +192,7 @@ def pipeline_behavioral_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = table(spark, sf_dir, "events")
     wdt = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    same_gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(wdt)
+    same_gap = us_between(F.lag("ts").over(wdt), F.col("ts"))
     kept = (
         ev.select("user_id", "event_id", "event_type", "ts", same_gap.alias("same_gap"))
         .filter(F.col("same_gap").isNull() | (F.col("same_gap") >= 900_000_000))
@@ -199,7 +200,7 @@ def pipeline_behavioral_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(wo)
+    gap = us_between(F.lag("ts").over(wo), F.col("ts"))
     gapped = kept.select(
         "user_id",
         "event_id",
@@ -212,7 +213,7 @@ def pipeline_behavioral_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = gapped.withColumn("session_seq", F.sum("is_start").over(wrun))
     per = sess.groupBy("user_id", "session_seq").agg(
         F.count("*").alias("n_events"),
-        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+        us_between(F.min("ts"), F.max("ts")).alias("dur_us"),
         F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("has_purchase"),
     )
     return per.agg(

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..functions.timeutil import sec_since_epoch, us_between
 from ..registry import query
 from ..sources.catalog import table
 
@@ -89,15 +90,13 @@ def window_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
-    prev_us = F.unix_micros(F.lag("ts").over(w))
     return ev.select(
         "event_id",
         "user_id",
         "ts",
         F.lag("event_type").over(w).alias("prev_type"),
         F.lead("event_type").over(w).alias("next_type"),
-        (us - prev_us).alias("us_since_prev"),
+        us_between(F.lag("ts").over(w), F.col("ts")).alias("us_since_prev"),
     )
 
 
@@ -193,7 +192,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(wo)
+    gap_us = us_between(F.lag("ts").over(wo), F.col("ts"))
     gapped = ev.select(
         "user_id",
         "event_id",
@@ -243,7 +242,7 @@ def window_range_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     first event id. One shuffle on event_type; the range frame streams
     the sorted partition with a sliding pointer — no per-row rescan."""
     ev = table(spark, sf_dir, "events").withColumn(
-        "sec", F.col("ts").cast("long")
+        "sec", sec_since_epoch(F.col("ts"))
     )
     wr = (
         Window.partitionBy("event_type")
@@ -338,7 +337,7 @@ def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    gap = us_between(F.lag("ts").over(w), F.col("ts"))
     g = ev.select("event_type", gap.alias("gap_us"))
     dropped = F.col("gap_us").isNotNull() & (F.col("gap_us") < 900_000_000)
     return g.groupBy("event_type").agg(

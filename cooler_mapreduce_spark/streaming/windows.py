@@ -134,16 +134,28 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (one file ⇒ one micro-batch;
-    real deployments point this at Kafka/files with the same schema)."""
+    real deployments point this at Kafka/files with the same schema).
+
+    The stream schema is taken from a batch read of the same file, so the
+    stream twin always sees exactly what the batch side sees regardless
+    of how the writer annotated ``ts`` (TIMESTAMP_NTZ/µs today; the
+    legacy NANOS encoding surfaces as bigint under ``nanosAsLong`` and is
+    rebuilt at µs precision, same as sources/catalog.py)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string,"
-        " value double, props string"
-    )
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # file-stream sources demand a directory basePath; the glob pins the
     # match to the events table while keeping basePath = sf_dir
     raw = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parque*")
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    dt = dict(raw.dtypes).get("ts")
+    if dt == "bigint":
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif dt == "timestamp_ntz":
+        # watermarks only accept TIMESTAMP ([EVENT_TIME_IS_NOT_ON_
+        # TIMESTAMP_TYPE]); the session timezone is pinned to UTC
+        # (session.py), so this cast preserves wall-clock values and the
+        # stream stays comparable to its NTZ batch twin
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def run_tumbling_stream(
