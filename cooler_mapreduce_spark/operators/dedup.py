@@ -75,6 +75,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------- minhash ----
 
+#: Per-bucket cap for LSH candidate generation. A band bucket of size n
+#: emits n·(n-1)/2 candidate pairs; boilerplate text (license headers,
+#: templated pages) concentrates into a handful of band keys, and at
+#: 100 TB one such key would otherwise produce a quadratic bucket on a
+#: single reducer. Capping at 500 bounds any bucket to ≤124,750 pairs
+#: (~milliseconds of array work). Docs dropped from an oversized bucket
+#: are the deterministic tail (largest doc_ids after array_sort) and
+#: only lose *near*-dup edges from that one band — identical text is
+#: caught upstream by exact dedup, and every doc still participates in
+#: its other LSH_BANDS-1 buckets. Small-SF oracle runs never hit the
+#: cap, so parity checks stay exact.
+LSH_BUCKET_CAP = 500
+
 _SPARK_TOKS = "split(text, ' ')"
 _SPARK_SHINGLE_HASHES = (
     f"transform({shingles_spark(_SPARK_TOKS)}, s -> {md5int_spark('s')})"
@@ -111,6 +124,41 @@ _MINHASH_ORACLE = f"""
 """
 
 
+def band_bucket_pairs(bands: DataFrame, max_bucket: int | None = LSH_BUCKET_CAP) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs from LSH band buckets, skew-capped.
+
+    ``bands`` has columns (doc_id, band, band_key). Each (band, band_key)
+    bucket emits its doc-id pairs bucket-locally (JVM array lambdas — no
+    self-join, no second scan). ``max_bucket`` bounds the quadratic
+    blow-up of a hot bucket: the doc list is ``array_sort``-ed (so the
+    cap is deterministic — collect_list order is not) and sliced to the
+    first ``max_bucket`` ids before pair expansion. ``None`` disables
+    the cap (exact mode — what the DuckDB oracle computes).
+    """
+    buckets = (
+        bands.groupBy("band", "band_key")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    if max_bucket is not None:
+        buckets = buckets.withColumn(
+            "ds", F.slice(F.array_sort("ds"), 1, max_bucket)
+        )
+    return (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) ->"
+                    " transform(filter(ds, y -> y > x),"
+                    " y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .distinct()
+    )
+
+
 @query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE, tags=("dedup", "minhash", "lsh", "llm-pipeline"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs via MinHash signatures + LSH banding.
@@ -128,7 +176,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled at most once per side instead of 8× per band. Identical-text
     clusters all land in the same buckets, so exact dups are a subset of
     the output. At 100 TB, band keys are skew-prone for boilerplate
-    text — AQE skew-join or a per-bucket cap handles it.
+    text — bounded by the deterministic :data:`LSH_BUCKET_CAP` slice in
+    :func:`band_bucket_pairs` (no single band key can go quadratic).
     """
     d = table(spark, sf_dir, "documents")
     # two-step projection: hash each shingle ONCE, then take the 32
@@ -150,23 +199,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # bucket-local pair generation (one scan + one shuffle of
     # (band, band_key, doc_id)) — a band self-join would scan documents
-    # and recompute signatures twice; buckets are LSH-small by design
-    cand = (
-        bands.groupBy("band", "band_key")
-        .agg(F.collect_list("doc_id").alias("ds"))
-        .filter(F.size("ds") > 1)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ds, (x, i) ->"
-                    " transform(filter(ds, y -> y > x),"
-                    " y -> struct(x AS doc_a, y AS doc_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.*")
-        .distinct()
-    )
+    # and recompute signatures twice; buckets are LSH-small by design,
+    # and the skew cap bounds the ones that aren't
+    cand = band_bucket_pairs(bands, max_bucket=LSH_BUCKET_CAP)
     # verification: join raw TEXT to the (few) candidate pairs first and
     # shingle only the survivors — shingling all docs on both join sides
     # would triple the scan+hash cost for a candidate set that LSH keeps

@@ -47,3 +47,52 @@ def test_no_unexpected_nested_loop_join(spark, oracle_sf_dir, name):
         f"{name} plans a nested-loop join; either key it or add it to "
         f"_NL_ALLOWED with a docstring justifying the bounded side"
     )
+
+
+class TestLshBucketCap:
+    """The LSH band-skew cap (dedup.band_bucket_pairs): one boilerplate
+    band key must not produce a quadratic bucket at 100 TB."""
+
+    def _skewed_bands(self, spark, n_hot=40, n_cold=6):
+        """One hot bucket with n_hot docs + distinct cold buckets."""
+        rows = [(i, 0, "HOT") for i in range(n_hot)]
+        rows += [(100 + i, 0, f"cold_{i // 2}") for i in range(n_cold)]
+        return spark.createDataFrame(rows, "doc_id INT, band INT, band_key STRING")
+
+    def test_cap_bounds_pairs_per_bucket(self, spark):
+        from cooler_mapreduce_spark.operators.dedup import band_bucket_pairs
+
+        bands = self._skewed_bands(spark)
+        cap = 5
+        pairs = band_bucket_pairs(bands, max_bucket=cap).collect()
+        hot = [p for p in pairs if p.doc_a < 100 and p.doc_b < 100]
+        # hot bucket emits at most cap*(cap-1)/2 pairs instead of 40*39/2
+        assert len(hot) == cap * (cap - 1) // 2
+        # deterministic: the kept ids are the array_sort prefix (smallest)
+        assert {i for p in hot for i in (p.doc_a, p.doc_b)} == set(range(cap))
+        # cold buckets unaffected
+        cold = [p for p in pairs if p.doc_a >= 100]
+        assert len(cold) == 3
+
+    def test_capped_is_subset_of_exact(self, spark):
+        from cooler_mapreduce_spark.operators.dedup import band_bucket_pairs
+
+        bands = self._skewed_bands(spark)
+        exact = {(p.doc_a, p.doc_b) for p in band_bucket_pairs(bands, max_bucket=None).collect()}
+        capped = {(p.doc_a, p.doc_b) for p in band_bucket_pairs(bands, max_bucket=5).collect()}
+        assert capped < exact
+        assert len(exact) == 40 * 39 // 2 + 3
+
+    def test_default_cap_transparent_below_threshold(self, spark):
+        """Buckets smaller than LSH_BUCKET_CAP are untouched — so the
+        sf0.01 oracle parity of dedup_minhash_lsh is exact."""
+        from cooler_mapreduce_spark.operators.dedup import (
+            LSH_BUCKET_CAP,
+            band_bucket_pairs,
+        )
+
+        bands = self._skewed_bands(spark, n_hot=12, n_cold=4)
+        assert 12 < LSH_BUCKET_CAP
+        exact = {(p.doc_a, p.doc_b) for p in band_bucket_pairs(bands, max_bucket=None).collect()}
+        capped = {(p.doc_a, p.doc_b) for p in band_bucket_pairs(bands).collect()}
+        assert capped == exact
