@@ -25,6 +25,12 @@ a SparkSession, so:
 - **results** lists output part files (the reference's stubbed
   ``GetResults`` — reference coordinator/server.py:533-552 — done for
   real).
+- **resources** / **tasks** — the reference's monitoring views
+  (reference client/monitoring.py:87-146); there they call RPCs the
+  reference coordinator never implemented (absent from its
+  coordinator.proto:6-13 — dead surface), here they read the live
+  SparkStatusTracker executor table and the app status store's stage
+  history.
 - ``--num-map`` maps to input-split parallelism (minPartitions), R to
   shuffle/output partitions — the two knobs of the reference's
   JobRequest (reference coordinator.proto:16-22).
@@ -136,6 +142,24 @@ def _status(args: argparse.Namespace) -> int:
     return 0
 
 
+def _all_job_ids(sc) -> list[int]:
+    """Every job id the app status store knows — grouped AND ungrouped.
+
+    ``statusTracker().getJobIdsForGroup(None)`` returns only jobs with NO
+    job group, and ``submit`` always sets one, so the public API alone
+    would hide every submitted job from the inventory. The JVM
+    AppStatusStore's jobsList is the complete record (it backs the Spark
+    UI's Jobs page); fall back to the public API if the internal surface
+    moves.
+    """
+    try:
+        jobs = sc._jsc.sc().statusStore().jobsList(None)
+        return sorted(jobs.apply(i).jobId() for i in range(jobs.size()))
+    except Exception:
+        st = sc.statusTracker()
+        return sorted(set(st.getJobIdsForGroup(None)) | set(st.getActiveJobsIds()))
+
+
 def _list(args: argparse.Namespace) -> int:
     """Job inventory from the StatusTracker — the reference's ListJobs."""
     from pyspark.sql import SparkSession
@@ -144,9 +168,9 @@ def _list(args: argparse.Namespace) -> int:
     if spark is None:
         print("no active SparkSession in this process")
         return 0
-    st = spark.sparkContext.statusTracker()
-    active = set(st.getActiveJobsIds())
-    job_ids = sorted(set(st.getJobIdsForGroup(None)) | active) if args.all else sorted(active)
+    sc = spark.sparkContext
+    st = sc.statusTracker()
+    job_ids = _all_job_ids(sc) if args.all else sorted(st.getActiveJobsIds())
     if not job_ids:
         print("no jobs" if args.all else "no active jobs")
         return 0
@@ -155,6 +179,73 @@ def _list(args: argparse.Namespace) -> int:
         status = info.status if info else "UNKNOWN"
         stages = list(info.stageIds) if info else []
         print(f"job {jid}: {status} stages={stages}")
+    return 0
+
+
+def _resources(args: argparse.Namespace) -> int:
+    """Executor inventory — the reference's `resources` view
+    (reference client/monitoring.py:87-116), done against a live API:
+    the reference CLI calls a ListResources RPC its own coordinator
+    never implemented (dead surface, SURVEY §2.2); here the
+    SparkStatusTracker's executor infos are the real worker table."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        print("no active SparkSession in this process")
+        return 0
+    sc = spark.sparkContext
+    infos = sc._jsc.sc().statusTracker().getExecutorInfos()
+    print(f"{len(infos)} executor(s); defaultParallelism={sc.defaultParallelism}")
+    for i, info in enumerate(infos):
+        used = info.usedOnHeapStorageMemory() + info.usedOffHeapStorageMemory()
+        total = info.totalOnHeapStorageMemory() + info.totalOffHeapStorageMemory()
+        print(
+            f"executor {i}: {info.host()}:{info.port()} "
+            f"running_tasks={info.numRunningTasks()} "
+            f"cached_bytes={info.cacheSize()} "
+            f"storage_mem={used}/{total}"
+        )
+    return 0
+
+
+def _tasks(args: argparse.Namespace) -> int:
+    """Per-stage task breakdown — the reference's `tasks` view
+    (reference client/monitoring.py:118-146, also a dead RPC there).
+    Active stages by default; --all walks the status store's full stage
+    history (completed/failed stages included)."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        print("no active SparkSession in this process")
+        return 0
+    sc = spark.sparkContext
+    st = sc.statusTracker()
+    if not args.all:
+        if not _print_active_stages(st):
+            print("no active stages")
+        return 0
+    try:
+        # stageList(statuses, details, withSummaries, quantiles, taskStatus)
+        # — no Scala default args over py4j, so pass the full signature
+        gw = sc._gateway
+        stages = sc._jsc.sc().statusStore().stageList(
+            None, False, False, gw.new_array(gw.jvm.double, 0), None
+        )
+        rows = [stages.apply(i) for i in range(stages.size())]
+    except Exception:
+        rows = []
+    if not rows:
+        print("no stages recorded")
+        return 0
+    for s in sorted(rows, key=lambda x: x.stageId()):
+        print(
+            f"stage {s.stageId()}.{s.attemptId()}: {str(s.status())} "
+            f"{s.numCompleteTasks()}/{s.numTasks()} tasks "
+            f"({s.numActiveTasks()} running, {s.numFailedTasks()} failed) "
+            f"name={s.name().split(' at ')[0]}"
+        )
     return 0
 
 
@@ -211,6 +302,14 @@ def main(argv: list[str] | None = None) -> int:
     ls.add_argument("--all", action="store_true",
                     help="include completed jobs, not just active")
     ls.set_defaults(fn=_list)
+
+    rs = sub.add_parser("resources", help="executor/worker inventory")
+    rs.set_defaults(fn=_resources)
+
+    tk = sub.add_parser("tasks", help="per-stage task breakdown")
+    tk.add_argument("--all", action="store_true",
+                    help="include completed/failed stages from history")
+    tk.set_defaults(fn=_tasks)
 
     c = sub.add_parser("cancel", help="cancel a submitted job group")
     c.add_argument("job_id")

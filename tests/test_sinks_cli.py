@@ -169,6 +169,55 @@ def test_cli_list_jobs(spark, capsys):
     assert "job " in out and "SUCCEEDED" in out
 
 
+def test_cli_list_all_includes_grouped_jobs(spark, capsys):
+    """A job run under a job group (as every submit is) must appear in
+    `list --all` — getJobIdsForGroup(None) alone only returns UNgrouped
+    jobs, hiding every submitted job from the inventory."""
+    from cooler_mapreduce_spark.cli import main
+
+    sc = spark.sparkContext
+    sc.setJobGroup("listable-group", "grouped job")
+    try:
+        sc.parallelize(range(10), 2).count()
+    finally:
+        sc.setJobGroup("", "")
+    grouped = set(sc.statusTracker().getJobIdsForGroup("listable-group"))
+    assert grouped, "grouped job id not tracked"
+    rc = main(["list", "--all"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    listed = {int(line.split()[1].rstrip(":")) for line in out.splitlines()
+              if line.startswith("job ")}
+    assert grouped <= listed
+
+
+def test_cli_resources_reports_executors(spark, capsys):
+    """resources shows the executor inventory (reference monitoring.py's
+    ListResources view, minus its dead-RPC bug)."""
+    from cooler_mapreduce_spark.cli import main
+
+    rc = main(["resources"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "executor(s)" in out and "defaultParallelism" in out
+    assert "running_tasks=" in out
+
+
+def test_cli_tasks_reports_stage_history(spark, capsys):
+    """tasks --all walks the status store's stage history; a finished
+    job's stage shows up as COMPLETE with its task counts."""
+    from cooler_mapreduce_spark.cli import main
+
+    spark.sparkContext.parallelize(range(12), 3).count()  # leave a stage behind
+    rc = main(["tasks"])
+    assert rc == 0
+    assert "no active stages" in capsys.readouterr().out
+    rc = main(["tasks", "--all"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "stage " in out and "/3 tasks" in out and "COMPLETE" in out
+
+
 def test_cli_cancel_running_job_group(spark, capsys):
     """cancel <job_id> must abort a running job tagged with that group —
     the reference's CancelJob (client/monitoring.py:87-97) on Spark's
