@@ -85,18 +85,23 @@ def main() -> None:
     # overhead or transient load on a shared benchmark host (observed
     # swings up to 7x between identical runs).
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         spec = specs[name]
-        best = float("inf")
+        raw: list[float] = []
         for _ in range(3):
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+            raw.append(round(time.perf_counter() - t0, 3))
+        runs[name] = raw
+        timings[name] = min(raw)
+        print(f"# {name}: {timings[name]:.3f}s  runs={raw}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # "runs" carries the raw per-run spread so a regression in the min is
+    # diagnosable from the artifact alone (host variance vs real slowdown
+    # — this shared host has shown 7x swings between identical runs).
     print(
         json.dumps(
             {
@@ -104,6 +109,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
                 "sf": sf,
             }
         )

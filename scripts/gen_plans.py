@@ -157,6 +157,38 @@ CASES = {
             ("no join anywhere", lambda p: "Join" not in p),
         ],
     ),
+    "repetition_filter": (
+        "Gopher repetition gate: per-doc array math in one codegen map stage, only the ~10-key language rollup exchanges",
+        [
+            ("no join anywhere", lambda p: "Join" not in p),
+            ("single agg shuffle", lambda p: p.count("Exchange hashpartitioning") == 1),
+            ("partial agg before shuffle", lambda p: "partial_count" in p or "partial_sum" in p),
+        ],
+    ),
+    "decontaminate_ngram_overlap": (
+        "benchmark decontamination: bench shingle set broadcast, train side probed without a second corpus shuffle, top-100 is TakeOrdered",
+        [
+            ("bench probe is broadcast", lambda p: "BroadcastHashJoin" in p),
+            ("no sort-merge join", lambda p: "SortMergeJoin" not in p),
+            ("top-100 never global-sorts", lambda p: "TakeOrderedAndProject" in p),
+        ],
+    ),
+    "boilerplate_ngrams": (
+        "boilerplate inventory: df-count shuffle on shingle hash, inventory + corpus-count broadcast back, shingle stream never re-shuffled for the probe",
+        [
+            ("boiler probe is broadcast", lambda p: "BroadcastHashJoin" in p),
+            ("no sort-merge join", lambda p: "SortMergeJoin" not in p),
+            ("only the single-row scalar nested-loops", lambda p: p.count("BroadcastNestedLoopJoin") == 1),
+        ],
+    ),
+    "corpus_shuffle_shards": (
+        "seeded epoch shuffle: ONE hash shuffle on shard + in-partition sort (the shard-file write shape), no join, no pre-window global sort",
+        [
+            ("no join anywhere", lambda p: "Join" not in p),
+            ("single shard shuffle", lambda p: p.count("Exchange hashpartitioning") == 1),
+            ("window present", lambda p: "Window" in p),
+        ],
+    ),
 }
 
 
