@@ -114,6 +114,12 @@ def _status(args: argparse.Namespace) -> int:
     if not getattr(args, "watch", False):
         if not _print_active_stages(st):
             print("no active stages")
+        # reference `status --tasks/--resources` (client/monitoring.py:15-85)
+        # append the corresponding views to the status report
+        if getattr(args, "tasks", False):
+            _tasks(argparse.Namespace(all=True))
+        if getattr(args, "resources", False):
+            _resources(args)
         return 0
 
     # --watch: the reference's monitor loop (client/monitoring.py:34-85) —
@@ -296,6 +302,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="watch progress until no work remains")
     st.add_argument("--interval", type=float, default=1.0,
                     help="update interval for watch mode (seconds)")
+    st.add_argument("--tasks", action="store_true",
+                    help="append the per-stage task breakdown")
+    st.add_argument("--resources", action="store_true",
+                    help="append the executor inventory")
     st.set_defaults(fn=_status)
 
     ls = sub.add_parser("list", help="list jobs known to the StatusTracker")

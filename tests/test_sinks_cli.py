@@ -218,6 +218,18 @@ def test_cli_tasks_reports_stage_history(spark, capsys):
     assert "stage " in out and "/3 tasks" in out and "COMPLETE" in out
 
 
+def test_cli_status_with_tasks_and_resources_flags(spark, capsys):
+    """status --tasks --resources appends both monitoring views to the
+    status report (reference client's status flags)."""
+    from cooler_mapreduce_spark.cli import main
+
+    spark.sparkContext.parallelize(range(6), 2).count()
+    rc = main(["status", "--tasks", "--resources"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "stage " in out and "executor(s)" in out
+
+
 def test_cli_cancel_running_job_group(spark, capsys):
     """cancel <job_id> must abort a running job tagged with that group —
     the reference's CancelJob (client/monitoring.py:87-97) on Spark's
