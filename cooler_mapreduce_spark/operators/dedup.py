@@ -322,6 +322,12 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunks.groupBy("chunk_id", "chunk_val")
         .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("ds"))
         .filter(F.size("ds") > 1)
+        # same skew bound as the minhash bands: a boilerplate-hot chunk
+        # value can't go quadratic. array_sort on the structs orders by
+        # doc_id (first field), so the kept prefix is deterministic; only
+        # candidate pairs are dropped — hamming verification stays exact
+        # for every pair that survives.
+        .withColumn("ds", F.slice(F.array_sort("ds"), 1, LSH_BUCKET_CAP))
     )
     pairs = buckets.select(
         F.explode(

@@ -148,9 +148,14 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "custkey",
         "version",
         "valid_from",
-        F.coalesce(F.col("next_from"), F.lit("2200-01-01").cast("timestamp")).alias(
-            "valid_to"
-        ),
+        # cast the sentinel to next_from's OWN type (TIMESTAMP or
+        # TIMESTAMP_NTZ depending on source annotation) — a fixed LTZ cast
+        # would make the coalesce coerce the whole column through the
+        # session timezone
+        F.coalesce(
+            F.col("next_from"),
+            F.lit("2200-01-01").cast(v.schema["next_from"].dataType),
+        ).alias("valid_to"),
         F.col("next_from").isNull().alias("is_current"),
         "attr",
     )

@@ -92,7 +92,7 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.weekday("o_orderdate") + 1).alias("order_isodow"),
         F.date_trunc("month", "o_orderdate").alias("month_start"),
         (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_ts"),
-        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).alias(
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
             "days_since_epoch_start"
         ),
         F.date_format("o_orderdate", "yyyy-MM").alias("order_ym"),

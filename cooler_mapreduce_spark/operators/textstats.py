@@ -224,17 +224,13 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, term, COUNT(*) AS tf
         FROM toks WHERE term <> '' GROUP BY doc_id, term
     ),
-    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-    n AS (SELECT COUNT(*) AS n_docs FROM documents),
-    scored AS (
-        SELECT tf.term, df.df,
-               round(tf.tf * ln((n.n_docs + 1) / (df.df + 1.0)), 6) AS score
-        FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
-    )
+    per_term AS (
+        SELECT term, COUNT(*) AS df, SUM(tf) AS stf FROM tf GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
     SELECT term, df,
-           CAST(SUM(CAST(score AS DECIMAL(30,6))) AS DOUBLE) AS total_tfidf
-    FROM scored
-    GROUP BY term, df
+           round(stf * ln((n.n_docs + 1) / (df + 1.0)), 6) AS total_tfidf
+    FROM per_term CROSS JOIN n
     ORDER BY total_tfidf DESC, term
     LIMIT 100
     """,
@@ -243,15 +239,16 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary weighting: top-100 terms by summed TF-IDF.
 
-    The classic two-aggregation pipeline — term frequency per (doc, term),
-    document frequency per term, idf = ln((N+1)/(df+1)) — expressed so
-    every stage is a partial-aggregable shuffle on one key. The explode
-    never materializes the corpus token stream anywhere but inside a
-    pipelined stage; at 100 TB both aggregations are ordinary hash aggs
-    and the final top-100 is TakeOrdered. Per-(doc,term) scores are
-    rounded to 6 dp BEFORE the decimal re-sum, so the result is
-    bit-deterministic despite ln() (both engines' libm agree far beyond
-    6 dp; the decimal sum removes order dependence).
+    idf = ln((N+1)/(df+1)) is constant per term, so summed TF-IDF
+    factors as idf(term) · Σ_docs tf — ONE corpus scan feeding two
+    chained partial-aggregable shuffles ((doc,term) then term), a
+    broadcast single-row N, and a TakeOrdered top-100. No join, no
+    second tokenize pass (the naive tf⋈df formulation rebuilds the
+    whole scan+explode+agg subtree for the df branch — Catalyst can't
+    reuse the exchange because column pruning makes the two subtrees
+    differ). Both Σtf and df are exact integers, so the single
+    round(·, 6) after the multiply is bit-deterministic in any engine
+    and under any aggregation order.
     """
     d = table(spark, sf_dir, "documents")
     n_docs = d.agg(F.count("*").alias("n_docs"))
@@ -261,21 +258,18 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
-    df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = (
-        tf.join(df, "term")
-        .crossJoin(F.broadcast(n_docs))
+    per_term = tf.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("stf")
+    )
+    return (
+        per_term.crossJoin(F.broadcast(n_docs))
         .select(
             "term",
             "df",
             F.round(
-                F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1.0)), 6
-            ).alias("score"),
+                F.col("stf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1.0)), 6
+            ).alias("total_tfidf"),
         )
-    )
-    return (
-        scored.groupBy("term", "df")
-        .agg(F.sum(F.col("score").cast("decimal(30,6)")).cast("double").alias("total_tfidf"))
         .orderBy(F.desc("total_tfidf"), F.asc("term"))
         .limit(100)
     )

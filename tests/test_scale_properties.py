@@ -83,6 +83,18 @@ class TestLshBucketCap:
         assert capped < exact
         assert len(exact) == 40 * 39 // 2 + 3
 
+    def test_simhash_bucket_cap_in_plan(self, spark, oracle_sf_dir):
+        """dedup_simhash_pairs carries the same deterministic slice cap in
+        its bucket stage (plan-level check: slice+array_sort applied to
+        the collected bucket)."""
+        from cooler_mapreduce_spark.registry import load_all
+
+        df = load_all()["dedup_simhash_pairs"].fn(spark, oracle_sf_dir)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "slice(array_sort" in plan or (
+            "slice" in plan and "array_sort" in plan
+        ), plan
+
     def test_default_cap_transparent_below_threshold(self, spark):
         """Buckets smaller than LSH_BUCKET_CAP are untouched — so the
         sf0.01 oracle parity of dedup_minhash_lsh is exact."""
