@@ -87,8 +87,22 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: Round-3 rotation: rounds 1+2 drove 78 distinct queries green, so this
 #: window keeps 15 per-category ANCHORS (regression canaries, all green in
 #: r2) and fills the other 35 slots with never-driver-checked oracle
-#: queries, retiring the unverified tail fastest. The ~28 still-unchecked
-#: names rotate in next round.
+#: queries, retiring the unverified tail fastest.
+#:
+#: Round-4 rotation plan — the 29 oracle queries never driver-checked
+#: after r3 (keep the same 15 anchors, fill the rest with these):
+#: chisq_segment_priority, conditional_bitwise_functions,
+#: dedup_simhash_pairs, embedding_centroids_by_label,
+#: embedding_cluster_compactness, event_type_gini, gapfill_hourly_events,
+#: json_parse_quality, json_roundtrip, mad_order_price,
+#: mode_quantity_by_flag, mr_grep, mr_inverted_index, multimodal_features,
+#: pandas_udaf_second_max, pareto_revenue_share, profile_orders,
+#: revenue_share_by_nation, rolling_7d_distinct_users, sample_k_per_group,
+#: session_conversion_rate, skew_salted_join_tiers, sql_segment_revenue,
+#: stream_enriched_segment_counts, stream_user_totals, user_event_paths,
+#: weighted_avg_discount, winsorized_mean_price, zscore_outlier_orders.
+#: (Rows-only by design, never windowed: ann_topk_ivf, ann_topk_lsh,
+#: approx_distinct_users, approx_quantiles_price, embedding_cosine_dups_lsh.)
 PRIORITY_QUERIES: tuple[str, ...] = (
     # --- anchors: one green r2 representative per §2.4 category ---
     "word_count",                     # parity / scan / flatMap
