@@ -27,6 +27,34 @@ def us_between(start: Column | str, end: Column | str) -> Column:
     return F.timestamp_diff("MICROSECOND", s, e)
 
 
+def wall_trunc(ts: Column | str, unit: str) -> Column:
+    """Truncate a timestamp to hour/day/month in its OWN wall clock,
+    returning TIMESTAMP_NTZ.
+
+    ``F.date_trunc`` always returns session-timezone TIMESTAMP — for an
+    NTZ input it round-trips the value through the session zone, so the
+    collected result shifts with ``spark.sql.session.timeZone`` (and
+    with the renderer: collect() uses the JVM zone, toPandas() the
+    session zone). These forms never leave the wall clock: day/month go
+    through tz-free DATE truncation; hour is integer arithmetic on
+    seconds-since-epoch.
+    """
+    c = ts if isinstance(ts, ColumnType) else F.col(ts)
+    if unit == "day":
+        return F.to_date(c).cast("timestamp_ntz")
+    if unit == "month":
+        return F.trunc(c, "month").cast("timestamp_ntz")
+    if unit == "hour":
+        # microsecond-level arithmetic: second-level deltas would leave
+        # the fractional seconds of ts in place
+        epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+        us = F.timestamp_diff("MICROSECOND", epoch, c)
+        hour_us = 3_600_000_000
+        delta = (F.floor(us / hour_us) * hour_us - us).cast("long")
+        return F.timestamp_add("MICROSECOND", delta, c.cast("timestamp_ntz"))
+    raise ValueError(f"unsupported unit {unit!r}; use hour/day/month")
+
+
 def sec_since_epoch(ts: Column | str) -> Column:
     """Whole seconds since 1970-01-01 00:00:00 in the column's own clock
     (wall-clock for NTZ). Replaces ``cast(ts as long)``, which Spark

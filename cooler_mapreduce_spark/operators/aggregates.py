@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.numeric import dsum, sql_dsum
+from ..functions.timeutil import wall_trunc
 from ..registry import query
 from ..sources.catalog import table
 from .tpch import revenue_by_nation
@@ -288,15 +289,15 @@ def gapfill_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = table(spark, sf_dir, "events")
     bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
+        wall_trunc(F.min("ts"), "hour").alias("lo"),
+        wall_trunc(F.max("ts"), "hour").alias("hi"),
     )
     spine = bounds.select(
         F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
     )
     types = ev.select("event_type").distinct()
     counts = ev.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+        wall_trunc(F.col("ts"), "hour").alias("hour"), "event_type"
     ).agg(F.count("*").alias("n"))
     return (
         spine.crossJoin(types)

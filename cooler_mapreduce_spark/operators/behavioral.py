@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..functions.timeutil import us_between
+from ..functions.timeutil import us_between, wall_trunc
 from ..registry import query
 from ..sources.catalog import table
 
@@ -173,11 +173,11 @@ def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     join restricts output to observed days.
     """
     ev = table(spark, sf_dir, "events")
-    days = ev.select(F.date_trunc("day", "ts").alias("day")).distinct()
+    days = ev.select(wall_trunc("ts", "day").alias("day")).distinct()
     contrib = (
         ev.select(
             F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"),
-            F.date_trunc("day", "ts").alias("d0"),
+            wall_trunc("ts", "day").alias("d0"),
             "user_id",
         )
         .select(

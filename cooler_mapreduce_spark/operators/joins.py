@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.numeric import dsum, sql_dsum
-from ..functions.timeutil import us_between
+from ..functions.timeutil import us_between, wall_trunc
 from ..registry import query
 from ..sources.catalog import table
 
@@ -344,7 +344,7 @@ def join_full_outer_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     def hourly(event_type: str, out: str) -> DataFrame:
         return (
             ev.filter(F.col("event_type") == event_type)
-            .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+            .groupBy(wall_trunc("ts", "hour").alias("hour"))
             .agg(F.count("*").alias(out))
         )
 

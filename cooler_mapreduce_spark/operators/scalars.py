@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.timeutil import wall_trunc
 from ..registry import query
 from ..sources.catalog import table
 
@@ -90,7 +91,7 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").alias("order_month"),
         F.quarter("o_orderdate").alias("order_quarter"),
         (F.weekday("o_orderdate") + 1).alias("order_isodow"),
-        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        wall_trunc("o_orderdate", "month").alias("month_start"),
         (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_ts"),
         F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
             "days_since_epoch_start"

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..functions.timeutil import sec_since_epoch, us_between
+from ..functions.timeutil import sec_since_epoch, us_between, wall_trunc
 from ..registry import query
 from ..sources.catalog import table
 
@@ -377,7 +377,7 @@ def yoy_revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     is decimal-staged; the YoY ratio is one double division.
     """
     o = table(spark, sf_dir, "orders")
-    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+    m = o.groupBy(wall_trunc("o_orderdate", "month").alias("month")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("revenue")
     )
     w = Window.orderBy("month")

@@ -41,3 +41,41 @@ def test_result_invariant_under_shuffle_partitions(spark, sf_dir, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert low == high
+
+
+#: Queries whose results would shift if timestamp handling leaked the
+#: session timezone: cutoff filters at midnight boundaries, date windows,
+#: SCD2 sentinel coalesce, lag-gap sessionization, tumbling windows.
+_TZ_CASES = [
+    "pricing_summary",
+    "forecast_revenue_change",
+    "scd2_customer_history",
+    "date_functions",
+    "sessionize_events",
+    "stream_tumbling_counts",
+    "dedup_keep_latest",
+    "yoy_revenue_by_month",
+    "gapfill_hourly_events",
+    "rolling_7d_distinct_users",
+    "join_full_outer_hourly",
+]
+
+
+@pytest.mark.parametrize("name", _TZ_CASES)
+def test_result_invariant_under_session_timezone(spark, sf_dir, name):
+    """The driver runs queries in ITS session, whose timezone we don't
+    control — event time is TIMESTAMP_NTZ-native and filter literals
+    coerce to the column's own type, so results must be bit-identical
+    under any spark.sql.session.timeZone (a leaked LTZ cast would shift
+    midnight-boundary cutoffs by the UTC offset)."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        utc = _rows(SPECS[name].fn(spark, sf_dir))
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ny = _rows(SPECS[name].fn(spark, sf_dir))
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")  # +05:45
+        ktm = _rows(SPECS[name].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert utc == ny == ktm
