@@ -1,0 +1,119 @@
+"""Property-based checks of core building blocks against independent
+reference implementations — the randomized extension of the reference's
+example-based test strategy (SURVEY.md §5): for ANY input, the
+distributed formulation must agree with a direct sequential one.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cooler_mapreduce_spark.functions.timeutil import us_between, wall_trunc
+from cooler_mapreduce_spark.operators.dedup import band_bucket_pairs, connected_components
+
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- graphs ----
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _union_find_components(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(edges=_edges)
+def test_connected_components_equals_union_find(spark, edges):
+    """Min-label propagation (distributed joins) must converge to the
+    same components a sequential union-find computes."""
+    pairs = spark.createDataFrame(edges, "doc_a INT, doc_b INT")
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == _union_find_components(edges)
+
+
+# ------------------------------------------------------------ LSH buckets ----
+
+_bands = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 1), st.integers(0, 3)),
+    min_size=1,
+    max_size=30,
+).map(lambda rows: list({(d, b, k) for d, b, k in rows}))
+
+
+def _brute_pairs(rows):
+    out = set()
+    by_bucket: dict[tuple[int, int], list[int]] = {}
+    for d, b, k in rows:
+        by_bucket.setdefault((b, k), []).append(d)
+    for ds in by_bucket.values():
+        for i, a in enumerate(ds):
+            for c in ds:
+                if c > a:
+                    out.add((a, c))
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(rows=_bands)
+def test_band_bucket_pairs_equals_bruteforce(spark, rows):
+    """Uncapped bucket-local pair generation is exactly the brute-force
+    per-bucket pair set; the capped variant is always a subset."""
+    bands = spark.createDataFrame(
+        [(d, b, str(k)) for d, b, k in rows], "doc_id INT, band INT, band_key STRING"
+    )
+    exact = {(r.doc_a, r.doc_b) for r in band_bucket_pairs(bands, max_bucket=None).collect()}
+    assert exact == _brute_pairs(rows)
+    capped = {(r.doc_a, r.doc_b) for r in band_bucket_pairs(bands, max_bucket=3).collect()}
+    assert capped <= exact
+
+
+# ------------------------------------------------------------- time utils ----
+
+_ts = st.datetimes(
+    min_value=datetime.datetime(1971, 1, 1),
+    max_value=datetime.datetime(2199, 12, 31),
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(a=_ts, b=_ts)
+def test_us_between_equals_python_timedelta(spark, a, b):
+    df = spark.createDataFrame([(a, b)], "a timestamp_ntz, b timestamp_ntz")
+    got = df.select(us_between("a", "b").alias("us")).collect()[0].us
+    want = round((b - a).total_seconds() * 1_000_000)
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(t=_ts)
+def test_wall_trunc_equals_python_truncation(spark, t):
+    df = spark.createDataFrame([(t,)], "t timestamp_ntz")
+    row = df.select(
+        wall_trunc("t", "hour").alias("h"),
+        wall_trunc("t", "day").alias("d"),
+        wall_trunc("t", "month").alias("m"),
+    ).collect()[0]
+    assert row.h == t.replace(minute=0, second=0, microsecond=0)
+    assert row.d == t.replace(hour=0, minute=0, second=0, microsecond=0)
+    assert row.m == t.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
