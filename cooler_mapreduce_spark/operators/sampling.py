@@ -188,3 +188,47 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(leaked, 1).otherwise(0)).alias("n_leaked_contents"),
         F.sum(F.when(leaked, F.col("n_docs")).otherwise(0)).alias("n_leaked_docs"),
     )
+
+
+#: Importance-sampling resolution: acceptance thresholds are compared at
+#: parts-per-million granularity so the keep decision is pure integer
+#: cross-multiplication (engine-exact; no float probability anywhere).
+_IS_RES = 1_000_000
+#: Character count at which a document's keep probability saturates at 1.
+_IS_FULL_CHARS = 400
+
+_SPARK_IS_BUCKET = f"({md5int_spark(chr(39) + 'is:' + chr(39) + ' || CAST(doc_id AS STRING)')} % {_IS_RES})"
+_DUCK_IS_BUCKET = f"({md5int_duckdb(chr(39) + 'is:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')} % {_IS_RES})"
+
+
+@query(
+    "importance_sample_by_length",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars, {_DUCK_IS_BUCKET} AS bucket
+    FROM documents
+    WHERE {_DUCK_IS_BUCKET} * {_IS_FULL_CHARS} < n_chars * {_IS_RES}
+    """,
+    tags=("sampling", "importance", "llm-pipeline"),
+)
+def importance_sample_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic IMPORTANCE sampling: keep probability proportional
+    to a per-document quality weight (here length, saturating at
+    ``_IS_FULL_CHARS`` chars — substitute any scalar quality score).
+
+    Uniform hash sampling throws away the same fraction of good and bad
+    documents; curation pipelines instead keep high-weight documents
+    with probability min(1, w) and down-sample the tail. The keep
+    decision is ``bucket(doc_id) < w·RES`` on a fresh salted hash
+    ('is:' prefix — independent of the split/sample buckets, so
+    composing with :func:`train_test_split` introduces no correlation),
+    compared by integer cross-multiplication — no float probability, so
+    both engines admit bit-identical row sets, and the sample is stable
+    under repartitioning, appends, and reruns like every operator in
+    this module. Pure scan-stage filter: zero shuffle at any scale.
+    """
+    d = table(spark, sf_dir, "documents")
+    bucket = F.expr(_SPARK_IS_BUCKET)
+    return (
+        d.select("doc_id", "lang", "n_chars", bucket.alias("bucket"))
+        .filter(F.col("bucket") * _IS_FULL_CHARS < F.col("n_chars") * _IS_RES)
+    )
