@@ -157,6 +157,22 @@ CASES = {
             ("no join anywhere", lambda p: "Join" not in p),
         ],
     ),
+    "tfidf_top_terms": (
+        "TF-IDF factored: ONE corpus scan, two chained partial aggs, no tf-df join, top-100 TakeOrdered",
+        [
+            ("single corpus text scan", lambda p: len(re.findall(r"FileScan parquet \[doc_id#\d+L?,text#\d+L?\]", p)) == 1),
+            ("no sort-merge/shuffled join", lambda p: "SortMergeJoin" not in p and "ShuffledHashJoin" not in p),
+            ("two agg shuffles", lambda p: p.count("Exchange hashpartitioning") == 2),
+            ("top-100 never global-sorts", lambda p: "TakeOrderedAndProject" in p),
+        ],
+    ),
+    "importance_sample_by_length": (
+        "importance sampling: pure scan-stage filter, zero shuffle, zero join",
+        [
+            ("no join anywhere", lambda p: "Join" not in p),
+            ("no agg shuffle", lambda p: p.count("Exchange hashpartitioning") == 0),
+        ],
+    ),
     "repetition_filter": (
         "Gopher repetition gate: per-doc array math in one codegen map stage, only the ~10-key language rollup exchanges",
         [
