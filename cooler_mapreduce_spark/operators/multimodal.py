@@ -158,6 +158,64 @@ def media_frame_sample_pipeline(
 
 
 @query(
+    "multimodal_resize_stats",
+    oracle="""
+    SELECT doc_id,
+           least(octet_length(encode(text)), 64) AS n_bytes
+    FROM documents
+    """,
+    tags=("multimodal", "pandas-udf", "llm-pipeline"),
+)
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives the binary→binary resize stage end-to-end and reports the
+    output size per asset. The deterministic fake resizer bounds each
+    blob at (64·64)/64 = 64 bytes, so the oracle is least(len, 64) —
+    proving the Arrow-batched transform ran over every row with the
+    declared contract, not just that the plumbing imports."""
+    out = media_resize_pipeline(spark, sf_dir, target=(64, 64))
+    return out.select("doc_id", "n_bytes")
+
+
+@query(
+    "multimodal_frame_sample_stats",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id,
+               octet_length(encode(text)) AS nb,
+               CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST((n_frames + 3) // 4 AS BIGINT) AS n_kept_frames,
+           -- every kept frame is 256 bytes except the stream's LAST
+           -- frame (short unless len % 256 == 0), kept iff its index
+           -- n_frames-1 is a multiple of the stride
+           CAST(256 * ((n_frames + 3) // 4)
+                - CASE WHEN (n_frames - 1) % 4 = 0
+                       THEN 256 - (nb - 256 * (n_frames - 1))
+                       ELSE 0 END AS BIGINT) AS kept_bytes
+    FROM f WHERE n_frames > 0
+    """,
+    tags=("multimodal", "pandas-udf", "llm-pipeline"),
+)
+def multimodal_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives the 1→many frame-sampling stage end-to-end and rolls each
+    asset's kept frames back up to (count, bytes). The fake sampler
+    slices blobs into 256-byte frames and keeps every 4th, so both
+    engines can state the exact expected frame inventory — the oracle
+    recomputes it arithmetically while Spark actually materializes the
+    frames through mapInPandas and aggregates them."""
+    frames = media_frame_sample_pipeline(spark, sf_dir, every_n=4)
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept_frames"),
+            F.sum(F.octet_length("frame")).alias("kept_bytes"),
+        )
+    )
+
+
+@query(
     "multimodal_catalog",
     oracle="""
     SELECT source AS media_source,
