@@ -371,14 +371,22 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("dedup", "jaccard", "llm-pipeline"),
 )
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, max_posting: int | None = None
+) -> DataFrame:
     """Exact 3-gram Jaccard similarity ≥ 0.35 via the inverted shingle
     index: pairs are generated only where a shingle is shared
     (posting-list self-join), intersection counts fall out of the same
     join, and union sizes come from a broadcast of per-doc shingle
     counts. Exact but worst-case quadratic — prefer ``dedup_minhash_lsh``
-    above ~10^8 docs, or cap posting-list length (drops only boilerplate
-    shingles)."""
+    above ~10^8 docs, or set ``max_posting`` to drop shingles shared by
+    more than that many documents (stop-shingle removal: a shingle in
+    half the corpus is boilerplate, not a similarity signal, and its
+    posting list alone would emit a quadratic pair set). Dropping a
+    posting list only LOWERS measured intersections while union sizes
+    stay exact, so the capped output is always a SUBSET of the exact
+    output — a one-sided approximation, never a false pair. The
+    registered oracle-checked query runs uncapped (``None``)."""
     d = table(spark, sf_dir, "documents")
     # single scan: shingle once, carry the per-doc shingle count through
     # the posting-list explode so union sizes ride along with the pairs —
@@ -393,6 +401,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_list(F.struct("doc_id", "n")).alias("ds"))
         .filter(F.size("ds") > 1)
     )
+    if max_posting is not None:
+        buckets = buckets.filter(F.size("ds") <= max_posting)
     pairs = buckets.select(
         F.explode(
             F.expr(

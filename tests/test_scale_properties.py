@@ -95,6 +95,19 @@ class TestLshBucketCap:
             "slice" in plan and "array_sort" in plan
         ), plan
 
+    def test_ngram_jaccard_posting_cap_is_one_sided(self, spark, sf_dir):
+        """Stop-shingle removal (max_posting) may only LOSE pairs, never
+        invent or inflate one: capped output pairs are a subset of exact
+        output pairs, with jaccard ≤ the exact value pairwise."""
+        from cooler_mapreduce_spark.registry import load_all
+
+        fn = load_all()["dedup_ngram_jaccard"].fn
+        exact = {(r.doc_a, r.doc_b): r.jaccard for r in fn(spark, sf_dir).collect()}
+        capped = {(r.doc_a, r.doc_b): r.jaccard
+                  for r in fn(spark, sf_dir, max_posting=3).collect()}
+        assert set(capped) <= set(exact)
+        assert all(capped[k] <= exact[k] for k in capped)
+
     def test_default_cap_transparent_below_threshold(self, spark):
         """Buckets smaller than LSH_BUCKET_CAP are untouched — so the
         sf0.01 oracle parity of dedup_minhash_lsh is exact."""
