@@ -331,3 +331,30 @@ def test_corpus_shuffle_is_deterministic_permutation(spark, tmp_path):
         by_shard[r["shard"]].append(r["pos"])
     for shard, poss in by_shard.items():
         assert poss == list(range(1, len(poss) + 1)), f"shard {shard}"
+
+
+def test_importance_sample_invariant_and_weighted(spark, sf_dir):
+    """The importance sampler must (a) return the identical row set at
+    any partition layout (deterministic hash membership, no RNG), and
+    (b) actually skew retention toward longer documents."""
+    from cooler_mapreduce_spark.registry import load_all
+    from cooler_mapreduce_spark.sources.catalog import table
+
+    fn = load_all()["importance_sample_by_length"].fn
+    base = {r.doc_id for r in fn(spark, sf_dir).collect()}
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        again = {r.doc_id for r in fn(spark, sf_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert base == again
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars").collect()
+    long_ids = {r.doc_id for r in docs if r.n_chars >= 400}
+    short_ids = {r.doc_id for r in docs if r.n_chars < 100}
+    # saturated weight => every long doc kept
+    assert long_ids <= base
+    # short docs are down-sampled (kept rate < 1), unless there are none
+    if short_ids:
+        assert len(short_ids & base) < len(short_ids)
