@@ -102,7 +102,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: stream_enriched_segment_counts, stream_user_totals, user_event_paths,
 #: weighted_avg_discount, winsorized_mean_price, zscore_outlier_orders,
 #: plus the round-3 additions importance_sample_by_length,
-#: multimodal_resize_stats, multimodal_frame_sample_stats.
+#: multimodal_resize_stats, multimodal_frame_sample_stats,
+#: sink_orc_roundtrip.
 #: (Rows-only by design, never windowed: ann_topk_ivf, ann_topk_lsh,
 #: approx_distinct_users, approx_quantiles_price, embedding_cosine_dups_lsh.)
 PRIORITY_QUERIES: tuple[str, ...] = (

@@ -114,6 +114,54 @@ def sink_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink — the columnar alternative for Hive-ecosystem consumers
+    (predicate pushdown + column pruning like parquet, built into Spark
+    with no extra packages)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+@query(
+    "sink_orc_roundtrip",
+    oracle="""
+        SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("sink", "orc", "roundtrip"),
+)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercise the ORC sink end-to-end: aggregate orders per status,
+    write through :func:`write_orc`, read the files back, and return the
+    re-read DataFrame. A hash match against the pre-sink oracle proves
+    the columnar roundtrip is lossless for strings, counts, and
+    decimal-staged doubles. Like :func:`sink_tsv_roundtrip`, the
+    materialized payload is O(groups) regardless of corpus size."""
+    agg = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)")).cast("double").alias("total"),
+        )
+    )
+    out_dir = tempfile.mkdtemp(prefix="sink_orc_roundtrip_")
+    try:
+        write_orc(agg, out_dir)
+        back = spark.read.orc(out_dir)
+        return spark.createDataFrame(back.collect(), schema=back.schema)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def write_json_lines(df: DataFrame, path: str) -> None:
     """Newline-delimited JSON — the interchange sink (one object per
     row; schema travels in-band, unlike TSV)."""
