@@ -350,6 +350,289 @@ _DUP_COS = duckdb_cosine("a.embedding", "b.embedding")
 _DUP_THR = 0.45
 
 
+# --- in-engine recall audits ---------------------------------------------
+#
+# The approximate tiers (LSH / IVF) are probabilistic, so their top-k
+# output has no SQL oracle — but their *recall against the exact tier* is
+# a deterministic number once the planes/centroids are pinned. These
+# audits compute recall@10 end-to-end inside the engine and oracle the
+# whole computation in DuckDB (which re-derives the same buckets / cells
+# from the same literals), giving the ANN family a hash-checked driver row.
+
+
+def _duck_planes_values() -> str:
+    """The seeded hyperplane literals as DuckDB VALUES rows
+    (table_id, plane_idx, plane) — same floats as :data:`_PLANES`."""
+    rows = []
+    for t, planes in enumerate(_PLANES):
+        for j, plane in enumerate(planes):
+            lst = ", ".join(repr(v) for v in plane)
+            rows.append(f"({t}, {j}, CAST([{lst}] AS DOUBLE[]))")
+    return ",\n        ".join(rows)
+
+
+_DUCK_BF_TOPK = f"""
+    bf_scored AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               {duckdb_cosine('q.embedding', 'e.embedding')} AS cosine
+        FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+    ),
+    bf_topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, neighbor_id) AS rn
+            FROM bf_scored
+        ) WHERE rn <= {_TOP_K}
+    )"""
+
+_DUCK_RECALL_TAIL = f"""
+    SELECT b.query_id, COUNT(l.neighbor_id) AS hits,
+           CAST(COUNT(l.neighbor_id) AS DOUBLE) / {_TOP_K}.0 AS recall
+    FROM bf_topk b LEFT JOIN approx_topk l
+      ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+    GROUP BY b.query_id"""
+
+
+def _recall_df(bf: DataFrame, approx: DataFrame) -> DataFrame:
+    """recall@k join: fraction of the exact top-k found by the
+    approximate tier, one row per query."""
+    ap = approx.select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    return (
+        bf.select("query_id", "neighbor_id")
+        .join(ap, (F.col("query_id") == F.col("aq")) & (F.col("neighbor_id") == F.col("an")), "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("an").alias("hits"),
+            (F.count("an").cast("double") / F.lit(float(_TOP_K))).alias("recall"),
+        )
+    )
+
+
+@query(
+    "ann_recall_lsh",
+    oracle=f"""
+    WITH planes(table_id, j, p) AS (VALUES
+        {_duck_planes_values()}),
+    bits AS (
+        SELECT e.vec_id, pl.table_id,
+               CASE WHEN list_aggregate(list_transform(generate_series(1, {_DIM}),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * pl.p[i]), 'sum') > 0
+                    THEN (1 << pl.j) ELSE 0 END AS bit
+        FROM embeddings e, planes pl
+    ),
+    buckets AS (
+        SELECT vec_id, table_id, SUM(bit) AS bucket
+        FROM bits GROUP BY vec_id, table_id
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM buckets q JOIN buckets c
+          ON q.table_id = c.table_id AND q.bucket = c.bucket
+        WHERE q.vec_id < {_N_QUERIES} AND c.vec_id != q.vec_id
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               {duckdb_cosine('qe.embedding', 'ce.embedding')} AS cosine
+        FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+                  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+    ),
+    approx_topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, neighbor_id) AS rn
+            FROM scored
+        ) WHERE rn <= {_TOP_K}
+    ),{_DUCK_BF_TOPK}
+{_DUCK_RECALL_TAIL}
+    """,
+    tags=("similarity", "ann", "lsh", "audit", "llm-pipeline"),
+)
+def ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the LSH tier against the exact tier, computed
+    in-engine — (query_id, hits, recall), one row per query vector.
+
+    Both tiers run as registered (same seeded planes, same tie-breaks);
+    the DuckDB oracle re-derives the sign-pattern buckets from the same
+    plane literals, so the audit is hash-checkable end-to-end even though
+    the LSH top-k itself is probabilistic. This is the production
+    recall-regression gate: run it after any plane/table retune and
+    compare the recall column, no offline harness needed.
+    """
+    return _recall_df(
+        ann_topk_bruteforce(spark, sf_dir), ann_topk_lsh(spark, sf_dir)
+    )
+
+
+_IVF_LM_NPROBE = 4
+
+#: label-mean centroids per dataset dir (offline quantizer fit, cached
+#: like any model artifact — same pattern as :data:`_CENTROID_CACHE`).
+_LM_CENT_CACHE: dict[str, list] = {}
+
+
+def _labelmean_centroids(spark: SparkSession, sf_dir: str) -> list:
+    """Per-label mean vectors in the bit-stable fixed-point arithmetic of
+    :func:`embedding_centroids_by_label` (floor(val·2³⁰) summed as
+    integers) — the SQL-expressible coarse-quantizer fit, so a DuckDB
+    oracle can re-derive the exact same centroid doubles from the data.
+    The collect is the offline model-fit step (O(labels × dim) rows)."""
+    cents = _LM_CENT_CACHE.get(sf_dir)
+    if cents is not None:
+        return cents
+    emb = table(spark, sf_dir, "embeddings")
+    el = emb.select("label", F.posexplode("embedding").alias("pos0", "val")).select(
+        "label", (F.col("pos0") + 1).alias("idx"), "val"
+    )
+    q = F.floor(F.col("val").cast("double") * F.lit(1073741824.0))
+    rows = (
+        el.groupBy("label", "idx")
+        .agg((F.sum(q).cast("double") / F.lit(1073741824.0) / F.count("*")).alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("idx", "m"))).alias("pm"))
+        .select("label", F.expr("transform(pm, s -> s.m)").alias("c"))
+        .orderBy("label")
+        .collect()
+    )
+    cents = [(int(r["label"]), list(r["c"])) for r in rows]
+    _LM_CENT_CACHE[sf_dir] = cents
+    return cents
+
+
+def _cell_score_structs(cents: list) -> str:
+    """array<struct(cell, score)> — round(cos(emb_d, centroid), 9) per
+    cell, centroids as literal arrays (their norms constant-fold)."""
+    entries = []
+    for cell, c in cents:
+        arr = f"array({', '.join(f'CAST({v!r} AS DOUBLE)' for v in c)})"
+        dot = _SPARK_DOT_RAW.format(a="emb_d", b=arr)
+        nc = _SPARK_NORM.format(a=arr)
+        entries.append(
+            f"struct({cell} AS cell, round({dot} / (nrm * {nc}), 9) AS score)"
+        )
+    return f"array({', '.join(entries)})"
+
+
+@query(
+    "ann_recall_ivf",
+    oracle=f"""
+    WITH el AS (
+        SELECT label, u.idx, CAST(u.val AS DOUBLE) AS val
+        FROM embeddings,
+             LATERAL (SELECT unnest(embedding) AS val,
+                             generate_subscripts(embedding, 1) AS idx) u
+    ),
+    means AS (
+        SELECT label, idx,
+               CAST(SUM(CAST(floor(val * 1073741824.0) AS BIGINT)) AS DOUBLE)
+                   / 1073741824.0 / COUNT(*) AS m
+        FROM el GROUP BY label, idx
+    ),
+    cents AS (
+        SELECT label AS cell, list(m ORDER BY idx) AS c FROM means GROUP BY label
+    ),
+    cnorm AS (
+        SELECT cell, c,
+               sqrt(list_aggregate(list_transform(generate_series(1, {_DIM}),
+                    i -> c[i] * c[i]), 'sum')) AS nc
+        FROM cents
+    ),
+    cell_scores AS (
+        SELECT e.vec_id, k.cell,
+               round(list_aggregate(list_transform(generate_series(1, {_DIM}),
+                         i -> CAST(e.embedding[i] AS DOUBLE) * k.c[i]), 'sum')
+                     / ({_DUCK_NORM.format(a='e.embedding', dim=_DIM)} * k.nc), 9) AS score
+        FROM embeddings e, cnorm k
+    ),
+    ranked AS (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY score DESC, cell) AS rn
+        FROM cell_scores
+    ),
+    assigned AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+    probed AS (
+        SELECT vec_id AS query_id, cell FROM ranked
+        WHERE rn <= {_IVF_LM_NPROBE} AND vec_id < {_N_QUERIES}
+    ),
+    cand AS (
+        SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+        FROM probed p JOIN assigned a ON p.cell = a.cell
+        WHERE a.vec_id != p.query_id
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               {duckdb_cosine('qe.embedding', 'ce.embedding')} AS cosine
+        FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+                  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+    ),
+    approx_topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, neighbor_id) AS rn
+            FROM scored
+        ) WHERE rn <= {_TOP_K}
+    ),{_DUCK_BF_TOPK}
+{_DUCK_RECALL_TAIL}
+    """,
+    tags=("similarity", "ann", "ivf", "audit", "llm-pipeline"),
+)
+def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of an IVF tier against the exact tier, in-engine.
+
+    The coarse quantizer here is the *label-mean* fit (fixed-point
+    per-label centroids — :func:`_labelmean_centroids`) rather than the
+    k-means fit of :func:`ann_topk_ivf`: k-means iterations aren't
+    SQL-expressible, label means are, so this variant's entire
+    cell-assign → nprobe-probe → re-rank → recall computation has a
+    DuckDB oracle. The IVF *plumbing* audited (cell argmax, nprobe
+    expansion, candidate join, exact re-rank) is byte-for-byte the shape
+    of the k-means tier, whose recall stays pinned in pytest.
+    """
+    from pyspark.sql import Window
+
+    cents = _labelmean_centroids(spark, sf_dir)
+    e = _embeddings_normed(spark, sf_dir)
+    scores = e.select(
+        "vec_id",
+        "emb_d",
+        "nrm",
+        F.explode(F.expr(_cell_score_structs(cents))).alias("cs"),
+    ).select("vec_id", "emb_d", "nrm", "cs.cell", "cs.score")
+    rw = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cell"))
+    ranked = scores.withColumn("rn", F.row_number().over(rw))
+    assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "emb_d", "nrm", "cell")
+    probed = (
+        ranked.filter((F.col("rn") <= _IVF_LM_NPROBE) & (F.col("vec_id") < _N_QUERIES))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb_d").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            "cell",
+        )
+    )
+    cand = (
+        assigned.join(F.broadcast(probed), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "q_emb", "q_nrm", "emb_d", "nrm")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(spark_cosine_prenorm("q_emb", "emb_d", "q_nrm", "nrm")).alias("cosine"),
+    )
+    tw = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    approx = (
+        scored.withColumn("rn", F.row_number().over(tw))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    return _recall_df(ann_topk_bruteforce(spark, sf_dir), approx)
+
+
 @query(
     "embedding_cosine_dups",
     oracle=f"""

@@ -84,30 +84,20 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: (rows-only checks by design: sketches, ANN recall-pinned tiers) are
 #: deliberately NOT listed here so they sort after the verified window.
 #:
-#: Round-3 rotation: rounds 1+2 drove 78 distinct queries green, so this
-#: window keeps 15 per-category ANCHORS (regression canaries, all green in
-#: r2) and fills the other 35 slots with never-driver-checked oracle
-#: queries, retiring the unverified tail fastest.
-#:
-#: Round-4 rotation plan — the 29 oracle queries never driver-checked
-#: after r3 (keep the same 15 anchors, fill the rest with these):
-#: chisq_segment_priority, conditional_bitwise_functions,
-#: dedup_simhash_pairs, embedding_centroids_by_label,
-#: embedding_cluster_compactness, event_type_gini, gapfill_hourly_events,
-#: json_parse_quality, json_roundtrip, mad_order_price,
-#: mode_quantity_by_flag, mr_grep, mr_inverted_index, multimodal_features,
-#: pandas_udaf_second_max, pareto_revenue_share, profile_orders,
-#: revenue_share_by_nation, rolling_7d_distinct_users, sample_k_per_group,
-#: session_conversion_rate, skew_salted_join_tiers, sql_segment_revenue,
-#: stream_enriched_segment_counts, stream_user_totals, user_event_paths,
-#: weighted_avg_discount, winsorized_mean_price, zscore_outlier_orders,
-#: plus the round-3 additions importance_sample_by_length,
+#: Round-4 rotation (executes the plan written here in round 3): r1–r3
+#: drove 113 distinct queries green, so this window keeps the same 15
+#: per-category ANCHORS and fills the other 35 slots with every remaining
+#: never-driver-checked oracle query — the 29 carried from the r3 tail,
+#: the four round-3 additions (importance_sample_by_length,
 #: multimodal_resize_stats, multimodal_frame_sample_stats,
-#: sink_orc_roundtrip.
-#: (Rows-only by design, never windowed: ann_topk_ivf, ann_topk_lsh,
-#: approx_distinct_users, approx_quantiles_price, embedding_cosine_dups_lsh.)
+#: sink_orc_roundtrip), and the two new round-4 ANN recall audits
+#: (ann_recall_lsh, ann_recall_ivf), which give the approximate-ANN
+#: family its first hash-checked driver rows. After this window the only
+#: never-driver-checked queries are the 5 rows-only-by-design tiers:
+#: ann_topk_ivf, ann_topk_lsh, approx_distinct_users,
+#: approx_quantiles_price, embedding_cosine_dups_lsh.
 PRIORITY_QUERIES: tuple[str, ...] = (
-    # --- anchors: one green r2 representative per §2.4 category ---
+    # --- anchors: one green representative per §2.4 category (r2+r3) ---
     "word_count",                     # parity / scan / flatMap
     "pricing_summary",                # hash + partial agg (TPC-H Q1)
     "join_asof_last_click",           # join family
@@ -123,53 +113,55 @@ PRIORITY_QUERIES: tuple[str, ...] = (
     "mr_word_count",                  # MR-compat / UDF surface
     "stream_tumbling_counts",         # streaming batch-twin
     "merge_cdc_orders",               # merge / CDC
-    # --- rotation: never-driver-checked oracle queries ---
-    # corpus curation (new in r2, locally green only)
-    "repetition_filter",
-    "decontaminate_ngram_overlap",
-    "boilerplate_ngrams",
-    "corpus_shuffle_shards",
-    # behavioral analytics
-    "funnel_signup_click_purchase",
-    "event_transition_matrix",
-    "longest_daily_streak",
-    "event_cooccurrence_lift",
-    # merge / history
-    "scd2_customer_history",
-    # sampling / splits
-    "train_test_split",
-    "stratified_sample_by_lang",
-    "split_leakage_audit",
-    # multiset set ops
-    "intersect_all_multiset",
-    "except_all_multiset",
-    # scalar suites not yet driver-checked
-    "map_functions",
-    "url_functions",
-    "csv_functions",
-    "ansi_safety_functions",
-    "higher_order_array_functions",
-    # text analysis tail
-    "text_language_id",
-    "token_count",
-    "doc_fingerprint",
-    "quality_top_decile",
-    "bigram_counts",
-    "pii_redaction",
-    "seqlen_bucket_packing",
-    "mixing_rates_by_lang",
+    # --- rotation: the last 35 never-driver-checked oracle queries ---
+    # statistics / robust aggregates
+    "chisq_segment_priority",
+    "event_type_gini",
+    "mad_order_price",
+    "mode_quantity_by_flag",
+    "pareto_revenue_share",
+    "weighted_avg_discount",
+    "winsorized_mean_price",
+    "zscore_outlier_orders",
+    "profile_orders",
+    "revenue_share_by_nation",
+    # scalar suites tail
+    "conditional_bitwise_functions",
+    "json_parse_quality",
+    "json_roundtrip",
+    "sql_segment_revenue",
+    # time series / sessions
+    "gapfill_hourly_events",
+    "rolling_7d_distinct_users",
+    "session_conversion_rate",
+    "user_event_paths",
+    # MR-compat tail
+    "mr_grep",
+    "mr_inverted_index",
+    # UDF surface tail
+    "pandas_udaf_second_max",
+    # skew tier
+    "skew_salted_join_tiers",
+    # sampling tail
+    "sample_k_per_group",
+    "importance_sample_by_length",
     # dedup tail
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    # pipeline composition
-    "pipeline_behavioral_sessions",
-    # streaming batch-twins not yet driver-checked
-    "stream_sliding_value_sum",
-    "stream_session_windows",
-    "stream_stream_click_purchase",
-    # sinks: the last driver-unverified §2 component (TSV contract)
-    "sink_tsv_roundtrip",
+    "dedup_simhash_pairs",
+    # embedding reductions + new ANN recall audits (first driver rows
+    # for the approximate-ANN family)
+    "embedding_centroids_by_label",
+    "embedding_cluster_compactness",
+    "ann_recall_lsh",
+    "ann_recall_ivf",
+    # multimodal tail
+    "multimodal_features",
+    "multimodal_resize_stats",
+    "multimodal_frame_sample_stats",
+    # streaming batch-twins tail
+    "stream_enriched_segment_counts",
+    "stream_user_totals",
+    # sinks tail
+    "sink_orc_roundtrip",
 )
 
 
