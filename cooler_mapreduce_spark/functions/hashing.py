@@ -66,15 +66,30 @@ def shingles_duckdb(tokens: str, n: int = 3) -> str:
 
 
 def minhash_sig_spark(hashes: str) -> str:
-    """Spark SQL: array of NUM_MINHASHES minima over a hash array."""
+    """Spark SQL: array of NUM_MINHASHES minima over a NONEMPTY hash array.
+
+    ``hashes`` must be PRE-REDUCED mod :data:`MERSENNE_P` (reduce once in
+    the projection that materializes the array — every permutation needs
+    only ``h mod P``, so reducing inside each perm would redo the mod
+    32×). Each permutation is one scalar-accumulator ``aggregate`` pass:
+    higher-order functions are not whole-stage-codegen'd, so the
+    ``array_min(transform(...))`` form paid 32 intermediate array
+    allocations per row to the interpreted evaluator — the dominant cost
+    of the minhash stage before this rewrite. Initializing the fold at P
+    is exact because every perm value is < P and the array is nonempty
+    (shingle arrays always carry ≥1 element)."""
     perms = ", ".join(
-        f"array_min(transform({hashes}, h -> {minhash_perm(j, 'h')}))"
+        f"aggregate({hashes}, CAST({MERSENNE_P} AS BIGINT),"
+        f" (m, h) -> least(m, ({MINHASH_A[j]} * h + {MINHASH_B[j]}) % {MERSENNE_P}))"
         for j in range(NUM_MINHASHES)
     )
     return f"array({perms})"
 
 
 def minhash_sig_duckdb(hashes: str) -> str:
+    """DuckDB twin of :func:`minhash_sig_spark` — takes the RAW 60-bit
+    hashes (the ``% P`` stays inline here); bit-identical output since
+    ``(a·(h mod P) + b) mod P == (a·h' + b) mod P`` for ``h' = h mod P``."""
     perms = ", ".join(
         f"list_min(list_transform({hashes}, h -> {minhash_perm(j, 'h')}))"
         for j in range(NUM_MINHASHES)

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..functions.hashing import (
     LSH_BANDS,
     LSH_ROWS,
+    MERSENNE_P,
     SIMHASH_BITS,
     md5int_duckdb,
     md5int_spark,
@@ -91,6 +92,13 @@ LSH_BUCKET_CAP = 500
 _SPARK_TOKS = "split(text, ' ')"
 _SPARK_SHINGLE_HASHES = (
     f"transform({shingles_spark(_SPARK_TOKS)}, s -> {md5int_spark('s')})"
+)
+#: minhash input: hashes reduced mod P once at materialization —
+#: :func:`minhash_sig_spark` needs only ``h mod P`` and would otherwise
+#: recompute the mod in all 32 permutations.
+_SPARK_SHINGLE_HASHES_MODP = (
+    f"transform({shingles_spark(_SPARK_TOKS)},"
+    f" s -> {md5int_spark('s')} % {MERSENNE_P})"
 )
 _DUCK_TOKS = "string_split(text, ' ')"
 _DUCK_SHINGLE_HASHES = (
@@ -180,12 +188,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`band_bucket_pairs` (no single band key can go quadratic).
     """
     d = table(spark, sf_dir, "documents")
-    # two-step projection: hash each shingle ONCE, then take the 32
-    # permutation minima over the hash array. Inlining the hash expression
-    # into minhash_sig_spark would re-evaluate md5 per permutation (32×);
-    # CollapseProject keeps the split because `hv` is non-cheap and
-    # referenced 32 times.
-    hv = d.select("doc_id", F.expr(_SPARK_SHINGLE_HASHES).alias("hv"))
+    # two-step projection: hash each shingle ONCE (pre-reduced mod P),
+    # then take the 32 permutation minima over the hash array. Inlining
+    # the hash expression into minhash_sig_spark would re-evaluate md5
+    # per permutation (32×); CollapseProject keeps the split because
+    # `hv` is non-cheap and referenced 32 times.
+    hv = d.select("doc_id", F.expr(_SPARK_SHINGLE_HASHES_MODP).alias("hv"))
     sigs = hv.select("doc_id", F.expr(minhash_sig_spark("hv")).alias("sig"))
     bands = sigs.select(
         "doc_id",
