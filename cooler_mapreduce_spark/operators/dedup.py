@@ -503,63 +503,115 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the smallest doc_id in its component (that minimum is the
     keeper).
 
-    Iterative min-label propagation as DataFrame joins: each round every
-    node takes the min of its own label and its neighbors' labels —
-    convergence in graph-diameter rounds, and dup clusters are
-    shallow (boilerplate cliques have diameter 1-2). Every round is one
-    keyed shuffle join; ``localCheckpoint`` truncates the lineage so the
-    plan doesn't grow with iterations. At web scale the same loop runs
-    with the large-star/small-star edge rewriting (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond") to bound round count
-    at O(log n) for pathological diameters; the propagation step is
-    identical. The DuckDB oracle computes full reachability with a
-    recursive CTE and takes per-node minima — same fixpoint, proving the
-    iterative plan exact.
+    Alternating large-star/small-star edge contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"): each round rewrites
+    every edge toward the minimum of a local neighborhood, collapsing
+    any component to a star centered at its minimum id in O(log n)
+    rounds REGARDLESS of diameter — plain min-label propagation would
+    need diameter rounds, and while dup cliques are shallow (diameter
+    1-2), a chained near-dup corpus (v1~v2~...~vk of an edited document)
+    builds exactly the path graphs that make propagation unbounded.
+    Every round is two keyed groupBy+join shuffles over the edge list;
+    ``localCheckpoint`` truncates lineage so the plan doesn't grow with
+    iterations, and convergence is ASSERTED (checksum fixpoint), never
+    silently truncated. The DuckDB oracle computes full reachability
+    with a recursive CTE and takes per-node minima — same fixpoint,
+    proving the contraction exact.
     """
     pairs = dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     return connected_components(pairs)
 
 
-def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
-    """Min-label propagation over an undirected edge list.
+def _canonical_edges(edges: DataFrame) -> DataFrame:
+    """Undirected canonical form: distinct (least, greatest) pairs,
+    self-loops dropped."""
+    u, v = edges.columns
+    return (
+        edges.select(
+            F.least(F.col(u), F.col(v)).alias("u"),
+            F.greatest(F.col(u), F.col(v)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _symmetric(canon: DataFrame) -> DataFrame:
+    return canon.union(canon.select(F.col("v"), F.col("u"))).toDF("src", "dst")
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """large-star(u): connect every neighbor v > u to min(Γ(u) ∪ {u})."""
+    mins = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("md"))
+        .select("src", F.least(F.col("md"), F.col("src")).alias("m"))
+    )
+    return (
+        sym.filter(F.col("dst") > F.col("src"))
+        .join(mins, "src")
+        .select(F.col("dst").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(sym: DataFrame) -> DataFrame:
+    """small-star(u): connect u and its neighbors v < u to their min."""
+    le = sym.filter(F.col("dst") < F.col("src"))
+    mins = le.groupBy("src").agg(F.min("dst").alias("m"))
+    rewired = (
+        le.join(mins, "src")
+        .filter(F.col("dst") != F.col("m"))
+        .select(F.col("dst").alias("u"), F.col("m").alias("v"))
+    )
+    centers = mins.select(F.col("src").alias("u"), F.col("m").alias("v"))
+    return rewired.union(centers)
+
+
+def connected_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    contraction — O(log n) rounds independent of graph diameter.
 
     ``pairs`` has two integer id columns (one row per undirected edge);
     returns (doc_id, cluster_id) for every node that appears in an edge,
-    cluster_id = the component's minimum id. See :func:`dedup_clusters`
-    for the scale rationale.
+    cluster_id = the component's minimum id. Neither star operation ever
+    drops a node from the edge set, so the label pass at the end covers
+    exactly the input's nodes. Fixpoint is detected by an edge-set
+    checksum (count + xxhash sum — one tiny aggregate per round instead
+    of a full except/anti-join) and ASSERTED: if ``max_rounds`` rounds
+    don't converge (astronomically beyond O(log n) for any real input),
+    this raises rather than returning partial labels. See
+    :func:`dedup_clusters` for the scale rationale.
     """
-    a, b = pairs.columns
-    edges = pairs.union(pairs.select(F.col(b), F.col(a))).toDF("src", "dst")
-    edges = edges.localCheckpoint()  # computed once, reused every round
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint()
-    )
-    for _ in range(max_rounds):  # >> cluster diameter; loop exits at fixpoint
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("cluster_id").alias("nb_min"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nb_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+    edges = _canonical_edges(pairs).localCheckpoint()
+
+    def checksum(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count("*").alias("n"),
+            # decimal staging: ANSI sum of raw int64 hashes would overflow
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = checksum(edges)
+    converged = False
+    for _ in range(max_rounds):
+        edges = _canonical_edges(_large_star(_symmetric(edges))).localCheckpoint()
+        edges = _canonical_edges(_small_star(_symmetric(edges))).localCheckpoint()
+        cur = checksum(edges)
+        if cur == prev:  # star rounds are deterministic functions of the
+            converged = True  # edge set — an unchanged set is a fixpoint
             break
-    return labels
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    sym = _symmetric(edges)
+    return (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("nb"))
+        .select(
+            F.col("src").alias("doc_id"),
+            F.least(F.col("src"), F.col("nb")).alias("cluster_id"),
+        )
+    )

@@ -236,6 +236,38 @@ def test_connected_components_matches_union_find(spark):
         assert got == want, f"seed {seed}"
 
 
+def test_connected_components_path_graph_diameter(spark):
+    """A 100-node path graph (diameter 99 ≫ any propagation budget) must
+    fully converge — the case plain min-label propagation needs 99 rounds
+    for and the old max_rounds=20 loop silently truncated. Star
+    contraction must label every node with the path's minimum, and a
+    reversed-id path must too (contraction direction can't depend on
+    edge orientation)."""
+    from cooler_mapreduce_spark.operators.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(99)]
+    pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(100)}
+
+    rev = spark.createDataFrame([(b, a) for a, b in edges], "doc_a bigint, doc_b bigint")
+    got = {r.doc_id: r.cluster_id for r in connected_components(rev).collect()}
+    assert got == {i: 0 for i in range(100)}
+
+
+def test_connected_components_asserts_convergence(spark):
+    """max_rounds exhaustion raises instead of returning partial labels."""
+    import pytest as _pytest
+
+    from cooler_mapreduce_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(31)], "doc_a bigint, doc_b bigint"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_rounds=1)
+
+
 def test_split_leakage_positive_path_sf01():
     """At sf0.1 the duplicate-text groups straddle the 80/20 hash split
     (3 contents land in both splits), so the leakage audit's positive
