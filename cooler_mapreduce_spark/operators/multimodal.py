@@ -34,15 +34,46 @@ _FEATURE_SCHEMA = (
 )
 
 
+def _pil_image():
+    """Best-effort import of the real image codec, evaluated where the
+    call runs (executor-side inside mapInPandas workers). Returns the
+    PIL ``Image`` module or None — callers fall back to the declared
+    NotImplementedError contract, never to silently-different output."""
+    try:
+        from PIL import Image
+
+        return Image
+    except Exception:
+        return None
+
+
 def decode_media(blob: bytes, kind: str, fake: bool = False) -> dict:
     """Decode one media blob to features.
 
-    Real codecs are unavailable in this environment; ``fake=True``
-    selects the deterministic byte-level decoder used by the pipeline
-    below. Calling with ``fake=False`` states the intended production
-    contract (PIL/ffmpeg-backed) without pretending it exists here.
+    ``fake=True`` selects the deterministic byte-level decoder used by
+    the registered pipeline queries (oracle-stable regardless of
+    installed codecs). ``fake=False`` is the production contract: for
+    images it uses PIL when importable — features computed over the
+    DECODED RGB pixel buffer, media_kind from the container format —
+    and raises ``NotImplementedError`` otherwise (this container ships
+    no media libraries; the conditional pytest in tests/test_llm_ops.py
+    exercises the real branch wherever PIL exists).
     """
     if not fake:
+        if kind.startswith("image/"):
+            Image = _pil_image()
+            if Image is not None:
+                import io
+
+                with Image.open(io.BytesIO(blob)) as im:
+                    fmt = (im.format or "raw").lower()
+                    px = im.convert("RGB").tobytes()
+                return {
+                    "n_bytes": len(px),
+                    "first_byte": px[0] if px else -1,
+                    "byte_checksum": sum(px) % 1_000_000_007,
+                    "media_kind": f"image/{fmt}",
+                }
         raise NotImplementedError(
             "media codecs (image/audio/video) are not available in this "
             "environment; production deployments plug a decoder in here"
@@ -100,11 +131,23 @@ _TRANSFORM_SCHEMA = "doc_id bigint, media binary, n_bytes bigint"
 
 
 def resize_media(blob: bytes, target: tuple[int, int], fake: bool = False) -> bytes:
-    """Resize one image blob (production: PIL/libvips). The deterministic
-    fake truncates/pads to a size derived from ``target`` — wrong as
-    pixels, right as plumbing: binary in, binary out, bounded size."""
+    """Resize one image blob. The deterministic fake truncates/pads to a
+    size derived from ``target`` — wrong as pixels, right as plumbing:
+    binary in, binary out, bounded size. The real branch (``fake=False``)
+    decodes with PIL when importable, resizes, and re-encodes in the
+    source container format; without PIL it raises, preserving the
+    declared contract instead of degrading silently."""
     if not fake:
-        raise NotImplementedError("image codecs unavailable in this environment")
+        Image = _pil_image()
+        if Image is None:
+            raise NotImplementedError("image codecs unavailable in this environment")
+        import io
+
+        with Image.open(io.BytesIO(blob)) as im:
+            fmt = im.format or "PNG"
+            out = io.BytesIO()
+            im.resize(target).save(out, format=fmt)
+            return out.getvalue()
     w, h = target
     want = min(len(blob), max(16, (w * h) // 64))
     return blob[:want].ljust(want, b"\0")

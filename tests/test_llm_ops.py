@@ -68,10 +68,15 @@ def test_simhash_pairs_have_similar_text(spark, sf_dir):
 
 
 def test_decode_media_stub_contract():
-    """Real decode is explicitly not implemented; the deterministic fake
-    produces byte-exact features."""
+    """Without an installed codec the real branch raises; the
+    deterministic fake produces byte-exact features either way."""
+    from cooler_mapreduce_spark.operators.multimodal import _pil_image
+
+    if _pil_image() is None:
+        with pytest.raises(NotImplementedError):
+            decode_media(b"\xff\xd8\xff", "image/jpeg")
     with pytest.raises(NotImplementedError):
-        decode_media(b"\xff\xd8\xff", "image/jpeg")
+        decode_media(b"RIFF....", "video/avi")  # no video codec anywhere
     feats = decode_media(b"abc", "text/utf-8", fake=True)
     assert feats == {
         "n_bytes": 3,
@@ -79,6 +84,32 @@ def test_decode_media_stub_contract():
         "byte_checksum": 97 + 98 + 99,
         "media_kind": "text/utf-8",
     }
+
+
+def test_decode_media_real_codec_when_available():
+    """Exercises the PIL branch wherever PIL exists (skipped in codec-less
+    containers): decode features come from the decoded RGB buffer, and
+    resize produces a real image of the target geometry."""
+    import io
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+    from cooler_mapreduce_spark.operators.multimodal import resize_media
+
+    im = PIL_Image.new("RGB", (8, 6), (10, 20, 30))
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    blob = buf.getvalue()
+
+    feats = decode_media(blob, "image/png")
+    assert feats["n_bytes"] == 8 * 6 * 3
+    assert feats["first_byte"] == 10
+    assert feats["media_kind"] == "image/png"
+    assert feats["byte_checksum"] == (10 + 20 + 30) * 8 * 6
+
+    out = resize_media(blob, (4, 3))
+    with PIL_Image.open(io.BytesIO(out)) as r:
+        assert r.size == (4, 3)
+        assert (r.format or "").upper() == "PNG"
 
 
 def test_multimodal_checksum_column(spark, sf_dir):
