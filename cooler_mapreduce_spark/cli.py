@@ -115,9 +115,12 @@ def _status(args: argparse.Namespace) -> int:
         if not _print_active_stages(st):
             print("no active stages")
         # reference `status --tasks/--resources` (client/monitoring.py:15-85)
-        # append the corresponding views to the status report
+        # append the corresponding views to the status report. Same
+        # active-only default as the standalone `tasks` subcommand — the
+        # one flag name must show the one view from either entry point
+        # (`tasks --all` remains the full-history form).
         if getattr(args, "tasks", False):
-            _tasks(argparse.Namespace(all=True))
+            _tasks(argparse.Namespace(all=False))
         if getattr(args, "resources", False):
             _resources(args)
         return 0

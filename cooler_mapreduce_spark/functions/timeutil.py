@@ -9,6 +9,19 @@ switches annotation — exactly what a multi-tenant 100 TB lake does.
 ``timestamp_diff`` accepts both types, and every gap/duration here is a
 *difference*, which is annotation-invariant. Use these helpers instead
 of ``unix_micros`` in operators.
+
+LTZ contract: the epoch literals below are TIMESTAMP_NTZ, so when the
+input column is TIMESTAMP (LTZ) the mixed-type coercion measures
+against the session-timezone clock, and ``wall_trunc``'s NTZ cast
+renders the instant in the session zone — i.e. for LTZ inputs "wall
+clock" means *the session-timezone rendering of the instant*, which is
+the only wall clock an instant has. The engine pins the session
+timezone to UTC (``session.apply_session_defaults``), making both
+flavors agree bit-for-bit — asserted by
+tests/test_invariance.py::test_result_invariant_under_timestamp_flavor,
+which runs the event-time queries on UTC-adjusted and naive copies of
+the same instants. Deployments that unpin the session timezone get
+session-zone wall clocks for LTZ columns, by design.
 """
 
 from __future__ import annotations

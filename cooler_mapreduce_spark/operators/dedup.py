@@ -298,7 +298,9 @@ _HAMMING_MAX = _SIMHASH_CHUNKS - 1  # pigeonhole: ≤3 differing bits ⇒ a chun
     """,
     tags=("dedup", "simhash", "lsh", "llm-pipeline"),
 )
-def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_simhash_pairs(
+    spark: SparkSession, sf_dir: str, max_bucket: int | None = None
+) -> DataFrame:
     """Near-duplicate pairs with SimHash hamming distance ≤ 3.
 
     Candidate generation is the pigeonhole chunk join: split 48 bits into
@@ -306,6 +308,15 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk, so candidates come from 4 equi-joins on (chunk_id, chunk
     value) — never a cross join. The DuckDB oracle *is* the quadratic
     formulation, proving the optimized plan exact.
+
+    ``max_bucket`` mirrors :func:`band_bucket_pairs` / ``max_posting``
+    in :func:`dedup_ngram_jaccard`: the REGISTERED query runs uncapped
+    (``None``) so it computes exactly what its oracle computes — a
+    future corpus with a boilerplate-hot chunk value surfaces as an
+    oversized bucket in the capped scale path, never as a silent hash
+    mismatch. Scale deployments pass ``LSH_BUCKET_CAP``; the slice is
+    the deterministic array_sort prefix, dropping only candidate pairs
+    (hamming verification stays exact for every survivor).
     """
     d = table(spark, sf_dir, "documents")
     hv = d.select("doc_id", F.expr(_SPARK_TOKEN_HASHES).alias("hv"))
@@ -330,13 +341,14 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunks.groupBy("chunk_id", "chunk_val")
         .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("ds"))
         .filter(F.size("ds") > 1)
+    )
+    if max_bucket is not None:
         # same skew bound as the minhash bands: a boilerplate-hot chunk
         # value can't go quadratic. array_sort on the structs orders by
-        # doc_id (first field), so the kept prefix is deterministic; only
-        # candidate pairs are dropped — hamming verification stays exact
-        # for every pair that survives.
-        .withColumn("ds", F.slice(F.array_sort("ds"), 1, LSH_BUCKET_CAP))
-    )
+        # doc_id (first field), so the kept prefix is deterministic.
+        buckets = buckets.withColumn(
+            "ds", F.slice(F.array_sort("ds"), 1, max_bucket)
+        )
     pairs = buckets.select(
         F.explode(
             F.expr(

@@ -20,10 +20,41 @@ from __future__ import annotations
 
 import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cooler_mapreduce_spark.registry import query
+
+#: Conf key for the roundtrip queries' scratch location. On any
+#: multi-node deployment this MUST point at a shared filesystem URI
+#: (HDFS/S3A/NFS mount) — executors commit part files under it and the
+#: driver reads them back; a driver-local tempdir is only correct in
+#: local mode, where executors and driver share one disk.
+SCRATCH_DIR_CONF = "spark.cooler_mapreduce.scratchDir"
+
+
+def scratch_dir(spark: SparkSession, prefix: str) -> str:
+    """Job-scoped scratch path for sink roundtrips: a fresh child of
+    :data:`SCRATCH_DIR_CONF` when set, else a driver-local tempdir
+    (local-mode fallback — see the conf docstring)."""
+    base = spark.conf.get(SCRATCH_DIR_CONF, None)
+    if base:
+        return f"{base.rstrip('/')}/{prefix}{uuid.uuid4().hex}"
+    return tempfile.mkdtemp(prefix=prefix)
+
+
+def remove_scratch(spark: SparkSession, path: str) -> None:
+    """Delete a scratch path on whatever filesystem it lives on — Hadoop
+    FileSystem handles URI schemes (hdfs://, s3a://, file:/); plain local
+    paths fall back to shutil."""
+    try:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(p, True)
+    except Exception:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def write_tsv(df: DataFrame, path: str, num_partitions: int | None = None) -> None:
@@ -104,14 +135,14 @@ def sink_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_returnflag").alias("ret_flag"))
         .agg(F.count("*").alias("cnt"))
     )
-    out_dir = tempfile.mkdtemp(prefix="sink_tsv_roundtrip_")
+    out_dir = scratch_dir(spark, "sink_tsv_roundtrip_")
     try:
         write_tsv(agg, out_dir, num_partitions=3)
         back = read_tsv(spark, out_dir, schema="ret_flag STRING, cnt BIGINT")
         # Materialize before the part files are deleted.
         return spark.createDataFrame(back.collect(), schema=back.schema)
     finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+        remove_scratch(spark, out_dir)
 
 
 def write_orc(
@@ -153,13 +184,13 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(30,2)")).cast("double").alias("total"),
         )
     )
-    out_dir = tempfile.mkdtemp(prefix="sink_orc_roundtrip_")
+    out_dir = scratch_dir(spark, "sink_orc_roundtrip_")
     try:
         write_orc(agg, out_dir)
         back = spark.read.orc(out_dir)
         return spark.createDataFrame(back.collect(), schema=back.schema)
     finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+        remove_scratch(spark, out_dir)
 
 
 def write_json_lines(df: DataFrame, path: str) -> None:

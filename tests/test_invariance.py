@@ -61,6 +61,80 @@ _TZ_CASES = [
 ]
 
 
+#: Event-time queries that must survive the lake flipping its parquet
+#: timestamp annotation (isAdjustedToUTC true/false → Spark TIMESTAMP vs
+#: TIMESTAMP_NTZ). The driver's generator has already flipped encodings
+#: between rounds (int96 → nanos → NTZ), so this is a live hazard, not a
+#: hypothetical: gap/duration arithmetic, hour buckets, windows, as-of
+#: joins all read events.ts.
+_FLAVOR_CASES = [
+    "sessionize_events",
+    "gapfill_hourly_events",
+    "rolling_7d_distinct_users",
+    "stream_tumbling_counts",
+    "join_asof_last_click",
+    "session_conversion_rate",
+]
+
+
+@pytest.fixture(scope="module")
+def flavor_dirs(sf_dir, tmp_path_factory):
+    """Two copies of the sf dir differing ONLY in events.ts annotation:
+    naive micros (TIMESTAMP_NTZ) vs UTC-adjusted micros (TIMESTAMP)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cooler_mapreduce_spark.sources.catalog import TABLES
+
+    base = tmp_path_factory.mktemp("tsflavor")
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    i = tbl.schema.get_field_index("ts")
+    ts_ntz = tbl.column("ts").cast(pa.timestamp("us"))
+    dirs = {}
+    for flavor, typ in (
+        ("ntz", pa.timestamp("us")),
+        ("ltz", pa.timestamp("us", tz="UTC")),
+    ):
+        d = base / flavor
+        d.mkdir()
+        for t in TABLES:
+            if t != "events":
+                os.symlink(f"{sf_dir}/{t}.parquet", d / f"{t}.parquet")
+        pq.write_table(tbl.set_column(i, "ts", ts_ntz.cast(typ)), d / "events.parquet")
+        dirs[flavor] = str(d)
+    return dirs
+
+
+def _norm(v):
+    """tz-aware datetimes → naive UTC so LTZ/NTZ result rows compare."""
+    import datetime as dt
+
+    if isinstance(v, dt.datetime) and v.tzinfo is not None:
+        return v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    if isinstance(v, (tuple, list)):
+        return tuple(_norm(x) for x in v)
+    if hasattr(v, "asDict"):  # nested Row (window structs)
+        return tuple((k, _norm(x)) for k, x in v.asDict().items())
+    return v
+
+
+@pytest.mark.parametrize("name", _FLAVOR_CASES)
+def test_result_invariant_under_timestamp_flavor(spark, flavor_dirs, name):
+    """Identical event instants, both parquet annotations, bit-identical
+    results — proves the timeutil helpers (and every filter literal on
+    event time) never route values through the session timezone."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        ntz = [_norm(t) for t in _rows(SPECS[name].fn(spark, flavor_dirs["ntz"]))]
+        ltz = [_norm(t) for t in _rows(SPECS[name].fn(spark, flavor_dirs["ltz"]))]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert ntz == ltz
+
+
 @pytest.mark.parametrize("name", _TZ_CASES)
 def test_result_invariant_under_session_timezone(spark, sf_dir, name):
     """The driver runs queries in ITS session, whose timezone we don't

@@ -18,6 +18,8 @@ SPECS = load_all()
 #: side: query set / pair threshold), documented in their docstrings.
 _NL_ALLOWED = {
     "ann_topk_bruteforce",     # |queries| rows broadcast against corpus
+    "ann_recall_lsh",          # runs the bruteforce tier internally (above)
+    "ann_recall_ivf",          # runs the bruteforce tier internally (above)
     "embedding_cosine_dups",   # exact all-pairs tier (oracle ground truth)
     "join_range_price_bands",  # theta join against a literal band table
     "join_asof_last_click",    # bounded theta as-of candidates
@@ -84,16 +86,27 @@ class TestLshBucketCap:
         assert len(exact) == 40 * 39 // 2 + 3
 
     def test_simhash_bucket_cap_in_plan(self, spark, oracle_sf_dir):
-        """dedup_simhash_pairs carries the same deterministic slice cap in
-        its bucket stage (plan-level check: slice+array_sort applied to
-        the collected bucket)."""
+        """The scale path (max_bucket=LSH_BUCKET_CAP) carries the
+        deterministic slice cap in its bucket stage; the REGISTERED query
+        runs uncapped so it computes exactly what its quadratic oracle
+        computes — a boilerplate-hot future corpus surfaces as an
+        oversized bucket in the capped path, never as a silent driver
+        hash mismatch."""
+        from cooler_mapreduce_spark.operators.dedup import (
+            LSH_BUCKET_CAP,
+            dedup_simhash_pairs,
+        )
         from cooler_mapreduce_spark.registry import load_all
 
-        df = load_all()["dedup_simhash_pairs"].fn(spark, oracle_sf_dir)
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        capped = dedup_simhash_pairs(spark, oracle_sf_dir, max_bucket=LSH_BUCKET_CAP)
+        plan = capped._jdf.queryExecution().optimizedPlan().toString()
         assert "slice(array_sort" in plan or (
             "slice" in plan and "array_sort" in plan
         ), plan
+
+        registered = load_all()["dedup_simhash_pairs"].fn(spark, oracle_sf_dir)
+        rplan = registered._jdf.queryExecution().optimizedPlan().toString()
+        assert "slice(array_sort" not in rplan
 
     def test_ngram_jaccard_posting_cap_is_one_sided(self, spark, sf_dir):
         """Stop-shingle removal (max_posting) may only LOSE pairs, never

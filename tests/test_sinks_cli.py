@@ -220,14 +220,17 @@ def test_cli_tasks_reports_stage_history(spark, capsys):
 
 def test_cli_status_with_tasks_and_resources_flags(spark, capsys):
     """status --tasks --resources appends both monitoring views to the
-    status report (reference client's status flags)."""
+    status report (reference client's status flags). --tasks shows the
+    ACTIVE-only view — the same default as the standalone `tasks`
+    subcommand (one flag name, one view, either entry point), so with no
+    running job it reports idle rather than dumping stage history."""
     from cooler_mapreduce_spark.cli import main
 
     spark.sparkContext.parallelize(range(6), 2).count()
     rc = main(["status", "--tasks", "--resources"])
     assert rc == 0
     out = capsys.readouterr().out
-    assert "stage " in out and "executor(s)" in out
+    assert "no active stages" in out and "executor(s)" in out
 
 
 def test_cli_cancel_running_job_group(spark, capsys):
