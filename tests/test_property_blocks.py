@@ -101,7 +101,10 @@ _ts = st.datetimes(
 def test_us_between_equals_python_timedelta(spark, a, b):
     df = spark.createDataFrame([(a, b)], "a timestamp_ntz, b timestamp_ntz")
     got = df.select(us_between("a", "b").alias("us")).collect()[0].us
-    want = round((b - a).total_seconds() * 1_000_000)
+    # exact integer micros — total_seconds() is a float and loses ulps on
+    # century-scale spans (observed: off by 1 µs at ~137 years)
+    d = b - a
+    want = (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
     assert got == want
 
 
