@@ -483,9 +483,9 @@ def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- duplicate clusters ----
 
 
-@query(
-    "dedup_clusters",
-    oracle=f"""
+#: Recursive-CTE duplicate clusters over the simhash pair set — shared
+#: by the dedup_clusters and corpus_dedup_apply oracles.
+_CLUSTERS_CTE = f"""
     WITH RECURSIVE s AS (
         SELECT doc_id, {_simhash_duckdb(_DUCK_TOKEN_HASHES)} AS simhash FROM documents
     ),
@@ -503,8 +503,16 @@ def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT src AS doc_id, src AS node FROM (SELECT DISTINCT src FROM edges)
         UNION
         SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON r.node = e.src
-    )
-    SELECT doc_id, MIN(node) AS cluster_id FROM reach GROUP BY doc_id
+    ),
+    clusters AS (
+        SELECT doc_id, MIN(node) AS cluster_id FROM reach GROUP BY doc_id
+    )"""
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""{_CLUSTERS_CTE}
+    SELECT doc_id, cluster_id FROM clusters
     """,
     tags=("dedup", "clustering", "iterative", "llm-pipeline"),
 )
@@ -626,4 +634,36 @@ def connected_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
             F.col("src").alias("doc_id"),
             F.least(F.col("src"), F.col("nb")).alias("cluster_id"),
         )
+    )
+
+
+@query(
+    "corpus_dedup_apply",
+    oracle=f"""{_CLUSTERS_CTE}
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+    """,
+    tags=("dedup", "clustering", "llm-pipeline"),
+)
+def corpus_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup a corpus consumer actually runs: materialize
+    the DEDUPLICATED corpus — every singleton document plus exactly one
+    keeper (the minimum doc_id) per near-duplicate cluster.
+
+    Composes the pairwise tier (:func:`dedup_simhash_pairs`) with the
+    transitive closure (:func:`connected_components`) and applies the
+    verdict back to the corpus with one broadcast-sized left join: the
+    label table is O(docs-in-clusters) — the duplicate minority, tiny
+    next to the corpus — so the corpus scan never shuffles; non-keepers
+    are filtered out in the scan stage. This is the shape that holds at
+    100 TB: the heavy table moves once, the verdict moves to it.
+    """
+    pairs = dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    clusters = connected_components(pairs).withColumnRenamed("doc_id", "c_doc_id")
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.join(F.broadcast(clusters), d.doc_id == clusters.c_doc_id, "left")
+        .filter(F.col("c_doc_id").isNull() | (F.col("cluster_id") == F.col("doc_id")))
+        .select("doc_id", "lang", "source", "n_chars")
     )

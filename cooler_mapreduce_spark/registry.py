@@ -93,9 +93,11 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: sink_orc_roundtrip), and the two new round-4 ANN recall audits
 #: (ann_recall_lsh, ann_recall_ivf), which give the approximate-ANN
 #: family its first hash-checked driver rows. After this window the only
-#: never-driver-checked queries are the 5 rows-only-by-design tiers:
-#: ann_topk_ivf, ann_topk_lsh, approx_distinct_users,
-#: approx_quantiles_price, embedding_cosine_dups_lsh.
+#: never-driver-checked queries are the 5 rows-only-by-design tiers
+#: (ann_topk_ivf, ann_topk_lsh, approx_distinct_users,
+#: approx_quantiles_price, embedding_cosine_dups_lsh) plus
+#: corpus_dedup_apply, added after the window filled — first in line for
+#: the round-5 rotation.
 PRIORITY_QUERIES: tuple[str, ...] = (
     # --- anchors: one green representative per §2.4 category (r2+r3) ---
     "word_count",                     # parity / scan / flatMap
