@@ -402,7 +402,9 @@ def _recall_df(bf: DataFrame, approx: DataFrame) -> DataFrame:
     )
     return (
         bf.select("query_id", "neighbor_id")
-        .join(ap, (F.col("query_id") == F.col("aq")) & (F.col("neighbor_id") == F.col("an")), "left")
+        # both sides are O(queries × k) rows; broadcast the probe side so
+        # the audit join never plans a sort-merge over two tiny frames
+        .join(F.broadcast(ap), (F.col("query_id") == F.col("aq")) & (F.col("neighbor_id") == F.col("an")), "left")
         .groupBy("query_id")
         .agg(
             F.count("an").alias("hits"),

@@ -205,6 +205,47 @@ CASES = {
             ("window present", lambda p: "Window" in p),
         ],
     ),
+    "ann_recall_lsh": (
+        "in-engine recall audit: both ANN tiers re-run as registered (bounded NL for the exact tier, bucket equi-join for LSH), tiny top-k sides joined broadcast — never sort-merge, never cartesian",
+        [
+            ("no cartesian", lambda p: "Cartesian" not in p),
+            ("no sort-merge join", lambda p: "SortMergeJoin" not in p),
+            ("broadcast joins only", lambda p: "BroadcastHashJoin" in p),
+        ],
+    ),
+    "ann_recall_ivf": (
+        "IVF recall audit: centroid scores are literal expressions (model constants), cell-probe join broadcast, exact tier's bounded NL join — no wide join anywhere",
+        [
+            ("no cartesian", lambda p: "Cartesian" not in p),
+            ("no sort-merge join", lambda p: "SortMergeJoin" not in p),
+            ("broadcast joins only", lambda p: "BroadcastHashJoin" in p),
+        ],
+    ),
+    "corpus_dedup_apply": (
+        "dedup applied: cluster labels (the duplicate minority) broadcast onto the corpus scan, non-keepers filtered in the scan stage — the corpus itself never shuffles",
+        [
+            ("broadcast left join", lambda p: "BroadcastHashJoin" in p and "LeftOuter" in p),
+            ("no sort-merge join", lambda p: "SortMergeJoin" not in p),
+            ("only the label-side agg exchanges", lambda p: p.count("Exchange hashpartitioning") <= 1),
+        ],
+    ),
+    "multimodal_resize_stats": (
+        "binary->binary resize stage: one Arrow-batched python stage fused into the scan, zero shuffle, zero join",
+        [
+            ("Arrow-batched python stage", lambda p: "MapInPandas" in p),
+            ("no join anywhere", lambda p: "Join" not in p),
+            ("no shuffle", lambda p: p.count("Exchange hashpartitioning") == 0),
+        ],
+    ),
+    "multimodal_frame_sample_stats": (
+        "1->many frame sampling: Arrow-batched explode in python, per-asset rollup is the only exchange (partial-aggregated)",
+        [
+            ("Arrow-batched python stage", lambda p: "MapInPandas" in p),
+            ("no join anywhere", lambda p: "Join" not in p),
+            ("single agg shuffle", lambda p: p.count("Exchange hashpartitioning") == 1),
+            ("partial agg before shuffle", lambda p: "partial_count" in p or "partial_sum" in p),
+        ],
+    ),
 }
 
 
