@@ -47,6 +47,26 @@ def test_tsv_roundtrip(spark, sf_dir, tmp_path):
     assert len(back.columns) == len(df.columns)
 
 
+def test_sink_scratch_dir_conf(spark, sf_dir, tmp_path):
+    """Multi-node contract: with spark.cooler_mapreduce.scratchDir set,
+    the roundtrip queries stage under that (shared-FS) base — and clean
+    their job dir up afterwards — instead of a driver-local tempdir."""
+    import os
+
+    from cooler_mapreduce_spark.sources.sinks import SCRATCH_DIR_CONF
+
+    base = str(tmp_path / "shared_scratch")
+    os.makedirs(base)
+    spark.conf.set(SCRATCH_DIR_CONF, base)
+    try:
+        rows = SPECS["sink_tsv_roundtrip"].fn(spark, sf_dir).collect()
+        assert len(rows) == 3
+        # job dir created under the configured base and removed after
+        assert os.listdir(base) == []
+    finally:
+        spark.conf.unset(SCRATCH_DIR_CONF)
+
+
 def test_parquet_sink_partition_pruning(spark, sf_dir, tmp_path):
     """partition_by must produce a layout whose scan prunes directories."""
     ev = SPECS["stream_tumbling_counts"].fn(spark, sf_dir)
