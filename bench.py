@@ -87,6 +87,17 @@ def main() -> None:
     spark.createDataFrame([(1,)], "x int").mapInPandas(
         lambda it: it, schema="x int"
     ).count()
+    # ... and the interpreted higher-order-function evaluator: HOFs have
+    # no whole-stage codegen and their shared evaluator classes
+    # (ArrayAggregate/ArrayTransform) only get C2-compiled after real
+    # use — drive them hot with a cheap lambda fold so the HOF-heavy
+    # queries (minhash tier) start nearer steady state (see SCALING.md).
+    hof = spark.range(0, 20000, 1, cpus).selectExpr(
+        "aggregate(transform(sequence(0, 63), i -> id * i % 2147483647),"
+        " CAST(0 AS BIGINT), (a, x) -> a + x) AS s"
+    )
+    for _ in range(6):
+        hof.groupBy().sum("s").count()
 
     # Run each query to STEADY STATE: at least 3 runs, up to 6, stopping
     # early once the two fastest runs agree within 12%. The min then
