@@ -221,6 +221,84 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Drop a training doc when at least this % of its distinct n-grams
+#: appear in the benchmark slice — at 50 the gate removes leaked
+#: near-copies while mere topical overlap passes.
+_DECON_MAX_PCT = 50
+
+
+@query(
+    "corpus_decontaminate_apply",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, lang, source, n_chars,
+               list_distinct(list_transform(
+                   {_ngrams_duckdb("string_split(text, ' ')", _DECON_N)},
+                   s -> {md5int_duckdb('s')})) AS hashes
+        FROM documents
+    ),
+    bench AS (
+        SELECT DISTINCT unnest(hashes) AS h FROM sh
+        WHERE doc_id % {_BENCH_MOD} = 0
+    ),
+    train AS (
+        SELECT doc_id, lang, source, n_chars, unnest(hashes) AS h FROM sh
+        WHERE doc_id % {_BENCH_MOD} <> 0
+    )
+    SELECT t.doc_id, t.lang, t.source, t.n_chars
+    FROM train t LEFT JOIN bench b ON t.h = b.h
+    GROUP BY t.doc_id, t.lang, t.source, t.n_chars
+    HAVING SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) * 100
+           < {_DECON_MAX_PCT} * COUNT(*)
+    """,
+    tags=("dedup", "decontamination", "llm-pipeline"),
+)
+def corpus_decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination verdict APPLIED: materialize the clean
+    training corpus — every train-split document whose benchmark n-gram
+    overlap stays under :data:`_DECON_MAX_PCT` % of its distinct
+    shingles (the leaked near-copies :func:`decontaminate_ngram_overlap`
+    surfaces are exactly what this drops).
+
+    Scale shape: the document metadata rides THROUGH the shingle
+    explode and aggregation as extra group-key columns, so the whole
+    apply is one corpus scan + one partial-aggregable shuffle — no
+    join-back of an O(corpus) verdict table, and the benchmark shingle
+    set stays a broadcast exactly as in the audit query.
+    """
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.expr(
+            f"array_distinct(transform({_ngrams_spark('split(text, chr(32))', _DECON_N)},"
+            f" s -> {md5int_spark('s')}))"
+        ).alias("hashes"),
+    )
+    bench = (
+        sh.where(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(F.explode("hashes").alias("h"))
+        .distinct()
+        .withColumn("is_contaminated", F.lit(1))
+    )
+    train = sh.where(F.col("doc_id") % _BENCH_MOD != 0).select(
+        "doc_id", "lang", "source", "n_chars", F.explode("hashes").alias("h")
+    )
+    scored = (
+        train.join(F.broadcast(bench), "h", "left")
+        .groupBy("doc_id", "lang", "source", "n_chars")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.sum(F.coalesce(F.col("is_contaminated"), F.lit(0))).alias("n_cont"),
+        )
+    )
+    return scored.filter(
+        F.col("n_cont") * 100 < F.lit(_DECON_MAX_PCT) * F.col("n_sh")
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
 # --------------------------------------------------------------------------
 # boilerplate_ngrams — cross-document boilerplate exposure per source
 
