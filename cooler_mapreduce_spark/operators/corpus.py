@@ -455,3 +455,81 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.select("doc_id", "shard", F.row_number().over(w).alias("pos"))
         .orderBy("shard", "pos")
     )
+
+
+# --------------------------------------------------------------------------
+# doc_chunk_windows — context-length chunking (training sequences / RAG)
+
+#: Chunk geometry: 64-token windows advancing 48 tokens (16-token
+#: overlap) — the sliding-window shape context-length preprocessing
+#: uses; production pipelines swap in their model's context size.
+_CHUNK_W = 64
+_CHUNK_STRIDE = 48
+
+
+@query(
+    "doc_chunk_windows",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n, i.i AS chunk_no,
+               array_to_string(
+                   toks[i.i * {_CHUNK_STRIDE} + 1 : i.i * {_CHUNK_STRIDE} + {_CHUNK_W}],
+                   ' ') AS chunk
+        FROM t, LATERAL (
+            SELECT unnest(generate_series(0,
+                greatest(CAST(ceil((n - {_CHUNK_W}) / {_CHUNK_STRIDE}.0) AS BIGINT), 0)
+            )) AS i
+        ) i
+    )
+    SELECT doc_id, chunk_no,
+           least({_CHUNK_W}, n - chunk_no * {_CHUNK_STRIDE}) AS n_chunk_tokens,
+           md5(chunk) AS chunk_hash
+    FROM c
+    """,
+    tags=("corpus", "chunking", "llm-pipeline"),
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length chunking: split every document into 64-token
+    windows advancing by 48 (16-token overlap), emitting one row per
+    chunk with its token count and content hash — the 1→many
+    preprocessing that turns raw documents into model-sized training
+    sequences (or RAG passages), with the overlap preserving cross-
+    boundary context.
+
+    Pure Catalyst: the window index set is a ``sequence`` literal per
+    row and chunks are ``slice``+``concat_ws`` projections, so the whole
+    op is one scan with zero shuffle and zero Python — at 100 TB it
+    fuses into the read stage like any map. The emitted hash (not the
+    chunk text) keeps the result scalar-hashable; a production writer
+    selects the chunk string instead.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.expr("split(text, ' ')").alias("toks"),
+        F.expr("size(split(text, ' '))").alias("n"),
+    )
+    chunks = t.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, greatest(CAST(ceil((n - {_CHUNK_W}) / {_CHUNK_STRIDE}.0) AS BIGINT), 0)),"
+                f" i -> struct(i AS chunk_no,"
+                f" concat_ws(' ', slice(toks, CAST(i * {_CHUNK_STRIDE} + 1 AS INT), {_CHUNK_W})) AS chunk))"
+            )
+        ).alias("c"),
+    ).select("doc_id", "n", F.col("c.chunk_no"), F.col("c.chunk"))
+    return chunks.select(
+        "doc_id",
+        "chunk_no",
+        F.least(F.lit(_CHUNK_W), F.col("n") - F.col("chunk_no") * _CHUNK_STRIDE).alias(
+            "n_chunk_tokens"
+        ),
+        F.md5(F.col("chunk").cast("binary")).alias("chunk_hash"),
+    )
