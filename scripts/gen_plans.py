@@ -237,6 +237,23 @@ CASES = {
             ("no shuffle", lambda p: p.count("Exchange hashpartitioning") == 0),
         ],
     ),
+    "corpus_decontaminate_apply": (
+        "decontamination applied: metadata rides through the shingle explode as group keys — one corpus scan, one partial-agg shuffle, bench set broadcast, no verdict join-back",
+        [
+            ("bench probe is broadcast", lambda p: "BroadcastHashJoin" in p),
+            ("no sort-merge join", lambda p: "SortMergeJoin" not in p),
+            ("two agg shuffles (bench distinct + per-doc rollup)", lambda p: p.count("Exchange hashpartitioning") == 2),
+            ("partial agg before shuffle", lambda p: "partial_count" in p or "partial_sum" in p),
+        ],
+    ),
+    "doc_chunk_windows": (
+        "context-length chunking: sequence/slice projections fused into the scan — zero shuffle, zero join, zero Python",
+        [
+            ("no join anywhere", lambda p: "Join" not in p),
+            ("no shuffle", lambda p: p.count("Exchange hashpartitioning") == 0),
+            ("no python stage", lambda p: "MapInPandas" not in p and "BatchEvalPython" not in p),
+        ],
+    ),
     "multimodal_frame_sample_stats": (
         "1->many frame sampling: Arrow-batched explode in python, per-asset rollup is the only exchange (partial-aggregated)",
         [
