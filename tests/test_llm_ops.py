@@ -421,3 +421,41 @@ def test_importance_sample_invariant_and_weighted(spark, sf_dir):
     # short docs are down-sampled (kept rate < 1), unless there are none
     if short_ids:
         assert len(short_ids & base) < len(short_ids)
+
+
+def test_doc_chunk_windows_covers_every_token(spark, sf_dir):
+    """Chunk geometry invariants, per document: chunk 0 starts at token 1,
+    consecutive chunks advance by exactly the stride, the last chunk ends
+    at token n (so no token is unreachable), and every full chunk carries
+    exactly W tokens — the contract a sequence-packing consumer relies on."""
+    from cooler_mapreduce_spark.operators.corpus import (
+        _CHUNK_STRIDE,
+        _CHUNK_W,
+        doc_chunk_windows,
+    )
+    from cooler_mapreduce_spark.sources.catalog import table
+
+    rows = doc_chunk_windows(spark, sf_dir).collect()
+    n_tokens = {
+        r["doc_id"]: r["n"]
+        for r in table(spark, sf_dir, "documents")
+        .selectExpr("doc_id", "size(split(text, ' ')) AS n")
+        .collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(n_tokens)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_no)
+        n = n_tokens[doc_id]
+        assert [c.chunk_no for c in chunks] == list(range(len(chunks)))
+        for c in chunks[:-1]:
+            assert c.n_chunk_tokens == _CHUNK_W  # only the tail may be short
+        last = chunks[-1]
+        # last chunk reaches token n exactly
+        assert last.chunk_no * _CHUNK_STRIDE + last.n_chunk_tokens == n
+        # minimality: the penultimate window did NOT already contain the
+        # end (a further window would be a redundant suffix of the last)
+        if len(chunks) > 1:
+            assert (last.chunk_no - 1) * _CHUNK_STRIDE + _CHUNK_W < n
