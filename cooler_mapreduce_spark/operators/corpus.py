@@ -533,3 +533,58 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.md5(F.col("chunk").cast("binary")).alias("chunk_hash"),
     )
+
+
+@query(
+    "chunk_dedup_groups",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   toks[i.i * {_CHUNK_STRIDE} + 1 : i.i * {_CHUNK_STRIDE} + {_CHUNK_W}],
+                   ' ')) AS chunk_hash
+        FROM t, LATERAL (
+            SELECT unnest(generate_series(0,
+                greatest(CAST(ceil((n - {_CHUNK_W}) / {_CHUNK_STRIDE}.0) AS BIGINT), 0)
+            )) AS i
+        ) i
+    )
+    SELECT chunk_hash,
+           COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           MIN(doc_id) AS first_doc_id
+    FROM c
+    GROUP BY chunk_hash
+    HAVING COUNT(DISTINCT doc_id) > 1
+    """,
+    tags=("dedup", "chunking", "llm-pipeline"),
+)
+def chunk_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup: chunk every document with
+    :func:`doc_chunk_windows`'s geometry and group identical chunks that
+    appear in MORE THAN ONE document — the partial-copy detector
+    (quoted sections, syndicated paragraphs, stitched-together docs)
+    that whole-document hashing (``dedup_exact``) structurally misses.
+
+    Scale shape inherits from the chunker: one scan fused with the
+    window explode, then a single partial-aggregable shuffle on
+    (chunk_hash) — 16-byte keys, never chunk text. At 100 TB the hot
+    keys are boilerplate chunks; the rollup is an aggregation (counts),
+    not a pair expansion, so a popular chunk costs one reducer row, not
+    a quadratic bucket.
+    """
+    chunks = doc_chunk_windows(spark, sf_dir)
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

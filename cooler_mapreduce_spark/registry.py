@@ -95,9 +95,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: family its first hash-checked driver rows. After this window the only
 #: never-driver-checked queries are the 5 rows-only-by-design tiers
 #: (ann_topk_ivf, ann_topk_lsh, approx_distinct_users,
-#: approx_quantiles_price, embedding_cosine_dups_lsh) plus the two
-#: apply-tier queries added after the window filled (corpus_dedup_apply,
-#: corpus_decontaminate_apply) — first in line for the round-5 rotation.
+#: approx_quantiles_price, embedding_cosine_dups_lsh) plus the queries
+#: added after the window filled (corpus_dedup_apply,
+#: corpus_decontaminate_apply, doc_chunk_windows, chunk_dedup_groups) —
+#: first in line for the round-5 rotation.
 PRIORITY_QUERIES: tuple[str, ...] = (
     # --- anchors: one green representative per §2.4 category (r2+r3) ---
     "word_count",                     # parity / scan / flatMap
