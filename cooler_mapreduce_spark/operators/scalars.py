@@ -202,6 +202,49 @@ def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "variant_props_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("scalar", "json", "variant"),
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's VARIANT type:
+    ``parse_json`` shreds the props payload into the binary variant
+    encoding once per row, ``variant_get`` extracts a typed field, and
+    an ordinary aggregate rolls it up per event type.
+
+    Versus per-path ``get_json_object`` string re-parsing (the
+    :func:`json_functions` tier), variant parses each payload ONCE and
+    serves any number of typed path extractions from the encoded form —
+    the right engine-native shape for heterogeneous event payloads at
+    100 TB (and what columnar variant shredding optimizes further on
+    disk). The DuckDB oracle states the same result through its JSON
+    functions; integer field values make the rollup exact in both
+    engines.
+    """
+    ev = table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@query(
     "map_functions",
     oracle="""
     SELECT event_id,

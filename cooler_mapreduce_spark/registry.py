@@ -97,7 +97,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: (ann_topk_ivf, ann_topk_lsh, approx_distinct_users,
 #: approx_quantiles_price, embedding_cosine_dups_lsh) plus the queries
 #: added after the window filled (corpus_dedup_apply,
-#: corpus_decontaminate_apply, doc_chunk_windows, chunk_dedup_groups) —
+#: corpus_decontaminate_apply, doc_chunk_windows, chunk_dedup_groups,
+#: variant_props_stats) —
 #: first in line for the round-5 rotation.
 PRIORITY_QUERIES: tuple[str, ...] = (
     # --- anchors: one green representative per §2.4 category (r2+r3) ---
