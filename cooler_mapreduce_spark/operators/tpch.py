@@ -559,3 +559,99 @@ def top_supplier_by_revenue_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(F.broadcast(winners), s.s_suppkey == F.col("l_suppkey")).select(
         "s_suppkey", "s_name", F.col("r").cast("double").alias("total_revenue")
     )
+
+
+@query(
+    "local_supplier_volume_q5",
+    oracle=f"""
+    SELECT n_name AS nation,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    tags=("join", "aggregation", "tpch"),
+)
+def local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — local supplier volume: revenue by nation where
+    the customer and the supplier sit in the SAME nation (the join graph
+    is a cycle, not a star: lineitem→orders→customer and
+    lineitem→supplier close through c_nationkey = s_nationkey).
+
+    Plan: region filter prunes nation (broadcast), supplier/customer
+    join broadcast under the threshold (at 100 TB AQE decides; the
+    nation-key equality becomes part of the join condition either way),
+    and the only wide exchange is the final 5-group aggregate — the
+    fact table never shuffles before aggregation. Date predicate pushed
+    to the orders scan.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1998-01-01 00:00:00")
+    )
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        dsum(rev, 4).alias("revenue")
+    )
+
+
+@query(
+    "customer_order_distribution_q13",
+    oracle="""
+    WITH c_orders AS (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+    tags=("join", "aggregation", "tpch"),
+)
+def customer_order_distribution_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — customer order-count distribution: LEFT OUTER
+    join with a predicate on the JOIN side (not a post-filter — customers
+    whose every order is urgent must still appear with count 0), then two
+    chained aggregations (per-customer count → histogram of counts).
+
+    The outer join's null-extension semantics are the point: an inner
+    join would silently drop zero-order customers and skew the
+    distribution's head. Plan: the orders side is pre-filtered in its
+    scan, the per-customer count partial-aggregates before its shuffle,
+    and the second aggregate is O(distinct counts) — tiny.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    c_orders = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return c_orders.groupBy("c_count").agg(F.count("*").alias("custdist"))

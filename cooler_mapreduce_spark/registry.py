@@ -98,8 +98,9 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: approx_quantiles_price, embedding_cosine_dups_lsh) plus the queries
 #: added after the window filled (corpus_dedup_apply,
 #: corpus_decontaminate_apply, doc_chunk_windows, chunk_dedup_groups,
-#: variant_props_stats) —
-#: first in line for the round-5 rotation.
+#: variant_props_stats, local_supplier_volume_q5,
+#: customer_order_distribution_q13) — first in line for the round-5
+#: rotation.
 PRIORITY_QUERIES: tuple[str, ...] = (
     # --- anchors: one green representative per §2.4 category (r2+r3) ---
     "word_count",                     # parity / scan / flatMap
