@@ -655,3 +655,183 @@ def customer_order_distribution_q13(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return c_orders.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "volume_shipping_q7",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {sql_dsum('volume', 4)} AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+          AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+          AND c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("join", "aggregation", "tpch"),
+)
+def volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — volume shipping between two trading nations, per
+    direction per ship year. The join uses TWO aliases of the nation
+    dimension with a disjunctive cross-nation predicate — the pattern
+    that defeats naive star-join planners; here both nation sides are
+    broadcast and the OR predicate rides the joined row as a residual
+    filter. Year extraction groups the revenue into a (2 dirs × years)
+    rollup — the only wide exchange.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.select(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"), vol.alias("volume")
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum("volume", 4).alias("revenue"))
+    )
+
+
+@query(
+    "market_share_q8",
+    oracle=f"""
+    WITH all_sales AS (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS nation
+        FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+          AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+          AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+          AND p_type = 'PROMO'
+    )
+    SELECT o_year,
+           round({sql_dsum("CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END", 4)}
+                 / {sql_dsum('volume', 4)}, 9) AS mkt_share
+    FROM all_sales GROUP BY o_year
+    """,
+    tags=("join", "aggregation", "tpch"),
+)
+def market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — national market share: one nation's fraction of
+    the PROMO-part revenue sold into a region, per order year. An
+    8-relation join (two nation roles: the customer's region gate and
+    the supplier's nationality) feeding a conditional-fraction aggregate
+    — numerator and denominator both decimal-staged, divided once in
+    double, so the share is bit-deterministic at any partition count.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"), "nation")
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                dsum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(0.0), 4)
+                / dsum("volume", 4),
+                9,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "sales_opportunity_q22",
+    oracle=f"""
+    SELECT c_nationkey AS cntrycode,
+           COUNT(*) AS numcust,
+           {sql_dsum('c_acctbal')} AS totacctbal
+    FROM customer
+    WHERE c_nationkey >= 20
+      AND c_acctbal > (
+          SELECT {sql_dsum('c_acctbal')} / COUNT(*)
+          FROM customer WHERE c_acctbal > 0.0 AND c_nationkey >= 20
+      )
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+    tags=("join", "aggregation", "subquery", "tpch"),
+)
+def sales_opportunity_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted: this schema has no c_phone, so
+    c_nationkey plays the country code, and the no-orders predicate is
+    no-URGENT-orders since this generator gives every customer at least
+    one order) — untapped customers: from the high-numbered nations,
+    customers with above-average positive balance who never placed an
+    urgent order, rolled up per country.
+
+    Three classic sub-shapes compose: a scalar aggregate subquery (the
+    positive-balance average — computed once, broadcast as a single-row
+    literal), a NOT EXISTS decorrelated into a broadcast LEFT ANTI join
+    against order customer keys, and the final per-country rollup. The
+    balance average is decimal-staged so the filter threshold is
+    bit-identical in both engines.
+    """
+    c = table(spark, sf_dir, "customer").filter(F.col("c_nationkey") >= 20)
+    threshold = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (dsum("c_acctbal") / F.count("*")).alias("thr")
+    )
+    o_keys = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        c.crossJoin(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("thr"))
+        .join(F.broadcast(o_keys), c.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+    )
