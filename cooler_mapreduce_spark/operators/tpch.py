@@ -835,3 +835,67 @@ def sales_opportunity_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+@query(
+    "late_shipper_q21",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_shipdate > l1.l_shipdate
+      )
+    GROUP BY s_name
+    """,
+    tags=("join", "semi-join", "anti-join", "tpch"),
+)
+def late_shipper_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: this schema has no receipt/commit
+    dates, so "kept the order waiting" = shipped last) — suppliers whose
+    line was the LAST to ship in a finished multi-supplier order.
+
+    The signature Q21 structure survives intact: one EXISTS (another
+    supplier participated — left-semi join on the order key with a
+    supplier-inequality residual) and one NOT EXISTS (nobody shipped
+    after me — left-anti join with a date-inequality residual), both
+    decorrelated by Catalyst onto the same l_orderkey equi-key, so the
+    probe sides shuffle only (orderkey, suppkey/shipdate) pairs. Ties on
+    the max ship date mean no strictly-later line exists — both such
+    lines count, exactly as the NOT EXISTS states.
+    """
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = table(spark, sf_dir, "lineitem").alias("l1")
+    l2 = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k3"), F.col("l_shipdate").alias("d3")
+    )
+    waiting = (
+        l1.join(o, F.col("l1.l_orderkey") == o.o_orderkey)
+        .join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("k2"))
+            & (F.col("l1.l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("k3"))
+            & (F.col("d3") > F.col("l1.l_shipdate")),
+            "left_anti",
+        )
+        .join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+    )
+    return waiting.groupBy("s_name").agg(F.count("*").alias("numwait"))
