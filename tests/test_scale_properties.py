@@ -30,6 +30,7 @@ _NL_ALLOWED = {
     "revenue_share_by_nation", # single-row grand-total scalar broadcast to 25 rows
     "event_cooccurrence_lift", # single-row user-total scalar broadcast to 10 pair rows
     "pareto_revenue_share",    # single-row p99 threshold broadcast to every task
+    "sales_opportunity_q22",   # single-row avg-balance threshold broadcast (Q22 scalar subquery)
 }
 
 
