@@ -53,6 +53,7 @@ HEADLINE = [
     "importance_sample_by_length",  # weighted sampling (deterministic hash gate)
     "multimodal_resize_stats",      # Arrow-batched mapInPandas path
     "sink_orc_roundtrip",           # columnar sink + read-back (real file I/O)
+    "market_share_q8",              # heaviest join query: 8-relation broadcast chain
 ]
 # Excluded by design: ann_recall_lsh/ann_recall_ivf re-run two already-
 # benched ANN tiers plus a join — benching them would double-count the

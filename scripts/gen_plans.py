@@ -205,6 +205,22 @@ CASES = {
             ("window present", lambda p: "Window" in p),
         ],
     ),
+    "late_shipper_q21": (
+        "Q21: EXISTS and NOT EXISTS decorrelated to semi+anti joins on the shared order-key; inequality residuals, never a cartesian",
+        [
+            ("left semi join planned", lambda p: "LeftSemi" in p),
+            ("left anti join planned", lambda p: "LeftAnti" in p),
+            ("no cartesian/NL join", lambda p: "Cartesian" not in p and "BroadcastNestedLoop" not in p),
+        ],
+    ),
+    "market_share_q8": (
+        "Q8: 8-relation join with every dimension broadcast — the fact table reaches its single aggregate shuffle unpartitioned",
+        [
+            ("all joins broadcast", lambda p: "SortMergeJoin" not in p and "ShuffledHashJoin" not in p),
+            ("single agg shuffle", lambda p: p.count("Exchange hashpartitioning") <= 2),
+            ("no cartesian", lambda p: "Cartesian" not in p),
+        ],
+    ),
     "ann_recall_lsh": (
         "in-engine recall audit: both ANN tiers re-run as registered (bounded NL for the exact tier, bucket equi-join for LSH), tiny top-k sides joined broadcast — never sort-merge, never cartesian",
         [

@@ -23,6 +23,7 @@ CASES = [
     "skew_salted_event_stats",
     "window_top_orders_per_customer",
     "stat_corr_qty_price",
+    "market_share_q8",
 ]
 
 
