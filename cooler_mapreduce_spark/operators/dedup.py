@@ -90,9 +90,6 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 LSH_BUCKET_CAP = 500
 
 _SPARK_TOKS = "split(text, ' ')"
-_SPARK_SHINGLE_HASHES = (
-    f"transform({shingles_spark(_SPARK_TOKS)}, s -> {md5int_spark('s')})"
-)
 #: minhash input: hashes reduced mod P once at materialization —
 #: :func:`minhash_sig_spark` needs only ``h mod P`` and would otherwise
 #: recompute the mod in all 32 permutations.
