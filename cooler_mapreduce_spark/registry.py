@@ -60,6 +60,7 @@ _QUERY_MODULES = (
     "cooler_mapreduce_spark.operators.pipeline",
     "cooler_mapreduce_spark.streaming.windows",
     "cooler_mapreduce_spark.streaming.stateful",
+    "cooler_mapreduce_spark.streaming.transform_state",
     "cooler_mapreduce_spark.sources.sinks",
 )
 
@@ -100,8 +101,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: corpus_decontaminate_apply, doc_chunk_windows, chunk_dedup_groups,
 #: variant_props_stats, local_supplier_volume_q5,
 #: customer_order_distribution_q13, volume_shipping_q7, market_share_q8,
-#: sales_opportunity_q22, late_shipper_q21) — first in line for the
-#: round-5 rotation.
+#: sales_opportunity_q22, late_shipper_q21, stream_user_type_counts,
+#: pysink_tsv_roundtrip) — first in line for the round-5 rotation.
 PRIORITY_QUERIES: tuple[str, ...] = (
     # --- anchors: one green representative per §2.4 category (r2+r3) ---
     "word_count",                     # parity / scan / flatMap

@@ -1,27 +1,50 @@
-"""Custom connector via the Python DataSource API (Spark 4).
+"""Custom connector via the Python DataSource API (Spark 4) — both ends.
 
-The reference's "connector surface" is one hand-rolled text-file splitter:
-the coordinator plans byte-range splits aligned to newline boundaries
-(coordinator/server.py:209-243) and each worker scans its range
-(task_executor.py:103-183). This module is the Spark-native form of that
-machinery: a ``DataSource`` subclass plans ``InputPartition``s (the split
-step) and a ``DataSourceReader`` yields each partition's rows (the scan
-step) — except the planning composes with Catalyst (schema known up
-front, readers run wherever the scheduler places them) instead of a
-bespoke coordinator RPC.
+READ side — the reference's "connector surface" is one hand-rolled
+text-file splitter: the coordinator plans byte-range splits aligned to
+newline boundaries (coordinator/server.py:209-243) and each worker scans
+its range (task_executor.py:103-183). This module is the Spark-native
+form of that machinery: a ``DataSource`` subclass plans
+``InputPartition``s (the split step) and a ``DataSourceReader`` yields
+each partition's rows (the scan step) — except the planning composes
+with Catalyst (schema known up front, readers run wherever the scheduler
+places them) instead of a bespoke coordinator RPC.
 
 The concrete source here generates deterministic synthetic events (a
 seedable LCG per global row index), which makes it a load/soak data
 generator that never materializes input files — reading N partitions of
 M rows streams rows straight into the scan, at any scale, with zero I/O.
+
+WRITE side — the reference's sink writes its TSV part files *in place*
+with no commit protocol, so a mid-write worker crash leaves torn output
+(reference task_executor.py:244-250). :class:`TsvDirDataSource` is the
+same ``str(key)\\tstr(value)`` part-file contract re-expressed through
+``DataSourceWriter``'s two-phase commit: each task writes a hidden
+``.part-*.tmp`` and returns a :class:`TsvPartCommit`; only if every task
+succeeds does the driver's ``commit()`` rename them into visible
+``part-NNNNN.tsv`` + ``_SUCCESS``, and any task failure routes to
+``abort()`` which removes the temps. Readers therefore never observe a
+torn or partial sink — the exact gap the reference leaves open. The
+target directory must be on a shared filesystem for multi-node runs
+(same contract as sinks.SCRATCH_DIR_CONF).
 """
 
 from __future__ import annotations
 
+import os
+import uuid
 from collections.abc import Iterator
+from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import Row, StructType
 
 _EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
 
@@ -61,8 +84,89 @@ class SyntheticEventsDataSource(DataSource):
         return SyntheticEventsReader(self.options)
 
 
+@dataclass
+class TsvPartCommit(WriterCommitMessage):
+    """One task's commit message: where its temp part landed, how many
+    rows it holds. Serialized executor → driver by the runner."""
+
+    tmp_path: str
+    rows: int
+
+
+class TsvDirWriter(DataSourceWriter):
+    """Task-side TSV part writer + driver-side rename commit.
+
+    Constructed on the driver (directory creation / overwrite cleanup
+    happen once, at plan time), pickled to executors for ``write``;
+    ``commit``/``abort`` run back on the driver with every task's
+    message."""
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("tsv_dir writer requires a path (…save(path))")
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+        if overwrite:
+            for f in os.listdir(path):
+                if f.startswith(("part-", ".part-")) or f == "_SUCCESS":
+                    os.remove(os.path.join(path, f))
+
+    def write(self, iterator: Iterator[Row]) -> TsvPartCommit:
+        # hidden name: '.'-prefixed files are invisible to Spark's file
+        # readers, so a concurrent read of the directory never sees
+        # uncommitted data
+        tmp = os.path.join(self.path, f".part-{uuid.uuid4().hex}.tsv.tmp")
+        n = 0
+        try:
+            with open(tmp, "w", encoding="utf-8") as f:
+                for row in iterator:
+                    f.write("\t".join("None" if v is None else str(v) for v in row))
+                    f.write("\n")
+                    n += 1
+        except BaseException:
+            # task-local abort: a row-evaluation error mid-write must not
+            # leak this task's temp (there is no per-task abort hook in
+            # the Python DataSource API — cleanup belongs here)
+            if os.path.exists(tmp):
+                os.remove(tmp)
+            raise
+        return TsvPartCommit(tmp_path=tmp, rows=n)
+
+    def commit(self, messages) -> None:
+        for i, m in enumerate(m for m in messages if m is not None):
+            os.replace(m.tmp_path, os.path.join(self.path, f"part-{i:05d}.tsv"))
+        with open(os.path.join(self.path, "_SUCCESS"), "w", encoding="utf-8"):
+            pass
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+        # Tasks killed mid-write (speculative duplicates, job-abort
+        # cancellation) never returned a message and may not have reached
+        # their local cleanup — sweep the remaining hidden temps so an
+        # aborted job leaves the directory exactly as it found it. One
+        # writer job owns the directory at a time (the same exclusivity
+        # Spark's own file sinks assume), so the sweep cannot eat a
+        # concurrent job's temps.
+        for f in os.listdir(self.path):
+            if f.startswith(".part-") and f.endswith(".tmp"):
+                os.remove(os.path.join(self.path, f))
+
+
+class TsvDirDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "tsv_dir"
+
+    def writer(self, schema: StructType, overwrite: bool) -> TsvDirWriter:
+        return TsvDirWriter(self.options, overwrite)
+
+
 def register(spark: SparkSession) -> None:
-    """Idempotently register the source; afterwards
-    ``spark.read.format("synthetic_events")`` works anywhere in the
-    session."""
+    """Idempotently register both connectors; afterwards
+    ``spark.read.format("synthetic_events")`` and
+    ``df.write.format("tsv_dir")`` work anywhere in the session."""
     spark.dataSource.register(SyntheticEventsDataSource)
+    spark.dataSource.register(TsvDirDataSource)

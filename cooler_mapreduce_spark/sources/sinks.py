@@ -197,3 +197,48 @@ def write_json_lines(df: DataFrame, path: str) -> None:
     """Newline-delimited JSON — the interchange sink (one object per
     row; schema travels in-band, unlike TSV)."""
     df.write.mode("overwrite").json(path)
+
+
+@query(
+    "pysink_tsv_roundtrip",
+    oracle="""
+        SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("sink", "connector", "python-datasource", "roundtrip"),
+)
+def pysink_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercise the CUSTOM PYTHON DATASOURCE *writer* end-to-end
+    (sources/pysource.py TsvDirDataSource) — the reference's TSV sink
+    contract (task_executor.py:244-250) re-expressed through Spark 4's
+    ``DataSourceWriter`` two-phase commit: tasks write hidden temp parts,
+    the driver's commit() renames them into ``part-NNNNN.tsv`` +
+    ``_SUCCESS``, abort() removes them — the crash-atomicity the
+    reference's in-place sink lacks.
+
+    Aggregates orders per priority, writes through the connector, reads
+    the committed part files back with :func:`read_tsv`, and returns the
+    parsed DataFrame; the oracle is the pre-sink aggregate, so a hash
+    match proves connector write → commit → read is lossless. Payload is
+    O(groups) (5 priorities) regardless of corpus size. The Python
+    connector addresses the filesystem with plain paths, so on multi-node
+    deployments :data:`SCRATCH_DIR_CONF` must be a *mounted* shared path
+    (NFS/FUSE), not a URI scheme — URI-filesystem sinks go through
+    :func:`write_tsv` instead.
+    """
+    from .pysource import register
+
+    register(spark)
+    agg = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    out_dir = scratch_dir(spark, "pysink_tsv_roundtrip_")
+    try:
+        agg.write.format("tsv_dir").mode("overwrite").save(out_dir)
+        back = read_tsv(spark, out_dir, schema="priority STRING, cnt BIGINT")
+        return spark.createDataFrame(back.collect(), schema=back.schema)
+    finally:
+        remove_scratch(spark, out_dir)

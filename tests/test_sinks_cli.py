@@ -376,6 +376,62 @@ def test_python_datasource_synthetic_events(spark):
     assert one.user_id == 0 and one.event_type == "view" and one.value == 0.0
 
 
+def test_python_datasource_writer_commit_layout(spark, tmp_path):
+    """tsv_dir connector: a successful job leaves only committed
+    part-NNNNN.tsv files + _SUCCESS — no hidden temps — and the data
+    round-trips; a second overwrite write replaces the first cleanly."""
+    import os
+
+    from cooler_mapreduce_spark.sources.pysource import register
+
+    register(spark)
+    out = str(tmp_path / "tsv_sink")
+    df = spark.range(0, 100, 1, 4).selectExpr("id", "id * 2 AS dbl")
+    df.write.format("tsv_dir").mode("overwrite").save(out)
+    names = sorted(os.listdir(out))
+    parts = [n for n in names if n.startswith("part-")]
+    assert "_SUCCESS" in names
+    assert parts == [f"part-{i:05d}.tsv" for i in range(len(parts))]
+    assert not [n for n in names if n.endswith(".tmp")]
+    back = spark.read.option("sep", "\t").schema("id bigint, dbl bigint").csv(out)
+    assert sorted(tuple(r) for r in back.collect()) == [(i, 2 * i) for i in range(100)]
+    # overwrite: fewer partitions second time must not leave stale parts
+    spark.range(0, 10, 1, 1).selectExpr("id", "id AS dbl").write.format(
+        "tsv_dir"
+    ).mode("overwrite").save(out)
+    parts2 = [n for n in os.listdir(out) if n.startswith("part-")]
+    assert parts2 == ["part-00000.tsv"]
+
+
+def test_python_datasource_writer_abort_removes_temps(spark, tmp_path):
+    """tsv_dir connector two-phase commit: when a task fails, abort()
+    must remove the hidden temp parts so no partial output is ever
+    visible — the crash-atomicity the reference's in-place sink lacks
+    (reference task_executor.py:244-250)."""
+    import os
+
+    import pytest as _pytest
+
+    from cooler_mapreduce_spark.sources.pysource import register
+
+    register(spark)
+    out = str(tmp_path / "tsv_sink_abort")
+    from pyspark.sql import functions as F
+
+    @F.udf("bigint")
+    def boom(x):
+        if x == 37:
+            raise ValueError("synthetic task failure")
+        return x
+
+    df = spark.range(0, 100, 1, 4).select(boom("id").alias("id"))
+    with _pytest.raises(Exception, match="synthetic task failure"):
+        df.write.format("tsv_dir").mode("overwrite").save(out)
+    leftover = [n for n in os.listdir(out) if n.startswith((".part-", "part-"))]
+    assert leftover == []
+    assert not os.path.exists(os.path.join(out, "_SUCCESS"))
+
+
 def test_parquet_schema_evolution(spark, sf_dir, tmp_path):
     """Schema evolution on the parquet sink: a column added by a later
     writer is visible under mergeSchema, null-filled for old files —

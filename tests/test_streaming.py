@@ -68,6 +68,59 @@ def test_stateful_user_totals_equals_batch(spark, sf_dir):
     assert g == w
 
 
+def test_transform_with_state_equals_batch(spark, sf_dir):
+    """transformWithStateInPandas (MapState per user: event_type → count)
+    must reproduce the batch groupBy on bounded input. Update mode: the
+    last emitted row per (user, event_type) is the final count.
+
+    Auto-skips where pyspark's optional protobuf dependency (the
+    transformWithState state-server protocol) is absent — see
+    transform_state.py's module docstring."""
+    from cooler_mapreduce_spark.streaming.transform_state import (
+        have_protobuf,
+        run_user_type_counts_stream,
+    )
+
+    if not have_protobuf():
+        pytest.skip("optional protobuf dependency absent (state protocol)")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    q = run_user_type_counts_stream(spark, sf_dir, query_name="t_type_counts")
+    try:
+        _drain(q)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    got = spark.sql(
+        """
+        SELECT user_id, event_type, n_events FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id, event_type ORDER BY n_events DESC) rn
+            FROM t_type_counts
+        ) WHERE rn = 1
+        """
+    )
+    want = SPECS["stream_user_type_counts"].fn(spark, sf_dir)
+    assert _rows(got) == _rows(want)
+
+
+def test_transform_with_state_guard_is_explicit(spark, sf_dir):
+    """Where protobuf is absent the stream constructor must fail with the
+    actionable ImportError, not the opaque 'driver worker crashed' the
+    raw API produces (observed: the pre-init state server dies on
+    `from google.protobuf import descriptor` inside the worker)."""
+    from cooler_mapreduce_spark.streaming.transform_state import (
+        have_protobuf,
+        run_user_type_counts_stream,
+    )
+
+    if have_protobuf():
+        pytest.skip("protobuf present; covered by the equals-batch test")
+    with pytest.raises(ImportError, match="protobuf"):
+        run_user_type_counts_stream(spark, sf_dir, query_name="t_guard")
+
+
 def test_session_window_batch_twin_matches_manual_sessionization(spark, sf_dir):
     """session_window must agree with the lag/cumsum formulation on
     session boundaries (n_events per user)."""
