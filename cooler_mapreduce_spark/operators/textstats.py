@@ -528,3 +528,161 @@ def mixing_rates_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sample_rate"),
         F.when(target > F.col("available_tokens"), 1).otherwise(0).alias("undersupplied"),
     )
+
+
+@query(
+    "doc_unigram_nll",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ),
+    pt AS (SELECT term, SUM(tf) AS stf FROM tf GROUP BY term),
+    tot AS (SELECT SUM(stf) AS t FROM pt),
+    lp AS (
+        SELECT term, round(ln(CAST(stf AS DOUBLE) / t), 9) AS lp
+        FROM pt CROSS JOIN tot
+    )
+    SELECT tf.doc_id,
+           CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+           round(-CAST(SUM(CAST(tf.tf AS DECIMAL(18,0)) *
+                            CAST(lp.lp AS DECIMAL(20,9))) AS DOUBLE)
+                 / SUM(tf.tf), 6) AS nll
+    FROM tf JOIN lp ON tf.term = lp.term
+    GROUP BY tf.doc_id
+    ORDER BY nll DESC, doc_id
+    LIMIT 100
+    """,
+    tags=("textstats", "language-model", "quality", "llm-pipeline"),
+)
+def doc_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: the 100 most "surprising" docs by
+    average negative log-likelihood under the corpus's own unigram
+    distribution — the LM-based quality signal corpus-curation pipelines
+    (CCNet-style) gate on, with the corpus itself as the model.
+
+    Shape: ONE tokenize scan → (doc,term) partial-agg shuffle (tf). The
+    model side chains off tf (term-level re-agg → vocab stf, plus a
+    single-row corpus total T), so Catalyst reuses tf's exchange for
+    both the scoring side and the model side — no second scan. The
+    vocab table (term, lp) broadcasts back onto tf: vocabulary is
+    orders of magnitude smaller than the corpus (and min-count pruning
+    bounds it at any scale), so the score join never shuffles the
+    corpus side. Per-doc reduction is a partial-aggregable groupBy,
+    final top-100 is TakeOrdered.
+
+    Determinism: stf and T are exact ints; ln(stf/T) is one double op
+    rounded once to 9 places (same ULPs both engines — proven by
+    tfidf_top_terms); tf·lp products aggregate in exact decimal, and
+    the final divide-by-exact-count + round(6) is order-independent.
+    """
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    pt = tf.groupBy("term").agg(F.sum("tf").alias("stf"))
+    tot = pt.agg(F.sum("stf").alias("t"))
+    lp = pt.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(F.log(F.col("stf").cast("double") / F.col("t")), 9).alias("lp"),
+    )
+    scored = tf.join(F.broadcast(lp), "term")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.round(
+                -F.sum(
+                    F.col("tf").cast("decimal(18,0)")
+                    * F.col("lp").cast("decimal(20,9)")
+                ).cast("double")
+                / F.sum("tf"),
+                6,
+            ).alias("nll"),
+        )
+        .orderBy(F.desc("nll"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
+@query(
+    "vocab_coverage_topk",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents
+    ),
+    pt AS (
+        SELECT term, COUNT(*) AS stf FROM toks WHERE term <> '' GROUP BY term
+    ),
+    ranked AS (
+        SELECT stf, ROW_NUMBER() OVER (ORDER BY stf DESC, term) AS rnk,
+               SUM(stf) OVER () AS total
+        FROM pt
+    )
+    SELECT k, CAST(COALESCE(SUM(stf), 0) AS BIGINT) AS covered_tokens,
+           round(COALESCE(SUM(stf), 0) / CAST(MIN(total_all) AS DOUBLE), 6)
+               AS coverage
+    FROM (SELECT unnest([100, 1000, 10000]) AS k)
+    LEFT JOIN (SELECT rnk, stf, total AS total_all FROM ranked) r
+        ON r.rnk <= k
+    GROUP BY k
+    ORDER BY k
+    """,
+    tags=("textstats", "vocabulary", "llm-pipeline"),
+)
+def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what share of all corpus tokens a
+    top-k frequency vocabulary covers, for k ∈ {100, 1k, 10k} — the
+    tokenizer-budget planning number (how big must the vocab be before
+    OOV rate is acceptable).
+
+    Shape: one tokenize scan → term partial-agg shuffle → the REST runs
+    on the vocabulary, not the corpus: rank terms by frequency (a sort
+    of |vocab| rows — bounded and orders smaller than the corpus; never
+    a corpus-wide window), bucket each term by the smallest k that
+    includes it, then a 3-group rollup turns per-bucket subtotals into
+    cumulative coverage. Counts are exact ints; the one double division
+    is rounded once — deterministic across engines.
+    """
+    d = table(spark, sf_dir, "documents")
+    pt = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("stf"))
+    )
+    from pyspark.sql import Window
+
+    ranked = pt.select(
+        "stf",
+        F.row_number()
+        .over(Window.orderBy(F.desc("stf"), F.asc("term")))
+        .alias("rnk"),
+    )
+    total = pt.agg(F.sum("stf").alias("total"))
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(100), F.lit(1000), F.lit(10000))).alias("k")
+    )
+    covered = (
+        ks.join(ranked, ranked.rnk <= ks.k, "left")
+        .groupBy("k")
+        .agg(F.coalesce(F.sum("stf"), F.lit(0)).cast("bigint").alias("covered_tokens"))
+    )
+    return (
+        covered.crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            "covered_tokens",
+            F.round(F.col("covered_tokens") / F.col("total").cast("double"), 6).alias(
+                "coverage"
+            ),
+        )
+        .orderBy("k")
+    )

@@ -31,6 +31,8 @@ _NL_ALLOWED = {
     "event_cooccurrence_lift", # single-row user-total scalar broadcast to 10 pair rows
     "pareto_revenue_share",    # single-row p99 threshold broadcast to every task
     "sales_opportunity_q22",   # single-row avg-balance threshold broadcast (Q22 scalar subquery)
+    "vocab_coverage_topk",     # 3 literal k-thresholds broadcast against vocab ranks
+    "doc_unigram_nll",         # single-row corpus-total scalar broadcast to vocab rows
 }
 
 
