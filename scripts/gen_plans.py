@@ -279,7 +279,33 @@ CASES = {
             ("partial agg before shuffle", lambda p: "partial_count" in p or "partial_sum" in p),
         ],
     ),
+    "doc_unigram_nll": (
+        "unigram-LM scoring: one tokenize scan, model side reuses the tf exchange, vocab broadcast back onto tf — corpus never re-shuffles for the score join (plan shown AQE-off: AQE's initial plan prints the diamond un-deduplicated but reuses the same shuffle stages at runtime)",
+        [
+            ("single corpus scan", lambda p: p.count("Scan parquet") == 1),
+            ("tf exchange reused by the model side", lambda p: "ReusedExchange" in p),
+            ("vocab joins broadcast (never sort-merge)", lambda p: "BroadcastHashJoin" in p and "SortMergeJoin" not in p),
+            ("final top-100 is TakeOrdered", lambda p: "TakeOrderedAndProject" in p),
+        ],
+    ),
+    "vocab_coverage_topk": (
+        "vocab coverage: one tokenize scan; the rank window and k-bucket join run on vocab-sized data (term agg output), never the corpus (plan shown AQE-off, as above)",
+        [
+            ("single corpus scan", lambda p: p.count("Scan parquet") == 1),
+            ("term exchange reused across branches", lambda p: "ReusedExchange" in p),
+            ("rank window present (vocab-sized input)", lambda p: "Window" in p),
+            ("k side broadcast (3 literal rows)", lambda p: "BroadcastNestedLoopJoin" in p),
+        ],
+    ),
 }
+
+#: cases whose scan/reuse claims are only *printable* with AQE disabled:
+#: AdaptiveSparkPlan's initial plan duplicates diamond subtrees textually
+#: and defers deduplication to runtime stage reuse, so the static string
+#: can't show the ReusedExchange nodes. Disabling AQE for the plan print
+#: applies the classic ReuseExchange rule and makes the sharing visible;
+#: execution behavior with AQE on is the same stages, reused.
+AQE_OFF_CASES = {"doc_unigram_nll", "vocab_coverage_topk"}
 
 
 def _scan_line(plan: str) -> str:
@@ -299,8 +325,15 @@ def main() -> None:
         "generation, so every claim below held when this file was written.\n",
     ]
     for name, (claim, checks) in CASES.items():
-        df = specs[name].fn(spark, SF_DIR)
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        aqe_off = name in AQE_OFF_CASES
+        if aqe_off:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            df = specs[name].fn(spark, SF_DIR)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        finally:
+            if aqe_off:
+                spark.conf.set("spark.sql.adaptive.enabled", "true")
         for label, pred in checks:
             assert pred(plan), f"{name}: check failed: {label}"
         out.append(f"\n## {name}\n")
