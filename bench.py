@@ -54,11 +54,15 @@ HEADLINE = [
     "multimodal_resize_stats",      # Arrow-batched mapInPandas path
     "sink_orc_roundtrip",           # columnar sink + read-back (real file I/O)
     "market_share_q8",              # heaviest join query: 8-relation broadcast chain
+    "doc_unigram_nll",              # unigram-LM scoring: tokenize diamond + vocab broadcast-back
 ]
 # Excluded by design: ann_recall_lsh/ann_recall_ivf re-run two already-
 # benched ANN tiers plus a join — benching them would double-count the
-# tiers' cost; sink_tsv_roundtrip duplicates the sink path already
-# covered by the (heavier, columnar) ORC roundtrip.
+# tiers' cost; sink_tsv_roundtrip and pysink_tsv_roundtrip duplicate the
+# sink path already covered by the (heavier, columnar) ORC roundtrip;
+# vocab_coverage_topk shares doc_unigram_nll's tokenize+term-agg spine
+# (the only corpus-sized work either does); stream_user_type_counts'
+# batch twin is the same shuffle shape as stream_user_totals.
 
 
 def main() -> None:

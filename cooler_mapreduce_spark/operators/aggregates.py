@@ -130,6 +130,49 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hll_sketch_rollup_users",
+    oracle=None,  # HLL sketch binaries are engine-specific by design; tests
+    # bound every estimate within 5% of the exact distinct count and assert
+    # the merge identity (union-of-daily == sketch-of-all).
+    tags=("aggregation", "approx", "sketch", "mergeable"),
+)
+def hll_sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches: per-day HLL sketches of active
+    users, re-aggregated into the corpus-wide distinct estimate by
+    merging the sketches — never re-touching the raw events.
+
+    This is the tier ``approx_count_distinct`` cannot express: that
+    returns a number, consuming its sketch; ``hll_sketch_agg`` returns
+    the sketch itself as a value, so a 100 TB deployment materializes
+    tiny per-partition/per-day sketch tiles ONCE and answers any
+    distinct-users-over-[t0,t1] question by unioning tiles —
+    O(days x sketch_size) per query instead of a corpus re-scan.
+    HLL union is commutative/associative/idempotent, so the rollup is
+    order-independent and overlap-safe (the same user on two days
+    counts once).
+
+    Output: one row per day (day, estimate from that day's sketch) plus
+    the day=NULL total row whose estimate comes from hll_union_agg over
+    the daily sketches — a rollup computed entirely in sketch space.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count("*").alias("n_events"),
+    )
+    per_day = daily.select(
+        "day",
+        F.hll_sketch_estimate("sk").alias("est_users"),
+        "n_events",
+    )
+    total = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        F.sum("n_events").alias("n_events"),
+    ).select(F.lit(None).cast("date").alias("day"), "est_users", "n_events")
+    return per_day.unionByName(total).orderBy(F.asc_nulls_last("day"))
+
+
+@query(
     "pivot_event_counts",
     oracle="""
     SELECT user_id,

@@ -28,6 +28,40 @@ def test_approx_distinct_within_error(spark, oracle_sf_dir):
         assert abs(approx[et] - n) <= max(1, 0.05 * n), (et, approx[et], n)
 
 
+def test_hll_sketch_rollup_accuracy_and_merge_identity(spark, oracle_sf_dir):
+    """The mergeable-sketch rollup must (a) estimate every day within 5%
+    of the exact distinct count, (b) estimate the total within 5% of the
+    exact corpus-wide distinct count, and (c) satisfy the HLL merge
+    identity EXACTLY: union of per-day sketches == one sketch over all
+    rows (register-wise, an item's contribution is independent of which
+    sketch absorbed it, and union takes register maxima)."""
+    ev = table(spark, oracle_sf_dir, "events")
+    rows = SPECS["hll_sketch_rollup_users"].fn(spark, oracle_sf_dir).collect()
+    per_day = {r["day"]: r["est_users"] for r in rows if r["day"] is not None}
+    total_est = [r["est_users"] for r in rows if r["day"] is None]
+    assert len(total_est) == 1
+    exact_day = {
+        r["day"]: r["n"]
+        for r in ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(per_day) == set(exact_day)
+    for d, n in exact_day.items():
+        assert abs(per_day[d] - n) <= max(1, 0.05 * n), (d, per_day[d], n)
+    exact_total = ev.select(F.countDistinct("user_id")).collect()[0][0]
+    assert abs(total_est[0] - exact_total) <= max(1, 0.05 * exact_total)
+    # (c) merge identity: same registers either way
+    one_shot = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e")
+    ).collect()[0]["e"]
+    assert total_est[0] == one_shot
+    # total row covers overlap correctly: never the sum of daily counts
+    # (users active on several days), never less than the biggest day
+    assert total_est[0] <= sum(per_day.values())
+    assert total_est[0] >= max(per_day.values())
+
+
 def test_asof_join_clicks_precede_purchases(spark, sf_dir):
     """Every matched click timestamp is <= its purchase timestamp."""
     df = SPECS["join_asof_last_click"].fn(spark, sf_dir)
