@@ -199,6 +199,51 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unpivot_lineitem_amounts",
+    oracle=f"""
+    WITH long AS (
+        SELECT l_returnflag, 'discount' AS metric,
+               CAST(l_discount AS DOUBLE) AS amount FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'extendedprice', CAST(l_extendedprice AS DOUBLE)
+        FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'quantity', CAST(l_quantity AS DOUBLE)
+        FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'tax', CAST(l_tax AS DOUBLE) FROM lineitem
+    )
+    SELECT l_returnflag, metric, COUNT(*) AS n,
+           {sql_dsum('amount', 4)} AS total
+    FROM long GROUP BY l_returnflag, metric
+    """,
+    tags=("aggregation", "reshape", "unpivot"),
+)
+def unpivot_lineitem_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — the inverse reshape of :func:`pivot_event_counts`:
+    four lineitem amount columns become (metric, amount) long-form rows,
+    then a per-(flag, metric) rollup. ``DataFrame.unpivot`` is a pure
+    projection (Expand node — each input row fans out to 4 output rows
+    in place, no shuffle, no join), so the only wide operation is the
+    final partial-aggregable groupBy. The oracle spells the same reshape
+    as UNION ALL, proving Expand ≡ the relational formulation. Long-form
+    amounts are decimal-staged so the totals hash-match bit-for-bit.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    long = li.select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    ).unpivot(
+        ids=["l_returnflag"],
+        values=["l_discount", "l_extendedprice", "l_quantity", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="amount",
+    ).withColumn("metric", F.expr("substring(metric, 3)"))
+    return long.groupBy("l_returnflag", "metric").agg(
+        F.count("*").alias("n"), dsum("amount", 4).alias("total")
+    )
+
+
+@query(
     "value_histogram",
     oracle="""
     SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS bucket,
