@@ -59,20 +59,31 @@ def wall_trunc(ts: Column | str, unit: str) -> Column:
         return F.trunc(c, "month").cast("timestamp_ntz")
     if unit == "hour":
         # microsecond-level arithmetic: second-level deltas would leave
-        # the fractional seconds of ts in place
+        # the fractional seconds of ts in place. Both diff operands are
+        # NTZ (the input is cast explicitly), so the arithmetic never
+        # mixes timestamp flavors: a mixed NTZ-literal/LTZ-column diff
+        # would silently measure against the UTC instant clock instead
+        # of the wall clock. For LTZ inputs the NTZ cast reads the wall
+        # clock in the SESSION timezone — the engine pins it to UTC
+        # (session.apply_session_defaults), which is the documented
+        # contract for LTZ event-time columns.
         epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
-        us = F.timestamp_diff("MICROSECOND", epoch, c)
+        wall = c.cast("timestamp_ntz")
+        us = F.timestamp_diff("MICROSECOND", epoch, wall)
         hour_us = 3_600_000_000
         delta = (F.floor(us / hour_us) * hour_us - us).cast("long")
-        return F.timestamp_add("MICROSECOND", delta, c.cast("timestamp_ntz"))
+        return F.timestamp_add("MICROSECOND", delta, wall)
     raise ValueError(f"unsupported unit {unit!r}; use hour/day/month")
 
 
 def sec_since_epoch(ts: Column | str) -> Column:
     """Whole seconds since 1970-01-01 00:00:00 in the column's own clock
-    (wall-clock for NTZ). Replaces ``cast(ts as long)``, which Spark
-    forbids on TIMESTAMP_NTZ. Truncates like the long cast (diff is
-    non-negative for post-epoch data, so truncation == floor)."""
+    (wall-clock for NTZ; for LTZ inputs, the wall clock in the session
+    timezone, which the engine pins to UTC — the diff is computed
+    NTZ-vs-NTZ so flavors never mix, see :func:`wall_trunc`). Replaces
+    ``cast(ts as long)``, which Spark forbids on TIMESTAMP_NTZ.
+    Truncates like the long cast (diff is non-negative for post-epoch
+    data, so truncation == floor)."""
     c = ts if isinstance(ts, ColumnType) else F.col(ts)
     epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
-    return F.timestamp_diff("SECOND", epoch, c)
+    return F.timestamp_diff("SECOND", epoch, c.cast("timestamp_ntz"))

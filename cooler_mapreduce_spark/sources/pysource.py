@@ -19,19 +19,23 @@ WRITE side — the reference's sink writes its TSV part files *in place*
 with no commit protocol, so a mid-write worker crash leaves torn output
 (reference task_executor.py:244-250). :class:`TsvDirDataSource` is the
 same ``str(key)\\tstr(value)`` part-file contract re-expressed through
-``DataSourceWriter``'s two-phase commit: each task writes a hidden
-``.part-*.tmp`` and returns a :class:`TsvPartCommit`; only if every task
-succeeds does the driver's ``commit()`` rename them into visible
-``part-NNNNN.tsv`` + ``_SUCCESS``, and any task failure routes to
-``abort()`` which removes the temps. Readers therefore never observe a
-torn or partial sink — the exact gap the reference leaves open. The
-target directory must be on a shared filesystem for multi-node runs
-(same contract as sinks.SCRATCH_DIR_CONF).
+``DataSourceWriter``'s two-phase commit, Hadoop-committer style: each
+task writes into a ``_temporary/`` staging dir (invisible to
+Spark/Hadoop readers) and returns a :class:`TsvPartCommit`; only if
+every task succeeds does the driver's ``commit()`` rename the staged
+files into visible ``part-NNNNN.tsv`` + ``_SUCCESS``; any task failure
+routes to ``abort()``, which drops the staging dir wholesale — covering
+tasks killed mid-write that never got to return a message. Readers
+therefore never observe a torn or partial sink — the exact gap the
+reference leaves open. The target directory must be on a shared
+filesystem for multi-node runs (same contract as
+sinks.SCRATCH_DIR_CONF).
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 import uuid
 from collections.abc import Iterator
 from dataclasses import dataclass
@@ -101,22 +105,28 @@ class TsvDirWriter(DataSourceWriter):
     ``commit``/``abort`` run back on the driver with every task's
     message."""
 
+    #: Staging subdirectory for uncommitted task temps — underscore-
+    #: prefixed, so Spark/Hadoop readers never list its contents (the
+    #: same convention as Hadoop's FileOutputCommitter). Staging INSIDE
+    #: the target keeps the final promotion a same-filesystem rename.
+    STAGING = "_temporary"
+
     def __init__(self, options: dict, overwrite: bool) -> None:
         path = options.get("path")
         if not path:
             raise ValueError("tsv_dir writer requires a path (…save(path))")
         self.path = path
-        os.makedirs(path, exist_ok=True)
+        self.staging = os.path.join(path, self.STAGING)
+        os.makedirs(self.staging, exist_ok=True)
         if overwrite:
             for f in os.listdir(path):
-                if f.startswith(("part-", ".part-")) or f == "_SUCCESS":
+                if f.startswith("part-") or f == "_SUCCESS":
                     os.remove(os.path.join(path, f))
+            for f in os.listdir(self.staging):
+                os.remove(os.path.join(self.staging, f))
 
     def write(self, iterator: Iterator[Row]) -> TsvPartCommit:
-        # hidden name: '.'-prefixed files are invisible to Spark's file
-        # readers, so a concurrent read of the directory never sees
-        # uncommitted data
-        tmp = os.path.join(self.path, f".part-{uuid.uuid4().hex}.tsv.tmp")
+        tmp = os.path.join(self.staging, f"attempt-{uuid.uuid4().hex}.tsv")
         n = 0
         try:
             with open(tmp, "w", encoding="utf-8") as f:
@@ -125,9 +135,10 @@ class TsvDirWriter(DataSourceWriter):
                     f.write("\n")
                     n += 1
         except BaseException:
-            # task-local abort: a row-evaluation error mid-write must not
-            # leak this task's temp (there is no per-task abort hook in
-            # the Python DataSource API — cleanup belongs here)
+            # task-local cleanup for plain row-evaluation errors (there
+            # is no per-task abort hook in the Python DataSource API);
+            # tasks KILLED mid-write can't run this, which is exactly why
+            # temps live under the staging dir the driver removes
             if os.path.exists(tmp):
                 os.remove(tmp)
             raise
@@ -138,21 +149,17 @@ class TsvDirWriter(DataSourceWriter):
             os.replace(m.tmp_path, os.path.join(self.path, f"part-{i:05d}.tsv"))
         with open(os.path.join(self.path, "_SUCCESS"), "w", encoding="utf-8"):
             pass
+        shutil.rmtree(self.staging, ignore_errors=True)
 
     def abort(self, messages) -> None:
-        for m in messages:
-            if m is not None and os.path.exists(m.tmp_path):
-                os.remove(m.tmp_path)
-        # Tasks killed mid-write (speculative duplicates, job-abort
-        # cancellation) never returned a message and may not have reached
-        # their local cleanup — sweep the remaining hidden temps so an
-        # aborted job leaves the directory exactly as it found it. One
-        # writer job owns the directory at a time (the same exclusivity
-        # Spark's own file sinks assume), so the sweep cannot eat a
-        # concurrent job's temps.
-        for f in os.listdir(self.path):
-            if f.startswith(".part-") and f.endswith(".tmp"):
-                os.remove(os.path.join(self.path, f))
+        # Drop the whole staging dir: this covers committed-then-failed
+        # messages AND tasks killed mid-write that never returned one.
+        # Stragglers still dying on the executors may momentarily
+        # recreate staging files after this sweep — harmless, because
+        # nothing ever promotes them and readers can't see _temporary;
+        # the VISIBLE directory (part-*.tsv, _SUCCESS) is exactly as the
+        # job found it, which is the atomicity contract.
+        shutil.rmtree(self.staging, ignore_errors=True)
 
 
 class TsvDirDataSource(DataSource):

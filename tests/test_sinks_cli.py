@@ -392,7 +392,8 @@ def test_python_datasource_writer_commit_layout(spark, tmp_path):
     parts = [n for n in names if n.startswith("part-")]
     assert "_SUCCESS" in names
     assert parts == [f"part-{i:05d}.tsv" for i in range(len(parts))]
-    assert not [n for n in names if n.endswith(".tmp")]
+    # staging dir promoted + removed on successful commit
+    assert "_temporary" not in names
     back = spark.read.option("sep", "\t").schema("id bigint, dbl bigint").csv(out)
     assert sorted(tuple(r) for r in back.collect()) == [(i, 2 * i) for i in range(100)]
     # overwrite: fewer partitions second time must not leave stale parts
@@ -404,10 +405,14 @@ def test_python_datasource_writer_commit_layout(spark, tmp_path):
 
 
 def test_python_datasource_writer_abort_removes_temps(spark, tmp_path):
-    """tsv_dir connector two-phase commit: when a task fails, abort()
-    must remove the hidden temp parts so no partial output is ever
-    visible — the crash-atomicity the reference's in-place sink lacks
-    (reference task_executor.py:244-250)."""
+    """tsv_dir connector two-phase commit: when a task fails, no partial
+    output is ever VISIBLE — zero part files, no _SUCCESS — the
+    crash-atomicity the reference's in-place sink lacks (reference
+    task_executor.py:244-250). Uncommitted attempts only ever live under
+    the reader-invisible _temporary/ staging dir (which racing
+    killed-mid-write stragglers may touch after the driver's abort
+    sweep, so the test doesn't assert its absence — Hadoop's
+    FileOutputCommitter has the same property)."""
     import os
 
     import pytest as _pytest
@@ -427,9 +432,14 @@ def test_python_datasource_writer_abort_removes_temps(spark, tmp_path):
     df = spark.range(0, 100, 1, 4).select(boom("id").alias("id"))
     with _pytest.raises(Exception, match="synthetic task failure"):
         df.write.format("tsv_dir").mode("overwrite").save(out)
-    leftover = [n for n in os.listdir(out) if n.startswith((".part-", "part-"))]
-    assert leftover == []
-    assert not os.path.exists(os.path.join(out, "_SUCCESS"))
+    visible = [n for n in os.listdir(out) if not n.startswith("_temporary")]
+    assert visible == []
+    # a later overwrite job on the same directory starts clean and wins
+    spark.range(0, 5, 1, 1).selectExpr("id").write.format("tsv_dir").mode(
+        "overwrite"
+    ).save(out)
+    back = spark.read.option("sep", "\t").schema("id bigint").csv(out)
+    assert sorted(r.id for r in back.collect()) == [0, 1, 2, 3, 4]
 
 
 def test_parquet_schema_evolution(spark, sf_dir, tmp_path):
