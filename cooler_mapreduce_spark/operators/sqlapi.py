@@ -39,3 +39,35 @@ def sql_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_SEGMENT_REVENUE_SQL)
+
+
+#: LATERAL correlated subquery, dialect-portable: for each nation, its
+#: top-2 customers by account balance (deterministic tie-break).
+_LATERAL_TOP_SQL = """
+    SELECT n.n_name AS nation, t.c_custkey, t.c_acctbal
+    FROM nation n,
+         LATERAL (
+             SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+             FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_custkey
+             LIMIT 2
+         ) t
+"""
+
+
+@query("sql_lateral_top_customers", oracle=_LATERAL_TOP_SQL, tags=("sql", "subquery", "lateral"))
+def sql_lateral_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation top-2 customers via a correlated LATERAL subquery —
+    both engines run the identical string. Catalyst DECORRELATES the
+    lateral (DecorrelateInnerQuery): the per-nation ORDER BY/LIMIT
+    becomes a rank-filter window over customer partitioned by
+    nationkey joined back to nation — so the "run the subquery once per
+    outer row" reading never executes; at 100 TB the plan is one window
+    over the inner table plus a broadcast join, not |nation| query
+    repetitions. The window/filter/join formulation this decorrelates
+    into is what `window_top_orders_per_customer` tests natively; here
+    the optimizer derives it from the declarative form.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_TOP_SQL)
