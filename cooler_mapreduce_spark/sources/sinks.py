@@ -242,3 +242,51 @@ def pysink_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(back.collect(), schema=back.schema)
     finally:
         remove_scratch(spark, out_dir)
+
+
+@query(
+    "sink_partitioned_pruning",
+    oracle="""
+        SELECT CAST(user_id % 16 AS BIGINT) AS user_bucket,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
+        FROM events WHERE user_id % 16 = 3
+        GROUP BY user_id % 16
+    """,
+    tags=("sink", "layout", "partition-pruning", "roundtrip"),
+)
+def sink_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout roundtrip proving PARTITION PRUNING — the scan-side
+    payoff of :func:`write_parquet`'s ``partition_by``: events land in
+    16 ``user_bucket=N/`` directories, and the read-back filter on the
+    partition column reaches the file listing (PartitionFilters), so
+    the scan touches 1/16th of the files before any I/O happens. At
+    100 TB this layout choice IS the difference between a full-corpus
+    scan and a directory lookup for every bucket-keyed consumer; the
+    pruning (inputFiles ⊆ the one directory) is asserted in
+    tests/test_sinks_cli.py, and the hash match here proves the
+    partitioned layout is value-lossless. Output is the one selected
+    bucket's aggregate — O(1) rows regardless of corpus size.
+    """
+    ev = table_events(spark, sf_dir).withColumn(
+        "user_bucket", (F.col("user_id") % 16).cast("bigint")
+    )
+    out_dir = scratch_dir(spark, "sink_partitioned_pruning_")
+    try:
+        write_parquet(ev, out_dir, partition_by=["user_bucket"])
+        back = spark.read.parquet(out_dir).filter(F.col("user_bucket") == 3)
+        agg = back.groupBy(F.col("user_bucket").cast("bigint").alias("user_bucket")).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(30,2)")).cast("double").alias("total_value"),
+        )
+        return spark.createDataFrame(agg.collect(), schema=agg.schema)
+    finally:
+        remove_scratch(spark, out_dir)
+
+
+def table_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events via the catalog (kept as a helper so the module's top
+    imports stay sink-focused)."""
+    from .catalog import table
+
+    return table(spark, sf_dir, "events")

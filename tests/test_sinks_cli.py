@@ -442,6 +442,36 @@ def test_python_datasource_writer_abort_removes_temps(spark, tmp_path):
     assert sorted(r.id for r in back.collect()) == [0, 1, 2, 3, 4]
 
 
+def test_partitioned_layout_prunes_file_listing(spark, sf_dir, tmp_path):
+    """partition_by layout: a filter on the partition column must reach
+    the file listing — the scan's inputFiles are exactly the one
+    bucket's directory, and the plan carries a PartitionFilter. This is
+    the scan-side proof behind sink_partitioned_pruning's docstring."""
+    from cooler_mapreduce_spark.sources.catalog import table
+    from cooler_mapreduce_spark.sources.sinks import write_parquet
+
+    out = str(tmp_path / "bucketed_events")
+    ev = table(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 16).cast("bigint")
+    )
+    write_parquet(ev, out, partition_by=["user_bucket"])
+    n_buckets = ev.select("user_bucket").distinct().count()
+    full = spark.read.parquet(out)
+    assert len(full.inputFiles()) >= n_buckets > 1
+    pruned = full.filter(F.col("user_bucket") == 3)
+    # runtime proof: the only files the filtered scan actually opens are
+    # the one bucket directory's (inputFiles() lists pre-pruning, so ask
+    # the executed rows which file they came from)
+    files = [
+        r.f for r in pruned.select(F.input_file_name().alias("f")).distinct().collect()
+    ]
+    assert files and all("user_bucket=3" in f for f in files)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "user_bucket" in plan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0]
+
+
 def test_parquet_schema_evolution(spark, sf_dir, tmp_path):
     """Schema evolution on the parquet sink: a column added by a later
     writer is visible under mergeSchema, null-filled for old files —
