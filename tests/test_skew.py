@@ -72,3 +72,63 @@ def test_salted_join_spreads_hot_key(spark, sf_dir):
         .agg(F.count("*").alias("shards"))
     )
     assert all(r["shards"] > 1 for r in hot.collect())
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The OTHER half of the skew story (SCALING.md: 'AQE handles the
+    runtime-detected rest'): with skew-join enabled and a hot key, the
+    final adaptive plan must mark the join skew=true and read the hot
+    partition as split sub-reads (AQEShuffleRead ... skewed).
+
+    Two non-obvious requirements this test pins so future refactors
+    keep AQE's remedy reachable: (1) the final plan only exists on the
+    executed DataFrame's OWN QueryExecution (df.count()/noop-write run a
+    different one — assert after collect()); (2) the consumer above the
+    join must NOT require the join key's hash distribution — a
+    groupBy(join_key) directly on the join output forbids the split
+    (AQE won't break the required co-partitioning), which is exactly
+    when the planned salting tier (salted_join) takes over.
+    """
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16384"
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8192")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        left = (
+            spark.range(0, 200000)
+            .select((F.col("id") * 0).alias("k"), F.col("id").alias("v"))
+            .union(
+                spark.range(1, 100).select(F.col("id").alias("k"), F.col("id").alias("v"))
+            )
+        )
+        right = spark.range(0, 50000).select(
+            (F.col("id") % 100).alias("k"), F.col("id").alias("w")
+        )
+        j = left.join(right, "k").agg(
+            F.count("*").alias("n"), F.sum("w").alias("sw")
+        )
+        [row] = j.collect()
+        # correctness of the split join: hot key 0 pairs 200000x500,
+        # plus 99 cold keys pairing 1x500 each
+        assert row["n"] == 200000 * 500 + 99 * 500
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+        assert "skewed" in plan  # AQEShuffleRead ... skewed
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
