@@ -559,7 +559,12 @@ def mixing_rates_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("textstats", "language-model", "quality", "llm-pipeline"),
 )
-def doc_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_unigram_nll(
+    spark: SparkSession,
+    sf_dir: str,
+    min_count: int | None = None,
+    top: int | None = 100,
+) -> DataFrame:
     """Unigram language-model scoring: the 100 most "surprising" docs by
     average negative log-likelihood under the corpus's own unigram
     distribution — the LM-based quality signal corpus-curation pipelines
@@ -569,11 +574,19 @@ def doc_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     model side chains off tf (term-level re-agg → vocab stf, plus a
     single-row corpus total T), so Catalyst reuses tf's exchange for
     both the scoring side and the model side — no second scan. The
-    vocab table (term, lp) broadcasts back onto tf: vocabulary is
-    orders of magnitude smaller than the corpus (and min-count pruning
-    bounds it at any scale), so the score join never shuffles the
-    corpus side. Per-doc reduction is a partial-aggregable groupBy,
-    final top-100 is TakeOrdered.
+    vocab table (term, lp) broadcasts back onto tf, so the score join
+    never shuffles the corpus side. Per-doc reduction is a
+    partial-aggregable groupBy, final top-100 is TakeOrdered.
+
+    ``min_count`` is the broadcast bound (same convention as the LSH
+    bucket / posting-list caps: the REGISTERED query runs exact with
+    ``None``, the scale path sets it): terms rarer than the threshold
+    are dropped from the model, capping the broadcast at the head
+    vocabulary (Zipf: a tiny min_count removes the long singleton tail
+    that dominates raw vocab size). T still counts ALL tokens, so kept
+    probabilities are unchanged; pruned terms simply don't contribute —
+    per-doc n_tokens can only shrink (inner join), a one-sided
+    approximation tested in tests/test_llm_ops.py.
 
     Determinism: stf and T are exact ints; ln(stf/T) is one double op
     rounded once to 9 places (same ULPs both engines — proven by
@@ -589,27 +602,26 @@ def doc_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pt = tf.groupBy("term").agg(F.sum("tf").alias("stf"))
     tot = pt.agg(F.sum("stf").alias("t"))
-    lp = pt.crossJoin(F.broadcast(tot)).select(
+    kept = pt if min_count is None else pt.filter(F.col("stf") >= min_count)
+    lp = kept.crossJoin(F.broadcast(tot)).select(
         "term",
         F.round(F.log(F.col("stf").cast("double") / F.col("t")), 9).alias("lp"),
     )
     scored = tf.join(F.broadcast(lp), "term")
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.sum("tf").cast("bigint").alias("n_tokens"),
-            F.round(
-                -F.sum(
-                    F.col("tf").cast("decimal(18,0)")
-                    * F.col("lp").cast("decimal(20,9)")
-                ).cast("double")
-                / F.sum("tf"),
-                6,
-            ).alias("nll"),
-        )
-        .orderBy(F.desc("nll"), F.asc("doc_id"))
-        .limit(100)
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.round(
+            -F.sum(
+                F.col("tf").cast("decimal(18,0)")
+                * F.col("lp").cast("decimal(20,9)")
+            ).cast("double")
+            / F.sum("tf"),
+            6,
+        ).alias("nll"),
     )
+    if top is None:
+        return per_doc
+    return per_doc.orderBy(F.desc("nll"), F.asc("doc_id")).limit(top)
 
 
 @query(

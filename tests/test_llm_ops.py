@@ -459,3 +459,45 @@ def test_doc_chunk_windows_covers_every_token(spark, sf_dir):
         # end (a further window would be a redundant suffix of the last)
         if len(chunks) > 1:
             assert (last.chunk_no - 1) * _CHUNK_STRIDE + _CHUNK_W < n
+
+
+def test_unigram_nll_min_count_is_one_sided(spark, sf_dir):
+    """The vocab-pruning broadcast bound (doc_unigram_nll min_count) may
+    only DROP rare-term contributions, never invent or inflate one:
+    min_count=1 is a no-op (identical to the exact registered query),
+    and under a real threshold every doc's scored-token count shrinks or
+    stays — with kept terms' log-probs unchanged (T counts all tokens)."""
+    from cooler_mapreduce_spark.operators.textstats import doc_unigram_nll
+
+    exact = doc_unigram_nll(spark, sf_dir)
+    noop = doc_unigram_nll(spark, sf_dir, min_count=1)
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, noop.collect()))
+    # compare full per-doc token counts (no top-100 truncation, which
+    # would make the two result sets cover different docs)
+    def all_docs(min_count):
+        return {
+            r["doc_id"]: r["n_tokens"]
+            for r in doc_unigram_nll(
+                spark, sf_dir, min_count=min_count, top=None
+            ).collect()
+        }
+
+    full = all_docs(None)
+    # the synthetic fixture's vocab is small and flat, so derive a
+    # threshold that provably prunes: strictly above the rarest term's
+    # frequency (min_count compares stf >= threshold)
+    from cooler_mapreduce_spark.sources.catalog import table
+
+    d = table(spark, sf_dir, "documents")
+    stf_min = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("t"))
+        .filter("t <> ''")
+        .groupBy("t")
+        .count()
+        .agg(F.min("count"))
+        .collect()[0][0]
+    )
+    pruned = all_docs(stf_min + 1)
+    assert set(pruned) <= set(full)
+    assert all(pruned[d2] <= full[d2] for d2 in pruned)
+    assert any(pruned[d2] < full[d2] for d2 in pruned)  # threshold actually bites
