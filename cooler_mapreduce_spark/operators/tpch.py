@@ -85,7 +85,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartitioned. At 100 TB this is the difference between a broadcast
     hash join (scan-speed) and a 100 TB sort-merge shuffle.
     """
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem", fan_out=False)
     sup = table(spark, sf_dir, "supplier")
     nat = table(spark, sf_dir, "nation")
     return (
@@ -244,7 +244,7 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < "1998-07-01"
     )
-    li = table(spark, sf_dir, "lineitem").filter(
+    li = table(spark, sf_dir, "lineitem", fan_out=False).filter(
         F.col("l_shipdate") > "1998-07-01"
     )
     return (
@@ -279,7 +279,7 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     percent of the table and aggregates map-side to a single row. The
     canonical "is pushdown actually working" probe.
     """
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem", fan_out=False)
     return (
         li.filter(
             (F.col("l_shipdate") >= "1996-01-01")
@@ -499,7 +499,7 @@ def large_orders_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity sum is exact decimal, so the >300 gate admits identical
     rows on both engines.
     """
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem", fan_out=False)
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     big = (
@@ -746,7 +746,7 @@ def market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     — numerator and denominator both decimal-staged, divided once in
     double, so the share is bit-deterministic at any partition count.
     """
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem", fan_out=False)
     p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")

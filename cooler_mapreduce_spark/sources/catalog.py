@@ -46,7 +46,9 @@ BROADCAST_SAFE = ("region", "nation")
 _FANOUT_MIN_BYTES = 256 * 1024
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def table(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool | None = None
+) -> DataFrame:
     """Load one catalog table from a scale-factor directory.
 
     ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
@@ -54,6 +56,17 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``nanosAsLong`` legacy conf reads it as an int64 of nanoseconds and we
     rebuild a proper timestamp at microsecond precision — the same ns→µs
     truncation DuckDB applies, so both engines see identical instants.
+
+    ``fan_out``: ``None`` (default) applies the single-split guard below;
+    ``False`` skips the fan-out shuffle for this scan. Callers pass
+    ``False`` when the scan's OWN compute is trivial (a pruned
+    filter/projection feeding a join or a selective aggregate): there the
+    redistribution shuffle costs more than the extra parallelism buys,
+    measured 1.3–1.5× per query at sf0.1. Scans that fan tokens/hashes
+    out of each row (tokenize, minhash, decimal-heavy full-row aggs)
+    keep the default — their per-row compute dwarfs the shuffle. At
+    production scale the flag is inert either way: multi-split tables
+    never trigger the guard.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
@@ -64,6 +77,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if fan_out is False:
+        return df
     return _fan_out(spark, df, f"{sf_dir}/{name}.parquet")
 
 
