@@ -123,7 +123,7 @@ def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle far more and need a second dedup shuffle).
     """
     orders = table(spark, sf_dir, "orders")
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem", fan_out=False)
     o = orders.filter(
         (F.col("o_orderdate") >= "1996-01-01")
         & (F.col("o_orderdate") < "1997-01-01")
@@ -160,7 +160,7 @@ def revenue_topn_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders")
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem", fan_out=False)
     joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
         F.broadcast(cust), orders.o_custkey == cust.c_custkey
     )
@@ -355,7 +355,7 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio divides two bit-deterministic decimal sums in double — one FP
     op, identical in both engines.
     """
-    li = table(spark, sf_dir, "lineitem").filter(
+    li = table(spark, sf_dir, "lineitem", fan_out=False).filter(
         (F.col("l_shipdate") >= "1997-03-01")
         & (F.col("l_shipdate") < "1997-04-01")
     )
@@ -400,7 +400,7 @@ def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     part = table(spark, sf_dir, "part").filter(
         F.col("p_brand").isin(*brands) & F.col("p_size").between(1, 15)
     )
-    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity").between(1, 30))
+    li = table(spark, sf_dir, "lineitem", fan_out=False).filter(F.col("l_quantity").between(1, 30))
     cases = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
          & F.col("l_quantity").between(1, 11))
@@ -445,7 +445,7 @@ def small_quantity_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back; the threshold compare is bit-exact because both
     engines stage the average identically (exact decimal sum / count).
     """
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem", fan_out=False)
     p = (
         table(spark, sf_dir, "part")
         .filter(F.col("p_brand") == "Brand#1")
@@ -546,7 +546,7 @@ def top_supplier_by_revenue_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     onto supplier — the fact table shuffles once for the aggregate and
     nothing else moves.
     """
-    li = table(spark, sf_dir, "lineitem").filter(
+    li = table(spark, sf_dir, "lineitem", fan_out=False).filter(
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
     )
     rev = li.groupBy("l_suppkey").agg(
@@ -593,7 +593,7 @@ def local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact table never shuffles before aggregation. Date predicate pushed
     to the orders scan.
     """
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem", fan_out=False)
     o = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01 00:00:00")
         & (F.col("o_orderdate") < "1998-01-01 00:00:00")
@@ -686,7 +686,7 @@ def volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter. Year extraction groups the revenue into a (2 dirs × years)
     rollup — the only wide exchange.
     """
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem", fan_out=False)
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     s = table(spark, sf_dir, "supplier")
@@ -875,11 +875,11 @@ def late_shipper_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     s = table(spark, sf_dir, "supplier")
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    l1 = table(spark, sf_dir, "lineitem").alias("l1")
-    l2 = table(spark, sf_dir, "lineitem").select(
+    l1 = table(spark, sf_dir, "lineitem", fan_out=False).alias("l1")
+    l2 = table(spark, sf_dir, "lineitem", fan_out=False).select(
         F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
     )
-    l3 = table(spark, sf_dir, "lineitem").select(
+    l3 = table(spark, sf_dir, "lineitem", fan_out=False).select(
         F.col("l_orderkey").alias("k3"), F.col("l_shipdate").alias("d3")
     )
     waiting = (
