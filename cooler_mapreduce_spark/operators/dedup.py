@@ -65,7 +65,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is the first pass of any dedup pipeline; hash in the
     scan stage, never shuffle text.
     """
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", fan_out=False)
     return (
         d.select(F.md5(F.col("text").cast("binary")).alias("content_hash"), "doc_id")
         .groupBy("content_hash")
@@ -464,7 +464,7 @@ def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     per key before the shuffle, so at 100 TB the exchange carries one
     row per (partition × key), not the full history.
     """
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events", fan_out=False)
     latest = (
         ev.groupBy("user_id")
         .agg(F.max(F.struct("ts", "event_id", "value")).alias("m"))

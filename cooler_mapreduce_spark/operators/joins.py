@@ -45,8 +45,8 @@ def join_orders_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     far beyond sf100; broadcasting means orders is read once, never
     shuffled, and the join runs at scan speed inside one stage.
     """
-    o = table(spark, sf_dir, "orders")
-    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders", fan_out=False)
+    c = table(spark, sf_dir, "customer", fan_out=False)
     return (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("segment"))
@@ -160,7 +160,7 @@ def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     and exists only because DuckDB can afford it at sf0.01.
     Clicks sort before purchases at equal ts so `<=` semantics hold.
     """
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events", fan_out=False)
     tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
         "event_id",
         "user_id",

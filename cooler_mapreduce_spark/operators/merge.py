@@ -64,7 +64,7 @@ def merge_cdc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort-merge-shuffle the entire snapshot — Spark logs "build right
     for full outer join" unsupported and silently degrades.)
     """
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders", fan_out=False)
     base = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
     changes = (
         base.filter(F.col("o_orderkey") % 13 == 0)

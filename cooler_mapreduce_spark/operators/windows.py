@@ -37,7 +37,7 @@ def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFram
     """Top-3 orders per customer via row_number — the scalable top-k-per-
     group idiom (rank filter prunes during the sorted stream; never
     collect-and-sort-per-group in Python)."""
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders", fan_out=False)
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
         o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))

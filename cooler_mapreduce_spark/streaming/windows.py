@@ -36,7 +36,7 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour tumbling windows per event type (batch twin of the
     streaming query in :func:`run_tumbling_stream` — same ``window``
     expression, same results on bounded input)."""
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events", fan_out=False)
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"), davg("value", 6).alias("avg_value"))
