@@ -118,3 +118,50 @@ def pandas_udaf_second_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         pandas_max("l_quantity").alias("max_qty"),
         second_max("l_quantity").alias("second_max_qty"),
     )
+
+
+@query(
+    "arrow_byte_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
+    FROM documents GROUP BY lang
+    """,
+    tags=("udf", "arrow", "mapInArrow"),
+)
+def arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth Python-integration tier: ``mapInArrow`` — the UDF runs on
+    raw Arrow ``RecordBatch``es with ZERO pandas materialization, the
+    right surface for byte-level work on binary/multimodal columns
+    (pandas round-trips every value through Python objects; Arrow
+    compute kernels stay in C). Per-document UTF-8 byte lengths are
+    computed batch-at-a-time with ``pyarrow.compute``, then rolled up
+    per language by a JVM partial aggregate. The oracle reproduces the
+    byte semantics relationally (octet_length over the UTF-8 encoding),
+    so the Arrow kernel path is value-pinned like the other UDF tiers.
+
+    Scale shape: the Arrow stage is a partition-local projection (no
+    shuffle, no state, batches stream through bounded memory); the only
+    wide operation is the O(langs) aggregate after it.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def byte_stats(batches):
+        for b in batches:
+            idx = b.schema.get_field_index("text")
+            nbytes = pc.binary_length(pc.cast(b.column(idx), pa.binary()))
+            yield pa.RecordBatch.from_arrays(
+                [b.column(b.schema.get_field_index("lang")), pc.cast(nbytes, pa.int64())],
+                names=["lang", "n_bytes"],
+            )
+
+    d = table(spark, sf_dir, "documents").select("lang", "text")
+    per_doc = d.mapInArrow(byte_stats, schema="lang string, n_bytes bigint")
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
+    )
