@@ -103,9 +103,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: customer_order_distribution_q13, volume_shipping_q7, market_share_q8,
 #: sales_opportunity_q22, late_shipper_q21, stream_user_type_counts,
 #: pysink_tsv_roundtrip, doc_unigram_nll, vocab_coverage_topk,
-#: unpivot_lineitem_amounts, sql_lateral_top_customers) — first in line
-#: for the round-5 rotation; hll_sketch_rollup_users joins the
-#: rows-only tier (no DuckDB oracle by design).
+#: unpivot_lineitem_amounts, sql_lateral_top_customers,
+#: sink_partitioned_pruning, arrow_byte_stats) — first in line for the
+#: round-5 rotation; hll_sketch_rollup_users joins the rows-only tier
+#: (no DuckDB oracle by design).
 PRIORITY_QUERIES: tuple[str, ...] = (
     # --- anchors: one green representative per §2.4 category (r2+r3) ---
     "word_count",                     # parity / scan / flatMap
