@@ -1,4 +1,5 @@
-"""Custom connector via the Python DataSource API (Spark 4) — both ends.
+"""Custom connector via the Python DataSource API (Spark 4) — batch
+read, batch write, and stream read.
 
 READ side — the reference's "connector surface" is one hand-rolled
 text-file splitter: the coordinator plans byte-range splits aligned to
@@ -46,6 +47,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import Row, StructType
@@ -76,6 +78,36 @@ class SyntheticEventsReader(DataSourceReader):
             yield _row(base + j)
 
 
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same generator: a bounded replay source.
+
+    Offsets are row indices ({"row": n}); each micro-batch advances by
+    ``rowsPerBatch`` until ``maxRows``, after which read() reports no
+    new data — so ``processAllAvailable()`` terminates and tests can
+    drain it deterministically. Because rows come from the identical
+    LCG as the batch reader, stream output is bit-equal to a batch read
+    of the same row range: the streaming connector inherits the batch
+    connector's oracle (pysource_event_mix) transitively. Exactly-once
+    across restarts follows from the offset log: readBetweenOffsets
+    regenerates any committed range verbatim on recovery.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.rows_per_batch = int(options.get("rowsPerBatch", "500"))
+        self.max_rows = int(options.get("maxRows", "2000"))
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def read(self, start: dict):
+        s = start["row"]
+        e = min(s + self.rows_per_batch, self.max_rows)
+        return iter([_row(g) for g in range(s, e)]), {"row": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_row(g) for g in range(start["row"], end["row"])])
+
+
 class SyntheticEventsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -86,6 +118,9 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticEventsReader:
         return SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SyntheticEventsStreamReader:
+        return SyntheticEventsStreamReader(self.options)
 
 
 @dataclass

@@ -376,6 +376,41 @@ def test_python_datasource_synthetic_events(spark):
     assert one.user_id == 0 and one.event_type == "view" and one.value == 0.0
 
 
+def test_python_datasource_stream_reader_equals_batch(spark):
+    """The Python streaming connector (SimpleDataSourceStreamReader) must
+    emit exactly the rows the batch reader plans for the same row range
+    — same LCG, micro-batched through the offset log instead of planned
+    InputPartitions. Bounded maxRows makes processAllAvailable drain."""
+    from cooler_mapreduce_spark.sources.pysource import register
+
+    register(spark)
+    q = (
+        spark.readStream.format("synthetic_events")
+        .option("rowsPerBatch", "300")
+        .option("maxRows", "1000")
+        .load()
+        .writeStream.format("memory")
+        .queryName("t_pystream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM t_pystream").collect())
+    want = sorted(
+        tuple(r)
+        for r in spark.read.format("synthetic_events")
+        .option("partitions", "2")
+        .option("rowsPerPartition", "500")
+        .load()
+        .collect()
+    )
+    assert len(got) == 1000
+    assert got == want
+
+
 def test_python_datasource_writer_commit_layout(spark, tmp_path):
     """tsv_dir connector: a successful job leaves only committed
     part-NNNNN.tsv files + _SUCCESS — no hidden temps — and the data
