@@ -1,5 +1,5 @@
-"""Custom connector via the Python DataSource API (Spark 4) — batch
-read, batch write, and stream read.
+"""Custom connector via the Python DataSource API (Spark 4) — all four
+faces: batch read, batch write, stream read, stream write.
 
 READ side — the reference's "connector surface" is one hand-rolled
 text-file splitter: the coordinator plans byte-range splits aligned to
@@ -45,6 +45,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -197,6 +198,37 @@ class TsvDirWriter(DataSourceWriter):
         shutil.rmtree(self.staging, ignore_errors=True)
 
 
+class TsvDirStreamWriter(DataSourceStreamWriter):
+    """Streaming face of the TSV sink: one committed part file per
+    epoch, named ``part-<batchId>-NNNNN.tsv`` — the same staging-dir
+    two-phase commit as the batch writer, plus exactly-once across
+    restarts for free: Spark's offset log replays a failed epoch with
+    the SAME batchId, and the epoch-stamped rename simply overwrites
+    the partial promotion instead of appending a duplicate."""
+
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("tsv_dir stream writer requires a path")
+        self.path = path
+        self.staging = os.path.join(path, TsvDirWriter.STAGING)
+        os.makedirs(self.staging, exist_ok=True)
+
+    # task-side: identical temp-part protocol to the batch writer
+    write = TsvDirWriter.write
+
+    def commit(self, messages, batchId: int) -> None:
+        for i, m in enumerate(m for m in messages if m is not None):
+            os.replace(
+                m.tmp_path,
+                os.path.join(self.path, f"part-{batchId:05d}-{i:05d}.tsv"),
+            )
+
+    def abort(self, messages, batchId: int) -> None:
+        shutil.rmtree(self.staging, ignore_errors=True)
+        os.makedirs(self.staging, exist_ok=True)
+
+
 class TsvDirDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -204,6 +236,9 @@ class TsvDirDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> TsvDirWriter:
         return TsvDirWriter(self.options, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> TsvDirStreamWriter:
+        return TsvDirStreamWriter(self.options)
 
 
 def register(spark: SparkSession) -> None:

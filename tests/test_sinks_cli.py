@@ -411,6 +411,57 @@ def test_python_datasource_stream_reader_equals_batch(spark):
     assert got == want
 
 
+def test_python_stream_source_to_python_stream_sink(spark, tmp_path):
+    """Full Python-connector streaming pipeline: the offset-logged
+    synthetic source feeds the epoch-committing tsv_dir stream sink
+    through a checkpoint. Every committed part file is epoch-stamped
+    (part-<batchId>-NNNNN.tsv), no staging temps survive the drain, and
+    the union of all epochs' rows equals a batch read of the same row
+    range — stream write loses and duplicates nothing."""
+    import os
+
+    from cooler_mapreduce_spark.sources.pysource import register
+
+    register(spark)
+    out = str(tmp_path / "stream_tsv_out")
+    ckpt = str(tmp_path / "stream_tsv_ckpt")
+    q = (
+        spark.readStream.format("synthetic_events")
+        .option("rowsPerBatch", "400")
+        .option("maxRows", "1000")
+        .load()
+        .writeStream.format("tsv_dir")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    names = sorted(os.listdir(out))
+    parts = [n for n in names if n.startswith("part-")]
+    assert parts and all(n.endswith(".tsv") for n in parts)
+    assert not [n for n in os.listdir(os.path.join(out, "_temporary"))]
+    back = (
+        spark.read.option("sep", "\t")
+        .schema("event_id bigint, user_id bigint, event_type string, value double")
+        .csv(f"{out}/part-*.tsv")
+    )
+    got = sorted(tuple(r) for r in back.collect())
+    want = sorted(
+        tuple(r)
+        for r in spark.read.format("synthetic_events")
+        .option("partitions", "4")
+        .option("rowsPerPartition", "250")
+        .load()
+        .collect()
+    )
+    assert len(got) == 1000
+    assert got == want
+
+
 def test_python_datasource_writer_commit_layout(spark, tmp_path):
     """tsv_dir connector: a successful job leaves only committed
     part-NNNNN.tsv files + _SUCCESS — no hidden temps — and the data
