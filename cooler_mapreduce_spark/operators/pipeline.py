@@ -83,7 +83,7 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     between each.  100 TB: the only wide exchange carries (hash, small
     struct); everything upstream is embarrassingly parallel map work.
     """
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", fan_out=False)
     seeded = d.select(
         "doc_id",
         "lang",
