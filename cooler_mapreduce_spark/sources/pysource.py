@@ -139,7 +139,14 @@ class TsvDirWriter(DataSourceWriter):
     Constructed on the driver (directory creation / overwrite cleanup
     happen once, at plan time), pickled to executors for ``write``;
     ``commit``/``abort`` run back on the driver with every task's
-    message."""
+    message.
+
+    Rendering matches the reference's ``str(value)`` contract verbatim —
+    including its limitation: values containing tabs or newlines corrupt
+    the row framing (the reference has no quoting either, reference
+    task_executor.py:249-250). Payloads with control characters belong
+    in the parquet sink; this format exists for reference compatibility.
+    """
 
     #: Staging subdirectory for uncommitted task temps — underscore-
     #: prefixed, so Spark/Hadoop readers never list its contents (the
