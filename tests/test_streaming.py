@@ -387,3 +387,53 @@ def test_debounce_stream_suppresses_repeats(spark, sf_dir):
     keys = table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
     assert got.count() == keys.count()
     assert got.distinct().count() == keys.count()
+
+
+def test_streaming_upsert_scd1_equals_batch_keep_latest(spark, sf_dir, tmp_path):
+    """Streaming SCD1 upsert (foreachBatch + dynamic partition
+    overwrite): micro-batches of inserts and later updates must converge
+    to exactly the batch keep-latest-per-key compaction — no lost
+    inserts, no resurrected old versions, across multiple merge rounds.
+    """
+    from cooler_mapreduce_spark.sources.catalog import table
+    from cooler_mapreduce_spark.streaming.dedup import run_streaming_upsert
+
+    in_dir = str(tmp_path / "in")
+    out = str(tmp_path / "upsert_out")
+    ckpt = str(tmp_path / "upsert_ckpt")
+    base = table(spark, sf_dir, "orders", fan_out=False)
+    updates = (
+        base.filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn("o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 10000 DAYS"))
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    # 2 base files + 1 update file; maxFilesPerTrigger=1 -> 3 merge rounds
+    base.repartition(2).write.mode("append").parquet(f"{in_dir}/orders.parquet")
+    updates.coalesce(1).write.mode("append").parquet(f"{in_dir}/orders.parquet")
+    q = run_streaming_upsert(spark, in_dir, out, ckpt, max_files_per_trigger=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(out).drop("bucket")
+    want = (
+        base.unionByName(updates)
+        .groupBy("o_orderkey")
+        .agg(
+            F.max_by(
+                F.struct(
+                    "o_custkey", "o_orderstatus", "o_totalprice",
+                    "o_orderdate", "o_orderpriority",
+                ),
+                F.struct("o_orderdate", "o_orderkey"),
+            ).alias("r")
+        )
+        .select("o_orderkey", "r.*")
+    )
+    g = sorted(tuple(r) for r in got.select(*want.columns).collect())
+    w = sorted(tuple(r) for r in want.collect())
+    assert len(g) == base.count()  # one row per key: updates replace, never add
+    assert g == w
+    # every updated key carries the new version
+    n_updated = got.filter(F.col("o_orderstatus") == "U").count()
+    assert n_updated == updates.count()
