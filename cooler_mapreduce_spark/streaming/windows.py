@@ -164,6 +164,7 @@ def run_tumbling_stream(
     watermark: str = "10 minutes",
     query_name: str = "tumbling_out",
     output_mode: str = "complete",
+    available_now: bool = False,
 ):
     """Start the streaming twin of ``stream_tumbling_counts``: watermarked
     tumbling-window counts into a memory sink. Returns the StreamingQuery
@@ -174,6 +175,14 @@ def run_tumbling_stream(
     batch advances the watermark past its end, so a single-batch drive
     would emit nothing. Long-running deployments use ``append`` +
     watermark so state is evicted and each window emits exactly once.
+
+    ``available_now=True`` starts the query with Trigger.AvailableNow —
+    the production catch-up mode: process everything present at start
+    (respecting per-batch source limits), then TERMINATE, persisting
+    offsets so the next start resumes incrementally. This is how a
+    cron-scheduled job drains a backlog with streaming semantics
+    (exactly-once, bounded state) but batch lifecycle (no always-on
+    cluster); the caller awaits termination instead of draining.
     """
     ev = _event_stream(spark, sf_dir)
     agg = (
@@ -188,12 +197,12 @@ def run_tumbling_stream(
             "avg_value",
         )
     )
-    return (
-        agg.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(query_name)
-        .start()
+    w = agg.writeStream.outputMode(output_mode).format("memory").queryName(
+        query_name
     )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
 
 
 def run_sliding_stream(

@@ -437,3 +437,17 @@ def test_streaming_upsert_scd1_equals_batch_keep_latest(spark, sf_dir, tmp_path)
     # every updated key carries the new version
     n_updated = got.filter(F.col("o_orderstatus") == "U").count()
     assert n_updated == updates.count()
+
+
+def test_available_now_trigger_terminates_and_matches_batch(spark, sf_dir):
+    """Trigger.AvailableNow — the cron-scheduled catch-up mode — must
+    process everything present at start, TERMINATE on its own (no
+    processAllAvailable drive), and produce the same result as the
+    continuously-driven query."""
+    from cooler_mapreduce_spark.streaming.windows import run_tumbling_stream
+
+    q = run_tumbling_stream(spark, sf_dir, query_name="t_avail_now", available_now=True)
+    assert q.awaitTermination(120), "availableNow query did not self-terminate"
+    got = _rows(spark.sql("SELECT * FROM t_avail_now"))
+    want = _rows(SPECS["stream_tumbling_counts"].fn(spark, sf_dir))
+    assert got == want
