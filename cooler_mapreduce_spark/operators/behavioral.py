@@ -42,8 +42,9 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     in each subsequent week they remained active.
 
     Phase 1 collapses events to one (user, cohort_week) row — a
-    partial-aggregable min(). Phase 2 joins that per-user table (tiny:
-    one row per user, broadcastable at most scales) back to events,
+    partial-aggregable min(). Phase 2 joins that per-user table (one
+    narrow row per user — SF-scaled, so no broadcast hint: size-based
+    planning broadcasts at test SF, shuffles at scale) back to events,
     distinct-s (user, cohort, offset), and counts. Week numbering is
     pure integer arithmetic (epoch-days // 7), so every value is exact.
     """
@@ -51,7 +52,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     week_num = lambda c: F.floor(F.datediff(c, F.lit("1970-01-01")) / 7)  # noqa: E731
     firsts = ev.groupBy("user_id").agg(F.min(week_num(F.col("ts"))).alias("cohort_w"))
     activity = (
-        ev.join(F.broadcast(firsts), "user_id")
+        ev.join(firsts, "user_id")
         .select(
             "user_id",
             "cohort_w",

@@ -39,16 +39,20 @@ from ..sources.catalog import table
     tags=("join", "broadcast"),
 )
 def join_orders_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inner fact-to-dimension join, broadcast by hint.
+    """Inner fact-to-dimension join, broadcast by SIZE, not by hint.
 
-    customer is ~1/10th of orders at every SF and fits executor memory
-    far beyond sf100; broadcasting means orders is read once, never
-    shuffled, and the join runs at scan speed inside one stage.
+    customer is ~1/10th of orders but still SF-scaled (~20 B rows at
+    100 TB), so no ``F.broadcast`` hint: the 64 MB
+    autoBroadcastJoinThreshold (session.py) picks a broadcast hash join
+    at every test SF — orders is read once, never shuffled, the join
+    runs at scan speed inside one stage — while at 100 TB size-based
+    planning + AQE degrade to a shuffle join instead of OOMing on a
+    forced broadcast (hints override size checks).
     """
     o = table(spark, sf_dir, "orders", fan_out=False)
     c = table(spark, sf_dir, "customer", fan_out=False)
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total_price"))
     )

@@ -79,17 +79,19 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-to-dimension star join: lineitem ⋈ supplier ⋈ nation.
 
-    Both dimension sides are broadcast (supplier is tiny relative to
-    lineitem at every SF; nation is fixed 25-ish rows), so the *only*
-    shuffle is the final 25-group aggregate — the fact table is never
-    repartitioned. At 100 TB this is the difference between a broadcast
-    hash join (scan-speed) and a 100 TB sort-merge shuffle.
+    nation (fixed 25 rows) is broadcast by hint; supplier is SF-scaled,
+    so it carries NO hint — the 64 MB autoBroadcastJoinThreshold
+    (session.py) picks a broadcast hash join at every test SF, and at
+    100 TB size-based planning + AQE degrade gracefully to a shuffle
+    join instead of force-OOMing the executors. At test scale the plan
+    is identical either way: the only shuffle is the final 25-group
+    aggregate and the fact table is never repartitioned.
     """
     li = table(spark, sf_dir, "lineitem", fan_out=False)
     sup = table(spark, sf_dir, "supplier")
     nat = table(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
@@ -154,15 +156,18 @@ def revenue_topn_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-hop join + aggregate + top-k (TPC-H Q10 shape).
 
     lineitem ⋈ orders shuffles on orderkey (both huge → sort-merge, AQE
-    may pick shuffled-hash); the customer side broadcasts. Aggregate keyed
-    by customer is high-cardinality, so partial agg + AQE coalescing
-    matter; the final top-20 is TakeOrdered, never a global sort.
+    may pick shuffled-hash); the customer side is joined WITHOUT a hint —
+    customer is SF-scaled, so size-based planning broadcasts it at every
+    test SF (64 MB threshold) and falls back to a shuffle join at 100 TB
+    rather than OOMing on a forced broadcast. Aggregate keyed by customer
+    is high-cardinality, so partial agg + AQE coalescing matter; the
+    final top-20 is TakeOrdered, never a global sort.
     """
     cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem", fan_out=False)
     joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        cust, orders.o_custkey == cust.c_custkey
     )
     return (
         joined.groupBy("c_custkey", "c_name")
@@ -233,11 +238,14 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: unshipped-order revenue, top 10.
 
-    The segment filter prunes customer BEFORE the broadcast (one-fifth of
-    the dimension ships to executors), the date filters push into both
-    parquet scans, and the top-10 is TakeOrdered over the aggregate — no
-    global sort of the grouped output. l_orderkey is unique per group so
-    the revenue-desc/orderkey tiebreak is a total order (deterministic
+    The segment filter prunes customer BEFORE the join (one-fifth of the
+    dimension), the date filters push into both parquet scans, and the
+    top-10 is TakeOrdered over the aggregate — no global sort of the
+    grouped output. customer carries no broadcast hint (SF-scaled): the
+    size threshold broadcasts the pruned dimension at test SF; at 100 TB
+    planning degrades to a shuffle join instead of a forced-OOM
+    broadcast. l_orderkey is unique per group so the
+    revenue-desc/orderkey tiebreak is a total order (deterministic
     top-k, bit-stable revenue via decimal sums).
     """
     cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -249,7 +257,7 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -350,10 +358,11 @@ def priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: promo revenue share in one month.
 
-    part broadcasts (it is a dimension at every SF); the month filter
-    prunes the fact scan; both sums come out of one aggregate pass. The
-    ratio divides two bit-deterministic decimal sums in double — one FP
-    op, identical in both engines.
+    part is SF-scaled, so it joins WITHOUT a broadcast hint: size-based
+    planning broadcasts it at test SF (64 MB threshold) and shuffles at
+    100 TB. The month filter prunes the fact scan; both sums come out of
+    one aggregate pass. The ratio divides two bit-deterministic decimal
+    sums in double — one FP op, identical in both engines.
     """
     li = table(spark, sf_dir, "lineitem", fan_out=False).filter(
         (F.col("l_shipdate") >= "1997-03-01")
@@ -363,7 +372,7 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (F.lit(100.0) * (dsum(promo, 4) / dsum(disc, 4))).alias("promo_revenue")
         )
@@ -393,8 +402,10 @@ def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     push the brand/size envelope onto the part scan and the quantity
     envelope onto the lineitem scan by hand — implied single-side
     predicates an optimizer cannot always derive from a disjunction —
-    so both scans prune before the (broadcast) join, the difference
-    between scanning 100 TB and scanning the 3-brand slice.
+    so both scans prune before the join, the difference between
+    scanning 100 TB and scanning the 3-brand slice. No broadcast hint
+    on part (SF-scaled): the size threshold broadcasts the pruned
+    3-brand slice at test SF and degrades to shuffle at 100 TB.
     """
     brands = ("Brand#12", "Brand#23", "Brand#34")
     part = table(spark, sf_dir, "part").filter(
@@ -410,7 +421,7 @@ def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
            & F.col("l_quantity").between(20, 30))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cases)
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
     )
@@ -438,12 +449,14 @@ def small_quantity_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders below 20% of a part's average quantity were dropped, for one
     brand.  The correlated AVG-per-part subquery is decorrelated by hand
     into the plan Catalyst would pick anyway — and better: the brand
-    filter (1/|brands| selectivity) broadcasts FIRST, so the per-part
+    filter (1/|brands| selectivity) joins FIRST, so the per-part
     average aggregates only brand lineitems instead of the whole fact
     table (the textbook plan averages everything, then throws 96% away).
-    The per-part averages (2 narrow columns, |parts|/|brands| rows)
-    broadcast back; the threshold compare is bit-exact because both
-    engines stage the average identically (exact decimal sum / count).
+    Neither join carries a broadcast hint — the pruned part slice and
+    the per-part averages (2 narrow columns, |parts|/|brands| rows) are
+    both SF-scaled, so size-based planning broadcasts them at test SF
+    and shuffles at 100 TB; the threshold compare is bit-exact because
+    both engines stage the average identically (exact decimal sum / count).
     """
     li = table(spark, sf_dir, "lineitem", fan_out=False)
     p = (
@@ -451,7 +464,7 @@ def small_quantity_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_brand") == "Brand#1")
         .select("p_partkey")
     )
-    brand_lines = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+    brand_lines = li.join(p, li.l_partkey == p.p_partkey).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     pa = brand_lines.groupBy(F.col("l_partkey").alias("pk")).agg(
@@ -459,7 +472,7 @@ def small_quantity_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("avg_qty")
     )
     return (
-        brand_lines.join(F.broadcast(pa), F.col("l_partkey") == F.col("pk"))
+        brand_lines.join(pa, F.col("l_partkey") == F.col("pk"))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
             (F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double") / 7.0)
@@ -494,7 +507,11 @@ def large_orders_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     The HAVING collapses the fact table to a handful of order keys
     before any join — that survivor set broadcasts onto orders and the
     enriched (still tiny) result broadcasts onto customer, so neither
-    big table ever shuffles.  The final ranking is TakeOrdered (per-
+    big table ever shuffles. The explicit hint on the survivor set is
+    deliberate and size-safe: qty > 300 selects a vanishing fraction of
+    orders at ANY scale (data-dependent small, not SF-proportional), and
+    statistics cannot see through the HAVING, so without the hint the
+    planner would assume fact-table cardinality and sort-merge.  The final ranking is TakeOrdered (per-
     partition heaps), tie-broken by orderkey for a total order.  The
     quantity sum is exact decimal, so the >300 gate admits identical
     rows on both engines.
@@ -586,12 +603,14 @@ def local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a cycle, not a star: lineitem→orders→customer and
     lineitem→supplier close through c_nationkey = s_nationkey).
 
-    Plan: region filter prunes nation (broadcast), supplier/customer
-    join broadcast under the threshold (at 100 TB AQE decides; the
-    nation-key equality becomes part of the join condition either way),
-    and the only wide exchange is the final 5-group aggregate — the
-    fact table never shuffles before aggregation. Date predicate pushed
-    to the orders scan.
+    Plan: region filter prunes nation (fixed-25-row dimension, hinted
+    broadcast); customer and supplier are SF-scaled so they carry NO
+    hint — the 64 MB size threshold broadcasts them at test SF, and at
+    100 TB planning + AQE pick shuffle joins instead of a forced-OOM
+    broadcast (the nation-key equality becomes part of the join
+    condition either way). The only wide exchange at test scale is the
+    final 5-group aggregate — the fact table never shuffles before
+    aggregation. Date predicate pushed to the orders scan.
     """
     li = table(spark, sf_dir, "lineitem", fan_out=False)
     o = table(spark, sf_dir, "orders").filter(
@@ -604,9 +623,9 @@ def local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -681,10 +700,13 @@ def volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape — volume shipping between two trading nations, per
     direction per ship year. The join uses TWO aliases of the nation
     dimension with a disjunctive cross-nation predicate — the pattern
-    that defeats naive star-join planners; here both nation sides are
-    broadcast and the OR predicate rides the joined row as a residual
-    filter. Year extraction groups the revenue into a (2 dirs × years)
-    rollup — the only wide exchange.
+    that defeats naive star-join planners; here both nation aliases
+    (fixed 25 rows each) are hinted broadcasts and the OR predicate
+    rides the joined row as a residual filter. customer and supplier
+    are SF-scaled → no hint: the size threshold broadcasts them at test
+    SF and degrades to shuffle joins at 100 TB. Year extraction groups
+    the revenue into a (2 dirs × years) rollup — the only wide exchange
+    at test scale.
     """
     li = table(spark, sf_dir, "lineitem", fan_out=False)
     o = table(spark, sf_dir, "orders")
@@ -698,8 +720,8 @@ def volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
         .filter(
@@ -745,6 +767,9 @@ def market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     the supplier's nationality) feeding a conditional-fraction aggregate
     — numerator and denominator both decimal-staged, divided once in
     double, so the share is bit-deterministic at any partition count.
+    Only the fixed-cardinality dimensions (nation aliases, region) are
+    hinted broadcasts; part/customer/supplier are SF-scaled and carry
+    no hint — broadcast by size at test SF, shuffle joins at 100 TB.
     """
     li = table(spark, sf_dir, "lineitem", fan_out=False)
     p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
@@ -759,10 +784,10 @@ def market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     joined = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
         .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
@@ -810,10 +835,12 @@ def sales_opportunity_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Three classic sub-shapes compose: a scalar aggregate subquery (the
     positive-balance average — computed once, broadcast as a single-row
-    literal), a NOT EXISTS decorrelated into a broadcast LEFT ANTI join
-    against order customer keys, and the final per-country rollup. The
-    balance average is decimal-staged so the filter threshold is
-    bit-identical in both engines.
+    literal, the one hint here that is always safe), a NOT EXISTS
+    decorrelated into a LEFT ANTI join against the distinct urgent-order
+    customer keys (SF-scaled → no hint; size-based planning broadcasts
+    it at test SF, shuffles at 100 TB), and the final per-country
+    rollup. The balance average is decimal-staged so the filter
+    threshold is bit-identical in both engines.
     """
     c = table(spark, sf_dir, "customer").filter(F.col("c_nationkey") >= 20)
     threshold = c.filter(F.col("c_acctbal") > 0.0).agg(
@@ -828,7 +855,7 @@ def sales_opportunity_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.crossJoin(F.broadcast(threshold))
         .filter(F.col("c_acctbal") > F.col("thr"))
-        .join(F.broadcast(o_keys), c.c_custkey == F.col("o_custkey"), "left_anti")
+        .join(o_keys, c.c_custkey == F.col("o_custkey"), "left_anti")
         .groupBy(F.col("c_nationkey").alias("cntrycode"))
         .agg(
             F.count("*").alias("numcust"),
@@ -871,7 +898,9 @@ def late_shipper_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     decorrelated by Catalyst onto the same l_orderkey equi-key, so the
     probe sides shuffle only (orderkey, suppkey/shipdate) pairs. Ties on
     the max ship date mean no strictly-later line exists — both such
-    lines count, exactly as the NOT EXISTS states.
+    lines count, exactly as the NOT EXISTS states. supplier is
+    SF-scaled, so its join carries no broadcast hint (size-based
+    broadcast at test SF, shuffle at 100 TB).
     """
     s = table(spark, sf_dir, "supplier")
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
@@ -896,6 +925,6 @@ def late_shipper_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("d3") > F.col("l1.l_shipdate")),
             "left_anti",
         )
-        .join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l1.l_suppkey") == s.s_suppkey)
     )
     return waiting.groupBy("s_name").agg(F.count("*").alias("numwait"))

@@ -250,11 +250,13 @@ def run_sliding_stream(
 def stream_enriched_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the stream-static enrichment join: events decorated
     with the customer's market segment, then hourly counts per segment.
-    The dimension broadcasts; the only shuffle is the windowed agg."""
+    customer is SF-scaled so it carries no broadcast hint — the size
+    threshold broadcasts it at test SF (only shuffle is the windowed
+    agg) and degrades to a shuffle join at 100 TB."""
     ev = table(spark, sf_dir, "events")
     cust = table(spark, sf_dir, "customer")
     return (
-        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        ev.join(cust, ev.user_id == cust.c_custkey)
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("c_mktsegment").alias("segment"))
         .agg(F.count("*").alias("n_events"), davg("value", 6).alias("avg_value"))
         .select(
@@ -275,8 +277,10 @@ def run_enriched_stream(
 ):
     """Stream-static join: the event stream enriched against the STATIC
     customer dimension — no watermark needed on the static side, no
-    state kept for it; Spark re-broadcasts the dimension per micro-batch
-    (so slowly-changing dims pick up updates between batches). This is
+    state kept for it; Spark re-plans the dimension side per micro-batch
+    (so slowly-changing dims pick up updates between batches) and, with
+    no hint on the SF-scaled customer table, picks broadcast by size at
+    test SF and a shuffle join at scale. This is
     the canonical streaming-ETL enrichment; stream-stream joins (both
     sides unbounded + dual watermarks) are the state-heavy cousin the
     pipeline avoids when one side is a dimension.
@@ -285,7 +289,7 @@ def run_enriched_stream(
     cust = table(spark, sf_dir, "customer")
     agg = (
         ev.withWatermark("ts", watermark)
-        .join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .join(cust, ev.user_id == cust.c_custkey)
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("c_mktsegment").alias("segment"))
         .agg(F.count("*").alias("n_events"), davg("value", 6).alias("avg_value"))
         .select(

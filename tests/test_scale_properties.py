@@ -54,6 +54,127 @@ def test_no_unexpected_nested_loop_join(spark, oracle_sf_dir, name):
     )
 
 
+# --- forced-broadcast audit -------------------------------------------------
+#
+# An explicit F.broadcast() hint OVERRIDES the size-based planner, so a hint
+# on an SF-scaled table is a forced OOM at 100 TB even though it works at
+# every test SF. The engine's rule: hints only on frames whose cardinality is
+# bounded by construction (fixed dimensions like nation/region, single-row
+# scalars, O(groups) aggregates, literal-bounded query sets). SF-scaled
+# tables rely on autoBroadcastJoinThreshold (64 MB, session.py) + AQE, which
+# pick the identical BroadcastHashJoin at test scale and degrade to shuffle
+# joins at 100 TB. These tests walk every registered query's ANALYZED plan
+# (where ResolvedHint nodes still exist — the optimizer erases them) and
+# fail on any hint whose subtree reaches an SF-scaled base relation without
+# an intervening cardinality reducer.
+
+#: column-name prefix → SF-scaled table it identifies (this schema prefixes
+#: every TPC-H column; the event/LLM tables have globally unique columns).
+_SF_PREFIXES = {"o_": "orders", "c_": "customer", "l_": "lineitem",
+                "s_": "supplier", "p_": "part"}
+_SF_COLUMNS = {"user_id": "events", "ts": "events", "doc_id": "documents",
+               "text": "documents", "vec_id": "embeddings",
+               "embedding": "embeddings"}
+#: plan nodes that collapse cardinality to data-dependent-small, making a
+#: downstream hint size-safe (e.g. q18's HAVING-survivor set).
+_REDUCERS = {"Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate"}
+
+#: documented exceptions: hint subtrees that DO reach an SF-scaled relation
+#: but are bounded by construction (see each query's docstring).
+_HINT_ALLOWED = {
+    # ANN family: the broadcast side is the query set, a literal-bounded
+    # filter (vec_id < N_QUERIES) over embeddings — fixed rows at any SF.
+    "ann_topk_bruteforce": {"embeddings"},
+    "ann_topk_lsh": {"embeddings"},
+    "ann_topk_ivf": {"embeddings"},
+    "ann_recall_lsh": {"embeddings"},
+    "ann_recall_ivf": {"embeddings"},
+    # exact all-pairs tier: oracle ground truth at test scale; docstring
+    # says to swap for the LSH bucket join at 100 TB.
+    "embedding_cosine_dups": {"embeddings"},
+    # the synthesized CDC batch stands in for a real change feed, which is
+    # bounded by the upstream batch size, not by the snapshot's SF.
+    "merge_cdc_orders": {"orders"},
+}
+
+
+def _relation_table(node):
+    """Identify which testdata table a leaf relation scans, by its output
+    column names (stable across DSv1/DSv2 string formats)."""
+    cols = [node.output().apply(i).name() for i in range(node.output().size())]
+    for c in cols:
+        for p, t in _SF_PREFIXES.items():
+            if c.startswith(p):
+                return t
+        if c in _SF_COLUMNS:
+            return _SF_COLUMNS[c]
+    return None
+
+
+def _hinted_sf_tables(df):
+    """SF-scaled tables reachable under a ResolvedHint with no reducer."""
+    found = set()
+
+    def walk(node, in_hint):
+        name = node.getClass().getSimpleName()
+        if in_hint and name in _REDUCERS:
+            return
+        if name == "ResolvedHint":
+            in_hint = True
+        if in_hint and name in ("LogicalRelation", "DataSourceV2Relation"):
+            t = _relation_table(node)
+            if t:
+                found.add(t)
+        for i in range(node.children().size()):
+            walk(node.children().apply(i), in_hint)
+
+    walk(df._jdf.queryExecution().analyzed(), False)
+    return found
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_no_forced_broadcast_of_sf_scaled_tables(spark, oracle_sf_dir, name):
+    flagged = _hinted_sf_tables(SPECS[name].fn(spark, oracle_sf_dir))
+    allowed = _HINT_ALLOWED.get(name, set())
+    assert flagged <= allowed, (
+        f"{name} forces a broadcast of SF-scaled table(s) {sorted(flagged - allowed)}; "
+        f"drop the F.broadcast() hint (size-based planning keeps the same plan "
+        f"at test SF) or add a _HINT_ALLOWED entry with a docstring justifying "
+        f"the bounded cardinality"
+    )
+
+
+#: queries whose dimension-side hints were deleted in favor of size-based
+#: planning — prove the 64 MB threshold still picks the broadcast hash join
+#: at test SF, so dropping the hints cost nothing where it matters.
+_SIZE_BROADCAST_QUERIES = (
+    "revenue_by_nation",
+    "revenue_topn_customers",
+    "shipping_priority_topk",
+    "join_orders_customers",
+    "promo_revenue_ratio",
+    "disjunctive_predicate_revenue",
+    "small_quantity_revenue_q17",
+    "local_supplier_volume_q5",
+    "volume_shipping_q7",
+    "market_share_q8",
+    "late_shipper_q21",
+    "sales_opportunity_q22",
+    "stream_enriched_segment_counts",
+    "cohort_retention",
+)
+
+
+@pytest.mark.parametrize("name", _SIZE_BROADCAST_QUERIES)
+def test_size_based_planning_still_broadcasts_at_test_sf(spark, oracle_sf_dir, name):
+    plan = _plan(spark, name, oracle_sf_dir)
+    assert "BroadcastHashJoin" in plan, (
+        f"{name} lost its broadcast join after the hint removal — the size "
+        f"estimate must have crossed the 64 MB threshold; investigate before "
+        f"re-adding any hint"
+    )
+
+
 class TestLshBucketCap:
     """The LSH band-skew cap (dedup.band_bucket_pairs): one boilerplate
     band key must not produce a quadratic bucket at 100 TB."""
