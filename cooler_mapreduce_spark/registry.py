@@ -85,30 +85,28 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: (rows-only checks by design: sketches, ANN recall-pinned tiers) are
 #: deliberately NOT listed here so they sort after the verified window.
 #:
-#: Round-4 rotation (executes the plan written here in round 3): r1–r3
-#: drove 113 distinct queries green, so this window keeps the same 15
-#: per-category ANCHORS and fills the other 35 slots with every remaining
-#: never-driver-checked oracle query — the 29 carried from the r3 tail,
-#: the four round-3 additions (importance_sample_by_length,
-#: multimodal_resize_stats, multimodal_frame_sample_stats,
-#: sink_orc_roundtrip), and the two new round-4 ANN recall audits
-#: (ann_recall_lsh, ann_recall_ivf), which give the approximate-ANN
-#: family its first hash-checked driver rows. After this window the only
-#: never-driver-checked queries are the 5 rows-only-by-design tiers
-#: (ann_topk_ivf, ann_topk_lsh, approx_distinct_users,
-#: approx_quantiles_price, embedding_cosine_dups_lsh) plus the queries
-#: added after the window filled (corpus_dedup_apply,
-#: corpus_decontaminate_apply, doc_chunk_windows, chunk_dedup_groups,
-#: variant_props_stats, local_supplier_volume_q5,
-#: customer_order_distribution_q13, volume_shipping_q7, market_share_q8,
-#: sales_opportunity_q22, late_shipper_q21, stream_user_type_counts,
-#: pysink_tsv_roundtrip, doc_unigram_nll, vocab_coverage_topk,
-#: unpivot_lineitem_amounts, sql_lateral_top_customers,
-#: sink_partitioned_pruning, arrow_byte_stats) — first in line for the
-#: round-5 rotation; hll_sketch_rollup_users joins the rows-only tier
-#: (no DuckDB oracle by design).
+#: Round-5 rotation (executes the plan written in the round-4 verdict):
+#: r1–r4 drove 148 distinct queries to a driver row (147 fully green +
+#: approx_distinct_users's r1 `no_oracle` error, from before the
+#: rows-only convention existed). This window keeps the same 15
+#: per-category ANCHORS, then drains the ENTIRE queue of 19
+#: oracle-bearing queries that have never had a driver CORRECTNESS row
+#: (the six TPC-H shapes added in r4, chunking + chunk dedup, the two
+#: corpus-apply tiers, VARIANT analytics, the unigram-LM pair, unpivot,
+#: LATERAL, the partition-pruned sink, arrow_byte_stats,
+#: pysink_tsv_roundtrip, stream_user_type_counts), re-rotates
+#: approx_distinct_users in to replace its pre-convention error with a
+#: real rows-only row, and fills the remaining 15 slots with re-anchors:
+#: first the queries whose broadcast hints were deleted this round (the
+#: size-safety fix — their driver rows prove the plan change kept
+#: results identical), then the oldest round-1 greens. After this window
+#: every oracle-bearing query has a driver row; only the 6
+#: rows-only-by-design tiers (ann_topk_lsh, ann_topk_ivf,
+#: approx_quantiles_price, embedding_cosine_dups_lsh,
+#: hll_sketch_rollup_users + approx_distinct_users, the latter now
+#: driver-rowed) remain hash-unchecked, each pinned by accuracy tests.
 PRIORITY_QUERIES: tuple[str, ...] = (
-    # --- anchors: one green representative per §2.4 category (r2+r3) ---
+    # --- anchors: one green representative per §2.4 category (r2-r4) ---
     "word_count",                     # parity / scan / flatMap
     "pricing_summary",                # hash + partial agg (TPC-H Q1)
     "join_asof_last_click",           # join family
@@ -124,55 +122,56 @@ PRIORITY_QUERIES: tuple[str, ...] = (
     "mr_word_count",                  # MR-compat / UDF surface
     "stream_tumbling_counts",         # streaming batch-twin
     "merge_cdc_orders",               # merge / CDC
-    # --- rotation: the last 35 never-driver-checked oracle queries ---
-    # statistics / robust aggregates
-    "chisq_segment_priority",
-    "event_type_gini",
-    "mad_order_price",
-    "mode_quantity_by_flag",
-    "pareto_revenue_share",
-    "weighted_avg_discount",
-    "winsorized_mean_price",
-    "zscore_outlier_orders",
-    "profile_orders",
-    "revenue_share_by_nation",
-    # scalar suites tail
-    "conditional_bitwise_functions",
-    "json_parse_quality",
-    "json_roundtrip",
-    "sql_segment_revenue",
-    # time series / sessions
-    "gapfill_hourly_events",
-    "rolling_7d_distinct_users",
-    "session_conversion_rate",
-    "user_event_paths",
-    # MR-compat tail
-    "mr_grep",
-    "mr_inverted_index",
-    # UDF surface tail
-    "pandas_udaf_second_max",
-    # skew tier
-    "skew_salted_join_tiers",
-    # sampling tail
-    "sample_k_per_group",
-    "importance_sample_by_length",
-    # dedup tail
-    "dedup_simhash_pairs",
-    # embedding reductions + new ANN recall audits (first driver rows
-    # for the approximate-ANN family)
-    "embedding_centroids_by_label",
-    "embedding_cluster_compactness",
-    "ann_recall_lsh",
-    "ann_recall_ivf",
-    # multimodal tail
-    "multimodal_features",
-    "multimodal_resize_stats",
-    "multimodal_frame_sample_stats",
-    # streaming batch-twins tail
+    # --- rotation: every remaining never-driver-checked oracle query ---
+    # TPC-H shapes added in round 4
+    "local_supplier_volume_q5",
+    "customer_order_distribution_q13",
+    "volume_shipping_q7",
+    "market_share_q8",
+    "late_shipper_q21",
+    "sales_opportunity_q22",
+    # chunk-level dedup + materialized clean-corpus tiers
+    "doc_chunk_windows",
+    "chunk_dedup_groups",
+    "corpus_dedup_apply",
+    "corpus_decontaminate_apply",
+    # VARIANT analytics
+    "variant_props_stats",
+    # unigram-LM pair (CCNet-style scoring)
+    "doc_unigram_nll",
+    "vocab_coverage_topk",
+    # relational tail: unpivot + LATERAL
+    "unpivot_lineitem_amounts",
+    "sql_lateral_top_customers",
+    # sinks / connector tail
+    "sink_partitioned_pruning",
+    "pysink_tsv_roundtrip",
+    # Arrow-kernel UDF tier
+    "arrow_byte_stats",
+    # transformWithState batch twin
+    "stream_user_type_counts",
+    # rows-only sketch tier: r1 predates the rows-only convention and
+    # recorded `no_oracle` as an ERROR — this row records it properly
+    "approx_distinct_users",
+    # --- re-anchors: queries whose broadcast hints were deleted this
+    # round (size-safety fix) — fresh driver rows prove the plan change
+    # left every value identical ---
+    "revenue_by_nation",
+    "revenue_topn_customers",
+    "shipping_priority_topk",
+    "join_orders_customers",
+    "promo_revenue_ratio",
+    "disjunctive_predicate_revenue",
+    "small_quantity_revenue_q17",
+    "cohort_retention",
     "stream_enriched_segment_counts",
-    "stream_user_totals",
-    # sinks tail
-    "sink_orc_roundtrip",
+    # --- re-anchors: oldest round-1 greens, unchecked since r1 ---
+    "grep",
+    "weather_stats",
+    "distinct_values",
+    "top_k_orders",
+    "word_count_file_keyed",
+    "pysource_event_mix",
 )
 
 
