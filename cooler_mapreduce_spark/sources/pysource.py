@@ -36,6 +36,7 @@ sinks.SCRATCH_DIR_CONF).
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import uuid
 from collections.abc import Iterator
@@ -159,14 +160,16 @@ class TsvDirWriter(DataSourceWriter):
         if not path:
             raise ValueError("tsv_dir writer requires a path (…save(path))")
         self.path = path
+        self.overwrite = overwrite
         self.staging = os.path.join(path, self.STAGING)
         os.makedirs(self.staging, exist_ok=True)
-        if overwrite:
-            for f in os.listdir(path):
-                if f.startswith("part-") or f == "_SUCCESS":
-                    os.remove(os.path.join(path, f))
-            for f in os.listdir(self.staging):
-                os.remove(os.path.join(self.staging, f))
+        # Plan time touches ONLY the staging dir (sweeping temps a
+        # crashed previous job left behind). Deleting pre-existing
+        # visible parts is deferred to commit() so an aborted overwrite
+        # job leaves the destination exactly as it found it — the
+        # atomicity contract abort() documents.
+        for f in os.listdir(self.staging):
+            os.remove(os.path.join(self.staging, f))
 
     def write(self, iterator: Iterator[Row]) -> TsvPartCommit:
         tmp = os.path.join(self.staging, f"attempt-{uuid.uuid4().hex}.tsv")
@@ -188,8 +191,26 @@ class TsvDirWriter(DataSourceWriter):
         return TsvPartCommit(tmp_path=tmp, rows=n)
 
     def commit(self, messages) -> None:
+        if self.overwrite:
+            # old parts are removed only now, with every new part staged
+            # and fsync'd — the window where the directory mixes old and
+            # new is the promotion loop itself, and an abort before this
+            # point leaves the old output fully intact
+            for f in os.listdir(self.path):
+                if f == "_SUCCESS" or (f.startswith("part-") and f.endswith(".tsv")):
+                    os.remove(os.path.join(self.path, f))
+            base = 0
+        else:
+            # append: number new parts after the largest existing index
+            # so a second job never clobbers a first job's files
+            existing = [
+                int(m.group(1))
+                for f in os.listdir(self.path)
+                if (m := re.fullmatch(r"part-(\d+)\.tsv", f))
+            ]
+            base = max(existing, default=-1) + 1
         for i, m in enumerate(m for m in messages if m is not None):
-            os.replace(m.tmp_path, os.path.join(self.path, f"part-{i:05d}.tsv"))
+            os.replace(m.tmp_path, os.path.join(self.path, f"part-{base + i:05d}.tsv"))
         with open(os.path.join(self.path, "_SUCCESS"), "w", encoding="utf-8"):
             pass
         shutil.rmtree(self.staging, ignore_errors=True)
@@ -201,7 +222,9 @@ class TsvDirWriter(DataSourceWriter):
         # recreate staging files after this sweep — harmless, because
         # nothing ever promotes them and readers can't see _temporary;
         # the VISIBLE directory (part-*.tsv, _SUCCESS) is exactly as the
-        # job found it, which is the atomicity contract.
+        # job found it, which is the atomicity contract — and since
+        # overwrite now defers old-part deletion to commit(), that
+        # contract holds for overwrite-of-existing-output too.
         shutil.rmtree(self.staging, ignore_errors=True)
 
 
@@ -225,11 +248,30 @@ class TsvDirStreamWriter(DataSourceStreamWriter):
     write = TsvDirWriter.write
 
     def commit(self, messages, batchId: int) -> None:
+        # A replayed epoch may plan FEWER partitions than a previously
+        # partially-committed attempt (restart with different
+        # parallelism): promotion-by-enumeration-index would then leave
+        # higher-indexed stale part-<batchId>-NNNNN.tsv files behind,
+        # duplicating rows. Clear every part of THIS batchId first so
+        # the promoted set is exactly this attempt's.
+        prefix = f"part-{batchId:05d}-"
+        for f in os.listdir(self.path):
+            if f.startswith(prefix) and f.endswith(".tsv"):
+                os.remove(os.path.join(self.path, f))
+        promoted = set()
         for i, m in enumerate(m for m in messages if m is not None):
             os.replace(
                 m.tmp_path,
                 os.path.join(self.path, f"part-{batchId:05d}-{i:05d}.tsv"),
             )
+            promoted.add(m.tmp_path)
+        # success path previously never swept staging: temps from an
+        # interrupted earlier attempt of this epoch would accumulate
+        # forever — remove everything this attempt didn't just promote
+        for f in os.listdir(self.staging):
+            p = os.path.join(self.staging, f)
+            if p not in promoted:
+                os.remove(p)
 
     def abort(self, messages, batchId: int) -> None:
         shutil.rmtree(self.staging, ignore_errors=True)

@@ -227,10 +227,19 @@ def run_streaming_upsert(
             .select("o_orderkey", "bucket", "r.*")
         )
         touched = [r["bucket"] for r in fresh.select("bucket").distinct().collect()]
-        try:
+        # Gate the read-back on EXISTENCE, not on "any read failure": a
+        # corrupt footer / transient FS error / permission problem must
+        # fail the micro-batch (checkpoint replays it) rather than be
+        # mistaken for "first batch" — treating it as empty would
+        # dynamic-overwrite the touched buckets with only the fresh rows
+        # and silently discard previously merged history.
+        jvm = sp._jvm
+        hconf = sp._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(out_dir)
+        if path.getFileSystem(hconf).exists(path):
             old = sp.read.parquet(out_dir).where(F.col("bucket").isin(touched))
             merged_src = old.unionByName(fresh)
-        except Exception:  # first batch: nothing on disk yet
+        else:  # genuinely the first batch: nothing on disk yet
             merged_src = fresh
         merged = (
             merged_src.groupBy("o_orderkey", "bucket")

@@ -117,20 +117,35 @@ def run_user_type_counts_stream(
             "works without it."
         )
 
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
-    ev = _event_stream(spark, sf_dir).select("user_id", "event_type")
-    out = ev.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=UserTypeCountsProcessor(),
-        outputStructType=OUTPUT_SCHEMA,
-        outputMode="Update",
-        timeMode="None",
-    )
-    return (
-        out.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
+    # transformWithState requires the RocksDB provider, but the session
+    # conf must not be permanently mutated for every LATER stream in the
+    # same session — save and restore around start(). Restoring
+    # immediately after start() is safe: StreamExecution clones the
+    # session (and with it this conf) synchronously when the query is
+    # created, so the running stream keeps RocksDB while the caller's
+    # session returns to its previous provider.
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        ev = _event_stream(spark, sf_dir).select("user_id", "event_type")
+        out = ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=UserTypeCountsProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+        return (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 @query(

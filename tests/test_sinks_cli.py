@@ -528,6 +528,89 @@ def test_python_datasource_writer_abort_removes_temps(spark, tmp_path):
     assert sorted(r.id for r in back.collect()) == [0, 1, 2, 3, 4]
 
 
+def test_python_datasource_overwrite_abort_preserves_old_output(spark, tmp_path):
+    """Overwrite atomicity: old-part deletion is deferred to commit(),
+    so a FAILED overwrite job leaves the previous committed output
+    byte-for-byte intact and readable — not an emptied directory."""
+    import os
+
+    import pytest as _pytest
+
+    from cooler_mapreduce_spark.sources.pysource import register
+
+    register(spark)
+    out = str(tmp_path / "tsv_keep_old")
+    spark.range(0, 20, 1, 2).selectExpr("id").write.format("tsv_dir").mode(
+        "overwrite"
+    ).save(out)
+    before = sorted(n for n in os.listdir(out) if not n.startswith("_temporary"))
+
+    from pyspark.sql import functions as F
+
+    @F.udf("bigint")
+    def boom(x):
+        raise ValueError("synthetic task failure")
+
+    with _pytest.raises(Exception, match="synthetic task failure"):
+        spark.range(0, 5, 1, 1).select(boom("id").alias("id")).write.format(
+            "tsv_dir"
+        ).mode("overwrite").save(out)
+    after = sorted(n for n in os.listdir(out) if not n.startswith("_temporary"))
+    assert after == before  # parts + _SUCCESS exactly as the job found them
+    back = spark.read.option("sep", "\t").schema("id bigint").csv(out)
+    assert sorted(r.id for r in back.collect()) == list(range(20))
+
+
+def test_python_datasource_append_never_clobbers(spark, tmp_path):
+    """Append mode numbers new parts after the largest existing index, so
+    consecutive append jobs accumulate rows instead of silently
+    overwriting part-00000.tsv."""
+    from cooler_mapreduce_spark.sources.pysource import register
+
+    register(spark)
+    out = str(tmp_path / "tsv_append")
+    spark.range(0, 10, 1, 2).selectExpr("id").write.format("tsv_dir").mode(
+        "append"
+    ).save(out)
+    spark.range(10, 15, 1, 1).selectExpr("id").write.format("tsv_dir").mode(
+        "append"
+    ).save(out)
+    back = spark.read.option("sep", "\t").schema("id bigint").csv(out)
+    assert sorted(r.id for r in back.collect()) == list(range(15))
+
+
+def test_python_stream_writer_replay_clears_stale_parts(tmp_path):
+    """Epoch replay with FEWER partitions: commit(batchId) must first
+    remove every existing part of that batchId — a stale higher-indexed
+    part from a wider earlier attempt would otherwise survive promotion
+    and duplicate rows — and sweep leftover staging temps on success."""
+    import os
+
+    from cooler_mapreduce_spark.sources.pysource import TsvDirStreamWriter, TsvPartCommit
+
+    out = str(tmp_path / "stream_sink")
+    os.makedirs(out)
+    w = TsvDirStreamWriter({"path": out})
+    # partially-committed wider earlier attempt of epoch 3: 3 parts + a
+    # temp it never promoted
+    for i in range(3):
+        with open(os.path.join(out, f"part-{3:05d}-{i:05d}.tsv"), "w") as f:
+            f.write(f"stale-{i}\n")
+    stale_tmp = os.path.join(w.staging, "attempt-stale.tsv")
+    with open(stale_tmp, "w") as f:
+        f.write("orphan\n")
+    # the replay attempt plans only 1 partition
+    tmp = os.path.join(w.staging, "attempt-replay.tsv")
+    with open(tmp, "w") as f:
+        f.write("fresh\n")
+    w.commit([TsvPartCommit(tmp_path=tmp, rows=1)], batchId=3)
+    parts = sorted(n for n in os.listdir(out) if n.startswith("part-"))
+    assert parts == ["part-00003-00000.tsv"]  # no stale survivors
+    with open(os.path.join(out, parts[0])) as f:
+        assert f.read() == "fresh\n"
+    assert os.listdir(w.staging) == []  # orphaned temps swept on success
+
+
 def test_partitioned_layout_prunes_file_listing(spark, sf_dir, tmp_path):
     """partition_by layout: a filter on the partition column must reach
     the file listing — the scan's inputFiles are exactly the one

@@ -85,13 +85,11 @@ def test_transform_with_state_equals_batch(spark, sf_dir):
         pytest.skip("optional protobuf dependency absent (state protocol)")
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     q = run_user_type_counts_stream(spark, sf_dir, query_name="t_type_counts")
-    try:
-        _drain(q)
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    # the library function must restore the session's provider itself —
+    # only the stream's cloned session keeps RocksDB
+    after = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    assert after == prev, "run_user_type_counts_stream leaked the provider conf"
+    _drain(q)
     got = spark.sql(
         """
         SELECT user_id, event_type, n_events FROM (
@@ -353,6 +351,10 @@ def test_stream_checkpoint_recovers_state_and_catches_up(spark, sf_dir, tmp_path
     # equal file B's rows exactly (A's were committed in q1's offsets).
     replayed = sum(p["numInputRows"] for p in q2.recentProgress)
     assert replayed == b.count()
+
+
+def test_enriched_stream_equals_batch(spark, sf_dir):
+    """The stream-static enrichment join converges to its batch twin."""
     from cooler_mapreduce_spark.streaming.windows import run_enriched_stream
 
     q = run_enriched_stream(spark, sf_dir, query_name="t_enriched")
@@ -437,6 +439,35 @@ def test_streaming_upsert_scd1_equals_batch_keep_latest(spark, sf_dir, tmp_path)
     # every updated key carries the new version
     n_updated = got.filter(F.col("o_orderstatus") == "U").count()
     assert n_updated == updates.count()
+
+
+def test_streaming_upsert_read_failure_fails_batch_not_wipes_state(
+    spark, sf_dir, tmp_path
+):
+    """A transient/corrupt read of the merged table must FAIL the
+    micro-batch (checkpoint will replay it) — never be mistaken for
+    'first batch, nothing on disk' and dynamic-overwrite the touched
+    buckets with only the fresh rows, silently discarding history."""
+    import os
+
+    from cooler_mapreduce_spark.sources.catalog import table
+    from cooler_mapreduce_spark.streaming.dedup import run_streaming_upsert
+
+    in_dir = str(tmp_path / "in")
+    out = str(tmp_path / "upsert_out")
+    ckpt = str(tmp_path / "upsert_ckpt")
+    base = table(spark, sf_dir, "orders", fan_out=False)
+    base.coalesce(1).write.mode("append").parquet(f"{in_dir}/orders.parquet")
+    # out_dir EXISTS but contains garbage where parquet footers should be
+    os.makedirs(f"{out}/bucket=0", exist_ok=True)
+    with open(f"{out}/bucket=0/part-corrupt.parquet", "wb") as f:
+        f.write(b"not a parquet file")
+    q = run_streaming_upsert(spark, in_dir, out, ckpt)
+    with pytest.raises(Exception):
+        q.processAllAvailable()
+    q.stop()
+    # the corrupt (pre-existing) state was never overwritten
+    assert os.path.exists(f"{out}/bucket=0/part-corrupt.parquet")
 
 
 def test_available_now_trigger_terminates_and_matches_batch(spark, sf_dir):
