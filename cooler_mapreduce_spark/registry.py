@@ -165,13 +165,15 @@ PRIORITY_QUERIES: tuple[str, ...] = (
     "small_quantity_revenue_q17",
     "cohort_retention",
     "stream_enriched_segment_counts",
+    # the round-5 catalog addition: the partitioned-layout scan option
+    # (its hash row proves the layout is value-lossless end-to-end)
+    "catalog_partitioned_scan",
     # --- re-anchors: oldest round-1 greens, unchecked since r1 ---
     "grep",
     "weather_stats",
     "distinct_values",
     "top_k_orders",
     "word_count_file_keyed",
-    "pysource_event_mix",
 )
 
 

@@ -47,7 +47,11 @@ _FANOUT_MIN_BYTES = 256 * 1024
 
 
 def table(
-    spark: SparkSession, sf_dir: str, name: str, fan_out: bool | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    fan_out: bool | None = None,
+    partitioned_by: tuple[str, ...] | list[str] | None = None,
 ) -> DataFrame:
     """Load one catalog table from a scale-factor directory.
 
@@ -67,9 +71,27 @@ def table(
     keep the default — their per-row compute dwarfs the shuffle. At
     production scale the flag is inert either way: multi-split tables
     never trigger the guard.
+
+    ``partitioned_by``: opt this scan into a hive-partitioned layout —
+    the catalog materializes (once per process per (sf_dir, table,
+    cols)) a ``col=value/`` directory copy of the table and serves the
+    scan from it, so any filter on a partition column is resolved by the
+    FILE LISTING (PartitionFilters) before a byte of data I/O. This is
+    the default-capable version of what sink_partitioned_pruning
+    demonstrates on a scratch copy: at 100 TB a fact table partitioned
+    by its hot filter key (event date, type, tenant bucket) turns every
+    bucket-keyed consumer's full-corpus scan into a directory lookup.
+    Partition columns move to the tail of the schema (hive layout);
+    value NULLs land in the ``__HIVE_DEFAULT_PARTITION__`` directory.
+    The fixture copy lives under the scratch conf
+    (``spark.cooler_mapreduce.scratchDir``) or a local tempdir; a real
+    deployment points the catalog at an already-partitioned dataset and
+    skips the copy entirely.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
+    if partitioned_by:
+        return _partitioned_layout(spark, sf_dir, name, tuple(partitioned_by))
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -80,6 +102,32 @@ def table(
     if fan_out is False:
         return df
     return _fan_out(spark, df, f"{sf_dir}/{name}.parquet")
+
+
+#: materialized partitioned-layout path per (sf_dir, table, cols) — the
+#: copy is immutable for the life of the process, so each layout is
+#: written exactly once no matter how many queries opt in.
+_LAYOUT_CACHE: dict[tuple[str, str, tuple[str, ...]], str] = {}
+
+
+def _partitioned_layout(
+    spark: SparkSession, sf_dir: str, name: str, cols: tuple[str, ...]
+) -> DataFrame:
+    """Materialize + serve the hive-partitioned copy behind
+    ``table(..., partitioned_by=...)`` (see its docstring)."""
+    key = (sf_dir, name, cols)
+    path = _LAYOUT_CACHE.get(key)
+    if path is None:
+        from .sinks import scratch_dir
+
+        base = table(spark, sf_dir, name, fan_out=False)
+        missing = [c for c in cols if c not in base.columns]
+        if missing:
+            raise KeyError(f"{name} has no column(s) {missing}; cannot partition")
+        path = scratch_dir(spark, f"catalog_{name}_by_{'_'.join(cols)}_")
+        base.write.mode("overwrite").partitionBy(*cols).parquet(path)
+        _LAYOUT_CACHE[key] = path
+    return spark.read.parquet(path)
 
 
 #: fan-out decision per (path, parallelism) — the split count of a static

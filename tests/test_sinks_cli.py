@@ -528,6 +528,34 @@ def test_python_datasource_writer_abort_removes_temps(spark, tmp_path):
     assert sorted(r.id for r in back.collect()) == [0, 1, 2, 3, 4]
 
 
+def test_catalog_partitioned_layout_prunes_at_runtime(spark, sf_dir):
+    """table(..., partitioned_by=...): a filter on the partition column
+    must be satisfied by the file listing — every file an executed row
+    came from lives under the one selected partition directory. Uses
+    input_file_name() on executed rows because df.inputFiles() lists
+    files PRE-pruning."""
+    from pyspark.sql import functions as F
+
+    from cooler_mapreduce_spark.sources.catalog import table
+
+    ev = table(spark, sf_dir, "events", partitioned_by=("event_type",))
+    files = {
+        r.f
+        for r in ev.filter(F.col("event_type") == "purchase")
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert files and all("event_type=purchase" in f for f in files)
+    # PartitionFilters carried in the physical scan, not a data Filter
+    plan = ev.filter(F.col("event_type") == "purchase")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:200]
+    # the layout is served from a per-process cache: same DataFrame
+    # lineage path on a second call, no second materialization
+    again = table(spark, sf_dir, "events", partitioned_by=("event_type",))
+    assert set(again.inputFiles()) == set(ev.inputFiles())
+
+
 def test_python_datasource_overwrite_abort_preserves_old_output(spark, tmp_path):
     """Overwrite atomicity: old-part deletion is deferred to commit(),
     so a FAILED overwrite job leaves the previous committed output
