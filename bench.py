@@ -62,7 +62,55 @@ HEADLINE = [
 # sink path already covered by the (heavier, columnar) ORC roundtrip;
 # vocab_coverage_topk shares doc_unigram_nll's tokenize+term-agg spine
 # (the only corpus-sized work either does); stream_user_type_counts'
-# batch twin is the same shuffle shape as stream_user_totals.
+# batch twin is the same shuffle shape as stream_user_totals;
+# multimodal_frame_sample_stats runs the same mapInPandas Arrow path as
+# multimodal_resize_stats over the same 500 videos — only the per-batch
+# kernel differs (frame subsampling vs resize arithmetic), so one entry
+# covers the tier's scan/serialization cost and the other would
+# double-count it; catalog_partitioned_scan's timed cost would be ~90 %
+# one-time fixture materialization (writing the partitioned copy), not
+# query cost — its scan-side benefit (pruned file listing) is asserted
+# structurally in tests instead.
+
+#: REAL-STREAM surfaces (not batch twins): each starts an actual
+#: StreamingQuery over the sf dir and times a full bounded-replay drain —
+#: wall-clock including micro-batch scheduling, state store, and commit
+#: log, the costs batch twins cannot see. Keys land in "queries"/"runs"
+#: next to the batch entries.
+def _stream_cases(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from cooler_mapreduce_spark.streaming.dedup import run_streaming_upsert
+    from cooler_mapreduce_spark.streaming.windows import run_tumbling_stream
+
+    def scd1_upsert(i: int) -> None:
+        # foreachBatch argmax-merge + dynamic partition overwrite over
+        # the full orders table — the table-format-free SCD1 path
+        work = tempfile.mkdtemp(prefix=f"bench_scd1_{i}_")
+        try:
+            q = run_streaming_upsert(
+                spark, sf_dir, f"{work}/out", f"{work}/ckpt"
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    def tumbling_available_now(i: int) -> None:
+        # Trigger.AvailableNow catch-up: drain everything present, then
+        # self-terminate (cron-shaped streaming lifecycle)
+        q = run_tumbling_stream(
+            spark, sf_dir, query_name=f"bench_an_{i}", available_now=True
+        )
+        q.awaitTermination()
+
+    return {
+        "stream_scd1_upsert_replay": scd1_upsert,
+        "stream_tumbling_available_now": tumbling_available_now,
+    }
 
 
 def main() -> None:
@@ -139,6 +187,19 @@ def main() -> None:
                 # improving or swinging.
                 if lo2 <= lo * 1.12 and raw[-1] <= lo * 1.12:
                     break
+        runs[name] = raw
+        timings[name] = min(raw)
+        print(f"# {name}: {timings[name]:.3f}s  runs={raw}", file=sys.stderr)
+
+    # real-stream bounded-replay entries (see _stream_cases): 3 runs each
+    # — streaming drains are dominated by fixed micro-batch scheduling,
+    # not JIT, so the batch loop's 6-run convergence budget buys nothing.
+    for name, drive in _stream_cases(spark, sf_dir).items():
+        raw = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            drive(i)
+            raw.append(round(time.perf_counter() - t0, 3))
         runs[name] = raw
         timings[name] = min(raw)
         print(f"# {name}: {timings[name]:.3f}s  runs={raw}", file=sys.stderr)
