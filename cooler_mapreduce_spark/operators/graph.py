@@ -1,0 +1,163 @@
+"""Iterative graph analytics on the star schema — PageRank.
+
+The reference is a MapReduce engine, and PageRank is *the* canonical
+iterative MapReduce workload (one map/reduce round per iteration); the
+reference cannot express it because its jobs are single-round
+(SURVEY.md §2.2 — no job chaining exists). Here each iteration is a
+declarative join + partial-aggregated shuffle and the driver loop only
+composes plans — the Spark-native shape of iterate-until-k.
+
+Scale design (100 TB): the edge list is the only big dataset; every
+iteration shuffles contribution tuples keyed by destination with
+map-side partial sums, so per-iteration cost is O(|edges|) shuffled
+bytes regardless of iteration count. Rank state is O(|nodes|), never
+collected to the driver; the node count rides the plan as a broadcast
+single-row aggregate. For deep iteration counts a production deployment
+adds periodic ``localCheckpoint`` to truncate lineage — at the fixed
+k=5 here the composed plan is small enough that checkpointing would
+only add I/O.
+
+Determinism: contributions are floor-quantized to 1e-15 resolution and
+summed as exact decimals (the same convention as
+``similarity.embedding_centroids_by_label``), so the per-iteration sums
+are order-independent and bit-identical in Spark and DuckDB; the
+remaining arithmetic (rank/outdeg, damping) is a fixed sequence of
+scalar IEEE double ops, identical on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import query
+from ..sources.catalog import table
+
+#: contribution quantum: floor(x * 1e15) — doubles in [0, 1] keep ~15
+#: significant digits, so the quantization error is below double ULP
+#: noise while floor() is unambiguous in both engines (unlike rounding a
+#: double into a high-scale decimal).
+_Q = "1000000000000000"
+
+_PR_ITERATIONS = 5
+_DAMPING = 0.85
+
+
+def _pagerank_oracle(iterations: int = _PR_ITERATIONS) -> str:
+    """Unrolled-iteration DuckDB oracle: standard SQL forbids aggregates
+    in a recursive CTE term, so the k iterations unroll into k chained
+    CTEs — same joins, same quantized sums as the Spark loop."""
+    parts = [
+        f"""
+    WITH fwd AS (
+        SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    n AS (SELECT COUNT(*) AS n_nodes FROM deg),
+    pr0 AS (
+        SELECT src AS node, outdeg,
+               CAST(1.0 AS DOUBLE) / (SELECT n_nodes FROM n) AS rank
+        FROM deg
+    )"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+    pr{i} AS (
+        SELECT e.dst AS node, d2.outdeg,
+               0.15 / (SELECT n_nodes FROM n)
+               + {_DAMPING} * (CAST(SUM(CAST(FLOOR(p.rank / p.outdeg * {_Q}.0)
+                                             AS DECIMAL(38,0))) AS DOUBLE) / {_Q}.0)
+                   AS rank
+        FROM pr{i - 1} p
+        JOIN edges e ON p.node = e.src
+        JOIN deg d2 ON e.dst = d2.src
+        GROUP BY e.dst, d2.outdeg
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node, round(rank, 12) AS rank
+    FROM pr{iterations}
+    ORDER BY rank DESC, node
+    LIMIT 20
+    """
+    )
+    return "".join(parts)
+
+
+@query(
+    "pagerank_supplier_customer",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "iterative", "join", "aggregation"),
+)
+def pagerank_supplier_customer(
+    spark: SparkSession, sf_dir: str, iterations: int = _PR_ITERATIONS
+) -> DataFrame:
+    """PageRank (k=5, damping 0.85) over the supplier↔customer trade
+    graph: an edge links a supplier to every customer it shipped to
+    (lineitem ⋈ orders), mirrored so the bipartite graph has no dangling
+    nodes (every node that appears has out-degree ≥ 1, so no rank mass
+    leaks and the teleport term is the plain 0.15/N).
+
+    Node ids: supplier s ↦ 2s, customer c ↦ 2c+1 — disjoint numeric
+    spaces, join-key friendly. Per iteration: ranks ⋈ edges on the
+    source key (contribution = rank/outdeg), then a destination-keyed
+    partial+final aggregate — the exact map/combine/reduce round the
+    reference would need k chained jobs for. The node count is a
+    broadcast single-row aggregate (never a driver collect); the final
+    top-20 is TakeOrdered with a node-id tiebreak.
+    """
+    ranks = pagerank_frame(spark, sf_dir, iterations)
+    return (
+        ranks.orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
+        .select("node", F.round("rank", 12).alias("rank"))
+    )
+
+
+def pagerank_frame(
+    spark: SparkSession, sf_dir: str, iterations: int = _PR_ITERATIONS
+) -> DataFrame:
+    """Full (node, outdeg, rank) frame after ``iterations`` rounds —
+    the registered query's top-20 is a TakeOrdered over this."""
+    li = table(spark, sf_dir, "lineitem", fan_out=False)
+    o = table(spark, sf_dir, "orders", fan_out=False)
+    fwd = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("o_custkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    # mirrored edge: src/dst parity differs, so the union is disjoint
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    n = deg.agg(F.count("*").alias("n_nodes"))
+    ranks = deg.crossJoin(F.broadcast(n)).select(
+        F.col("src").alias("node"),
+        "outdeg",
+        (F.lit(1.0) / F.col("n_nodes")).alias("rank"),
+    )
+    q = F.lit(float(_Q))
+    for _ in range(iterations):
+        contribs = ranks.join(edges, F.col("node") == F.col("src")).select(
+            F.col("dst").alias("to"),
+            F.floor(F.col("rank") / F.col("outdeg") * q).cast("decimal(38,0)").alias("c"),
+        )
+        sums = contribs.groupBy("to").agg(F.sum("c").alias("s"))
+        ranks = (
+            sums.join(deg, F.col("to") == F.col("src"))
+            .crossJoin(F.broadcast(n))
+            .select(
+                F.col("to").alias("node"),
+                "outdeg",
+                (
+                    F.lit(0.15) / F.col("n_nodes")
+                    + F.lit(_DAMPING) * (F.col("s").cast("double") / q)
+                ).alias("rank"),
+            )
+        )
+    return ranks

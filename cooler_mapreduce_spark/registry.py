@@ -46,6 +46,7 @@ _QUERY_MODULES = (
     "cooler_mapreduce_spark.operators.setops",
     "cooler_mapreduce_spark.operators.scalars",
     "cooler_mapreduce_spark.operators.dedup",
+    "cooler_mapreduce_spark.operators.graph",
     "cooler_mapreduce_spark.operators.similarity",
     "cooler_mapreduce_spark.operators.textstats",
     "cooler_mapreduce_spark.operators.sampling",

@@ -24,6 +24,9 @@ CASES = [
     "window_top_orders_per_customer",
     "stat_corr_qty_price",
     "market_share_q8",
+    # iterative: 5 chained join+agg rounds — quantized contribution sums
+    # must hold bit-identical through every round's shuffle
+    "pagerank_supplier_customer",
 ]
 
 

@@ -117,3 +117,28 @@ def test_approx_quantiles_close_to_exact(spark, oracle_sf_dir):
     for q, g, e in zip([0.25, 0.5, 0.75, 0.95, 0.99], got, exact):
         rank_g = bisect.bisect_left(vals, g) / n
         assert abs(rank_g - q) < 0.01, (q, g, e, rank_g)
+
+
+def test_pagerank_mass_conservation_and_concentration(spark, sf_dir):
+    """PageRank invariants on the mirrored (dangling-free) trade graph:
+    total rank mass stays 1 after every iteration (teleport + damped
+    redistribution conserve mass; floor-quantization loses < |edges| *
+    1e-15), iteration 0 is the uniform vector, and iterating
+    concentrates mass (max rank rises above uniform)."""
+    from pyspark.sql import functions as F
+
+    from cooler_mapreduce_spark.operators.graph import pagerank_frame
+
+    r0 = pagerank_frame(spark, sf_dir, iterations=0)
+    n = r0.count()
+    uniform = 1.0 / n
+    ranks0 = [r.rank for r in r0.select("rank").collect()]
+    assert all(abs(v - uniform) < 1e-15 for v in ranks0)
+
+    for k in (1, 5):
+        rk = pagerank_frame(spark, sf_dir, iterations=k)
+        assert rk.count() == n  # node set preserved (no dangling loss)
+        total = rk.agg(F.sum("rank")).collect()[0][0]
+        assert abs(total - 1.0) < 1e-6, total
+    top = pagerank_frame(spark, sf_dir, iterations=5).agg(F.max("rank")).collect()[0][0]
+    assert top > uniform * 1.5  # hubs emerged; not still uniform

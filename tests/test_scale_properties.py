@@ -33,6 +33,7 @@ _NL_ALLOWED = {
     "sales_opportunity_q22",   # single-row avg-balance threshold broadcast (Q22 scalar subquery)
     "vocab_coverage_topk",     # 3 literal k-thresholds broadcast against vocab ranks
     "doc_unigram_nll",         # single-row corpus-total scalar broadcast to vocab rows
+    "pagerank_supplier_customer",  # single-row node-count scalar broadcast per iteration
 }
 
 
