@@ -130,6 +130,77 @@ def _partitioned_layout(
     return spark.read.parquet(path)
 
 
+def morton_code(a, b) -> "F.Column":
+    """Z-order (Morton) interleave of two integer columns' low 16 bits —
+    the space-filling-curve sort key behind multi-column data skipping.
+
+    Sorting a table by this key makes every contiguous slice of rows a
+    compact box in (a, b) space, so per-file/row-group min/max
+    statistics become selective for predicates on EITHER column — the
+    property neither a single-column sort (only helps its own column)
+    nor hive partitioning (explodes directories beyond ~1 low-card
+    column) provides. Classic bit-spread sequence, expressed entirely in
+    JVM-side bitwise ops (shiftleft/AND/OR — whole-stage codegen'd, no
+    UDF). Test-SF key ranges fit 16 bits raw; a production deployment
+    first quantile-buckets each column to 16-bit ranks, which preserves
+    the locality property for any distribution.
+    """
+    def spread(x):
+        x = x.bitwiseAND(F.lit(0xFFFF))
+        x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x00FF00FF))
+        x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+        x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x33333333))
+        x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(0x55555555))
+        return x
+
+    a = (F.col(a) if isinstance(a, str) else a).cast("bigint")
+    b = (F.col(b) if isinstance(b, str) else b).cast("bigint")
+    return spread(a).bitwiseOR(F.shiftleft(spread(b), 1))
+
+
+#: materialized z-ordered layout path per (sf_dir, table, key expr, files).
+_ZORDER_CACHE: dict[tuple[str, str, str, int], str] = {}
+
+
+def zordered_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    zcol,
+    n_files: int = 16,
+    cache_key: str = "",
+) -> DataFrame:
+    """Materialize (once per process) a copy of a catalog table sorted
+    and range-split by a z-order key, and serve the scan from it.
+
+    ``zcol`` is the Morton key Column (build it with :func:`morton_code`);
+    ``cache_key`` names it for the per-process cache.
+    ``repartitionByRange`` on the key gives each output file a
+    contiguous, compact z-range — a box in the interleaved columns'
+    space — so a parquet reader's footer min/max check skips most files
+    for a predicate on either constituent column. At 100 TB this is the
+    OPTIMIZE ZORDER maintenance job of lakehouse tables, expressed as a
+    plain sort-write; the catalog would point at the maintained dataset.
+    """
+    key = (sf_dir, name, cache_key or str(zcol), n_files)
+    path = _ZORDER_CACHE.get(key)
+    if path is None:
+        from .sinks import scratch_dir
+
+        base = table(spark, sf_dir, name, fan_out=False)
+        path = scratch_dir(spark, f"catalog_{name}_zorder_")
+        (
+            base.withColumn("_z", zcol)
+            .repartitionByRange(n_files, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        _ZORDER_CACHE[key] = path
+    return spark.read.parquet(path)
+
+
 #: fan-out decision per (path, parallelism) — the split count of a static
 #: file never changes within a run, and the .rdd partition probe costs a
 #: plan construction per call.

@@ -324,6 +324,58 @@ def catalog_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "zorder_scan",
+    oracle="""
+    SELECT COUNT(*) AS n_lines,
+           CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,4))) AS DOUBLE)
+               AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND l_partkey BETWEEN 100 AND 500
+    """,
+    tags=("source", "layout", "zorder", "data-skipping"),
+)
+def zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D box query (ship-date window × part-key band) served from the
+    catalog's Z-ORDERED copy of lineitem (:func:`catalog.zordered_layout`
+    keyed by morton(epoch-day(l_shipdate), l_partkey)).
+
+    Both predicates are pushed to the parquet reader, and because every
+    file covers a compact box in (day, partkey) space, the footer
+    min/max check eliminates most files for a box predicate — the
+    data-skipping that single-column sorting gives only its own column.
+    The selectivity of the layout (files whose stat-box intersects the
+    predicate box: z-order ≪ natural order) is measured in
+    tests/test_sinks_cli.py; the oracle runs on the UNsorted original,
+    so the hash match proves the re-layout is value-lossless. At 100 TB
+    this is the OPTIMIZE ZORDER pattern for fact tables with two hot
+    filter dimensions (time × tenant, date × entity).
+    """
+    from .catalog import morton_code, zordered_layout
+
+    z = morton_code(
+        F.datediff(F.col("l_shipdate"), F.lit("1992-01-01")), F.col("l_partkey")
+    )
+    li = zordered_layout(
+        spark, sf_dir, "lineitem", z, n_files=16, cache_key="day_partkey"
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-03-01")
+            & (F.col("l_shipdate") < "1997-07-01")
+            & F.col("l_partkey").between(100, 500)
+        )
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
 def table_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events via the catalog (kept as a helper so the module's top
     imports stay sink-focused)."""
