@@ -166,6 +166,48 @@ _SIZE_BROADCAST_QUERIES = (
 )
 
 
+def test_runtime_bloom_filter_injects_on_selective_fact_join(spark, oracle_sf_dir):
+    """Runtime row-level filtering: when a fact⋈fact join's build side
+    carries a selective predicate and the join shuffles, Spark can
+    inject a bloom_filter_agg on the build side and a might_contain()
+    residual into the PROBE side's scan — at 100 TB that prunes the big
+    table's shuffle input by the dimension filter's selectivity without
+    any manual semi-join. The fixture's stats overestimate the filtered
+    build side (single-file tables, no column stats), so the
+    creation-side threshold is raised for the demonstration; a real
+    deployment with ANALYZE'd tables hits the default 10 MB threshold
+    naturally. This test pins that the engine's plans remain eligible
+    (shuffle join + pushable xxhash64 key), i.e. the optimization is one
+    conf away, not a rewrite away."""
+    from pyspark.sql import functions as F
+
+    from cooler_mapreduce_spark.sources.catalog import table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = table(spark, oracle_sf_dir, "lineitem", fan_out=False)
+        o = table(spark, oracle_sf_dir, "orders", fan_out=False).filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        df = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt and "might_contain" in opt, opt
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 @pytest.mark.parametrize("name", _SIZE_BROADCAST_QUERIES)
 def test_size_based_planning_still_broadcasts_at_test_sf(spark, oracle_sf_dir, name):
     plan = _plan(spark, name, oracle_sf_dir)
