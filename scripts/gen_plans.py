@@ -297,6 +297,28 @@ CASES = {
             ("k side broadcast (3 literal rows)", lambda p: "BroadcastNestedLoopJoin" in p),
         ],
     ),
+    "pagerank_supplier_customer": (
+        "iterative PageRank: k=5 chained join+partial-agg rounds, top-20 is TakeOrdered — no global sort, no cartesian, no driver loop materialization",
+        [
+            ("per-round partial sums before the shuffle", lambda p: "partial_sum" in p),
+            ("top-k never global-sorts", lambda p: "TakeOrderedAndProject" in p),
+            ("no cartesian product", lambda p: "CartesianProduct" not in p),
+            ("5 iteration aggregates present", lambda p: p.count("bloomFilter") == 0 and p.count("HashAggregate") >= 10),
+        ],
+    ),
+    "catalog_partitioned_scan": (
+        "partitioned-layout scan: the event-type filter is a PartitionFilter resolved in the file listing, not a data Filter over row values",
+        [
+            ("partition filter on event_type", lambda p: "PartitionFilters" in p and "event_type" in p.split("PartitionFilters", 1)[1][:250]),
+        ],
+    ),
+    "zorder_scan": (
+        "z-ordered 2-D box scan: both predicates pushed into the parquet reader (footer stats skip non-intersecting z-range files), single agg, no join",
+        [
+            ("both predicates pushed", lambda p: "l_shipdate" in _scan_line(p) and "l_partkey" in _scan_line(p)),
+            ("no join", lambda p: "Join" not in p),
+        ],
+    ),
 }
 
 #: cases whose scan/reuse claims are only *printable* with AQE disabled:
