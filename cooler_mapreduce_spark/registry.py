@@ -100,8 +100,9 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: real rows-only row, and fills the remaining 15 slots with re-anchors:
 #: first the queries whose broadcast hints were deleted this round (the
 #: size-safety fix — their driver rows prove the plan change kept
-#: results identical), then the oldest round-1 greens. After this window
-#: every oracle-bearing query has a driver row; only the 6
+#: results identical), the three round-5 additions (both catalog layout
+#: options and PageRank), then the oldest round-1 greens. After this
+#: window EVERY oracle-bearing query has a driver row; only the 6
 #: rows-only-by-design tiers (ann_topk_lsh, ann_topk_ivf,
 #: approx_quantiles_price, embedding_cosine_dups_lsh,
 #: hll_sketch_rollup_users + approx_distinct_users, the latter now
@@ -166,12 +167,12 @@ PRIORITY_QUERIES: tuple[str, ...] = (
     "small_quantity_revenue_q17",
     "cohort_retention",
     "stream_enriched_segment_counts",
-    # the round-5 catalog addition: the partitioned-layout scan option
-    # (its hash row proves the layout is value-lossless end-to-end)
+    # round-5 additions: the two catalog layout options (hash rows prove
+    # each layout value-lossless end-to-end) + iterative PageRank
     "catalog_partitioned_scan",
+    "zorder_scan",
+    "pagerank_supplier_customer",
     # --- re-anchors: oldest round-1 greens, unchecked since r1 ---
-    "grep",
-    "weather_stats",
     "distinct_values",
     "top_k_orders",
     "word_count_file_keyed",
