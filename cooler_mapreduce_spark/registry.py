@@ -167,13 +167,14 @@ PRIORITY_QUERIES: tuple[str, ...] = (
     "small_quantity_revenue_q17",
     "cohort_retention",
     "stream_enriched_segment_counts",
-    # round-5 additions: the two catalog layout options (hash rows prove
-    # each layout value-lossless end-to-end) + iterative PageRank
+    # round-5 additions: the catalog layout options (hash rows prove
+    # each layout value-lossless end-to-end), dynamic partition pruning,
+    # and iterative PageRank
     "catalog_partitioned_scan",
     "zorder_scan",
+    "dpp_partitioned_join",
     "pagerank_supplier_customer",
     # --- re-anchors: oldest round-1 greens, unchecked since r1 ---
-    "distinct_values",
     "top_k_orders",
     "word_count_file_keyed",
 )

@@ -319,6 +319,13 @@ CASES = {
             ("no join", lambda p: "Join" not in p),
         ],
     ),
+    "dpp_partitioned_join": (
+        "dynamic partition pruning: the dim filter reaches the partitioned fact scan as a dynamicpruning runtime subquery (2/5 partition dirs read at execution — metrics-asserted in tests)",
+        [
+            ("dynamicpruning subquery in the fact scan", lambda p: "dynamicpruning" in p.lower()),
+            ("dim broadcast reused as the pruning filter", lambda p: "BroadcastHashJoin" in p),
+        ],
+    ),
 }
 
 #: cases whose scan/reuse claims are only *printable* with AQE disabled:

@@ -556,6 +556,48 @@ def test_catalog_partitioned_layout_prunes_at_runtime(spark, sf_dir):
     assert set(again.inputFiles()) == set(ev.inputFiles())
 
 
+def test_dpp_join_prunes_partitions_at_runtime(spark, oracle_sf_dir):
+    """dpp_partitioned_join: the fact scan must carry a dynamicpruning
+    subquery in its PartitionFilters (no static predicate on the
+    partition column exists), and the EXECUTED scan's metrics must show
+    fewer files/partitions read than the table holds — runtime pruning
+    that actually happened, not just a planned filter (without the dim
+    broadcast the subquery plans but degenerates to 5/5 files)."""
+    from cooler_mapreduce_spark.registry import load_all
+
+    df = load_all()["dpp_partitioned_join"].fn(spark, oracle_sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+    assert "dynamicpruning" in plan.toString().lower()
+
+    scans = []
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if "QueryStage" in name:
+            walk(node.plan())
+            return
+        if name == "FileSourceScanExec":
+            vals, it = {}, node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                vals[kv._1()] = kv._2().value()
+            scans.append(vals)
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(plan)
+    assert len(scans) == 1, scans
+    m = scans[0]
+    # 5 event types → 5 partition dirs statically; the dim selects 2
+    assert m["staticFilesNum"] == 5, m
+    assert m["numFiles"] == 2, m
+    assert m["numPartitions"] == 2, m
+
+
 def test_zorder_layout_skips_files_on_both_dimensions(spark, oracle_sf_dir, tmp_path):
     """Z-order data skipping, measured: under the morton layout the
     per-file (min,max) stat boxes of BOTH key columns are compact, so a
