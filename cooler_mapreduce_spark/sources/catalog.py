@@ -158,6 +158,28 @@ def morton_code(a, b) -> "F.Column":
     return spread(a).bitwiseOR(F.shiftleft(spread(b), 1))
 
 
+def rank16(col) -> "F.Column":
+    """16-bit quantile rank of a column — the production preprocessor
+    for :func:`morton_code` on arbitrary-range, skewed, or non-integer
+    keys. ``ntile(65536)`` over the global ordering maps any orderable
+    column (bigint beyond 16 bits, double, string) onto dense uniform
+    bucket ids 0..65535, so the Morton interleave keeps its locality
+    property regardless of the key's distribution — raw values would
+    alias past 16 bits and cluster badly under skew.
+
+    The unpartitioned window is a deliberate cost: a z-order re-layout
+    is an offline maintenance job (lakehouse OPTIMIZE), run at write
+    amortization frequency, not query time; at 100 TB the rank pass is
+    one range-partitioned sort of two narrow columns. (An approximate
+    alternative — percentile_approx boundaries broadcast as a literal
+    bucketizer — trades exact uniformity for a fully parallel pass.)
+    """
+    from pyspark.sql import Window
+
+    c = F.col(col) if isinstance(col, str) else col
+    return F.ntile(65536).over(Window.orderBy(c)) - 1
+
+
 #: materialized z-ordered layout path per (sf_dir, table, key expr, files).
 _ZORDER_CACHE: dict[tuple[str, str, str, int], str] = {}
 

@@ -654,6 +654,52 @@ def test_zorder_layout_skips_files_on_both_dimensions(spark, oracle_sf_dir, tmp_
     assert zordered.count() == natural.count()
 
 
+def test_rank16_zorder_handles_wide_and_double_keys(spark, oracle_sf_dir):
+    """rank16 + morton: keys that raw 16-bit interleave cannot handle —
+    l_orderkey exceeds 65535 at sf0.01 (would alias) and
+    l_extendedprice is a double (no raw bit pattern at all) — still
+    produce compact per-file stat boxes, so a 2-D box predicate prunes
+    most files by footer stats."""
+    from pyspark.sql import functions as F
+
+    from cooler_mapreduce_spark.sources.catalog import (
+        morton_code,
+        rank16,
+        table,
+        zordered_layout,
+    )
+
+    wide_key = F.col("l_orderkey") * 7919  # spread far past 16 bits
+    assert (
+        table(spark, oracle_sf_dir, "lineitem", fan_out=False)
+        .agg(F.max(wide_key))
+        .collect()[0][0]
+        > 0xFFFF
+    )  # the premise: raw morton would alias this key
+    # rank16 of the wide key preserves l_orderkey's order (monotone), so
+    # stat boxes can still be measured in the original key's domain
+    z = morton_code(rank16(wide_key), rank16("l_extendedprice"))
+    li = zordered_layout(
+        spark, oracle_sf_dir, "lineitem", z, n_files=16, cache_key="rank16_ok_price"
+    )
+    stats = (
+        li.groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min("l_orderkey").alias("klo"), F.max("l_orderkey").alias("khi"),
+            F.min("l_extendedprice").alias("plo"), F.max("l_extendedprice").alias("phi"),
+        )
+        .collect()
+    )
+    # box: the middle decile of each key in QUANTILE space (what a
+    # selective 2-D lookup is at this file granularity — 16 files carry
+    # only 4 bits of z resolution, so a third-of-the-space box would
+    # legitimately touch most z-ranges)
+    klo, khi = li.approxQuantile("l_orderkey", [0.45, 0.55], 0.001)
+    plo, phi = li.approxQuantile("l_extendedprice", [0.45, 0.55], 0.001)
+    hit = [s for s in stats if s.khi >= klo and s.klo <= khi and s.phi >= plo and s.plo <= phi]
+    assert len(hit) <= len(stats) // 2, (len(hit), len(stats))
+
+
 def test_python_datasource_overwrite_abort_preserves_old_output(spark, tmp_path):
     """Overwrite atomicity: old-part deletion is deferred to commit(),
     so a FAILED overwrite job leaves the previous committed output
