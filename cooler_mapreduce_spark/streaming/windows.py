@@ -394,3 +394,84 @@ def run_stream_stream_join(
         .queryName(query_name)
         .start()
     )
+
+
+def run_stream_stream_left_join(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "10 minutes",
+    query_name: str = "ss_left_join_out",
+    source_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Stream-stream LEFT OUTER join — the attribution pattern where
+    unconverted clicks must ALSO be emitted (with null purchase).
+
+    Outer semantics force a second timing contract on top of the inner
+    join's: a matched row emits immediately, but an UNMATCHED click can
+    only emit once the watermark proves no future purchase can still
+    match it (click_ts + 30 min join horizon + watermark delay). Until
+    then the click sits in the state store as a candidate; when the
+    watermark passes its horizon, Spark evicts it and emits the
+    null-extended row in the same (or a no-data) micro-batch. State
+    stays bounded exactly as in the inner join — eviction is the
+    emission mechanism, not just cleanup.
+
+    Consequence on a bounded replay: clicks whose horizon the FINAL
+    watermark never passes (the tail of the stream) are still
+    state-resident at shutdown — correct behavior, asserted in the
+    test; a live deployment keeps draining them as event time advances.
+
+    ``source_dir``/``max_files_per_trigger`` let tests feed the same
+    schema through multiple micro-batches (one file per trigger) so the
+    watermark actually advances between batches; production points this
+    at the live feed directory.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def stream():
+        r = spark.readStream.schema(schema)
+        if max_files_per_trigger:
+            r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+        raw = r.parquet(source_dir if source_dir else f"{sf_dir}/events.parque*")
+        dt = dict(raw.dtypes).get("ts")
+        if dt == "bigint":
+            raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif dt == "timestamp_ntz":
+            raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        return raw
+
+    c = (
+        stream()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    p = (
+        stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = c.join(
+        p,
+        (c.user_id == p.p_user_id)
+        & (p.purchase_ts >= c.click_ts)
+        & (p.purchase_ts < c.click_ts + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+    return (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

@@ -375,6 +375,77 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
     assert got == want
 
 
+def test_stream_stream_left_outer_join_emits_unmatched_after_horizon(
+    spark, sf_dir, tmp_path
+):
+    """Stream-stream LEFT OUTER join timing contract: matched pairs
+    emit immediately (exactly the batch inner join); an unmatched click
+    emits its null-extended row only once the query watermark — the MIN
+    of both sides' (max event time − delay) — strictly passes its join
+    horizon (click_ts + 30 min). Feeding the events as two time-ordered
+    files (one per trigger) advances the watermark between batches;
+    clicks whose horizon the final watermark never clears (e.g. the
+    globally-last click, whose own side pins the min) legitimately stay
+    state-resident — so got-nulls must sit between the guaranteed set
+    and the full batch-unmatched set."""
+    from cooler_mapreduce_spark.sources.catalog import table
+    from cooler_mapreduce_spark.streaming.windows import run_stream_stream_left_join
+
+    ev = table(spark, sf_dir, "events", fan_out=False)
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    cut = (mx - __import__("datetime").timedelta(hours=2)).strftime("%Y-%m-%d %H:%M:%S")
+    src = str(tmp_path / "feed")
+    ev.filter(F.col("ts") < cut).coalesce(1).write.mode("append").parquet(src)
+    ev.filter(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(src)
+
+    q = run_stream_stream_left_join(
+        spark, sf_dir, query_name="t_ss_left",
+        source_dir=src, max_files_per_trigger=1,
+    )
+    _drain(q)
+
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (clicks.user_id == purch.p_user_id)
+        & (purch.purchase_ts >= clicks.click_ts)
+        & (purch.purchase_ts < clicks.click_ts + F.expr("INTERVAL 30 MINUTES"))
+    )
+    inner_ids = {
+        (r.click_id, r.purchase_id)
+        for r in clicks.join(purch, cond).select("click_id", "purchase_id").collect()
+    }
+    unmatched = {
+        r.click_id for r in clicks.join(purch, cond, "left_anti").collect()
+    }
+    # emission guarantee: the query watermark is the MIN of both sides'
+    # (max event time - delay); an unmatched click is guaranteed out
+    # once that watermark strictly passes click_ts + 30 min join horizon
+    dt = __import__("datetime")
+    final_wm = min(
+        clicks.agg(F.max("click_ts")).collect()[0][0],
+        purch.agg(F.max("purchase_ts")).collect()[0][0],
+    ) - dt.timedelta(minutes=10)
+    guaranteed = {
+        r.click_id
+        for r in clicks.join(purch, cond, "left_anti").collect()
+        if r.click_ts + dt.timedelta(minutes=30, seconds=1) < final_wm
+    }
+
+    out = spark.sql("SELECT * FROM t_ss_left").collect()
+    got_inner = {(r.click_id, r.purchase_id) for r in out if r.purchase_id is not None}
+    got_null = {r.click_id for r in out if r.purchase_id is None}
+    assert got_inner == inner_ids
+    assert guaranteed <= got_null <= unmatched
+    assert guaranteed  # the positive path is actually exercised
+
+
 def test_debounce_stream_suppresses_repeats(spark, sf_dir):
     """Within-watermark dedup on bounded input: one micro-batch means no
     state ever expires, so exactly one event per (user, type) key
