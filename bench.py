@@ -55,6 +55,8 @@ HEADLINE = [
     "sink_orc_roundtrip",           # columnar sink + read-back (real file I/O)
     "market_share_q8",              # heaviest join query: 8-relation broadcast chain
     "doc_unigram_nll",              # unigram-LM scoring: tokenize diamond + vocab broadcast-back
+    # round-5 addition:
+    "pagerank_supplier_customer",   # iterative tier: 5 chained join+agg rounds over ~1M edges
 ]
 # Excluded by design: ann_recall_lsh/ann_recall_ivf re-run two already-
 # benched ANN tiers plus a join — benching them would double-count the
@@ -67,10 +69,11 @@ HEADLINE = [
 # multimodal_resize_stats over the same 500 videos — only the per-batch
 # kernel differs (frame subsampling vs resize arithmetic), so one entry
 # covers the tier's scan/serialization cost and the other would
-# double-count it; catalog_partitioned_scan's timed cost would be ~90 %
-# one-time fixture materialization (writing the partitioned copy), not
-# query cost — its scan-side benefit (pruned file listing) is asserted
-# structurally in tests instead.
+# double-count it; catalog_partitioned_scan, zorder_scan and
+# dpp_partitioned_join's timed cost would be ~90 % one-time fixture
+# materialization (writing the partitioned / z-ordered copy), not query
+# cost — their scan-side benefits (pruned listing, stat-box skipping,
+# runtime DPP metrics) are asserted structurally in tests instead.
 
 #: REAL-STREAM surfaces (not batch twins): each starts an actual
 #: StreamingQuery over the sf dir and times a full bounded-replay drain —

@@ -134,7 +134,15 @@ def pagerank_frame(
     )
     # mirrored edge: src/dst parity differs, so the union is disjoint
     edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # materialize the static sides ONCE: every iteration joins edges and
+    # deg, and without truncation iteration i's plan re-derives the
+    # lineitem⋈orders⋈distinct edge subtree i times over —
+    # localCheckpoint turns the loop's per-iteration cost into pure
+    # join+agg over the cached edge partitions (measured 8.4 s → the
+    # bench entry at sf0.1; the values are bit-identical either way).
+    # At cluster scale this is `edges.checkpoint()` to a reliable store.
+    edges = edges.localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).localCheckpoint(eager=True)
     n = deg.agg(F.count("*").alias("n_nodes"))
     ranks = deg.crossJoin(F.broadcast(n)).select(
         F.col("src").alias("node"),
