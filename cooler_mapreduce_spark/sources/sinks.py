@@ -435,6 +435,64 @@ def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 128,
+    sort_by: str | None = None,
+) -> int:
+    """Small-files compaction — the maintenance job every long-lived
+    ingest directory needs: streaming sinks and frequent small batch
+    appends accumulate files far below the efficient scan size, and at
+    100 TB the resulting listing + open() overhead (plus one scheduler
+    task per tiny split) dominates scan cost long before I/O does.
+
+    Rewrites ``path`` into ``ceil(bytes / target_mb)`` files via a
+    staged two-phase swap: write the compacted copy next to the data
+    (``<path>.__compact_tmp``), then atomically swap directories with
+    Hadoop FileSystem renames — readers see the old layout or the new
+    one, never a mixture, and a crash before the swap leaves the
+    original untouched (the stale temp dir is swept by the next run).
+
+    ``sort_by`` optionally re-sorts during the rewrite (range-partition
+    + in-file sort on that column) so compaction doubles as clustering
+    maintenance — pair with a :func:`~..sources.catalog.morton_code`
+    key to refresh a z-order layout. Returns the new file count.
+    """
+    import math
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(hconf)
+    total = fs.getContentSummary(hpath).getLength()
+    n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+
+    tmp = f"{path.rstrip('/')}.__compact_tmp"
+    old = f"{path.rstrip('/')}.__compact_old"
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+    old_p = jvm.org.apache.hadoop.fs.Path(old)
+    for stale in (tmp_p, old_p):  # crashed prior run
+        if fs.exists(stale):
+            fs.delete(stale, True)
+
+    df = spark.read.parquet(path)
+    if sort_by:
+        df = df.repartitionByRange(n_files, sort_by).sortWithinPartitions(sort_by)
+    else:
+        df = df.repartition(n_files)
+    df.write.mode("overwrite").parquet(tmp)
+
+    # two renames, each atomic on HDFS/local FS: old data aside, new in
+    if not fs.rename(hpath, old_p):
+        raise IOError(f"compaction swap failed: could not move {path} aside")
+    if not fs.rename(tmp_p, hpath):
+        fs.rename(old_p, hpath)  # roll back
+        raise IOError(f"compaction swap failed: could not promote {tmp}")
+    fs.delete(old_p, True)
+    return n_files
+
+
 def table_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events via the catalog (kept as a helper so the module's top
     imports stay sink-focused)."""

@@ -113,7 +113,9 @@ def _relation_table(node):
 
 
 def _hinted_sf_tables(df):
-    """SF-scaled tables reachable under a ResolvedHint with no reducer."""
+    """SF-scaled tables reachable under a ResolvedHint with no reducer
+    (scalar/EXISTS subquery plans are walked too — a hint hiding inside
+    a subquery expression is just as much a forced broadcast)."""
     found = set()
 
     def walk(node, in_hint):
@@ -126,6 +128,9 @@ def _hinted_sf_tables(df):
             t = _relation_table(node)
             if t:
                 found.add(t)
+        subs = node.subqueries()
+        for i in range(subs.size()):
+            walk(subs.apply(i), in_hint)
         for i in range(node.children().size()):
             walk(node.children().apply(i), in_hint)
 

@@ -654,6 +654,42 @@ def test_zorder_layout_skips_files_on_both_dimensions(spark, oracle_sf_dir, tmp_
     assert zordered.count() == natural.count()
 
 
+def test_compact_parquet_dir_merges_small_files_losslessly(spark, sf_dir, tmp_path):
+    """compact_parquet_dir: 40 tiny ingest files collapse to the
+    computed target count, every row survives bit-identically, the
+    optional sort_by leaves each output file covering a disjoint key
+    range (clustering maintenance), and no temp/old dirs are left."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cooler_mapreduce_spark.sources.catalog import table
+    from cooler_mapreduce_spark.sources.sinks import compact_parquet_dir
+
+    out = str(tmp_path / "ingest")
+    ev = table(spark, sf_dir, "events")
+    ev.repartition(40).write.parquet(out)
+    n_small = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert n_small == 40
+    before = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+
+    n_new = compact_parquet_dir(spark, out, target_mb=128, sort_by="event_id")
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) == n_new < n_small
+    assert sorted(tuple(r) for r in spark.read.parquet(out).collect()) == before
+    # sort_by clustering: per-file event_id ranges are disjoint
+    stats = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("event_id").alias("lo"), F.max("event_id").alias("hi"))
+        .collect()
+    )
+    spans = sorted((s.lo, s.hi) for s in stats)
+    assert all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
+    # staging hygiene: no temp/old siblings survive
+    assert not [d for d in os.listdir(tmp_path) if "__compact" in d]
+
+
 def test_rank16_zorder_handles_wide_and_double_keys(spark, oracle_sf_dir):
     """rank16 + morton: keys that raw 16-bit interleave cannot handle —
     l_orderkey exceeds 65535 at sf0.01 (would alias) and
