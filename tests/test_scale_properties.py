@@ -213,6 +213,50 @@ def test_runtime_bloom_filter_injects_on_selective_fact_join(spark, oracle_sf_di
             spark.conf.set(k, v)
 
 
+def test_runtime_bloom_filter_fires_at_default_threshold_with_stats(
+    spark, oracle_sf_dir
+):
+    """The companion proof to the raised-threshold demonstration above:
+    once the tables carry REAL statistics (ANALYZE ... FOR ALL COLUMNS),
+    the planner's build-side estimate drops to actual size and bloom
+    injection fires at the UNTOUCHED default creationSideThreshold —
+    i.e. on an ANALYZE'd deployment the engine gets runtime row-level
+    filtering for free, exactly as SCALING.md claims."""
+    from cooler_mapreduce_spark.sources.catalog import table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        table(spark, oracle_sf_dir, "orders", fan_out=False).write.mode(
+            "overwrite"
+        ).saveAsTable("orders_an_t")
+        table(spark, oracle_sf_dir, "lineitem", fan_out=False).write.mode(
+            "overwrite"
+        ).saveAsTable("lineitem_an_t")
+        spark.sql("ANALYZE TABLE orders_an_t COMPUTE STATISTICS FOR ALL COLUMNS")
+        spark.sql("ANALYZE TABLE lineitem_an_t COMPUTE STATISTICS FOR ALL COLUMNS")
+        df = spark.sql(
+            """
+            SELECT o.o_orderpriority, COUNT(*) AS n
+            FROM lineitem_an_t l JOIN orders_an_t o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderpriority = '1-URGENT'
+            GROUP BY o.o_orderpriority
+            """
+        )
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt and "might_contain" in opt, opt
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS orders_an_t")
+        spark.sql("DROP TABLE IF EXISTS lineitem_an_t")
+
+
 @pytest.mark.parametrize("name", _SIZE_BROADCAST_QUERIES)
 def test_size_based_planning_still_broadcasts_at_test_sf(spark, oracle_sf_dir, name):
     plan = _plan(spark, name, oracle_sf_dir)
