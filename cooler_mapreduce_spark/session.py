@@ -88,6 +88,7 @@ def get_session(app_name: str = "cooler-mapreduce-spark", cpus: int | None = Non
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .getOrCreate()
     )
     ship_package(spark)
@@ -108,6 +109,10 @@ def apply_session_defaults(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        # Python-DataSource predicate pushdown (the tsv/synthetic
+        # connectors implement pushFilters; the API asserts if this is
+        # off while a reader implements it)
+        ("spark.sql.python.filterPushdown.enabled", "true"),
     ):
         try:
             spark.conf.set(k, v)

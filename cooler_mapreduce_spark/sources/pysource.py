@@ -66,18 +66,94 @@ def _row(gid: int) -> tuple[int, int, str, float]:
 
 
 class SyntheticEventsReader(DataSourceReader):
+    """Batch face of the generator, WITH filter pushdown (the Spark 4.1
+    Python-DataSource capability a real database/API connector uses to
+    ship predicates to the remote system):
+
+    - range predicates on ``event_id`` (=, <, <=, >, >=) shrink the
+      generated id range at PLAN time — partitions whose row range
+      empties are never scheduled at all (split-level pruning, the
+      connector analogue of partition pruning);
+    - ``event_type`` equality/IN is applied inside ``read()`` at
+      generation (row-level pushdown).
+
+    Both filter kinds are fully honored, so they are CONSUMED (not
+    yielded back) and Spark plans no residual Filter for them — the
+    test asserts the post-scan filter disappears from the physical plan
+    and the scheduled partition count drops.
+
+    Sharp edge (Spark-side, observed on 4.1): the JVM caches the
+    planned read state on the DataSourceV2 relation, so after a
+    FILTERED query plans against a ``load()`` DataFrame, subsequent
+    actions on that same shared DataFrame (or new filters derived from
+    it) reuse the narrowed scan. Each query that calls its own
+    ``spark.read.format(...).load()`` is fully isolated — do that, as
+    the engine's own queries do; the test pins both the pushdown and
+    this per-load isolation.
+    """
+
     def __init__(self, options: dict) -> None:
         self.n_partitions = int(options.get("partitions", "4"))
         self.rows_per = int(options.get("rowsPerPartition", "1000"))
+        # pushed-filter state: an id window [id_lo, id_hi] and an
+        # event-type allowlist (None = all)
+        self.id_lo = 0
+        self.id_hi = self.n_partitions * self.rows_per - 1
+        self.types: frozenset[str] | None = None
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            col = f.attribute[0] if getattr(f, "attribute", None) else None
+            if col == "event_id" and isinstance(f, EqualTo):
+                self.id_lo = max(self.id_lo, int(f.value))
+                self.id_hi = min(self.id_hi, int(f.value))
+            elif col == "event_id" and isinstance(f, GreaterThan):
+                self.id_lo = max(self.id_lo, int(f.value) + 1)
+            elif col == "event_id" and isinstance(f, GreaterThanOrEqual):
+                self.id_lo = max(self.id_lo, int(f.value))
+            elif col == "event_id" and isinstance(f, LessThan):
+                self.id_hi = min(self.id_hi, int(f.value) - 1)
+            elif col == "event_id" and isinstance(f, LessThanOrEqual):
+                self.id_hi = min(self.id_hi, int(f.value))
+            elif col == "event_type" and isinstance(f, EqualTo):
+                s = frozenset([f.value])
+                self.types = s if self.types is None else self.types & s
+            elif col == "event_type" and isinstance(f, In):
+                s = frozenset(f.value)
+                self.types = s if self.types is None else self.types & s
+            else:
+                yield f  # unsupported → Spark evaluates it post-scan
 
     def partitions(self) -> list[InputPartition]:
-        # split planning: the coordinator's byte-range step, minus the I/O
-        return [InputPartition(i) for i in range(self.n_partitions)]
+        # split planning: the coordinator's byte-range step, minus the
+        # I/O — and with the pushed id window applied, so fully-pruned
+        # splits are never scheduled
+        out = []
+        for i in range(self.n_partitions):
+            lo, hi = i * self.rows_per, (i + 1) * self.rows_per - 1
+            if hi >= self.id_lo and lo <= self.id_hi:
+                out.append(InputPartition(i))
+        # Spark requires ≥1 partition; an empty window keeps one split
+        # whose read() yields nothing
+        return out or [InputPartition(0)]
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
         base = partition.value * self.rows_per
-        for j in range(self.rows_per):
-            yield _row(base + j)
+        lo = max(base, self.id_lo)
+        hi = min(base + self.rows_per - 1, self.id_hi)
+        for g in range(lo, hi + 1):
+            row = _row(g)
+            if self.types is None or row[2] in self.types:
+                yield row
 
 
 class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
@@ -296,3 +372,6 @@ def register(spark: SparkSession) -> None:
     ``df.write.format("tsv_dir")`` work anywhere in the session."""
     spark.dataSource.register(SyntheticEventsDataSource)
     spark.dataSource.register(TsvDirDataSource)
+    # the reader implements pushFilters(); the runtime asserts if that
+    # capability is present while this conf is off
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")

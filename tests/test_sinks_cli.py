@@ -376,6 +376,55 @@ def test_python_datasource_synthetic_events(spark):
     assert one.user_id == 0 and one.event_type == "view" and one.value == 0.0
 
 
+def test_python_datasource_filter_pushdown_prunes_splits(spark):
+    """pushFilters (Spark 4.1 Python-DataSource pushdown): an event_id
+    range confines planning to the one overlapping split (3 of 4 input
+    partitions never scheduled), the consumed predicates vanish from the
+    post-scan Filter, unsupported predicates stay as residuals, and the
+    result matches Spark-side filtering of the full read exactly. Each
+    query builds its own load() — Spark caches the planned read state on
+    the shared relation otherwise (see the reader docstring)."""
+    from pyspark.sql import functions as F
+
+    from cooler_mapreduce_spark.sources.pysource import register
+
+    register(spark)
+
+    def load():
+        return spark.read.format("synthetic_events").load()
+
+    full = sorted(map(tuple, load().collect()))
+    assert len(full) == 4000
+    flt = load().filter(
+        (F.col("event_id") >= 1000)
+        & (F.col("event_id") < 1500)
+        & (F.col("event_type") == "click")
+    )
+    got = sorted(map(tuple, flt.collect()))
+    want = sorted(r for r in full if 1000 <= r[0] < 1500 and r[2] == "click")
+    assert got == want and got  # correct AND non-trivial
+    # split pruning: the id window overlaps exactly one of 4 partitions
+    assert flt.rdd.getNumPartitions() == 1
+    # consumed predicates leave no residual; isnotnull guards remain
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    filter_lines = [l for l in plan.splitlines() if "Filter" in l]
+    assert filter_lines and all(
+        "click" not in l and "1000" not in l and "1500" not in l
+        for l in filter_lines
+    ), plan
+    # an unsupported predicate (value) survives as a residual filter and
+    # results stay correct
+    flt2 = load().filter((F.col("event_id") < 800) & (F.col("value") > 50.0))
+    got2 = sorted(map(tuple, flt2.collect()))
+    want2 = sorted(r for r in full if r[0] < 800 and r[3] > 50.0)
+    assert got2 == want2 and got2
+    plan2 = flt2._jdf.queryExecution().executedPlan().toString()
+    assert any("value" in l and "50" in l for l in plan2.splitlines() if "Filter" in l)
+    # per-load isolation: a fresh unfiltered load is never narrowed by
+    # the sibling queries above
+    assert len(load().collect()) == 4000
+
+
 def test_python_datasource_stream_reader_equals_batch(spark):
     """The Python streaming connector (SimpleDataSourceStreamReader) must
     emit exactly the rows the batch reader plans for the same row range
