@@ -286,6 +286,21 @@ def _results(args: argparse.Namespace) -> int:
     return 0
 
 
+def _compact(args: argparse.Namespace) -> int:
+    """Beyond-reference maintenance surface: small-files compaction
+    (sources.sinks.compact_parquet_dir) from the client, the operational
+    companion to the streaming sinks that produce those files."""
+    from .session import get_session
+    from .sources.sinks import compact_parquet_dir
+
+    spark = get_session("cli-compact")
+    n = compact_parquet_dir(
+        spark, args.path, target_mb=args.target_mb, sort_by=args.sort_by
+    )
+    print(f"compacted {args.path} -> {n} file(s)")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="cooler-mapreduce-spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -332,6 +347,16 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("output")
     r.add_argument("--show", action="store_true")
     r.set_defaults(fn=_results)
+
+    cp = sub.add_parser("compact", help="merge a parquet dir's small files "
+                        "(atomic directory swap; optional re-sort)")
+    cp.add_argument("path")
+    cp.add_argument("--target-mb", type=int, default=128,
+                    help="target output file size (default 128 MB)")
+    cp.add_argument("--sort-by", default=None,
+                    help="re-sort on this column during the rewrite "
+                    "(clustering maintenance)")
+    cp.set_defaults(fn=_compact)
 
     args = ap.parse_args(argv)
     return args.fn(args)
