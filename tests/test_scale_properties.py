@@ -171,6 +171,62 @@ _SIZE_BROADCAST_QUERIES = (
 )
 
 
+def _exchange_record_counts(df) -> list[int]:
+    """shuffleRecordsWritten per ShuffleExchange in the EXECUTED final
+    adaptive plan (collect() first — the metrics live on the run that
+    actually happened)."""
+    df.collect()
+    counts = []
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if "QueryStage" in name:
+            walk(node.plan())
+            return
+        if "ShuffleExchange" in name:
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "shuffleRecordsWritten":
+                    counts.append(kv._2().value())
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return counts
+
+
+#: query → grouping cardinality: the aggregation exchange's record count
+#: must be bounded by groups × map tasks (map-side combine collapsed the
+#: payload), NOT by the table's row count. This machine-checks the
+#: "shuffle is O(partitions × groups), independent of row count" claim
+#: the 100 TB aggregation story rests on — a refactor that silently
+#: drops the partial aggregate fails here with a ~1000× count jump.
+_PARTIAL_AGG_BOUNDS = {
+    "pricing_summary": 6,       # returnflag × linestatus
+    "revenue_by_nation": 25,    # nations
+    "word_count": 64,           # fixture vocabulary
+    "stat_corr_qty_price": 1,   # single co-moment row
+    "cube_sales": 16,           # cube grouping-set combinations
+}
+
+
+@pytest.mark.parametrize("name", sorted(_PARTIAL_AGG_BOUNDS))
+def test_partial_aggregation_bounds_shuffle_payload(spark, oracle_sf_dir, name):
+    counts = _exchange_record_counts(SPECS[name].fn(spark, oracle_sf_dir))
+    assert counts, "expected at least one shuffle exchange"
+    # the aggregation exchange is the smallest one (other exchanges, e.g.
+    # the fixture fan-out redistribution, carry table-sized payloads)
+    bound = _PARTIAL_AGG_BOUNDS[name] * 64  # groups × generous task count
+    assert min(counts) <= bound, (
+        f"{name}: smallest shuffle wrote {min(counts)} records "
+        f"(bound {bound}) — did the map-side partial aggregate disappear?"
+    )
+
+
 def test_runtime_bloom_filter_injects_on_selective_fact_join(spark, oracle_sf_dir):
     """Runtime row-level filtering: when a fact⋈fact join's build side
     carries a selective predicate and the join shuffles, Spark can
