@@ -698,3 +698,115 @@ def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+_BM25_TERMS = ("hash", "join", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+#: per-term score quantum for order-independent summation (see
+#: operators/graph.py for the same convention)
+_BM25_Q = "1000000000000"
+
+
+@query(
+    "bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    scal AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        WHERE term IN ('hash', 'join', 'stream')
+        GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id,
+               FLOOR(
+                   ln(1 + (scal.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * (tf.tf * ({_BM25_K1} + 1))
+                   / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                      + {_BM25_B} * dl.dl / scal.avgdl))
+                   * {_BM25_Q}.0
+               )::DECIMAL(38,0) AS qscore
+        FROM tf
+        JOIN df ON tf.term = df.term
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN scal
+    )
+    SELECT doc_id,
+           round(CAST(SUM(qscore) AS DOUBLE) / {_BM25_Q}.0, 6) AS score
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+    tags=("textstats", "search", "bm25", "llm-pipeline"),
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: top-20 documents for a literal term query — the
+    ranking function behind every lexical search / hybrid-retrieval
+    pipeline, which the corpus tier lacked (tfidf_top_terms weights the
+    VOCABULARY; this ranks DOCUMENTS for a query).
+
+    One tokenize scan feeds both branches: per-doc length (the BM25
+    length normalizer) and per-(doc, query-term) tf — the query-term
+    filter prunes the tf branch BEFORE its aggregate, so the heavy
+    shuffle carries only matching postings, never the whole token
+    stream. df is |query| rows (bounded by the literal term list →
+    broadcast is size-safe), N/avgdl ride a broadcast single-row
+    aggregate, and the per-doc score join shuffles O(matching docs).
+    Per-term scores are a fixed sequence of double ops from exact
+    integers; the cross-term sum is floor-quantized to 1e-12 and summed
+    as exact decimal, so the final score is bit-identical in both
+    engines at any partition count. Top-20 is TakeOrdered with a doc_id
+    tiebreak. At 100 TB: posting-list pruning at the scan + two
+    partial-aggregable shuffles — the classic inverted-index build cost,
+    per query term, without materializing an index.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    scal = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * (F.col("tf") * (_BM25_K1 + 1)) / norm
+    q = F.lit(float(_BM25_Q))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "doc_id",
+            F.floor(term_score * q).cast("decimal(38,0)").alias("qscore"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("qscore").cast("double") / q, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )

@@ -174,8 +174,8 @@ PRIORITY_QUERIES: tuple[str, ...] = (
     "zorder_scan",
     "dpp_partitioned_join",
     "pagerank_supplier_customer",
-    # --- re-anchors: oldest round-1 greens, unchecked since r1 ---
-    "top_k_orders",
+    "bm25_topk",
+    # --- re-anchor: oldest round-1 green, unchecked since r1 ---
     "word_count_file_keyed",
 )
 

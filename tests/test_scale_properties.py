@@ -34,6 +34,7 @@ _NL_ALLOWED = {
     "vocab_coverage_topk",     # 3 literal k-thresholds broadcast against vocab ranks
     "doc_unigram_nll",         # single-row corpus-total scalar broadcast to vocab rows
     "pagerank_supplier_customer",  # single-row node-count scalar broadcast per iteration
+    "bm25_topk",               # single-row N/avgdl scalar broadcast to matching postings
 }
 
 
