@@ -756,11 +756,16 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline, which the corpus tier lacked (tfidf_top_terms weights the
     VOCABULARY; this ranks DOCUMENTS for a query).
 
-    One tokenize scan feeds both branches: per-doc length (the BM25
-    length normalizer) and per-(doc, query-term) tf — the query-term
-    filter prunes the tf branch BEFORE its aggregate, so the heavy
-    shuffle carries only matching postings, never the whole token
-    stream. df is |query| rows (bounded by the literal term list →
+    Two deliberate tokenize branches (NOT the doc_unigram_nll shared
+    exchange — evaluated and rejected here): the dl branch must see
+    every token but its per-doc count partial-aggregates to one row per
+    (doc × partition) before its shuffle, while the tf branch filters
+    to the query terms BEFORE its aggregate so its scan+explode work and
+    posting shuffle cover only matches. Sharing one (doc, term)
+    exchange would save a tokenize pass but force a corpus-sized
+    distinct-terms shuffle that the direct dl avoids — and Catalyst
+    pushes the grouping-key filter below the aggregate anyway, splitting
+    the subtrees. df is |query| rows (bounded by the literal term list →
     broadcast is size-safe), N/avgdl ride a broadcast single-row
     aggregate, and the per-doc score join shuffles O(matching docs).
     Per-term scores are a fixed sequence of double ops from exact
