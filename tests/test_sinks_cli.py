@@ -703,6 +703,25 @@ def test_zorder_layout_skips_files_on_both_dimensions(spark, oracle_sf_dir, tmp_
     assert zordered.count() == natural.count()
 
 
+def test_cli_compact_subcommand(spark, sf_dir, tmp_path, capsys):
+    """`compact <path>` drives compact_parquet_dir end to end from the
+    client surface (the session is reused via getOrCreate)."""
+    import os
+
+    from cooler_mapreduce_spark.cli import main
+    from cooler_mapreduce_spark.sources.catalog import table
+
+    out = str(tmp_path / "cli_ingest")
+    ev = table(spark, sf_dir, "events")
+    n = ev.count()
+    ev.repartition(12).write.parquet(out)
+    rc = main(["compact", out, "--sort-by", "event_id"])
+    assert rc == 0
+    assert "compacted" in capsys.readouterr().out
+    assert len([f for f in os.listdir(out) if f.endswith(".parquet")]) == 1
+    assert spark.read.parquet(out).count() == n
+
+
 def test_compact_parquet_dir_merges_small_files_losslessly(spark, sf_dir, tmp_path):
     """compact_parquet_dir: 40 tiny ingest files collapse to the
     computed target count, every row survives bit-identically, the
