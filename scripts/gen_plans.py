@@ -319,6 +319,14 @@ CASES = {
             ("no join", lambda p: "Join" not in p),
         ],
     ),
+    "bm25_topk": (
+        "BM25 retrieval: query-term filter pruned before the posting aggregate, every join broadcast (df bounded by the literal query; dl/scal doc-sized), top-20 is TakeOrdered",
+        [
+            ("query terms pushed into the tf branch", lambda p: "hash" in p and "stream" in p),
+            ("no sort-merge join", lambda p: "SortMergeJoin" not in p),
+            ("top-k never global-sorts", lambda p: "TakeOrderedAndProject" in p),
+        ],
+    ),
     "dpp_partitioned_join": (
         "dynamic partition pruning: the dim filter reaches the partitioned fact scan as a dynamicpruning runtime subquery (2/5 partition dirs read at execution — metrics-asserted in tests)",
         [
