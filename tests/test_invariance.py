@@ -27,6 +27,8 @@ CASES = [
     # iterative: 5 chained join+agg rounds — quantized contribution sums
     # must hold bit-identical through every round's shuffle
     "pagerank_supplier_customer",
+    # retrieval: floor-quantized cross-term score sums
+    "bm25_topk",
 ]
 
 
