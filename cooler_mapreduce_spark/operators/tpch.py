@@ -928,3 +928,301 @@ def late_shipper_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s, F.col("l1.l_suppkey") == s.s_suppkey)
     )
     return waiting.groupBy("s_name").agg(F.count("*").alias("numwait"))
+
+
+@query(
+    "min_cost_supplier_q2",
+    oracle="""
+    WITH supply AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               MIN(l_extendedprice / l_quantity) AS ps_supplycost
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost AS cost
+    FROM part, supply, supplier, nation, region
+    WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+      AND p_size <= 5 AND p_type = 'LARGE'
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND ps_supplycost = (
+          SELECT MIN(s2.ps_supplycost)
+          FROM supply s2, supplier sp2, nation n2, region r2
+          WHERE s2.ps_partkey = supply.ps_partkey
+            AND sp2.s_suppkey = s2.ps_suppkey
+            AND sp2.s_nationkey = n2.n_nationkey
+            AND n2.n_regionkey = r2.r_regionkey
+            AND r2.r_name = 'EUROPE')
+    """,
+    tags=("join", "subquery", "window", "tpch"),
+)
+def min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: this schema has no partsupp, so the
+    supply relation is derived from observed trade — a supplier supplies
+    a part if any lineitem pairs them, at cost MIN(unit sale price)) —
+    for each small LARGE-type part, the European supplier(s) achieving
+    the region-minimum cost.
+
+    The signature Q2 structure is the correlated scalar MIN subquery
+    that re-joins the same supply/supplier/nation/region tree. Here the
+    decorrelation is explicit and cheaper than a self-join: after the
+    region filter, a window MIN partitioned by part key computes every
+    part's regional floor in ONE pass over the already-joined rows, and
+    the filter keeps exactly the floor-achieving rows. MIN of doubles
+    is order-independent, so the equality filter is deterministic at
+    any partition count. supplier is SF-scaled → no broadcast hint;
+    nation/region are fixed-cardinality hinted broadcasts. At 100 TB
+    the supply aggregation partial-aggregates before its one shuffle,
+    and the window reuses that shuffle's partitioning profile.
+    """
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    supply = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 5) & (F.col("p_type") == "LARGE")
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    joined = (
+        supply.join(p, F.col("ps_partkey") == p.p_partkey)
+        .join(s, F.col("ps_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        joined.withColumn("min_cost", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "cost")
+    )
+
+
+@query(
+    "product_type_profit_q9",
+    oracle=f"""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           {sql_dsum('l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity', 4)}
+               AS sum_profit
+    FROM lineitem, orders, part, supplier, nation
+    WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+      AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      AND p_name LIKE '%gear%'
+    GROUP BY n_name, o_year
+    """,
+    tags=("join", "aggregation", "tpch"),
+)
+def product_type_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp, so supply cost is proxied
+    at 60 % of the part's retail price) — profit on gear-like parts per
+    supplier nation per order year.
+
+    A five-relation join feeding a two-key rollup: the per-row profit
+    expression mixes three tables' columns, which is what makes Q9 the
+    classic join-ordering stress test — Catalyst pushes the name LIKE
+    into the part scan and joins the shrunken part side first under
+    AQE. part/orders/supplier are SF-scaled → no hints (size-based
+    broadcast at test SF, shuffle at 100 TB); nation is a hinted
+    broadcast. The profit sum is decimal-staged so the rollup is
+    bit-deterministic at any partition count.
+    """
+    li = table(spark, sf_dir, "lineitem", fan_out=False)
+    o = table(spark, sf_dir, "orders")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        joined.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            profit.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dsum("amount", 4).alias("sum_profit"))
+    )
+
+
+@query(
+    "important_part_value_q11",
+    oracle=f"""
+    WITH val AS (
+        SELECT l_partkey AS ps_partkey,
+               {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS part_value
+        FROM lineitem, supplier, nation
+        WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          AND n_name = 'NATION_7'
+        GROUP BY l_partkey
+    )
+    SELECT ps_partkey, part_value FROM val
+    WHERE part_value > 0.001 * (SELECT {sql_dsum('part_value', 4)} FROM val)
+    """,
+    tags=("aggregation", "subquery", "tpch"),
+)
+def important_part_value_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: no partsupp, so a part's "stock value"
+    through one nation's suppliers is the discounted revenue its
+    lineitems produced) — parts whose value through NATION_7 suppliers
+    exceeds 0.1 % of that nation's total.
+
+    The signature Q11 structure: a GROUP BY whose HAVING threshold is a
+    scalar aggregate over the SAME derivation — a global-total subquery.
+    The grouped frame is computed once; the total re-aggregates the
+    per-part values (lossless: each is already an exact multiple of
+    1e-4 after decimal staging, so the re-sum is order-independent) and
+    broadcasts back as a single-row literal — the always-safe hint. At
+    100 TB the per-part aggregation partial-aggregates before its one
+    shuffle and the threshold side stays O(1).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    base = li.join(s, li.l_suppkey == s.s_suppkey).join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    )
+    val = base.groupBy(F.col("l_partkey").alias("ps_partkey")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("part_value")
+    )
+    thr = val.agg((F.lit(0.001) * dsum("part_value", 4)).alias("thr"))
+    return (
+        val.crossJoin(F.broadcast(thr))
+        .filter(F.col("part_value") > F.col("thr"))
+        .select("ps_partkey", "part_value")
+    )
+
+
+@query(
+    "parts_supplier_relationship_q16",
+    oracle="""
+    WITH supply AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM supply, part
+    WHERE p_partkey = l_partkey
+      AND p_brand <> 'Brand#4' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    tags=("join", "anti-join", "distinct", "tpch"),
+)
+def parts_supplier_relationship_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: no partsupp — the supply relation is
+    the distinct (part, supplier) pairs observed in lineitem; no
+    s_comment — "complaint" suppliers are those with negative balance)
+    — how many suppliers can furnish each qualifying brand/type/size
+    bucket, excluding complaint suppliers.
+
+    Three sub-shapes compose: a DISTINCT projection of the fact table
+    (partial-aggregates before its one shuffle — at 100 TB the
+    exchange carries unique pairs, not rows), a NOT IN subquery
+    decorrelated to a LEFT ANTI join (the excluded-supplier set is
+    SF-scaled → no hint; none of its keys are NULL by construction,
+    so anti-join and NOT IN agree), and a COUNT(DISTINCT) over the
+    surviving pairs. part is SF-scaled → size-based broadcast only.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    supply = li.select("l_partkey", "l_suppkey").distinct()
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#4")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    return (
+        supply.join(p, supply.l_partkey == p.p_partkey)
+        .join(bad, supply.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "potential_promotion_q20",
+    oracle=f"""
+    WITH sup_qty AS (
+        SELECT l_partkey, l_suppkey, {sql_dsum('l_quantity')} AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red %')
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT l_partkey, {sql_dsum('qty')} AS total FROM sup_qty GROUP BY 1)
+    SELECT s_name, s_acctbal
+    FROM supplier, nation, region
+    WHERE s_suppkey IN (
+          SELECT sq.l_suppkey FROM sup_qty sq
+          JOIN tot t ON sq.l_partkey = t.l_partkey
+          WHERE sq.qty > 0.5 * t.total)
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+    """,
+    tags=("join", "semi-join", "subquery", "window", "tpch"),
+)
+def potential_promotion_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: no partsupp availability, so "can
+    promote" means market dominance — the supplier shipped more than
+    half of a red part's total 1997 volume) — European suppliers
+    dominating at least one red part's supply.
+
+    The signature Q20 structure is the nested-IN chain: parts by name →
+    per-(part, supplier) quantity with a correlated per-part threshold →
+    supplier keys → supplier attributes. The part-name IN prunes the
+    fact scan FIRST via a left-semi join (at 100 TB this is the
+    difference between aggregating the full year and ~1/8 of it); the
+    per-part total is a window sum over the already-grouped frame
+    (decimal-staged → order-independent, and it reuses the groupBy
+    shuffle's hash profile instead of a join-back); the dominant
+    supplier keys reach supplier as a LEFT SEMI join, which IS the IN
+    semantics — duplicates collapse without a DISTINCT. supplier and
+    the semi-join probe are SF-scaled → no hints; nation/region are
+    hinted broadcasts.
+    """
+    from pyspark.sql.window import Window
+
+    red = table(spark, sf_dir, "part").filter(F.col("p_name").like("red %")).select(
+        "p_partkey"
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1998-01-01 00:00:00")
+    )
+    sup_qty = (
+        li.join(red, li.l_partkey == red.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum("l_quantity").alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        sup_qty.withColumn(
+            "total", F.sum(F.col("qty").cast("decimal(30,2)")).over(w).cast("double")
+        )
+        .filter(F.col("qty") > F.lit(0.5) * F.col("total"))
+        .select("l_suppkey")
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_name", "s_acctbal")
+    )

@@ -102,11 +102,19 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: size-safety fix — their driver rows prove the plan change kept
 #: results identical), the three round-5 additions (both catalog layout
 #: options and PageRank), then the oldest round-1 greens. After this
-#: window EVERY oracle-bearing query has a driver row; only the 6
-#: rows-only-by-design tiers (ann_topk_lsh, ann_topk_ivf,
-#: approx_quantiles_price, embedding_cosine_dups_lsh,
+#: window EVERY oracle-bearing query registered at window-freeze time
+#: has a driver row; only the 6 rows-only-by-design tiers (ann_topk_lsh,
+#: ann_topk_ivf, approx_quantiles_price, embedding_cosine_dups_lsh,
 #: hll_sketch_rollup_users + approx_distinct_users, the latter now
 #: driver-rowed) remain hash-unchecked, each pinned by accuracy tests.
+#:
+#: ROUND-6 QUEUE (oracle-bearing queries added after the r5 window
+#: froze — locally hash-green in tests/test_oracle_parity.py, first in
+#: line for r6 driver rows): the five shapes completing the TPC-H suite
+#: — min_cost_supplier_q2, product_type_profit_q9,
+#: important_part_value_q11, parts_supplier_relationship_q16,
+#: potential_promotion_q20 — plus any later r5 additions recorded below
+#: their entries in this module's import list.
 PRIORITY_QUERIES: tuple[str, ...] = (
     # --- anchors: one green representative per §2.4 category (r2-r4) ---
     "word_count",                     # parity / scan / flatMap

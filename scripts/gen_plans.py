@@ -327,6 +327,47 @@ CASES = {
             ("top-k never global-sorts", lambda p: "TakeOrderedAndProject" in p),
         ],
     ),
+    "min_cost_supplier_q2": (
+        "Q2: correlated-MIN decorrelated to ONE window pass over the joined rows — supply pairs partial-aggregate, floor equality needs no self-join",
+        [
+            ("supply pairs partial-aggregate before their one shuffle", lambda p: "partial_min" in p),
+            ("regional floor via window, not a re-joined subquery", lambda p: p.count("Window") == 1 and "SortMergeJoin" not in p),
+            ("no cartesian product", lambda p: "CartesianProduct" not in p),
+        ],
+    ),
+    "product_type_profit_q9": (
+        "Q9: five-relation profit join — name filter pushed into the part scan, fact never shuffles before the two-key rollup",
+        [
+            ("name filter pushed to the part scan", lambda p: any(
+                "part.parquet" in ln and "p_name" in ln for ln in p.splitlines() if "FileScan" in ln)),
+            ("partial profit sums before the one agg shuffle", lambda p: "partial_sum" in p and p.count("Exchange hashpartitioning") == 1),
+            ("every join broadcast", lambda p: "SortMergeJoin" not in p),
+        ],
+    ),
+    "important_part_value_q11": (
+        "Q11: HAVING-against-global-total — per-part values partial-aggregate; the 0.1% threshold is a single-row broadcast",
+        [
+            ("per-part values partial-aggregate before their one shuffle", lambda p: "partial_sum" in p),
+            ("threshold is a single-row broadcast (HAVING subquery)", lambda p: "BroadcastNestedLoopJoin" in p),
+            ("no sort-merge join", lambda p: "SortMergeJoin" not in p),
+        ],
+    ),
+    "parts_supplier_relationship_q16": (
+        "Q16: DISTINCT supply pairs pre-aggregate map-side; complaint suppliers drop via broadcast anti-join; count-distinct runs two-phase",
+        [
+            ("distinct pre-aggregates map-side", lambda p: p.count("HashAggregate(keys=[l_partkey") >= 2),
+            ("complaint suppliers excluded via anti-join", lambda p: "LeftAnti" in p),
+            ("two-phase count-distinct", lambda p: "partial_count" in p),
+        ],
+    ),
+    "potential_promotion_q20": (
+        "Q20: nested-IN chain as semi joins — part-name prune before the agg, dominance via window over the grouped frame, supplier keys LEFT SEMI",
+        [
+            ("part-name prune reaches lineitem as LeftSemi before the agg", lambda p: p.count("LeftSemi") >= 2),
+            ("per-part dominance via window over the grouped frame", lambda p: "Window" in p),
+            ("no cartesian/NL join", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
+        ],
+    ),
     "dpp_partitioned_join": (
         "dynamic partition pruning: the dim filter reaches the partitioned fact scan as a dynamicpruning runtime subquery (2/5 partition dirs read at execution — metrics-asserted in tests)",
         [

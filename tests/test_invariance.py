@@ -29,6 +29,12 @@ CASES = [
     "pagerank_supplier_customer",
     # retrieval: floor-quantized cross-term score sums
     "bm25_topk",
+    # window-threshold equality filters: the kept row set depends on a
+    # per-group extreme (window MIN cost / window decimal-sum dominance)
+    # — exactly the comparisons that would drift if aggregation order
+    # leaked into the values
+    "min_cost_supplier_q2",
+    "potential_promotion_q20",
 ]
 
 

@@ -31,6 +31,7 @@ _NL_ALLOWED = {
     "event_cooccurrence_lift", # single-row user-total scalar broadcast to 10 pair rows
     "pareto_revenue_share",    # single-row p99 threshold broadcast to every task
     "sales_opportunity_q22",   # single-row avg-balance threshold broadcast (Q22 scalar subquery)
+    "important_part_value_q11",  # single-row 0.1%-of-total threshold broadcast (Q11 HAVING subquery)
     "vocab_coverage_topk",     # 3 literal k-thresholds broadcast against vocab ranks
     "doc_unigram_nll",         # single-row corpus-total scalar broadcast to vocab rows
     "pagerank_supplier_customer",  # single-row node-count scalar broadcast per iteration
