@@ -981,3 +981,64 @@ def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top1pct_revenue_share"),
         )
     )
+
+
+@query(
+    "ohlc_hourly_by_type",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts, event_id) AS rn_first,
+               ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_last
+        FROM events
+    )
+    SELECT event_type, bucket,
+           MAX(CASE WHEN rn_first = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_last = 1 THEN value END) AS close,
+           {sql_dsum('value')} AS volume,
+           COUNT(*) AS n_events
+    FROM ranked GROUP BY event_type, bucket
+    """,
+    tags=("timeseries", "aggregation", "downsample"),
+)
+def ohlc_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style downsampling: OHLC candles (open / high / low /
+    close + volume + count) per event type per hour — the rollup a
+    time-series store materializes continuously, here as one
+    partial-aggregable pass.
+
+    Open and close are ORDER-dependent aggregates, which is where naive
+    implementations reach for a full-table window pass. Instead each is
+    a struct-extremum: MIN/MAX over (ts, event_id, value) compares
+    lexicographically, (ts, event_id) is unique, so the struct min IS
+    the first event and its third field the opening value. Struct
+    extrema combine associatively — the candle partial-aggregates
+    map-side and the shuffle carries O(types × hours) rows, one scan,
+    one exchange (struct-typed buffers do force SortAggregate physical
+    partials — a per-partition sort on the grouping key, but no extra
+    exchange and no per-group window materialization; the oracle's
+    ROW_NUMBER formulation is the same semantics spelled that slower
+    way). Volume is decimal-staged;
+    open/close/high/low are picked values, not sums — every output is
+    bit-deterministic at any partition count. The bucket is wall-clock
+    truncation (functions/timeutil.py), immune to session-timezone
+    drift.
+    """
+    ev = table(spark, sf_dir, "events")
+    first = F.min(F.struct("ts", "event_id", "value"))
+    last = F.max(F.struct("ts", "event_id", "value"))
+    return (
+        ev.groupBy("event_type", wall_trunc(F.col("ts"), "hour").alias("bucket"))
+        .agg(
+            first.getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            last.getField("value").alias("close"),
+            dsum("value").alias("volume"),
+            F.count("*").alias("n_events"),
+        )
+    )

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..functions.numeric import dsum, sql_dsum
 from ..functions.timeutil import us_between, wall_trunc
 from ..registry import query
 from ..sources.catalog import table
@@ -504,3 +505,85 @@ def event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "attribution_linear_touch",
+    oracle=f"""
+    WITH purchases AS (
+        SELECT event_id AS p_id, user_id, ts AS pt, value AS pv
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT user_id, ts AS tt, event_type AS channel
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    joined AS (
+        SELECT p_id, pv, channel,
+               COUNT(*) OVER (PARTITION BY p_id) AS n
+        FROM purchases JOIN touches USING (user_id)
+        WHERE tt >= pt - INTERVAL 3 DAY AND tt < pt
+    )
+    SELECT channel, {sql_dsum('pv / n', 6)} AS attributed_revenue,
+           COUNT(*) AS n_rows
+    FROM joined GROUP BY channel
+    UNION ALL
+    SELECT 'direct', {sql_dsum('pv', 6)}, COUNT(*)
+    FROM purchases WHERE p_id NOT IN (SELECT p_id FROM joined)
+    """,
+    tags=("behavioral", "attribution", "join", "window"),
+)
+def attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's revenue is split
+    evenly across the user's click/view touchpoints in the preceding
+    3 days; purchases with no qualifying touch credit a synthetic
+    'direct' channel (for which n_rows counts unattributed purchases,
+    not touches).
+
+    The candidate join is user-keyed with the time window as a residual
+    predicate — per-user event counts are bounded, so the fan-out is
+    O(touches-in-window) per purchase, never a time-range cross join
+    (the same bounded-theta shape as join_asof_last_click). The
+    per-purchase touch count is a COUNT window over the purchase id —
+    it reuses the join output's partitioning profile, no second scan.
+    Unattributed purchases fall out of a LEFT ANTI join against the
+    attributed ids (decorrelated NOT IN; purchase ids are non-null by
+    construction). Credit = value/n is one exact IEEE division and the
+    rollup is decimal-staged — bit-deterministic at any partition
+    count.
+    """
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pt"),
+        F.col("value").alias("pv"),
+    )
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("tt"),
+        F.col("event_type").alias("channel"),
+    )
+    joined = purchases.join(
+        touches,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("tt") >= F.col("pt") - F.expr("INTERVAL 3 DAYS"))
+        & (F.col("tt") < F.col("pt")),
+    )
+    w = Window.partitionBy("p_id")
+    credited = joined.withColumn("n", F.count("*").over(w))
+    attributed = credited.groupBy("channel").agg(
+        dsum(F.col("pv") / F.col("n"), 6).alias("attributed_revenue"),
+        F.count("*").alias("n_rows"),
+    )
+    direct = (
+        purchases.join(
+            credited.select("p_id").distinct(), "p_id", "left_anti"
+        )
+        .agg(
+            dsum("pv", 6).alias("attributed_revenue"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(F.lit("direct").alias("channel"), "attributed_revenue", "n_rows")
+    )
+    return attributed.unionAll(direct)

@@ -113,8 +113,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: line for r6 driver rows): the five shapes completing the TPC-H suite
 #: — min_cost_supplier_q2, product_type_profit_q9,
 #: important_part_value_q11, parts_supplier_relationship_q16,
-#: potential_promotion_q20 — plus any later r5 additions recorded below
-#: their entries in this module's import list.
+#: potential_promotion_q20 — plus triangle_count_copurchase (degree-
+#: ordered triangle census), ohlc_hourly_by_type (hypertable OHLC
+#: downsample), and attribution_linear_touch (multi-touch revenue
+#: attribution).
 PRIORITY_QUERIES: tuple[str, ...] = (
     # --- anchors: one green representative per §2.4 category (r2-r4) ---
     "word_count",                     # parity / scan / flatMap

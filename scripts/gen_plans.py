@@ -368,6 +368,31 @@ CASES = {
             ("no cartesian/NL join", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
         ],
     ),
+    "triangle_count_copurchase": (
+        "triangle census: edge set + orientation checkpointed (derived once, not per consumer); every join keyed; wedge fan-out bounded by degree orientation",
+        [
+            ("edge/orient subtrees materialized once (checkpoint scans)", lambda p: "Scan ExistingRDD" in p and "lineitem.parquet" not in p),
+            ("all joins keyed — no cartesian product", lambda p: "CartesianProduct" not in p),
+            ("census aggregates partial before their single-row exchanges", lambda p: "partial_count" in p and "partial_sum" in p),
+        ],
+    ),
+    "ohlc_hourly_by_type": (
+        "OHLC downsample: struct-extremum open/close — ONE partial-aggregated exchange, no window pass, no second scan",
+        [
+            ("single agg exchange, no window", lambda p: p.count("Exchange hashpartitioning") == 1 and "Window" not in p),
+            ("candle partial-aggregates map-side", lambda p: "partial_min" in p and "partial_sum" in p),
+            ("one events scan", lambda p: p.count("FileScan") == 1),
+        ],
+    ),
+    "attribution_linear_touch": (
+        "linear attribution: user-keyed candidate join with time-window residual; per-purchase count is a window over the join's own p_id exchange",
+        [
+            ("touch/purchase filters pushed to the events scans", lambda p: any(
+                "events.parquet" in ln and "click" in ln for ln in p.splitlines() if "FileScan" in ln)),
+            ("per-purchase split via window on p_id", lambda p: "Window" in p),
+            ("no cartesian product", lambda p: "CartesianProduct" not in p),
+        ],
+    ),
     "dpp_partitioned_join": (
         "dynamic partition pruning: the dim filter reaches the partitioned fact scan as a dynamicpruning runtime subquery (2/5 partition dirs read at execution — metrics-asserted in tests)",
         [

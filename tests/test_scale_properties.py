@@ -32,6 +32,7 @@ _NL_ALLOWED = {
     "pareto_revenue_share",    # single-row p99 threshold broadcast to every task
     "sales_opportunity_q22",   # single-row avg-balance threshold broadcast (Q22 scalar subquery)
     "important_part_value_q11",  # single-row 0.1%-of-total threshold broadcast (Q11 HAVING subquery)
+    "triangle_count_copurchase",  # three single-row census aggregates cross-joined into one row
     "vocab_coverage_topk",     # 3 literal k-thresholds broadcast against vocab ranks
     "doc_unigram_nll",         # single-row corpus-total scalar broadcast to vocab rows
     "pagerank_supplier_customer",  # single-row node-count scalar broadcast per iteration
