@@ -57,6 +57,9 @@ HEADLINE = [
     "doc_unigram_nll",              # unigram-LM scoring: tokenize diamond + vocab broadcast-back
     # round-5 addition:
     "pagerank_supplier_customer",   # iterative tier: 5 chained join+agg rounds over ~1M edges
+    # late round-5 additions:
+    "product_type_profit_q9",       # heaviest new TPC-H shape: 5-relation profit join + rollup
+    "triangle_count_copurchase",    # graph census: checkpointed edges + degree-ordered wedge join
 ]
 # Excluded by design: ann_recall_lsh/ann_recall_ivf re-run two already-
 # benched ANN tiers plus a join — benching them would double-count the
@@ -74,6 +77,16 @@ HEADLINE = [
 # materialization (writing the partitioned / z-ordered copy), not query
 # cost — their scan-side benefits (pruned listing, stat-box skipping,
 # runtime DPP metrics) are asserted structurally in tests instead.
+# Of the late round-5 additions, q9 and the triangle census are benched
+# (new cost profiles: widest profit join; m^1.5 wedge join over a
+# checkpointed edge set). The rest re-exercise benched shapes:
+# Q2/Q20 are window-threshold filters over one grouped shuffle
+# (window_top... covers the window tier, pricing_summary the agg tier),
+# Q11's scalar-subquery broadcast matches q18's collapsed chain, Q16 is
+# distinct+anti-join (dedup_exact covers the distinct exchange),
+# ohlc_hourly_by_type is the same single-exchange events agg as
+# stream_tumbling_counts' twin, and attribution_linear_touch's bounded
+# user-keyed theta join is join_interval_overlap's shape plus a window.
 
 #: REAL-STREAM surfaces (not batch twins): each starts an actual
 #: StreamingQuery over the sf dir and times a full bounded-replay drain —

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.hashing import md5int_duckdb, md5int_spark
+from ..functions.numeric import dsum, sql_dsum
 from ..registry import query
 from ..sources.catalog import table
 
@@ -231,4 +232,73 @@ def importance_sample_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select("doc_id", "lang", "n_chars", bucket.alias("bucket"))
         .filter(F.col("bucket") * _IS_FULL_CHARS < F.col("n_chars") * _IS_RES)
+    )
+
+
+_SPARK_FOLD = f"({md5int_spark('CAST(o_orderkey AS STRING)')} % 5)"
+_DUCK_FOLD = f"({md5int_duckdb('CAST(o_orderkey AS VARCHAR)')} % 5)"
+
+
+@query(
+    "kfold_target_encoding",
+    oracle=f"""
+    WITH base AS (
+        SELECT c_mktsegment AS segment, {_DUCK_FOLD} AS fold,
+               o_totalprice AS target
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    per_fold AS (
+        SELECT segment, fold, COUNT(*) AS n_rows,
+               {sql_dsum('target')} AS s_fold
+        FROM base GROUP BY segment, fold
+    ),
+    totals AS (
+        SELECT segment, SUM(n_rows) AS n_all, {sql_dsum('s_fold')} AS s_all
+        FROM per_fold GROUP BY segment
+    )
+    SELECT p.segment, p.fold, p.n_rows,
+           (s_all - s_fold) / (n_all - n_rows) AS oof_mean
+    FROM per_fold p JOIN totals t ON p.segment = t.segment
+    """,
+    tags=("sampling", "ml-features", "encoding", "llm-pipeline"),
+)
+def kfold_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe K-fold target encoding (K=5): the mean order price
+    per market segment, computed for each fold EXCLUDING that fold's own
+    rows — the out-of-fold mean a training pipeline joins back onto its
+    features so no row sees a statistic derived from its own target.
+
+    Folds are assigned by portable content hash (md5int % 5 — the same
+    engine-agnostic gate as train_test_split), so tomorrow's rerun on
+    100 TB reproduces the identical folds. The heavy pass is ONE
+    partial-aggregable groupBy to (segment, fold) sums/counts —
+    O(segments × K) rows; the per-segment totals re-aggregate that tiny
+    frame and join back (broadcast by size). The out-of-fold mean is
+    computed by SUBTRACTION (s_all − s_fold) / (n_all − n_rows) — no
+    K-fold re-scan of the fact table, which is the difference between
+    one pass and K passes at scale. Both sums are decimal-staged exact
+    multiples of 0.01, so the subtraction and the final division are
+    bit-deterministic at any partition count.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.expr(_SPARK_FOLD).alias("fold"),
+        F.col("o_totalprice").alias("target"),
+    )
+    per_fold = base.groupBy("segment", "fold").agg(
+        F.count("*").alias("n_rows"), dsum("target").alias("s_fold")
+    )
+    totals = per_fold.groupBy("segment").agg(
+        F.sum("n_rows").alias("n_all"), dsum("s_fold").alias("s_all")
+    )
+    return per_fold.join(totals, "segment").select(
+        "segment",
+        "fold",
+        "n_rows",
+        (
+            (F.col("s_all") - F.col("s_fold"))
+            / (F.col("n_all") - F.col("n_rows"))
+        ).alias("oof_mean"),
     )

@@ -115,8 +115,9 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: important_part_value_q11, parts_supplier_relationship_q16,
 #: potential_promotion_q20 — plus triangle_count_copurchase (degree-
 #: ordered triangle census), ohlc_hourly_by_type (hypertable OHLC
-#: downsample), and attribution_linear_touch (multi-touch revenue
-#: attribution).
+#: downsample), attribution_linear_touch (multi-touch revenue
+#: attribution), and kfold_target_encoding (leakage-safe out-of-fold
+#: target statistics).
 PRIORITY_QUERIES: tuple[str, ...] = (
     # --- anchors: one green representative per §2.4 category (r2-r4) ---
     "word_count",                     # parity / scan / flatMap

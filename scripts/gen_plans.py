@@ -369,7 +369,7 @@ CASES = {
         ],
     ),
     "triangle_count_copurchase": (
-        "triangle census: edge set + orientation checkpointed (derived once, not per consumer); every join keyed; wedge fan-out bounded by degree orientation",
+        "triangle census: edge set + orientation checkpointed (derived once, not per consumer); adjacency-intersection probe — the O(m^1.5) wedge set is never materialized",
         [
             ("edge/orient subtrees materialized once (checkpoint scans)", lambda p: "Scan ExistingRDD" in p and "lineitem.parquet" not in p),
             ("all joins keyed — no cartesian product", lambda p: "CartesianProduct" not in p),
