@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.numeric import davg, sql_davg
+from ..functions.numeric import davg, dsum, sql_davg
 from ..registry import query
 from ..sources.catalog import table
 
@@ -471,6 +471,61 @@ def run_stream_stream_left_join(
     ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
     return (
         joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
+def run_ohlc_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "10 minutes",
+    query_name: str = "ohlc_out",
+    output_mode: str = "complete",
+):
+    """Streaming twin of ``operators.aggregates.ohlc_hourly_by_type``:
+    continuously-maintained OHLC candles — the hypertable continuous
+    aggregate, as a watermarked streaming query.
+
+    The batch tier's insight carries over unchanged: open/close are
+    struct extrema over (ts, event_id, value), which are ASSOCIATIVE,
+    so the streaming state per (window × type) group is just the two
+    candidate structs plus the decimal volume sum and the count — O(1)
+    per group, merged incrementally as micro-batches arrive, never a
+    per-event buffer. The watermark bounds how many window groups stay
+    live; everything older is emittable/evictable. An order-dependent
+    "first value" formulation (ROW_NUMBER) would need per-window event
+    retention — unbounded state; the associative form is what makes
+    the candle streamable at all.
+    """
+    ev = _event_stream(spark, sf_dir)
+    first = F.min(F.struct("ts", "event_id", "value"))
+    last = F.max(F.struct("ts", "event_id", "value"))
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            first.getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            last.getField("value").alias("close"),
+            dsum("value").alias("volume"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("bucket"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "n_events",
+        )
+    )
+    return (
+        agg.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(query_name)
         .start()

@@ -553,3 +553,18 @@ def test_available_now_trigger_terminates_and_matches_batch(spark, sf_dir):
     got = _rows(spark.sql("SELECT * FROM t_avail_now"))
     want = _rows(SPECS["stream_tumbling_counts"].fn(spark, sf_dir))
     assert got == want
+
+
+def test_ohlc_stream_equals_batch(spark, sf_dir):
+    """The streaming OHLC candles converge to the batch downsample: the
+    struct-extremum open/close merge associatively across micro-batches,
+    so a bounded drain must reproduce the batch rollup exactly."""
+    from cooler_mapreduce_spark.streaming.windows import run_ohlc_stream
+
+    q = run_ohlc_stream(spark, sf_dir, query_name="t_ohlc")
+    _drain(q)
+    cols = ["bucket", "event_type", "open", "high", "low", "close", "volume", "n_events"]
+    got = _rows(spark.sql("SELECT {} FROM t_ohlc".format(", ".join(cols))))
+    want = _rows(SPECS["ohlc_hourly_by_type"].fn(spark, sf_dir).select(*cols))
+    assert len(got) > 0
+    assert got == want
