@@ -71,3 +71,49 @@ def sql_lateral_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_TOP_SQL)
+
+
+#: Recursive CTE, dialect-portable (integer halving spelled as
+#: CAST(FLOOR(x / 2)) so Spark and DuckDB run the IDENTICAL string):
+#: every part's ancestor chain in the synthetic binary hierarchy
+#: parent(k) = floor(k / 2), rolled up to per-ancestor subtree stats.
+_RECURSIVE_ROLLUP_SQL = """
+    WITH RECURSIVE lineage(part, anc) AS (
+        SELECT p_partkey, p_partkey FROM part
+        UNION ALL
+        SELECT part, CAST(FLOOR(anc / 2) AS BIGINT) FROM lineage WHERE anc > 1
+    )
+    SELECT anc AS node, COUNT(*) AS n_descendants,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(30,2))) AS DOUBLE) AS subtree_value
+    FROM lineage JOIN part ON p_partkey = part
+    GROUP BY anc
+"""
+
+
+@query(
+    "sql_recursive_subtree_rollup",
+    oracle=_RECURSIVE_ROLLUP_SQL,
+    tags=("sql", "recursive", "iterative", "aggregation"),
+)
+def sql_recursive_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (BOM-style) subtree rollup via WITH RECURSIVE — the
+    org-chart/bill-of-materials aggregation pattern: for every node of a
+    part hierarchy (synthetic binary parent ``floor(k/2)``, giving every
+    part a chain to root 1), the count and decimal-staged retail value
+    of its whole subtree, self included.
+
+    This exercises Spark 4's recursive-CTE execution (the reference,
+    single-round by construction, cannot express ANY recursion; even
+    this engine's PageRank oracle had to hand-unroll its iterations
+    because DuckDB forbids aggregates inside recursive terms — an
+    aggregate-AFTER-recursion rollup like this one is the portable
+    shape). Scale: the recursive term is pure per-row arithmetic — no
+    join, no shuffle inside the loop; the frontier starts at |part| and
+    only shrinks as chains hit the root, so the closure is
+    |part| × O(log maxkey) rows, materialized once and rolled up with
+    one partial-aggregable exchange. Depth grows logarithmically with
+    the key domain: ~11 levels at sf0.01, ~31 at a 2-billion-part
+    catalog — iteration count is never data-volume-bound.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_ROLLUP_SQL)

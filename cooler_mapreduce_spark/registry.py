@@ -116,8 +116,9 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: potential_promotion_q20 — plus triangle_count_copurchase (degree-
 #: ordered triangle census), ohlc_hourly_by_type (hypertable OHLC
 #: downsample), attribution_linear_touch (multi-touch revenue
-#: attribution), and kfold_target_encoding (leakage-safe out-of-fold
-#: target statistics).
+#: attribution), kfold_target_encoding (leakage-safe out-of-fold
+#: target statistics), and sql_recursive_subtree_rollup (WITH RECURSIVE
+#: hierarchy rollup — one ANSI string, both engines).
 PRIORITY_QUERIES: tuple[str, ...] = (
     # --- anchors: one green representative per §2.4 category (r2-r4) ---
     "word_count",                     # parity / scan / flatMap

@@ -393,6 +393,14 @@ CASES = {
             ("no cartesian product", lambda p: "CartesianProduct" not in p),
         ],
     ),
+    "sql_recursive_subtree_rollup": (
+        "WITH RECURSIVE hierarchy rollup: UnionLoop recursion with a pure-arithmetic recursive term (no join/shuffle inside the loop), one partial-aggregated exchange after",
+        [
+            ("recursion executes as UnionLoop", lambda p: "UnionLoop" in p),
+            ("no exchange inside the loop (arithmetic-only recursive term)", lambda p: "Exchange" not in p.split("UnionLoop", 1)[1].split("UnionLoopRef", 1)[0]),
+            ("single partial-aggregated rollup exchange", lambda p: "partial_count" in p and p.count("Exchange hashpartitioning") == 1),
+        ],
+    ),
     "dpp_partitioned_join": (
         "dynamic partition pruning: the dim filter reaches the partitioned fact scan as a dynamicpruning runtime subquery (2/5 partition dirs read at execution — metrics-asserted in tests)",
         [
