@@ -14,7 +14,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.hashing import md5int_duckdb, md5int_spark, shingles_duckdb, shingles_spark
+from ..functions.hashing import (
+    md5int_duckdb,
+    md5int_spark,
+    minhash_perm,
+    shingles_duckdb,
+    shingles_spark,
+)
 from ..registry import query
 from ..sources.catalog import table
 
@@ -814,4 +820,101 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("qscore").cast("double") / q, 6).alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(20)
+    )
+
+
+#: Count-min sketch shape: 4 hash rows × 1024 buckets. The row hashes
+#: reuse the fixed universal-hash family (functions/hashing.py
+#: MINHASH_A/B, seed 42) — pairwise-independent is exactly the CMS
+#: requirement, and sharing the constants keeps engine and oracle
+#: bit-identical by construction.
+_CMS_D = 4
+_CMS_W = 1024
+
+
+def _cms_bucket_sql(j: int, hash_expr: str) -> str:
+    """Row-j bucket of a token hash, dialect-neutral arithmetic."""
+    return f"({minhash_perm(j, hash_expr)} % {_CMS_W})"
+
+
+def _cms_oracle() -> str:
+    hv = md5int_duckdb("term")
+    cells = "\n        UNION ALL ".join(
+        f"SELECT {j} AS j, {_cms_bucket_sql(j, 'hv')} AS bucket, COUNT(*) AS c"
+        " FROM hashed GROUP BY 2"
+        for j in range(_CMS_D)
+    )
+    probes = "\n        UNION ALL ".join(
+        f"SELECT term, true_cnt, {j} AS j, {_cms_bucket_sql(j, 'hv')} AS bucket FROM eh"
+        for j in range(_CMS_D)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents
+    ),
+    hashed AS (SELECT term, {hv} AS hv FROM toks),
+    cells AS (
+        {cells}
+    ),
+    exact AS (
+        SELECT term, COUNT(*) AS true_cnt FROM toks
+        GROUP BY term ORDER BY true_cnt DESC, term LIMIT 20
+    ),
+    eh AS (SELECT term, true_cnt, {hv} AS hv FROM exact),
+    probes AS (
+        {probes}
+    )
+    SELECT p.term, p.true_cnt, MIN(c.c) AS cms_est
+    FROM probes p JOIN cells c ON p.j = c.j AND p.bucket = c.bucket
+    GROUP BY p.term, p.true_cnt
+    """
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle=_cms_oracle(),
+    tags=("textstats", "sketch", "approx", "mergeable", "llm-pipeline"),
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream, read back at the
+    true top-20 tokens: (term, exact count, CMS estimate) — the
+    mergeable heavy-hitter counter (Cormode & Muthukrishnan '05) beside
+    the HLL distinct tier.
+
+    Unlike the HLL tier (engine-specific sketch binaries, rows-only
+    check), CMS is plain integer arithmetic over portable hashes, so
+    the ENTIRE sketch — build and probe — is hash-checked against
+    DuckDB running the same construction. The sketch is one
+    partial-aggregable pass: each token posexplodes to its 4 (row,
+    bucket) cells and the groupBy carries at most d×w = 4096 cells per
+    partition into the shuffle — the sketch table is
+    SIZE-INDEPENDENT of the corpus, which is the whole point: at
+    100 TB the exchange still moves ≤4096-row partials, and two
+    corpora's sketches merge by adding cells (tested). Probing joins
+    the candidates' 4 cells against the sketch (broadcast: bounded
+    d×w by construction) and takes MIN over rows. CMS guarantees
+    est ≥ true always, est ≤ true + εN w.h.p. — both pinned by test.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.lower("text"), " ")).alias("term"))
+    h = md5int_spark("term")
+    buckets = F.array(*[F.expr(_cms_bucket_sql(j, h)) for j in range(_CMS_D)])
+    cells = (
+        toks.select(F.posexplode(buckets).alias("j", "bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    exact = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("term"))
+        .limit(20)
+    )
+    probes = exact.select(
+        "term", "true_cnt", F.posexplode(buckets).alias("j", "bucket")
+    )
+    return (
+        probes.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("term", "true_cnt")
+        .agg(F.min("c").alias("cms_est"))
     )

@@ -117,8 +117,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: ordered triangle census), ohlc_hourly_by_type (hypertable OHLC
 #: downsample), attribution_linear_touch (multi-touch revenue
 #: attribution), kfold_target_encoding (leakage-safe out-of-fold
-#: target statistics), and sql_recursive_subtree_rollup (WITH RECURSIVE
-#: hierarchy rollup — one ANSI string, both engines).
+#: target statistics), sql_recursive_subtree_rollup (WITH RECURSIVE
+#: hierarchy rollup — one ANSI string, both engines), and
+#: cms_heavy_hitters (count-min sketch, build AND probe hash-checked —
+#: the mergeable heavy-hitter counter beside the HLL distinct tier).
 PRIORITY_QUERIES: tuple[str, ...] = (
     # --- anchors: one green representative per §2.4 category (r2-r4) ---
     "word_count",                     # parity / scan / flatMap

@@ -393,6 +393,14 @@ CASES = {
             ("no cartesian product", lambda p: "CartesianProduct" not in p),
         ],
     ),
+    "cms_heavy_hitters": (
+        "count-min sketch: the sketch exchange carries ≤ d×w cell partials regardless of corpus size; bounded sketch broadcast to the probe; exact top-k is TakeOrdered",
+        [
+            ("cells partial-aggregate before the sketch shuffle", lambda p: "partial_count" in p),
+            ("bounded sketch broadcast to the probe join", lambda p: "BroadcastHashJoin" in p),
+            ("exact candidates via TakeOrdered, no global sort", lambda p: "TakeOrderedAndProject" in p),
+        ],
+    ),
     "sql_recursive_subtree_rollup": (
         "WITH RECURSIVE hierarchy rollup: UnionLoop recursion with a pure-arithmetic recursive term (no join/shuffle inside the loop), one partial-aggregated exchange after",
         [

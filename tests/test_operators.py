@@ -142,3 +142,49 @@ def test_pagerank_mass_conservation_and_concentration(spark, sf_dir):
         assert abs(total - 1.0) < 1e-6, total
     top = pagerank_frame(spark, sf_dir, iterations=5).agg(F.max("rank")).collect()[0][0]
     assert top > uniform * 1.5  # hubs emerged; not still uniform
+
+
+def test_cms_overestimate_and_merge(spark, oracle_sf_dir):
+    """CMS invariants on real data: (1) est >= true for every probed
+    term (structural guarantee, not probabilistic); (2) overestimate is
+    bounded by the sketch's epsilon*N for this corpus; (3) sketches are
+    MERGEABLE: cell-wise sum of two disjoint sub-corpus sketches equals
+    the full-corpus sketch exactly."""
+    from pyspark.sql import functions as F
+
+    from cooler_mapreduce_spark.operators.textstats import (
+        _CMS_D,
+        _CMS_W,
+        _cms_bucket_sql,
+    )
+    from cooler_mapreduce_spark.functions.hashing import md5int_spark
+    from cooler_mapreduce_spark.sources.catalog import table
+
+    rows = SPECS["cms_heavy_hitters"].fn(spark, oracle_sf_dir).collect()
+    assert len(rows) == 20
+    n_tokens = (
+        table(spark, oracle_sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("t"))
+        .count()
+    )
+    eps_bound = 4 * n_tokens / _CMS_W  # loose multiple of e/w * N
+    for r in rows:
+        assert r.cms_est >= r.true_cnt, r
+        assert r.cms_est - r.true_cnt <= eps_bound, (r, eps_bound)
+
+    def sketch(df):
+        toks = df.select(F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        h = md5int_spark("term")
+        buckets = F.array(*[F.expr(_cms_bucket_sql(j, h)) for j in range(_CMS_D)])
+        return (
+            toks.select(F.posexplode(buckets).alias("j", "bucket"))
+            .groupBy("j", "bucket")
+            .agg(F.count("*").alias("c"))
+        )
+
+    d = table(spark, oracle_sf_dir, "documents")
+    full = {(r.j, r.bucket): r.c for r in sketch(d).collect()}
+    en = {(r.j, r.bucket): r.c for r in sketch(d.filter(F.col("lang") == "en")).collect()}
+    rest = {(r.j, r.bucket): r.c for r in sketch(d.filter(F.col("lang") != "en")).collect()}
+    merged = {k: en.get(k, 0) + rest.get(k, 0) for k in set(en) | set(rest)}
+    assert merged == full
