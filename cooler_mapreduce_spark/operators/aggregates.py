@@ -1042,3 +1042,90 @@ def ohlc_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+@query(
+    "dq_constraint_violations",
+    oracle="""
+    SELECT 'lineitem.null_orderkey' AS constraint_name,
+           COUNT(*) FILTER (WHERE l_orderkey IS NULL) AS n_violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.nonpositive_quantity',
+           COUNT(*) FILTER (WHERE l_quantity <= 0) FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.discount_out_of_range',
+           COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.5) FROM lineitem
+    UNION ALL
+    SELECT 'orders.nonpositive_totalprice',
+           COUNT(*) FILTER (WHERE o_totalprice <= 0) FROM orders
+    UNION ALL
+    SELECT 'orders.null_custkey',
+           COUNT(*) FILTER (WHERE o_custkey IS NULL) FROM orders
+    UNION ALL
+    SELECT 'supplier.negative_acctbal',
+           COUNT(*) FILTER (WHERE s_acctbal < 0) FROM supplier
+    UNION ALL
+    SELECT 'lineitem.orphan_orderkey', COUNT(*)
+    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    UNION ALL
+    SELECT 'orders.orphan_custkey', COUNT(*)
+    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    """,
+    tags=("aggregation", "data-quality", "anti-join"),
+)
+def dq_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: violation counts for row-level constraints
+    (nulls, ranges, signs) and referential integrity (orphan foreign
+    keys), in long form (constraint_name, n_violations) — the
+    expectation-check pass a pipeline runs before promoting a snapshot;
+    zero counts are the assertion, not a gap.
+
+    Scale design: row-level constraints over the same table FUSE into
+    ONE conditional-aggregation scan (sum-of-whens — the oracle's
+    per-constraint UNION ALL is the same semantics spelled one scan per
+    constraint), so auditing k constraints on a 100 TB table costs one
+    pass, not k. The per-table one-row aggregates then unpivot to long
+    form driver-free. Referential checks can't fuse into a scan — each
+    is a LEFT ANTI join count (key sides are non-null by schema, so
+    NOT IN and anti-join agree), partial-aggregated after the join.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    li_counts = li.agg(
+        cnt(F.col("l_orderkey").isNull()).alias("lineitem.null_orderkey"),
+        cnt(F.col("l_quantity") <= 0).alias("lineitem.nonpositive_quantity"),
+        cnt((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5)).alias(
+            "lineitem.discount_out_of_range"
+        ),
+    )
+    o_counts = o.agg(
+        cnt(F.col("o_totalprice") <= 0).alias("orders.nonpositive_totalprice"),
+        cnt(F.col("o_custkey").isNull()).alias("orders.null_custkey"),
+    )
+    s_counts = s.agg(cnt(F.col("s_acctbal") < 0).alias("supplier.negative_acctbal"))
+    orphan_li = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .agg(F.count("*").alias("lineitem.orphan_orderkey"))
+    )
+    orphan_o = (
+        o.join(c.select("c_custkey"), o.o_custkey == F.col("c_custkey"), "left_anti")
+        .agg(F.count("*").alias("orders.orphan_custkey"))
+    )
+
+    def melt(df):
+        # backquote: the dotted display names would otherwise parse as
+        # qualified column references inside unpivot
+        cols = [F.col(f"`{c}`") for c in df.columns]
+        return df.unpivot([], cols, "constraint_name", "n_violations")
+
+    out = melt(li_counts)
+    for frame in (o_counts, s_counts, orphan_li, orphan_o):
+        out = out.unionAll(melt(frame))
+    return out

@@ -120,7 +120,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: target statistics), sql_recursive_subtree_rollup (WITH RECURSIVE
 #: hierarchy rollup — one ANSI string, both engines), and
 #: cms_heavy_hitters (count-min sketch, build AND probe hash-checked —
-#: the mergeable heavy-hitter counter beside the HLL distinct tier).
+#: the mergeable heavy-hitter counter beside the HLL distinct tier),
+#: and dq_constraint_violations (fused data-quality audit: row
+#: constraints in one conditional-agg scan per table + referential
+#: anti-joins).
 PRIORITY_QUERIES: tuple[str, ...] = (
     # --- anchors: one green representative per §2.4 category (r2-r4) ---
     "word_count",                     # parity / scan / flatMap

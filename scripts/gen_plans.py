@@ -393,6 +393,15 @@ CASES = {
             ("no cartesian product", lambda p: "CartesianProduct" not in p),
         ],
     ),
+    "dq_constraint_violations": (
+        "DQ audit: k row-level constraints per table fuse into ONE conditional-agg scan; referential checks are broadcast anti-join counts",
+        [
+            ("one lineitem scan for its three row constraints + one for the orphan probe", lambda p: sum(
+                1 for ln in p.splitlines() if "FileScan" in ln and "lineitem.parquet" in ln) == 2),
+            ("referential checks via anti-join", lambda p: "LeftAnti" in p),
+            ("constraint counters partial-aggregate", lambda p: "partial_sum" in p),
+        ],
+    ),
     "cms_heavy_hitters": (
         "count-min sketch: the sketch exchange carries ≤ d×w cell partials regardless of corpus size; bounded sketch broadcast to the probe; exact top-k is TakeOrdered",
         [
