@@ -35,6 +35,11 @@ CASES = [
     # leaked into the values
     "min_cost_supplier_q2",
     "potential_promotion_q20",
+    # sketch build+probe: every cell count and min must be identical at
+    # any partition count; out-of-fold encoding: subtraction of two
+    # decimal-staged sums
+    "cms_heavy_hitters",
+    "kfold_target_encoding",
 ]
 
 
@@ -70,6 +75,9 @@ _TZ_CASES = [
     "gapfill_hourly_events",
     "rolling_7d_distinct_users",
     "join_full_outer_hourly",
+    # hour-boundary candle buckets; 3-day lookback window edges
+    "ohlc_hourly_by_type",
+    "attribution_linear_touch",
 ]
 
 
@@ -86,6 +94,8 @@ _FLAVOR_CASES = [
     "stream_tumbling_counts",
     "join_asof_last_click",
     "session_conversion_rate",
+    "ohlc_hourly_by_type",
+    "attribution_linear_touch",
 ]
 
 

@@ -188,3 +188,25 @@ def test_cms_overestimate_and_merge(spark, oracle_sf_dir):
     rest = {(r.j, r.bucket): r.c for r in sketch(d.filter(F.col("lang") != "en")).collect()}
     merged = {k: en.get(k, 0) + rest.get(k, 0) for k in set(en) | set(rest)}
     assert merged == full
+
+
+def test_attribution_conserves_revenue(spark, oracle_sf_dir):
+    """Linear attribution is conservative: every purchase's value is
+    split (or credited to 'direct'), so channel totals must re-sum to
+    the exact total purchase revenue up to the per-credit quantization
+    (1e-6 per touch row)."""
+    from pyspark.sql import functions as F
+
+    from cooler_mapreduce_spark.functions.numeric import dsum
+    from cooler_mapreduce_spark.sources.catalog import table
+
+    rows = SPECS["attribution_linear_touch"].fn(spark, oracle_sf_dir).collect()
+    attributed = sum(r.attributed_revenue for r in rows if r.attributed_revenue)
+    n_rows = sum(r.n_rows for r in rows)
+    total = (
+        table(spark, oracle_sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(dsum("value", 6).alias("t"))
+        .collect()[0].t
+    )
+    assert abs(attributed - total) <= n_rows * 1e-6 + 1e-6, (attributed, total)
