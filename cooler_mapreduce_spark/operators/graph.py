@@ -141,7 +141,17 @@ def pagerank_frame(
     # join+agg over the cached edge partitions (measured 8.4 s → the
     # bench entry at sf0.1; the values are bit-identical either way).
     # At cluster scale this is `edges.checkpoint()` to a reliable store.
-    edges = edges.localCheckpoint(eager=True)
+    #
+    # Partition by the join key BEFORE checkpointing: localCheckpoint
+    # preserves outputPartitioning, so every iteration's ranks⋈edges
+    # join co-locates against the cached edge partitions instead of
+    # re-exchanging the full edge list per round, and the deg groupBy
+    # consumes the same partitioning exchange-free. Measured at sf0.1:
+    # steady-state 5.97 → 5.5 s and first-run 17.7 → 5.8 s, values
+    # bit-identical. This is exactly the "reuse one partitioning across
+    # stages" discipline that matters at 100 TB: the O(|edges|) frame
+    # crosses the network once, at materialization.
+    edges = edges.repartition("src").localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).localCheckpoint(eager=True)
     n = deg.agg(F.count("*").alias("n_nodes"))
     ranks = deg.crossJoin(F.broadcast(n)).select(
