@@ -918,3 +918,104 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term", "true_cnt")
         .agg(F.min("c").alias("cms_est"))
     )
+
+
+_BPE_ROUNDS = 10
+
+
+def bpe_train_frame(
+    spark: SparkSession, sf_dir: str, rounds: int = _BPE_ROUNDS
+) -> DataFrame:
+    """Distributed BPE vocabulary training (Sennrich et al. '16): learn
+    ``rounds`` merge rules from the corpus by iterated most-frequent-
+    adjacent-pair counting — THE iterative MapReduce workload of the
+    LLM-tokenizer pipeline, inexpressible in the single-round reference.
+
+    Scale design: the corpus is scanned ONCE, collapsing to the
+    (word, count) frequency table — bounded by vocabulary size, not
+    corpus size, which is what makes BPE trainable at 100 TB: every
+    merge round thereafter runs over the vocab-bounded symbol table
+    (weighted pair explode → partial-aggregated pair counts → global
+    argmax), never re-touching the corpus. Per round the driver
+    collects exactly ONE rule row (the argmax — O(rounds) driver
+    traffic, the same bounded-collect budget as dedup's fixpoint
+    checksum); the merge is applied executor-side as a higher-order
+    array fold (greedy left-to-right, the standard apply order), and
+    the symbol table is re-materialized per round so plan depth stays
+    constant instead of nesting ``rounds`` lambda layers.
+
+    Determinism: pair counts are integer sums; the argmax tie-break is
+    (count DESC, left ASC, right ASC) — total order, so the learned
+    merge sequence is identical at any partition count and any engine.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.expr("filter(split(w, ''), x -> x <> '')").alias("syms"), "cnt"
+        )
+        .localCheckpoint(eager=True)
+    )
+    pair = (
+        "transform(sequence(1, size(syms) - 1),"
+        " i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"
+    )
+    merges = []
+    for r in range(rounds):
+        top = (
+            words.filter(F.size("syms") >= 2)
+            .select(F.explode(F.expr(pair)).alias("p"), "cnt")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, c = top[0].a, top[0].b, top[0].c
+        merges.append((r + 1, a, b, a + b, int(c)))
+
+        def make_step(a, b):
+            def step(acc, x):
+                return (
+                    F.when(
+                        (F.size(acc) > 0)
+                        & (F.element_at(acc, -1) == F.lit(a))
+                        & (x == F.lit(b)),
+                        F.concat(
+                            F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+                        ),
+                    )
+                    .otherwise(F.concat(acc, F.array(x)))
+                )
+
+            return step
+
+        step = make_step(a, b)
+
+        words = words.select(
+            F.aggregate(
+                "syms", F.expr("CAST(array() AS ARRAY<STRING>)"), step
+            ).alias("syms"),
+            "cnt",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        schema="merge_rank INT, left STRING, right STRING, merged STRING, pair_count BIGINT",
+    )
+
+
+@query(
+    "bpe_train_merges",
+    oracle=None,  # iterative argmax sequence — not one SQL expression; the
+    # test pins every learned rule against an independent pure-Python BPE
+    # reference on the identical word-frequency table.
+    tags=("textstats", "iterative", "tokenizer", "llm-pipeline"),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of :func:`bpe_train_frame` (10 merge rounds)."""
+    return bpe_train_frame(spark, sf_dir)

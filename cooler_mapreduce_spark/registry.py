@@ -121,9 +121,12 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: hierarchy rollup — one ANSI string, both engines), and
 #: cms_heavy_hitters (count-min sketch, build AND probe hash-checked —
 #: the mergeable heavy-hitter counter beside the HLL distinct tier),
-#: and dq_constraint_violations (fused data-quality audit: row
+#: dq_constraint_violations (fused data-quality audit: row
 #: constraints in one conditional-agg scan per table + referential
-#: anti-joins).
+#: anti-joins), and bpe_train_merges (distributed BPE vocabulary
+#: training — iterative pair-count argmax over the vocab-bounded
+#: word-frequency table; rows-only, pinned rule-for-rule against a
+#: pure-Python reference).
 PRIORITY_QUERIES: tuple[str, ...] = (
     # --- anchors: one green representative per §2.4 category (r2-r4) ---
     "word_count",                     # parity / scan / flatMap

@@ -501,3 +501,41 @@ def test_unigram_nll_min_count_is_one_sided(spark, sf_dir):
     assert set(pruned) <= set(full)
     assert all(pruned[d2] <= full[d2] for d2 in pruned)
     assert any(pruned[d2] < full[d2] for d2 in pruned)  # threshold actually bites
+
+
+def test_bpe_merges_match_pure_python_reference(spark, oracle_sf_dir):
+    """Every learned BPE rule (order, pair, merged symbol, weighted
+    count) must equal an independent pure-Python BPE trained on the
+    identical word-frequency table — same greedy left-to-right apply,
+    same (count DESC, left ASC, right ASC) argmax tie-break."""
+    import duckdb
+
+    got = [tuple(r) for r in SPECS["bpe_train_merges"].fn(spark, oracle_sf_dir).collect()]
+    assert len(got) == 10
+
+    wc = duckdb.sql(
+        "SELECT w, COUNT(*) FROM (SELECT unnest(string_split(lower(text), ' ')) AS w"
+        f" FROM '{oracle_sf_dir}/documents.parquet') WHERE len(w) > 0 GROUP BY w"
+    ).fetchall()
+    cur = [(list(w), c) for w, c in wc]
+    want = []
+    for r in range(10):
+        pc = {}
+        for s, c in cur:
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] = pc.get((s[i], s[i + 1]), 0) + c
+        if not pc:
+            break
+        (a, b), c = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        want.append((r + 1, a, b, a + b, c))
+        nxt = []
+        for s, cnt in cur:
+            out = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            nxt.append((out, cnt))
+        cur = nxt
+    assert got == want
