@@ -301,6 +301,25 @@ def _compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def _dq(args: argparse.Namespace) -> int:
+    """Beyond-reference operational surface: run the data-quality
+    constraint audit (operators.aggregates.dq_constraint_violations)
+    against an sf dir and print the long-form violation table; exit
+    non-zero when any constraint is violated, so the command slots into
+    a promote-gate script as-is."""
+    from .registry import load_all
+    from .session import get_session
+
+    spark = get_session("cli-dq")
+    rows = load_all()["dq_constraint_violations"].fn(spark, args.sf_dir).collect()
+    width = max(len(r.constraint_name) for r in rows)
+    bad = 0
+    for r in sorted(rows, key=lambda r: r.constraint_name):
+        print(f"{r.constraint_name:<{width}}  {r.n_violations}")
+        bad += r.n_violations
+    return 1 if bad else 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="cooler-mapreduce-spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -357,6 +376,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="re-sort on this column during the rewrite "
                     "(clustering maintenance)")
     cp.set_defaults(fn=_compact)
+
+    dq = sub.add_parser("dq", help="data-quality audit: constraint violation "
+                        "counts; non-zero exit when any constraint fails")
+    dq.add_argument("sf_dir")
+    dq.set_defaults(fn=_dq)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -940,3 +940,16 @@ def test_parquet_schema_evolution(spark, sf_dir, tmp_path):
     assert set(merged.columns) == {"o_orderkey", "o_orderstatus", "o_totalprice"}
     assert merged.count() == 15
     assert merged.filter("o_totalprice IS NULL").count() == 10
+
+
+def test_cli_dq_audit(spark, oracle_sf_dir, capsys):
+    """`client dq <sf_dir>`: prints the long-form violation table and
+    exits non-zero because the fixture supplier table carries negative
+    balances (a real violation the audit must surface)."""
+    from cooler_mapreduce_spark.cli import main
+
+    rc = main(["dq", oracle_sf_dir])
+    out = capsys.readouterr().out
+    assert "supplier.negative_acctbal" in out
+    assert "lineitem.orphan_orderkey" in out
+    assert rc == 1  # fixture has 6 negative-balance suppliers
