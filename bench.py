@@ -59,7 +59,7 @@ HEADLINE = [
     "pagerank_supplier_customer",   # iterative tier: 5 chained join+agg rounds over ~1M edges
     # late round-5 additions:
     "product_type_profit_q9",       # heaviest new TPC-H shape: 5-relation profit join + rollup
-    "triangle_count_copurchase",    # graph census: checkpointed edges + degree-ordered wedge join
+    "triangle_count_copurchase",    # graph census: degree-oriented adjacency intersection
 ]
 # Excluded by design: ann_recall_lsh/ann_recall_ivf re-run two already-
 # benched ANN tiers plus a join — benching them would double-count the
@@ -87,6 +87,12 @@ HEADLINE = [
 # ohlc_hourly_by_type is the same single-exchange events agg as
 # stream_tumbling_counts' twin, and attribution_linear_touch's bounded
 # user-keyed theta join is join_interval_overlap's shape plus a window.
+# bpe_train_merges is excluded as an iterative driver-loop tier already
+# represented by pagerank: its corpus-sized work is ONE tokenize scan
+# (the tokenize family is benched via tfidf/doc_unigram_nll) and its
+# measured 4.3 s at sf0.1 is ~10 rounds of fixed small-job scheduling
+# over the vocab-bounded (31-word) symbol table — a scheduler-overhead
+# measurement, not an engine-throughput one.
 
 #: REAL-STREAM surfaces (not batch twins): each starts an actual
 #: StreamingQuery over the sf dir and times a full bounded-replay drain —

@@ -40,6 +40,9 @@ CASES = [
     # decimal-staged sums
     "cms_heavy_hitters",
     "kfold_target_encoding",
+    # iterative argmax sequence: every learned rule must be identical at
+    # any partition count (total-order tie-break)
+    "bpe_train_merges",
 ]
 
 
