@@ -923,9 +923,9 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 10
 
 
-def bpe_train_frame(
+def _bpe_train(
     spark: SparkSession, sf_dir: str, rounds: int = _BPE_ROUNDS
-) -> DataFrame:
+) -> tuple[DataFrame, list[tuple]]:
     """Distributed BPE vocabulary training (Sennrich et al. '16): learn
     ``rounds`` merge rules from the corpus by iterated most-frequent-
     adjacent-pair counting — THE iterative MapReduce workload of the
@@ -1003,10 +1003,7 @@ def bpe_train_frame(
             ).alias("syms"),
             "cnt",
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges,
-        schema="merge_rank INT, left STRING, right STRING, merged STRING, pair_count BIGINT",
-    )
+    return words, merges
 
 
 @query(
@@ -1017,5 +1014,51 @@ def bpe_train_frame(
     tags=("textstats", "iterative", "tokenizer", "llm-pipeline"),
 )
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registered face of :func:`bpe_train_frame` (10 merge rounds)."""
-    return bpe_train_frame(spark, sf_dir)
+    """Registered face of :func:`_bpe_train` (10 merge rounds): the
+    learned merge-rule table."""
+    _, merges = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        merges,
+        schema="merge_rank INT, left STRING, right STRING, merged STRING, pair_count BIGINT",
+    )
+
+
+@query(
+    "bpe_encode_stats",
+    oracle=None,  # consumes the trained merges (iterative, see above); the
+    # test pins the stats against the pure-Python reference's encoding.
+    tags=("textstats", "iterative", "tokenizer", "llm-pipeline"),
+)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE vocabulary back to the corpus — the second
+    half of the tokenizer lifecycle (train → encode) — and report the
+    corpus-level budget stats a data pipeline denominates in: word
+    occurrences, character volume, BPE token count, and the compression
+    ratio (chars per BPE token).
+
+    The encode costs NOTHING beyond training here: the training loop's
+    final symbol table IS the encoded vocabulary (each word's symbols
+    after all merges), so corpus totals are one weighted aggregate over
+    the vocab-bounded table — occurrence-weighted sums of per-word
+    symbol counts. At 100 TB the same holds: encoding new text is a
+    broadcast-join of the (word → symbols) table against the corpus,
+    never a re-scan per merge rule. All outputs are exact integer sums
+    plus one division — bit-deterministic.
+    """
+    words, _ = _bpe_train(spark, sf_dir)
+    return words.agg(
+        F.count("*").alias("n_distinct_words"),
+        F.sum("cnt").alias("n_word_occurrences"),
+        F.sum(F.col("cnt") * F.length(F.concat_ws("", F.col("syms")))).alias(
+            "total_chars"
+        ),
+        F.sum(F.col("cnt") * F.size("syms")).alias("total_bpe_tokens"),
+    ).select(
+        "n_distinct_words",
+        "n_word_occurrences",
+        "total_chars",
+        "total_bpe_tokens",
+        (
+            F.col("total_chars").cast("double") / F.col("total_bpe_tokens")
+        ).alias("chars_per_token"),
+    )

@@ -126,7 +126,9 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: anti-joins), and bpe_train_merges (distributed BPE vocabulary
 #: training — iterative pair-count argmax over the vocab-bounded
 #: word-frequency table; rows-only, pinned rule-for-rule against a
-#: pure-Python reference).
+#: pure-Python reference) with bpe_encode_stats (the encode half:
+#: corpus token-budget stats from the trained vocabulary, pinned the
+#: same way).
 PRIORITY_QUERIES: tuple[str, ...] = (
     # --- anchors: one green representative per §2.4 category (r2-r4) ---
     "word_count",                     # parity / scan / flatMap

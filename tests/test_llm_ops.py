@@ -539,3 +539,43 @@ def test_bpe_merges_match_pure_python_reference(spark, oracle_sf_dir):
             nxt.append((out, cnt))
         cur = nxt
     assert got == want
+
+
+def test_bpe_encode_stats_match_reference(spark, oracle_sf_dir):
+    """The encode-side stats must equal the pure-Python reference's
+    encoding of the same corpus under the same 10 learned rules, and
+    the compression ratio must be > 1 (merges shorten tokenizations)."""
+    import duckdb
+
+    row = SPECS["bpe_encode_stats"].fn(spark, oracle_sf_dir).collect()[0]
+
+    wc = duckdb.sql(
+        "SELECT w, COUNT(*) FROM (SELECT unnest(string_split(lower(text), ' ')) AS w"
+        f" FROM '{oracle_sf_dir}/documents.parquet') WHERE len(w) > 0 GROUP BY w"
+    ).fetchall()
+    cur = [(list(w), c) for w, c in wc]
+    for r in range(10):
+        pc = {}
+        for s, c in cur:
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] = pc.get((s[i], s[i + 1]), 0) + c
+        if not pc:
+            break
+        (a, b), _ = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        nxt = []
+        for s, cnt in cur:
+            out = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            nxt.append((out, cnt))
+        cur = nxt
+    want_tokens = sum(len(s) * c for s, c in cur)
+    want_chars = sum(sum(len(x) for x in s) * c for s, c in cur)
+    assert row.n_distinct_words == len(wc)
+    assert row.n_word_occurrences == sum(c for _, c in wc)
+    assert row.total_chars == want_chars
+    assert row.total_bpe_tokens == want_tokens
+    assert row.chars_per_token == want_chars / want_tokens > 1.0
