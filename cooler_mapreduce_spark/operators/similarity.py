@@ -832,3 +832,105 @@ def embedding_cluster_compactness(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("mean_sq_dist"),
         )
     )
+
+
+_KM_K = 8
+_KM_ROUNDS = 5
+
+
+def _km_sqdist(emb: str, c: list[float]) -> str:
+    """Squared L2 distance of ``emb`` (cast to double) against a literal
+    centroid — a sequential left fold, so the summation order is fixed
+    and the value is bit-identical in any engine that folds in order."""
+    arr = f"array({', '.join(f'CAST({v!r} AS DOUBLE)' for v in c)})"
+    return (
+        f"aggregate(zip_with(CAST({emb} AS ARRAY<DOUBLE>), {arr},"
+        " (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def kmeans_lloyd_frame(
+    spark: SparkSession, sf_dir: str, k: int = _KM_K, rounds: int = _KM_ROUNDS
+) -> tuple[DataFrame, list[list[float]]]:
+    """In-engine Lloyd's k-means over the embeddings table — iterative
+    ML training expressed as dataflow (assign = broadcast-literal
+    argmin scan, update = partial-aggregable per-dimension mean), the
+    third iterative tier beside PageRank and BPE. Unlike the IVF coarse
+    quantizer (a pyspark.ml model FIT, an offline library call cached
+    as literals), this one is the engine's own DataFrame loop, fully
+    deterministic and pinned against a pure-Python reference.
+
+    Per round: centroids ride the plan as literals (O(k·dim) driver
+    traffic per round — the bounded model-state budget, same as the IVF
+    fit); every vector computes k sequential-fold squared distances and
+    takes the FIRST argmin (tie-break: lowest centroid index); the
+    update posexplodes assigned vectors and re-averages per (cluster,
+    dimension) with decimal-staged sums (scale 12), so the new
+    centroids are bit-identical at any partition count. Initialization
+    is the k lowest-vec_id vectors — deterministic, no RNG.
+
+    Scale: the corpus is scanned once per round with NO shuffle on the
+    assign side (centroid literals broadcast in the plan); the update
+    shuffle carries O(k × dim) partial sums regardless of corpus size.
+
+    Returns (assignment frame [vec_id, cluster], final centroids).
+    """
+    from ..functions.numeric import davg
+
+    emb = table(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("c"))
+        .collect()
+    )
+    centroids = [list(r.c) for r in seeds]
+    assigned = None
+    for _ in range(rounds):
+        dists = f"array({', '.join(_km_sqdist('embedding', c) for c in centroids)})"
+        assigned = emb.select(
+            "vec_id",
+            "embedding",
+            (F.expr(f"array_position(({dists}), array_min({dists}))") - 1)
+            .cast("int")
+            .alias("cluster"),
+        )
+        new = (
+            assigned.select(
+                "cluster",
+                F.posexplode(F.expr("CAST(embedding AS ARRAY<DOUBLE>)")).alias(
+                    "pos", "v"
+                ),
+            )
+            .groupBy("cluster", "pos")
+            .agg(davg("v", 12).alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cluster", F.expr("transform(pm, s -> s.m)").alias("c"))
+            .orderBy("cluster")
+            .collect()
+        )
+        # empty clusters keep their previous centroid (deterministic)
+        for r in new:
+            centroids[r.cluster] = list(r.c)
+    return assigned.select("vec_id", "cluster"), centroids
+
+
+@query(
+    "kmeans_embedding_clusters",
+    oracle=None,  # iterative argmin/re-mean loop — not one SQL expression;
+    # the test pins assignments AND final centroids against a pure-Python
+    # reference running the identical quantized algorithm.
+    tags=("similarity", "iterative", "ml", "llm-pipeline"),
+)
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of :func:`kmeans_lloyd_frame`: cluster sizes and
+    the final centroid norms (rounded to 9 decimals), one row per
+    non-empty cluster."""
+    assigned, centroids = kmeans_lloyd_frame(spark, sf_dir)
+    sizes = assigned.groupBy("cluster").agg(F.count("*").alias("n_members"))
+    norms = [
+        (j, round(sum(v * v for v in c) ** 0.5, 9)) for j, c in enumerate(centroids)
+    ]
+    norm_df = spark.createDataFrame(norms, schema="cluster INT, centroid_norm DOUBLE")
+    return sizes.join(norm_df, "cluster").select("cluster", "n_members", "centroid_norm")

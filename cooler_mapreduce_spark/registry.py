@@ -128,7 +128,9 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: word-frequency table; rows-only, pinned rule-for-rule against a
 #: pure-Python reference) with bpe_encode_stats (the encode half:
 #: corpus token-budget stats from the trained vocabulary, pinned the
-#: same way).
+#: same way), and kmeans_embedding_clusters (in-engine Lloyd's k-means
+#: — the engine's own iterative DataFrame loop, not an MLlib fit;
+#: rows-only, pinned assignment-and-centroid against pure Python).
 PRIORITY_QUERIES: tuple[str, ...] = (
     # --- anchors: one green representative per §2.4 category (r2-r4) ---
     "word_count",                     # parity / scan / flatMap

@@ -43,6 +43,8 @@ CASES = [
     # iterative argmax sequence: every learned rule must be identical at
     # any partition count (total-order tie-break)
     "bpe_train_merges",
+    # iterative argmin/re-mean: literal centroids + decimal-staged means
+    "kmeans_embedding_clusters",
 ]
 
 

@@ -579,3 +579,59 @@ def test_bpe_encode_stats_match_reference(spark, oracle_sf_dir):
     assert row.total_chars == want_chars
     assert row.total_bpe_tokens == want_tokens
     assert row.chars_per_token == want_chars / want_tokens > 1.0
+
+
+def test_kmeans_matches_pure_python_reference(spark, oracle_sf_dir):
+    """Every Lloyd's round is deterministic by construction (literal
+    centroids, sequential-fold distances, first-argmin, decimal-staged
+    means) — so cluster sizes and final centroid norms must equal a
+    pure-Python implementation of the identical quantized algorithm."""
+    import decimal
+
+    import duckdb
+
+    got = sorted(
+        tuple(r) for r in SPECS["kmeans_embedding_clusters"].fn(spark, oracle_sf_dir).collect()
+    )
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{oracle_sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    vecs = [(vid, [float(x) for x in e]) for vid, e in rows]
+    k, rounds = 8, 5
+    cents = [list(vecs[j][1]) for j in range(k)]
+    q = decimal.Decimal("1e-12")
+
+    def sqd(e, c):
+        acc = 0.0
+        for x, y in zip(e, c):
+            acc += (x - y) * (x - y)
+        return acc
+
+    assign = None
+    for _ in range(rounds):
+        assign = []
+        for vid, e in vecs:
+            d = [sqd(e, c) for c in cents]
+            assign.append((vid, min(range(k), key=lambda j: (d[j], j))))
+        for j in range(k):
+            members = [e for (vid, e), (_, cl) in zip(vecs, assign) if cl == j]
+            if not members:
+                continue
+            cents[j] = [
+                float(
+                    sum(
+                        decimal.Decimal(m[p]).quantize(q, rounding=decimal.ROUND_HALF_UP)
+                        for m in members
+                    )
+                )
+                / len(members)
+                for p in range(len(cents[j]))
+            ]
+    sizes = {}
+    for _, cl in assign:
+        sizes[cl] = sizes.get(cl, 0) + 1
+    want = sorted(
+        (j, n, round(sum(v * v for v in cents[j]) ** 0.5, 9)) for j, n in sizes.items()
+    )
+    assert got == want
