@@ -530,3 +530,41 @@ def run_ohlc_stream(
         .queryName(query_name)
         .start()
     )
+
+
+def run_cms_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "cms_out",
+):
+    """Continuously-maintained count-min sketch over the documents
+    stream: the same 4×1024 cell construction as the batch
+    ``cms_heavy_hitters`` build (operators/textstats.py), kept live by a
+    streaming aggregation.
+
+    This works because CMS cells are COUNTS — the canonical mergeable
+    streaming state. The per-micro-batch partials fold into at most
+    d×w = 4096 state rows, so sketch state is size-independent of the
+    stream: the property that lets a 100 TB/day ingest keep live
+    heavy-hitter estimates without ever storing tokens. Complete-mode
+    memory sink; convergence to the batch cells is pinned by test.
+    """
+    from ..operators.textstats import _CMS_D, _cms_bucket_sql
+    from ..functions.hashing import md5int_spark
+
+    schema = "doc_id bigint, source string, lang string, text string, n_chars bigint"
+    raw = spark.readStream.schema(schema).parquet(f"{sf_dir}/documents.parque*")
+    toks = raw.select(F.explode(F.split(F.lower("text"), " ")).alias("term"))
+    h = md5int_spark("term")
+    buckets = F.array(*[F.expr(_cms_bucket_sql(j, h)) for j in range(_CMS_D)])
+    cells = (
+        toks.select(F.posexplode(buckets).alias("j", "bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        cells.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

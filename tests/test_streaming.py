@@ -568,3 +568,32 @@ def test_ohlc_stream_equals_batch(spark, sf_dir):
     want = _rows(SPECS["ohlc_hourly_by_type"].fn(spark, sf_dir).select(*cols))
     assert len(got) > 0
     assert got == want
+
+
+def test_cms_stream_equals_batch_cells(spark, sf_dir):
+    """The streaming count-min sketch converges to the batch build:
+    cells are counts (mergeable state), so a bounded drain must produce
+    the identical d x w cell table the batch construction yields."""
+    from pyspark.sql import functions as F
+
+    from cooler_mapreduce_spark.functions.hashing import md5int_spark
+    from cooler_mapreduce_spark.operators.textstats import _CMS_D, _cms_bucket_sql
+    from cooler_mapreduce_spark.sources.catalog import table
+    from cooler_mapreduce_spark.streaming.windows import run_cms_stream
+
+    q = run_cms_stream(spark, sf_dir, query_name="t_cms")
+    _drain(q)
+    got = _rows(spark.sql("SELECT j, bucket, c FROM t_cms"))
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.lower("text"), " ")).alias("term"))
+    buckets = F.array(
+        *[F.expr(_cms_bucket_sql(j, md5int_spark("term"))) for j in range(_CMS_D)]
+    )
+    want = _rows(
+        toks.select(F.posexplode(buckets).alias("j", "bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    assert len(got) > 0
+    assert got == want
