@@ -159,3 +159,50 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("next_from").isNull().alias("is_current"),
         "attr",
     )
+
+
+_ASOF_TS = "1998-06-15 00:00:00"
+
+
+@query(
+    "scd2_snapshot_asof",
+    oracle=f"""
+    WITH versions AS (
+        SELECT o_custkey AS custkey, o_orderdate AS valid_from, o_totalprice AS attr,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS vn,
+               LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey) AS next_from
+        FROM orders
+    )
+    SELECT custkey, vn AS version, valid_from, attr
+    FROM versions
+    WHERE valid_from <= TIMESTAMP '{_ASOF_TS}'
+      AND COALESCE(next_from, TIMESTAMP '2200-01-01 00:00:00')
+          > TIMESTAMP '{_ASOF_TS}'
+    """,
+    tags=("merge", "scd2", "temporal", "history"),
+)
+def scd2_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal AS-OF read over the SCD2 history: the state of every
+    tracked key exactly as of one instant — "what did this dimension
+    look like on 1998-06-15?" — the time-travel query the versioned
+    [valid_from, valid_to) layout exists to answer.
+
+    The snapshot is a pure filter over :func:`scd2_customer_history`'s
+    output (valid_from ≤ t < valid_to — the half-open ranges partition
+    time per key, so exactly ≤1 row per key survives; keys with no
+    version yet simply don't appear). At 100 TB the history table is
+    materialized once and the snapshot predicate prunes on
+    valid_from/valid_to footer stats — no window recomputation per
+    read; here it composes the registered history query directly so the
+    two stay definitionally consistent. The AS-OF literal coerces to
+    the column's own timestamp flavor (a fixed LTZ literal would shift
+    the cut under a non-UTC session).
+    """
+    hist = scd2_customer_history(spark, sf_dir)
+    ts_type = hist.schema["valid_from"].dataType
+    t = F.lit(_ASOF_TS).cast(ts_type)
+    return (
+        hist.filter((F.col("valid_from") <= t) & (F.col("valid_to") > t))
+        .select("custkey", "version", "valid_from", "attr")
+    )

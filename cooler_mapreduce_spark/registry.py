@@ -130,7 +130,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: corpus token-budget stats from the trained vocabulary, pinned the
 #: same way), and kmeans_embedding_clusters (in-engine Lloyd's k-means
 #: — the engine's own iterative DataFrame loop, not an MLlib fit;
-#: rows-only, pinned assignment-and-centroid against pure Python).
+#: rows-only, pinned assignment-and-centroid against pure Python),
+#: and scd2_snapshot_asof (temporal AS-OF read over the SCD2 history).
 PRIORITY_QUERIES: tuple[str, ...] = (
     # --- anchors: one green representative per §2.4 category (r2-r4) ---
     "word_count",                     # parity / scan / flatMap

@@ -83,6 +83,8 @@ _TZ_CASES = [
     # hour-boundary candle buckets; 3-day lookback window edges
     "ohlc_hourly_by_type",
     "attribution_linear_touch",
+    # midnight AS-OF cut over [valid_from, valid_to) ranges
+    "scd2_snapshot_asof",
 ]
 
 
