@@ -635,3 +635,58 @@ def test_kmeans_matches_pure_python_reference(spark, oracle_sf_dir):
         (j, n, round(sum(v * v for v in cents[j]) ** 0.5, 9)) for j, n in sizes.items()
     )
     assert got == want
+
+
+def test_bpe_fold_generalizes_beyond_fixture(spark):
+    """The Spark BPE loop must match the pure-Python reference on
+    corpora it was never tuned on — adversarial wordlists exercising
+    overlapping pairs ('aaaa'), merged-symbol collisions ('abab' with
+    rule chains), and single-char words (no pairs)."""
+    from pyspark.sql import functions as F
+
+    from cooler_mapreduce_spark.operators.textstats import _bpe_train
+
+    corpora = [
+        ["aaaa", "aa", "a", "aaa", "aaaa", "aaaa"],
+        ["abab", "ab", "ba", "abba", "abab", "bb", "a", "b"],
+        ["xy", "xyz", "zyx", "x", "yz", "xyz", "xyz", "zz"],
+    ]
+    for words in corpora:
+        docs = spark.createDataFrame([(i, w) for i, w in enumerate(words)], "doc_id long, text string")
+        docs.createOrReplaceTempView("_bpe_fuzz_docs")
+
+        # drive _bpe_train against this corpus via a monkeypatched table()
+        import cooler_mapreduce_spark.operators.textstats as ts
+
+        orig = ts.table
+        ts.table = lambda sp, sf, name: sp.table("_bpe_fuzz_docs")
+        try:
+            _, got = ts._bpe_train(spark, "ignored", rounds=4)
+        finally:
+            ts.table = orig
+
+        wc = {}
+        for w in words:
+            wc[w] = wc.get(w, 0) + 1
+        cur = [(list(w), c) for w, c in wc.items()]
+        want = []
+        for r in range(4):
+            pc = {}
+            for s, c in cur:
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] = pc.get((s[i], s[i + 1]), 0) + c
+            if not pc:
+                break
+            (a, b), c = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+            want.append((r + 1, a, b, a + b, c))
+            nxt = []
+            for s, cnt in cur:
+                out = []
+                for x in s:
+                    if out and out[-1] == a and x == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(x)
+                nxt.append((out, cnt))
+            cur = nxt
+        assert got == want, (words, got, want)
