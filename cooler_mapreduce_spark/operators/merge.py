@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.numeric import dsum, sql_dsum
 from ..registry import query
 from ..sources.catalog import table
 
@@ -205,4 +206,61 @@ def scd2_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         hist.filter((F.col("valid_from") <= t) & (F.col("valid_to") > t))
         .select("custkey", "version", "valid_from", "attr")
+    )
+
+
+@query(
+    "snapshot_diff_customers",
+    oracle=f"""
+    WITH states AS (
+        SELECT o_custkey AS custkey,
+               COUNT(*) FILTER (WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00')
+                   AS old_n,
+               COUNT(*) AS new_n,
+               {sql_dsum("CASE WHEN o_orderdate < TIMESTAMP '1999-01-01 00:00:00' THEN o_totalprice END")}
+                   AS old_total,
+               {sql_dsum('o_totalprice')} AS new_total
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT custkey,
+           CASE WHEN old_n = 0 THEN 'insert' ELSE 'update' END AS change_type,
+           old_n, new_n, old_total, new_total
+    FROM states WHERE old_n <> new_n
+    """,
+    tags=("merge", "cdc", "aggregation", "temporal"),
+)
+def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a change feed from two snapshot states — the INVERSE of
+    merge_cdc_orders (which consumes CDC, this produces it): which
+    per-customer aggregate rows changed between the end-of-1998
+    snapshot and now, emitted as insert/update change rows with
+    old+new values (unchanged keys are silent, as in a real change
+    feed; this construction has no deletes since facts only accrue —
+    a delete would surface as old-without-new).
+
+    The scale insight: when both snapshots are time-slices of the SAME
+    fact stream, the diff needs NO snapshot join — conditional
+    aggregation computes both states in ONE partial-aggregable scan
+    (old = FILTER'd counters, new = plain counters) and the change
+    classification is a per-row CASE. A naive implementation
+    materializes two snapshots and full-outer-joins them: two scans
+    plus a key shuffle; this is one scan, one shuffle, and the
+    pushed-down date literal never leaves the row's own flavor. Both
+    totals decimal-staged, so 'changed' never misfires on float noise.
+    """
+    cut = F.col("o_orderdate") < "1999-01-01 00:00:00"
+    o = table(spark, sf_dir, "orders")
+    states = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.when(cut, 1)).alias("old_n"),
+        F.count("*").alias("new_n"),
+        dsum(F.when(cut, F.col("o_totalprice"))).alias("old_total"),
+        dsum("o_totalprice").alias("new_total"),
+    )
+    return states.filter(F.col("old_n") != F.col("new_n")).select(
+        "custkey",
+        F.when(F.col("old_n") == 0, "insert").otherwise("update").alias("change_type"),
+        "old_n",
+        "new_n",
+        "old_total",
+        "new_total",
     )

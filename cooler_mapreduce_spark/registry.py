@@ -131,7 +131,9 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: same way), and kmeans_embedding_clusters (in-engine Lloyd's k-means
 #: — the engine's own iterative DataFrame loop, not an MLlib fit;
 #: rows-only, pinned assignment-and-centroid against pure Python),
-#: and scd2_snapshot_asof (temporal AS-OF read over the SCD2 history).
+#: scd2_snapshot_asof (temporal AS-OF read over the SCD2 history), and
+#: snapshot_diff_customers (change-feed DERIVATION: both snapshot
+#: states from one conditional-agg scan, no snapshot join).
 PRIORITY_QUERIES: tuple[str, ...] = (
     # --- anchors: one green representative per §2.4 category (r2-r4) ---
     "word_count",                     # parity / scan / flatMap
