@@ -290,15 +290,23 @@ def kfold_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_fold = base.groupBy("segment", "fold").agg(
         F.count("*").alias("n_rows"), dsum("target").alias("s_fold")
     )
-    totals = per_fold.groupBy("segment").agg(
-        F.sum("n_rows").alias("n_all"), dsum("s_fold").alias("s_all")
-    )
-    return per_fold.join(totals, "segment").select(
+    # Segment totals as a WINDOW over the grouped frame, not a
+    # re-aggregate + join-back: a join formulation re-derives the whole
+    # per_fold subtree for the totals side in the static plan (two fact
+    # scans before runtime stage reuse) and plans a sort-merge join on
+    # statically-unknown cardinalities. The window keeps ONE derivation
+    # and ONE fact scan by construction; its input is already the
+    # O(segments × K) grouped frame, so the extra exchange moves ~25
+    # rows. Decimal-staged window sum: per-fold values are exact
+    # multiples of 1e-2, so the re-sum is order-independent.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("segment")
+    s_all = F.sum(F.col("s_fold").cast("decimal(30,2)")).over(w).cast("double")
+    n_all = F.sum("n_rows").over(w)
+    return per_fold.select(
         "segment",
         "fold",
         "n_rows",
-        (
-            (F.col("s_all") - F.col("s_fold"))
-            / (F.col("n_all") - F.col("n_rows"))
-        ).alias("oof_mean"),
+        ((s_all - F.col("s_fold")) / (n_all - F.col("n_rows"))).alias("oof_mean"),
     )

@@ -393,6 +393,30 @@ CASES = {
             ("no cartesian product", lambda p: "CartesianProduct" not in p),
         ],
     ),
+    "kfold_target_encoding": (
+        "K-fold target encoding: ONE fact pass to (segment, fold) partials; segment totals via window over the grouped frame; out-of-fold by subtraction — no K-fold re-scan, no join-back",
+        [
+            ("single orders scan", lambda p: sum(1 for ln in p.splitlines() if "FileScan" in ln and "orders.parquet" in ln) == 1),
+            ("per-fold sums partial-aggregate", lambda p: "partial_sum" in p),
+            ("totals via window, no join-back", lambda p: "Window" in p and "SortMergeJoin" not in p),
+        ],
+    ),
+    "scd2_snapshot_asof": (
+        "temporal AS-OF: one window exchange builds the history, the snapshot cut is a residual filter — no join, no second scan",
+        [
+            ("single window over the key", lambda p: p.count("Window") == 1),
+            ("one exchange", lambda p: p.count("Exchange hashpartitioning") == 1),
+            ("no join anywhere", lambda p: "Join" not in p),
+        ],
+    ),
+    "snapshot_diff_customers": (
+        "change-feed derivation: both snapshot states from ONE conditional-agg scan — no snapshot join, one partial-aggregated exchange",
+        [
+            ("single orders scan", lambda p: p.count("FileScan") == 1),
+            ("one partial-aggregated exchange", lambda p: "partial_sum" in p and p.count("Exchange hashpartitioning") == 1),
+            ("no join anywhere", lambda p: "Join" not in p),
+        ],
+    ),
     "dq_constraint_violations": (
         "DQ audit: k row-level constraints per table fuse into ONE conditional-agg scan; referential checks are broadcast anti-join counts",
         [
