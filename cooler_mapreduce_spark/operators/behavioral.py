@@ -576,9 +576,12 @@ def attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("pv") / F.col("n"), 6).alias("attributed_revenue"),
         F.count("*").alias("n_rows"),
     )
+    # the attributed-id set needs only the JOIN output — probing the
+    # pre-window frame keeps the anti-join branch from re-deriving the
+    # window pass
     direct = (
         purchases.join(
-            credited.select("p_id").distinct(), "p_id", "left_anti"
+            joined.select("p_id").distinct(), "p_id", "left_anti"
         )
         .agg(
             dsum("pv", 6).alias("attributed_revenue"),
