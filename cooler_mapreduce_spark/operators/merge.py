@@ -264,3 +264,57 @@ def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "old_total",
         "new_total",
     )
+
+
+@query(
+    "scd2_point_in_time_join",
+    oracle=f"""
+    WITH versions AS (
+        SELECT o_custkey AS custkey, o_orderdate AS valid_from, o_totalprice AS attr,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS vn,
+               LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey) AS next_from
+        FROM orders
+    )
+    SELECT e.user_id, e.event_id, v.vn AS version, v.attr
+    FROM events e
+    JOIN versions v
+      ON v.custkey = e.user_id
+     AND v.valid_from <= e.ts
+     AND COALESCE(v.next_from, TIMESTAMP '2200-01-01 00:00:00') > e.ts
+    WHERE e.event_type = 'purchase'
+    """,
+    tags=("merge", "scd2", "temporal", "join"),
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE canonical SCD2 consumption pattern — the point-in-time join:
+    enrich each fact (purchase events) with the dimension version that
+    was in effect AT THE FACT'S OWN TIMESTAMP, not today's row. Joining
+    facts to a current-only dimension silently rewrites history; the
+    versioned [valid_from, valid_to) ranges exist precisely so this
+    join can ask "what was true then".
+
+    Plan shape: an equi-join on the key with the validity window as a
+    residual range predicate — per key the version count is bounded and
+    the half-open ranges are disjoint, so each fact matches EXACTLY one
+    version (or none, if it predates the first) and the fan-out is ≤1.
+    At 100 TB this is the same bounded-theta discipline as the as-of
+    join: the range residual rides the key-partitioned join, never a
+    time-range cross product. Event time stays in the column's own
+    timestamp flavor end-to-end.
+    """
+    hist = scd2_customer_history(spark, sf_dir)
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    ts_type = hist.schema["valid_from"].dataType
+    ets = F.col("ts").cast(ts_type)
+    return (
+        ev.join(
+            hist,
+            (hist.custkey == ev.user_id)
+            & (hist.valid_from <= ets)
+            & (hist.valid_to > ets),
+        )
+        .select("user_id", "event_id", "version", "attr")
+    )

@@ -133,7 +133,9 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: rows-only, pinned assignment-and-centroid against pure Python),
 #: scd2_snapshot_asof (temporal AS-OF read over the SCD2 history), and
 #: snapshot_diff_customers (change-feed DERIVATION: both snapshot
-#: states from one conditional-agg scan, no snapshot join).
+#: states from one conditional-agg scan, no snapshot join), and
+#: scd2_point_in_time_join (facts enriched with the dimension version
+#: in effect at the fact's own timestamp).
 PRIORITY_QUERIES: tuple[str, ...] = (
     # --- anchors: one green representative per §2.4 category (r2-r4) ---
     "word_count",                     # parity / scan / flatMap

@@ -210,3 +210,23 @@ def test_attribution_conserves_revenue(spark, oracle_sf_dir):
         .collect()[0].t
     )
     assert abs(attributed - total) <= n_rows * 1e-6 + 1e-6, (attributed, total)
+
+
+def test_point_in_time_join_fanout_is_exactly_one(spark, oracle_sf_dir):
+    """The half-open SCD2 ranges partition time per key, so every
+    purchase whose user has any history on/before its timestamp matches
+    EXACTLY one version — no duplicates, no silent drops (here every
+    user's history starts before the event range, so counts are equal)."""
+    from pyspark.sql import functions as F
+
+    from cooler_mapreduce_spark.sources.catalog import table
+
+    out = SPECS["scd2_point_in_time_join"].fn(spark, oracle_sf_dir)
+    n_out = out.count()
+    assert out.select("event_id").distinct().count() == n_out  # fan-out ≤ 1
+    n_purchases = (
+        table(spark, oracle_sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert n_out == n_purchases  # and none dropped on this fixture
