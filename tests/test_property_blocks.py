@@ -120,3 +120,30 @@ def test_wall_trunc_equals_python_truncation(spark, t):
     assert row.h == t.replace(minute=0, second=0, microsecond=0)
     assert row.d == t.replace(hour=0, minute=0, second=0, microsecond=0)
     assert row.m == t.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+
+
+_vals = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=64),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(vals=_vals, parts=st.integers(1, 7))
+def test_dsum_is_partition_invariant_and_decimal_exact(spark, vals, parts):
+    """The engine's determinism foundation, property-tested: dsum over
+    ANY doubles at ANY partitioning equals the sequential decimal
+    reference (per-value HALF_UP quantization, exact sum, nearest
+    double) — the claim every oracle-checked float aggregate rests on."""
+    import decimal
+
+    from cooler_mapreduce_spark.functions.numeric import dsum
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double").repartition(parts)
+    got = df.agg(dsum("v", 4).alias("s")).collect()[0].s
+    q = decimal.Decimal("1e-4")
+    want = float(
+        sum(decimal.Decimal(v).quantize(q, rounding=decimal.ROUND_HALF_UP) for v in vals)
+    )
+    assert got == want
