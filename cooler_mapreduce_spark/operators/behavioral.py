@@ -590,3 +590,152 @@ def attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("direct").alias("channel"), "attributed_revenue", "n_rows")
     )
     return attributed.unionAll(direct)
+
+
+@query(
+    "rfm_customer_segments",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               MAX(o_orderdate) AS last_order,
+               COUNT(*) AS frequency,
+               {sql_dsum('o_totalprice')} AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT NTILE(5) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+               NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+               NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+        FROM per_cust
+    )
+    SELECT r_score, f_score, m_score, COUNT(*) AS n_customers
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+    tags=("behavioral", "segmentation", "window", "aggregation"),
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic marketing partition of a customer
+    base into quintiles of Recency (latest order), Frequency (order
+    count), and Monetary (decimal-staged revenue), rolled up to segment
+    sizes (≤125 cells).
+
+    Determinism is the interesting part: NTILE over a non-unique metric
+    is implementation-defined at ties, so every quintile ranking
+    carries the customer key as a total-order tiebreak — both engines
+    then assign identical quintiles. Plan: the fact table
+    partial-aggregates to one row per customer FIRST; the three global
+    NTILEs run over that per-customer frame (single-partition window —
+    acceptable because its input is one row per customer, already
+    reduced; a 100 TB deployment with billions of customers would swap
+    NTILE for percent_rank over a range-partitioned sort or
+    approx-quantile bucket edges, trading exact quintile boundaries
+    for scalability), then a tiny (≤125-group) rollup.
+    """
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        dsum("o_totalprice").alias("monetary"),
+    )
+    w_r = Window.orderBy(F.desc("last_order"), F.asc("o_custkey"))
+    w_f = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    w_m = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    scored = per_cust.select(
+        F.ntile(5).over(w_r).alias("r_score"),
+        F.ntile(5).over(w_f).alias("f_score"),
+        F.ntile(5).over(w_m).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers")
+    )
+
+
+@query(
+    "basket_association_rules",
+    oracle="""
+    WITH item_orders AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM item_orders),
+    pairs AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS c_uv
+        FROM item_orders a JOIN item_orders b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    items AS (
+        SELECT l_partkey, COUNT(*) AS c_i FROM item_orders GROUP BY 1
+    )
+    SELECT u, v, c_uv,
+           CAST(c_uv AS DOUBLE) / CAST(n_baskets AS DOUBLE) AS support,
+           CAST(c_uv AS DOUBLE) / CAST(iu.c_i AS DOUBLE) AS confidence,
+           (CAST(c_uv AS DOUBLE) * CAST(n_baskets AS DOUBLE))
+               / (CAST(iu.c_i AS DOUBLE) * CAST(iv.c_i AS DOUBLE)) AS lift
+    FROM pairs
+    JOIN items iu ON iu.l_partkey = u
+    JOIN items iv ON iv.l_partkey = v
+    CROSS JOIN n
+    WHERE c_uv >= 5
+    ORDER BY lift DESC, u, v
+    LIMIT 20
+    """,
+    tags=("behavioral", "association", "join", "aggregation"),
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules: the top-20 part pairs by LIFT
+    (with support and confidence) among pairs co-purchased in ≥5
+    orders — the classic retail affinity analysis, and the non-graph
+    face of the same intra-order co-occurrence the triangle census
+    builds on.
+
+    Scale shape: baskets reduce to DISTINCT (order, item) pairs first
+    (partial-aggregable); the pair join is intra-order — bounded by
+    basket size per order key, never an item×item product; item
+    supports are a second tiny aggregate of the same frame; the basket
+    count is a single-row broadcast (the always-safe scalar hint). All
+    three metrics are ratios of exact integer counts with identical
+    operation order in both engines — bit-deterministic — and the
+    top-20 is TakeOrdered with a full (lift, u, v) tiebreak.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    item_orders = li.select("l_orderkey", "l_partkey").distinct()
+    n = item_orders.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    a = item_orders.alias("a")
+    b = item_orders.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count("*").alias("c_uv"))
+        .filter(F.col("c_uv") >= 5)
+    )
+    items_u = item_orders.groupBy(F.col("l_partkey").alias("u")).agg(
+        F.count("*").alias("cu")
+    )
+    items_v = item_orders.groupBy(F.col("l_partkey").alias("v")).agg(
+        F.count("*").alias("cv")
+    )
+    nb = F.col("n_baskets").cast("double")
+    return (
+        pairs.join(items_u, "u")
+        .join(items_v, "v")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "u",
+            "v",
+            "c_uv",
+            (F.col("c_uv").cast("double") / nb).alias("support"),
+            (F.col("c_uv").cast("double") / F.col("cu").cast("double")).alias(
+                "confidence"
+            ),
+            (
+                (F.col("c_uv").cast("double") * nb)
+                / (F.col("cu").cast("double") * F.col("cv").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("u"), F.asc("v"))
+        .limit(20)
+    )

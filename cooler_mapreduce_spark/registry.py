@@ -135,7 +135,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: snapshot_diff_customers (change-feed DERIVATION: both snapshot
 #: states from one conditional-agg scan, no snapshot join), and
 #: scd2_point_in_time_join (facts enriched with the dimension version
-#: in effect at the fact's own timestamp).
+#: in effect at the fact's own timestamp), rfm_customer_segments
+#: (quintile RFM segmentation, total-order-tiebroken NTILEs), and
+#: basket_association_rules (market-basket support/confidence/lift,
+#: top-20 by lift).
 PRIORITY_QUERIES: tuple[str, ...] = (
     # --- anchors: one green representative per §2.4 category (r2-r4) ---
     "word_count",                     # parity / scan / flatMap
