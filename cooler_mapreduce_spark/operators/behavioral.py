@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..functions.hashing import md5int_duckdb, md5int_spark
 from ..functions.numeric import dsum, sql_dsum
 from ..functions.timeutil import us_between, wall_trunc
 from ..registry import query
@@ -739,3 +740,91 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), F.asc("u"), F.asc("v"))
         .limit(20)
     )
+
+
+_AB_SPARK_ARM = f"({md5int_spark('CAST(user_id AS STRING)')} % 2)"
+_AB_DUCK_ARM = f"({md5int_duckdb('CAST(user_id AS VARCHAR)')} % 2)"
+
+
+@query(
+    "ab_test_conversion",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id, {_AB_DUCK_ARM} AS arm,
+               CASE WHEN COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) >= 14
+                    THEN 1 ELSE 0 END AS converted
+        FROM events GROUP BY user_id
+    ),
+    arms AS (
+        SELECT arm, COUNT(*) AS n_users, CAST(SUM(converted) AS BIGINT) AS n_converted,
+               CAST(SUM(converted) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS rate
+        FROM per_user GROUP BY arm
+    ),
+    wide AS (
+        SELECT MAX(CASE WHEN arm = 0 THEN n_users END) AS n0,
+               MAX(CASE WHEN arm = 0 THEN n_converted END) AS c0,
+               MAX(CASE WHEN arm = 0 THEN rate END) AS rate0,
+               MAX(CASE WHEN arm = 1 THEN n_users END) AS n1,
+               MAX(CASE WHEN arm = 1 THEN n_converted END) AS c1,
+               MAX(CASE WHEN arm = 1 THEN rate END) AS rate1
+        FROM arms
+    )
+    SELECT n0, c0, rate0, n1, c1, rate1,
+           (rate1 - rate0)
+               / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                      * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                      * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+               AS z_score
+    FROM wide
+    """,
+    tags=("behavioral", "experimentation", "statistics", "aggregation"),
+)
+def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users split into two arms by portable
+    hash (the same engine-agnostic gate as train_test_split — tomorrow's
+    rerun assigns identical arms), per-arm conversion-to-purchase rates,
+    and the pooled two-proportion z-score — the significance number an
+    experimentation platform reports.
+
+    Scale shape: events collapse to one (user, converted) row via a
+    partial-aggregable MAX-flag; the per-arm rollup is 2 rows; the
+    z-score is a fixed sequence of scalar IEEE ops over exact integer
+    counts, written with IDENTICAL operation order in both engines so
+    the statistic is bit-deterministic (no float aggregation anywhere —
+    rates and the pooled variance derive from counts at the very end).
+    """
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.when(
+            F.count(F.when(F.col("event_type") == "purchase", 1)) >= 14, 1
+        )
+        .otherwise(0)
+        .alias("converted")
+    ).select(F.expr(_AB_SPARK_ARM).alias("arm"), "converted")
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+        (
+            F.sum("converted").cast("double") / F.count("*").cast("double")
+        ).alias("rate"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 0, F.col("rate"))).alias("rate0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_converted"))).alias("c1"),
+        F.max(F.when(F.col("arm") == 1, F.col("rate"))).alias("rate1"),
+    )
+    pooled = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    z = (F.col("rate1") - F.col("rate0")) / F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (
+            F.lit(1.0) / F.col("n0").cast("double")
+            + F.lit(1.0) / F.col("n1").cast("double")
+        )
+    )
+    return wide.select("n0", "c0", "rate0", "n1", "c1", "rate1", z.alias("z_score"))
