@@ -138,8 +138,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: in effect at the fact's own timestamp), rfm_customer_segments
 #: (quintile RFM segmentation, total-order-tiebroken NTILEs), and
 #: basket_association_rules (market-basket support/confidence/lift,
-#: top-20 by lift), and ab_test_conversion (experiment readout:
-#: hash-armed two-proportion z-score from exact counts).
+#: top-20 by lift), ab_test_conversion (experiment readout:
+#: hash-armed two-proportion z-score from exact counts), and
+#: chi_square_segment_priority (categorical-association chi² — the
+#: marginals are window sums over the ≤25-cell contingency table).
 PRIORITY_QUERIES: tuple[str, ...] = (
     # --- anchors: one green representative per §2.4 category (r2-r4) ---
     "word_count",                     # parity / scan / flatMap
