@@ -21,6 +21,7 @@ from ..functions.hashing import (
     shingles_duckdb,
     shingles_spark,
 )
+from ..functions.numeric import dsum, sql_dsum
 from ..registry import query
 from ..sources.catalog import table
 
@@ -1061,4 +1062,55 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.col("total_chars").cast("double") / F.col("total_bpe_tokens")
         ).alias("chars_per_token"),
+    )
+
+
+@query(
+    "corpus_mix_entropy_kl",
+    oracle=f"""
+    WITH langs AS (
+        SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+    ),
+    probs AS (
+        SELECT lang, cnt,
+               CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER () AS DOUBLE) AS p,
+               1.0 / CAST(COUNT(*) OVER () AS DOUBLE) AS q
+        FROM langs
+    )
+    SELECT CAST(COUNT(*) AS INT) AS n_langs,
+           {sql_dsum('-p * ln(p)', 12)} AS entropy_nats,
+           {sql_dsum('p * ln(p / q)', 12)} AS kl_uniform_nats
+    FROM probs
+    """,
+    tags=("textstats", "statistics", "mixing", "llm-pipeline"),
+)
+def corpus_mix_entropy_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mix diagnostics: Shannon entropy of the language
+    distribution and its KL divergence from the uniform mix — the
+    numbers a training-data pipeline watches to keep a blended corpus
+    from silently collapsing onto one source (entropy ↓) or drifting
+    from the intended mixture (KL ↑); the measurement companion to
+    ``mixing_rates_by_lang``'s rate table.
+
+    One partial-aggregable pass to per-language counts; the total and
+    language-count marginals are window sums over that ≤|langs|-row
+    frame (never a second corpus scan). Each p·ln(p/q) term is a fixed
+    scalar sequence; the term sums — the only float aggregations — are
+    decimal-staged at 1e-12, which also absorbs any last-ULP libm
+    disagreement between engines' ln (the same discipline that keeps
+    bm25_topk and doc_unigram_nll hash-identical).
+    """
+    d = table(spark, sf_dir, "documents")
+    langs = d.groupBy("lang").agg(F.count("*").alias("cnt"))
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    probs = langs.select(
+        (F.col("cnt").cast("double") / F.sum("cnt").over(w_all).cast("double")).alias("p"),
+        (F.lit(1.0) / F.count("*").over(w_all).cast("double")).alias("q"),
+    )
+    return probs.agg(
+        F.count("*").cast("int").alias("n_langs"),
+        dsum(-F.col("p") * F.log(F.col("p")), 12).alias("entropy_nats"),
+        dsum(F.col("p") * F.log(F.col("p") / F.col("q")), 12).alias("kl_uniform_nats"),
     )

@@ -141,7 +141,9 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: top-20 by lift), ab_test_conversion (experiment readout:
 #: hash-armed two-proportion z-score from exact counts), and
 #: chi_square_segment_priority (categorical-association chi² — the
-#: marginals are window sums over the ≤25-cell contingency table).
+#: marginals are window sums over the ≤25-cell contingency table), and
+#: corpus_mix_entropy_kl (data-mixing diagnostics: language-mix Shannon
+#: entropy + KL from uniform, decimal-staged term sums).
 PRIORITY_QUERIES: tuple[str, ...] = (
     # --- anchors: one green representative per §2.4 category (r2-r4) ---
     "word_count",                     # parity / scan / flatMap
