@@ -41,16 +41,26 @@ _NL_ALLOWED = {
 }
 
 
+#: driver-loop queries whose registered RESULT is a driver-assembled
+#: local relation (the merge-rule table) or a join-free aggregate over
+#: the loop's checkpointed output: the plan audit asserts nothing, but
+#: BUILDING the frame executes the full 10-round training loop — three
+#: audits would re-train three times per suite run. Their executor-side round plans share the explode/groupBy
+#: shapes audited via cms_heavy_hitters, and their correctness is
+#: pinned by the pure-Python reference + invariance tests.
+_LOCAL_RESULT = {"bpe_train_merges", "bpe_encode_stats"}
+
+
 def _plan(spark, name, sf_dir):
     return SPECS[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
 
 
-@pytest.mark.parametrize("name", sorted(SPECS))
+@pytest.mark.parametrize("name", sorted(set(SPECS) - _LOCAL_RESULT))
 def test_no_cartesian_product(spark, oracle_sf_dir, name):
     assert "CartesianProduct" not in _plan(spark, name, oracle_sf_dir)
 
 
-@pytest.mark.parametrize("name", sorted(set(SPECS) - _NL_ALLOWED))
+@pytest.mark.parametrize("name", sorted(set(SPECS) - _NL_ALLOWED - _LOCAL_RESULT))
 def test_no_unexpected_nested_loop_join(spark, oracle_sf_dir, name):
     plan = _plan(spark, name, oracle_sf_dir)
     assert "BroadcastNestedLoopJoin" not in plan, (
@@ -142,7 +152,7 @@ def _hinted_sf_tables(df):
     return found
 
 
-@pytest.mark.parametrize("name", sorted(SPECS))
+@pytest.mark.parametrize("name", sorted(set(SPECS) - _LOCAL_RESULT))
 def test_no_forced_broadcast_of_sf_scaled_tables(spark, oracle_sf_dir, name):
     flagged = _hinted_sf_tables(SPECS[name].fn(spark, oracle_sf_dir))
     allowed = _HINT_ALLOWED.get(name, set())
