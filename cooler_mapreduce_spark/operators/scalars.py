@@ -592,3 +592,47 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("r.p").cast("double").alias("total_price"),
         F.min("r.k").alias("first_key"),
     )
+
+
+@query(
+    "ansi_try_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_custkey % 10 = 0 THEN NULL
+                ELSE CAST(o_totalprice AS DOUBLE) / CAST(o_custkey % 10 AS DOUBLE)
+           END AS price_per_bucket,
+           TRY_CAST(o_orderpriority AS INTEGER) AS prio_as_int,
+           TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_rank,
+           CASE WHEN o_custkey % 10 = 0 THEN NULL
+                ELSE o_orderkey // (o_custkey % 10) END AS key_div
+    FROM orders
+    """,
+    tags=("scalar", "ansi", "error-handling"),
+)
+def ansi_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe error-handling scalar suite: ``try_divide`` and
+    ``try_cast`` — the functions that keep a 100 TB pipeline from dying
+    on one malformed row. This engine runs ANSI mode ON (session.py),
+    where ``/`` by zero and invalid casts THROW instead of silently
+    corrupting (the strictness caught two real degenerate-statistic
+    bugs during development); the ``try_`` family is the per-expression
+    opt-out — NULL on failure, so bad rows become filterable instead of
+    fatal. The oracle spells the identical semantics as explicit CASE /
+    TRY_CAST (DuckDB's division and casts follow different default
+    rules, so the contract is written out rather than assumed):
+    double division guarded against a zero bucket, a cast that fails
+    for EVERY row ('1-URGENT' is not an integer → all NULL), a cast
+    that succeeds for every row (the leading digit), and guarded
+    integral division (floor semantics in both engines).
+    """
+    o = table(spark, sf_dir, "orders")
+    bucket = F.col("o_custkey") % 10
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice").cast("double"), bucket.cast("double")).alias(
+            "price_per_bucket"
+        ),
+        F.col("o_orderpriority").try_cast("int").alias("prio_as_int"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_rank"),
+        F.try_divide(F.col("o_orderkey"), bucket).cast("bigint").alias("key_div"),
+    )

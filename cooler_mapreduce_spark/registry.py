@@ -143,7 +143,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: chi_square_segment_priority (categorical-association chi² — the
 #: marginals are window sums over the ≤25-cell contingency table), and
 #: corpus_mix_entropy_kl (data-mixing diagnostics: language-mix Shannon
-#: entropy + KL from uniform, decimal-staged term sums).
+#: entropy + KL from uniform, decimal-staged term sums), and
+#: ansi_try_functions (try_divide/try_cast — the per-expression opt-out
+#: from ANSI strictness that keeps one malformed row from killing a
+#: 100 TB job).
 PRIORITY_QUERIES: tuple[str, ...] = (
     # --- anchors: one green representative per §2.4 category (r2-r4) ---
     "word_count",                     # parity / scan / flatMap
