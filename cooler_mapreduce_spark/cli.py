@@ -301,6 +301,29 @@ def _compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def _sql(args: argparse.Namespace) -> int:
+    """Declarative client surface: run ANSI SQL text (inline or from a
+    file) over the registered table views — the SQL twin of `submit`'s
+    imperative job files. Prints the rows tab-separated, or writes TSV
+    part files with --out (the reference's output contract)."""
+    from .session import get_session
+    from .sources.catalog import register_views
+
+    spark = get_session("cli-sql")
+    register_views(spark, args.sf_dir)
+    text = args.query if args.query else open(args.file).read()
+    df = spark.sql(text)
+    if args.out:
+        from .sources.sinks import write_tsv
+
+        write_tsv(df, args.out)
+        print(f"wrote {args.out}")
+        return 0
+    for row in df.collect():
+        print("\t".join("" if v is None else str(v) for v in row))
+    return 0
+
+
 def _dq(args: argparse.Namespace) -> int:
     """Beyond-reference operational surface: run the data-quality
     constraint audit (operators.aggregates.dq_constraint_violations)
@@ -381,6 +404,16 @@ def main(argv: list[str] | None = None) -> int:
                         "counts; non-zero exit when any constraint fails")
     dq.add_argument("sf_dir")
     dq.set_defaults(fn=_dq)
+
+    sq = sub.add_parser("sql", help="run ANSI SQL over the registered tables "
+                        "(inline with -e, or from a file)")
+    sq.add_argument("sf_dir")
+    sq.add_argument("file", nargs="?", default=None)
+    sq.add_argument("-e", "--query", default=None,
+                    help="inline SQL text (instead of a file)")
+    sq.add_argument("--out", default=None,
+                    help="write TSV part files here instead of printing")
+    sq.set_defaults(fn=_sql)
 
     args = ap.parse_args(argv)
     return args.fn(args)

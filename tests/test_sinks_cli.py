@@ -953,3 +953,28 @@ def test_cli_dq_audit(spark, oracle_sf_dir, capsys):
     assert "supplier.negative_acctbal" in out
     assert "lineitem.orphan_orderkey" in out
     assert rc == 1  # fixture has 6 negative-balance suppliers
+
+
+def test_cli_sql_inline_and_tsv_out(spark, oracle_sf_dir, tmp_path, capsys):
+    """`client sql` runs ANSI text over the registered views: inline -e
+    prints tab-separated rows; --out writes the reference's TSV part
+    files."""
+    import glob as _glob
+
+    from cooler_mapreduce_spark.cli import main
+
+    rc = main(["sql", oracle_sf_dir, "-e",
+               "SELECT r_name FROM region ORDER BY r_name LIMIT 2"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out == ["AFRICA", "AMERICA"]
+
+    dest = str(tmp_path / "sql_out")
+    rc = main(["sql", oracle_sf_dir, "-e",
+               "SELECT n_name, n_nationkey FROM nation", "--out", dest])
+    assert rc == 0
+    rows = []
+    for p in _glob.glob(f"{dest}/part-*"):
+        with open(p) as f:
+            rows += [ln.rstrip("\n").split("\t") for ln in f if ln.strip()]
+    assert len(rows) == 25 and all(len(r) == 2 for r in rows)
