@@ -417,6 +417,38 @@ CASES = {
             ("no join anywhere", lambda p: "Join" not in p),
         ],
     ),
+    "basket_association_rules": (
+        "market basket: DISTINCT (order,item) reduction first; pair join intra-order (bounded by basket size); scalar basket count broadcast; top-20 TakeOrdered",
+        [
+            ("pair join keyed on the order — no cartesian", lambda p: "CartesianProduct" not in p),
+            ("distinct item-orders partial-aggregate", lambda p: "HashAggregate(keys=[l_orderkey" in p),
+            ("top-k never global-sorts", lambda p: "TakeOrderedAndProject" in p),
+        ],
+    ),
+    "chi_square_segment_priority": (
+        "chi-square: ONE fact pass to the contingency cells; marginals as window sums over the <=25-cell table; decimal-staged term sum",
+        [
+            ("single orders scan", lambda p: sum(1 for ln in p.splitlines() if "FileScan" in ln and "orders.parquet" in ln) == 1),
+            ("cells partial-aggregate before their shuffle", lambda p: "partial_count" in p),
+            ("marginals via window", lambda p: "Window" in p),
+        ],
+    ),
+    "rfm_customer_segments": (
+        "RFM: fact reduces to one row per customer BEFORE the three global NTILEs; final rollup is <=125 groups",
+        [
+            ("per-customer reduction partial-aggregates", lambda p: "partial_count" in p and "partial_max" in p),
+            ("three quintile windows", lambda p: p.count("ntile(5)") >= 3),
+            ("no join anywhere", lambda p: "Join" not in p),
+        ],
+    ),
+    "ab_test_conversion": (
+        "A/B readout: events collapse to per-user flags (partial-aggregable), then a 2-row arm rollup and a single-row statistic — no window, no join",
+        [
+            ("per-user flags partial-aggregate", lambda p: "partial_count" in p or "partial_max" in p),
+            ("no join anywhere", lambda p: "Join" not in p),
+            ("single events scan", lambda p: p.count("FileScan") == 1),
+        ],
+    ),
     "dq_constraint_violations": (
         "DQ audit: k row-level constraints per table fuse into ONE conditional-agg scan; referential checks are broadcast anti-join counts",
         [
