@@ -181,6 +181,47 @@ def pagerank_frame(
     return ranks
 
 
+def _copurchase_graph(spark: SparkSession, sf_dir: str):
+    """Shared derivation for the co-purchase graph analytics: the
+    distinct undirected edge set (parts co-occurring in an order), the
+    undirected degree frame, and the degree-ordered orientation (rank
+    nodes by (degree, id), orient every edge low→high — oriented
+    out-degree bounded O(√m)). Each frame has multiple consumers across
+    the census and clustering queries, so each is localCheckpoint'ed:
+    the intra-order self-join, the degree aggregate, and the two
+    degree joins run once, not once per consumer (the pagerank
+    static-side pattern)."""
+    li = table(spark, sf_dir, "lineitem", fan_out=False).select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ranked = edges.join(du, "u").join(dv, "v")
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    ).localCheckpoint(eager=True)
+    return edges, deg, oriented
+
 @query(
     "triangle_count_copurchase",
     oracle="""
@@ -235,42 +276,7 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjacency deterministic for display; intersection size is
     order-independent).
     """
-    li = table(spark, sf_dir, "lineitem", fan_out=False).select(
-        "l_orderkey", "l_partkey"
-    )
-    a = li.alias("a")
-    b = li.alias("b")
-    # The census reads the edge set four times (count, two degree roles,
-    # orientation) and the degree frame three times — localCheckpoint
-    # materializes each once so the intra-order self-join and the degree
-    # aggregate are not re-derived per consumer (the same static-side
-    # pattern as pagerank_frame above).
-    edges = (
-        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("d"))
-        .localCheckpoint(eager=True)
-    )
-    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    ranked = edges.join(du, "u").join(dv, "v")
-    lower_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    # Two consumers (adjacency build + per-edge probe): checkpoint so
-    # the two degree joins run once, not twice.
-    oriented = ranked.select(
-        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    ).localCheckpoint(eager=True)
+    edges, deg, oriented = _copurchase_graph(spark, sf_dir)
     adj = oriented.groupBy("src").agg(
         F.sort_array(F.collect_list("dst")).alias("nbrs")
     )
@@ -289,4 +295,90 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         summary.crossJoin(F.broadcast(wedges)).crossJoin(F.broadcast(tri))
         .select("edges", "wedges", "triangles")
+    )
+
+
+@query(
+    "clustering_coefficient_topk",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS d
+        FROM (SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+        GROUP BY node
+    ),
+    triangles AS (
+        SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        FROM pairs e1, pairs e2, pairs e3
+        WHERE e1.u = e2.u AND e1.v = e3.u AND e2.v = e3.v AND e1.v < e2.v
+    ),
+    per_node AS (
+        SELECT node, COUNT(*) AS t FROM (
+            SELECT x AS node FROM triangles
+            UNION ALL SELECT y FROM triangles
+            UNION ALL SELECT z FROM triangles
+        ) GROUP BY node
+    )
+    SELECT d.node, d.d AS degree, COALESCE(p.t, 0) AS n_triangles,
+           2.0 * CAST(COALESCE(p.t, 0) AS DOUBLE)
+               / (CAST(d.d AS DOUBLE) * CAST(d.d - 1 AS DOUBLE)) AS clustering
+    FROM deg d LEFT JOIN per_node p ON p.node = d.node
+    WHERE d.d >= 2
+    ORDER BY clustering DESC, d.node
+    LIMIT 15
+    """,
+    tags=("graph", "join", "aggregation"),
+)
+def clustering_coefficient_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node — how tightly each part's
+    co-purchase neighborhood closes on itself (c_v = 2·T_v / d_v(d_v−1))
+    — reported for the top-15 most-clustered parts with ≥2 neighbors.
+
+    Attribution is the step beyond the census: a per-edge intersection
+    COUNT cannot credit the third vertex, so the common-neighbor arrays
+    are EXPLODED instead — each oriented edge (u,v) emits its closing
+    vertices w ∈ adj(u) ∩ adj(v), listing every triangle exactly once
+    (the orientation guarantee), and the 3-way vertex unpivot feeds one
+    partial-aggregable per-node count. The listing is O(#triangles)
+    rows — the true output size of the attribution, with the wedge set
+    still never materialized. Coefficients are single IEEE divisions of
+    exact integers; the top-15 is TakeOrdered with a node tiebreak.
+    """
+    edges, deg, oriented = _copurchase_graph(spark, sf_dir)
+    adj = oriented.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
+    )
+    adj_u = adj.select(F.col("src").alias("ju"), F.col("nbrs").alias("nbrs_u"))
+    adj_v = adj.select(F.col("src").alias("jv"), F.col("nbrs").alias("nbrs_v"))
+    tri_vertices = (
+        oriented.join(adj_u, F.col("src") == F.col("ju"))
+        .join(adj_v, F.col("dst") == F.col("jv"))
+        .select(
+            "src",
+            "dst",
+            F.explode(F.array_intersect("nbrs_u", "nbrs_v")).alias("w"),
+        )
+        .select(
+            F.explode(F.array(F.col("src"), F.col("dst"), F.col("w"))).alias("node")
+        )
+    )
+    per_node = tri_vertices.groupBy("node").agg(F.count("*").alias("t"))
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).alias("n_triangles"),
+            (
+                F.lit(2.0) * F.coalesce(F.col("t"), F.lit(0)).cast("double")
+                / (F.col("d").cast("double") * (F.col("d") - 1).cast("double"))
+            ).alias("clustering"),
+        )
+        .orderBy(F.desc("clustering"), F.asc("node"))
+        .limit(15)
     )
