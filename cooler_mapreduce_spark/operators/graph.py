@@ -382,3 +382,86 @@ def clustering_coefficient_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("clustering"), F.asc("node"))
         .limit(15)
     )
+
+
+_KCORE_K = 3
+
+
+@query(
+    "kcore_copurchase",
+    oracle=None,  # iterative peeling to a fixpoint — not one SQL
+    # expression (standard SQL forbids aggregates in recursive terms);
+    # the test pins the surviving core against a sequential pure-Python
+    # peeling of the identical edge set.
+    tags=("graph", "iterative", "aggregation"),
+)
+def kcore_copurchase(spark: SparkSession, sf_dir: str, k: int = _KCORE_K) -> DataFrame:
+    """K-core decomposition (k=3) of the part AFFINITY graph — parts
+    linked only when co-purchased in ≥2 distinct orders (the raw
+    co-purchase graph is too dense to have a nontrivial core: its
+    minimum degree already exceeds 40 at sf0.01; the affinity filter
+    is the same support threshold basket_association_rules applies).
+    The k-core is the maximal subgraph in which every node keeps ≥k
+    neighbors — the robustness/cohesion primitive that completes the
+    graph suite (PageRank, connected components, triangle census,
+    clustering, now core extraction).
+
+    The algorithm is iterative PEELING: drop all nodes with degree <k,
+    recompute degrees on the induced subgraph, repeat until no node
+    falls below k. Each round is one semi-join edge filter + one
+    partial-aggregable degree count — O(|edges|) work, shrinking
+    monotonically; the k-core is ORDER-INDEPENDENT (peeling is
+    confluent), so the result is deterministic regardless of round
+    grouping. The loop's only driver traffic is one surviving-node
+    count per round (the bounded fixpoint probe, like connected
+    components' checksum); it terminates because the node count
+    strictly decreases until the fixpoint — asserted, never assumed:
+    a non-converged loop raises rather than returning a partial core.
+    Output: one row per surviving node with its in-core degree.
+    """
+    li = table(spark, sf_dir, "lineitem", fan_out=False).select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    cur = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    cur_deg = (
+        cur.select(F.col("u").alias("node"))
+        .unionAll(cur.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    prev_nodes = None
+    for _ in range(60):  # diameter-independent bound; peeling halves fast
+        keep = cur_deg.filter(F.col("d") >= k).select("node")
+        n_keep = keep.count()
+        if prev_nodes is not None and n_keep == prev_nodes:
+            break
+        prev_nodes = n_keep
+        if n_keep == 0:
+            break
+        ku = keep.select(F.col("node").alias("u"))
+        kv = keep.select(F.col("node").alias("v"))
+        cur = (
+            cur.join(ku, "u", "left_semi")
+            .join(kv, "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        cur_deg = (
+            cur.select(F.col("u").alias("node"))
+            .unionAll(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+    else:
+        raise RuntimeError("k-core peeling did not converge in 60 rounds")
+    return cur_deg.filter(F.col("d") >= k).select(
+        "node", F.col("d").alias("core_degree")
+    )

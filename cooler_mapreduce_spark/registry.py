@@ -146,9 +146,12 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: entropy + KL from uniform, decimal-staged term sums), and
 #: ansi_try_functions (try_divide/try_cast — the per-expression opt-out
 #: from ANSI strictness that keeps one malformed row from killing a
-#: 100 TB job), and clustering_coefficient_topk (per-node local
+#: 100 TB job), clustering_coefficient_topk (per-node local
 #: clustering via exploded common-neighbor attribution — O(#triangles)
-#: listing, the wedge set still never materialized).
+#: listing, the wedge set still never materialized), and
+#: kcore_copurchase (k-core of the affinity graph by iterative peeling
+#: to an asserted fixpoint; rows-only, pinned against sequential
+#: pure-Python peeling).
 PRIORITY_QUERIES: tuple[str, ...] = (
     # --- anchors: one green representative per §2.4 category (r2-r4) ---
     "word_count",                     # parity / scan / flatMap

@@ -690,3 +690,36 @@ def test_bpe_fold_generalizes_beyond_fixture(spark):
                 nxt.append((out, cnt))
             cur = nxt
         assert got == want, (words, got, want)
+
+
+def test_kcore_matches_pure_python_peeling(spark, oracle_sf_dir):
+    """The distributed k-core must equal sequential peeling of the
+    identical affinity edge set (k-cores are confluent — any peeling
+    order yields the same maximal subgraph), including each surviving
+    node's in-core degree."""
+    import duckdb
+
+    got = sorted(tuple(r) for r in SPECS["kcore_copurchase"].fn(spark, oracle_sf_dir).collect())
+
+    edges = duckdb.sql(f"""
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM '{oracle_sf_dir}/lineitem.parquet' a
+        JOIN '{oracle_sf_dir}/lineitem.parquet' b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """).fetchall()
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    k = 3
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    want = sorted((n, len(nb)) for n, nb in adj.items())
+    assert got == want
+    assert 0 < len(want) < len(edges)  # nontrivial: some peeled, some survive
