@@ -309,9 +309,15 @@ def _sql(args: argparse.Namespace) -> int:
     from .session import get_session
     from .sources.catalog import register_views
 
+    if (args.query is None) == (args.file is None):
+        args.parser.error("provide exactly one of: a SQL file argument, or -e/--query")
     spark = get_session("cli-sql")
     register_views(spark, args.sf_dir)
-    text = args.query if args.query else open(args.file).read()
+    if args.query:
+        text = args.query
+    else:
+        with open(args.file) as f:
+            text = f.read()
     df = spark.sql(text)
     if args.out:
         from .sources.sinks import write_tsv
@@ -413,7 +419,7 @@ def main(argv: list[str] | None = None) -> int:
                     help="inline SQL text (instead of a file)")
     sq.add_argument("--out", default=None,
                     help="write TSV part files here instead of printing")
-    sq.set_defaults(fn=_sql)
+    sq.set_defaults(fn=_sql, parser=sq)
 
     args = ap.parse_args(argv)
     return args.fn(args)

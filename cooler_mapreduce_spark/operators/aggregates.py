@@ -1131,74 +1131,3 @@ def dq_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@query(
-    "chi_square_segment_priority",
-    oracle=f"""
-    WITH cells AS (
-        SELECT c_mktsegment AS segment, o_orderpriority AS priority,
-               COUNT(*) AS observed
-        FROM orders JOIN customer ON o_custkey = c_custkey
-        GROUP BY 1, 2
-    ),
-    totals AS (
-        SELECT segment, priority, observed,
-               SUM(observed) OVER (PARTITION BY segment) AS row_total,
-               SUM(observed) OVER (PARTITION BY priority) AS col_total,
-               SUM(observed) OVER () AS grand_total
-        FROM cells
-    ),
-    terms AS (
-        SELECT CAST(observed AS DOUBLE) AS o,
-               CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
-                   / CAST(grand_total AS DOUBLE) AS e
-        FROM totals
-    )
-    SELECT {sql_dsum('(o - e) * (o - e) / e', 9)} AS chi2,
-           COUNT(*) AS n_cells
-    FROM terms
-    """,
-    tags=("aggregation", "statistics", "window"),
-)
-def chi_square_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chi-square independence test of market segment × order priority —
-    completing the in-engine statistics suite (co-moments/correlation,
-    regression, z-scores, the A/B two-proportion test, and now
-    categorical association).
-
-    The contingency table is ONE partial-aggregable pass to ≤(segments ×
-    priorities) cells; the marginals are window sums OVER THE CELL
-    TABLE (≤25 rows — a join-back would re-derive the fact scan), and
-    each (O−E)²/E term is a fixed scalar op sequence from exact integer
-    counts. The term SUM is the one float aggregation — decimal-staged
-    at 1e-9 so the statistic is bit-identical at any partition count
-    and in both engines.
-    """
-    o = table(spark, sf_dir, "orders")
-    c = table(spark, sf_dir, "customer")
-    cells = (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .groupBy(
-            F.col("c_mktsegment").alias("segment"),
-            F.col("o_orderpriority").alias("priority"),
-        )
-        .agg(F.count("*").alias("observed"))
-    )
-    w_row = Window.partitionBy("segment")
-    w_col = Window.partitionBy("priority")
-    w_all = Window.partitionBy()
-    totals = cells.select(
-        "observed",
-        F.sum("observed").over(w_row).alias("row_total"),
-        F.sum("observed").over(w_col).alias("col_total"),
-        F.sum("observed").over(w_all).alias("grand_total"),
-    )
-    obs = F.col("observed").cast("double")
-    exp = (
-        F.col("row_total").cast("double")
-        * F.col("col_total").cast("double")
-        / F.col("grand_total").cast("double")
-    )
-    term = (obs - exp) * (obs - exp) / exp
-    return totals.agg(
-        dsum(term, 9).alias("chi2"), F.count("*").alias("n_cells")
-    )

@@ -286,7 +286,9 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         oriented.join(adj_u, F.col("src") == F.col("ju"))
         .join(adj_v, F.col("dst") == F.col("jv"))
         .select(F.size(F.array_intersect("nbrs_u", "nbrs_v")).alias("t"))
-        .agg(F.sum("t").alias("triangles"))
+        # coalesce: SUM over the empty frame is NULL, but the oracle's
+        # COUNT(*) subquery yields 0 on a triangle-free graph
+        .agg(F.coalesce(F.sum("t"), F.lit(0).cast("bigint")).alias("triangles"))
     )
     summary = edges.agg(F.count("*").alias("edges"))
     wedges = deg.agg(

@@ -257,7 +257,8 @@ _DUCK_FOLD = f"({md5int_duckdb('CAST(o_orderkey AS VARCHAR)')} % 5)"
         FROM per_fold GROUP BY segment
     )
     SELECT p.segment, p.fold, p.n_rows,
-           (s_all - s_fold) / (n_all - n_rows) AS oof_mean
+           CASE WHEN n_all > n_rows
+                THEN (s_all - s_fold) / (n_all - n_rows) END AS oof_mean
     FROM per_fold p JOIN totals t ON p.segment = t.segment
     """,
     tags=("sampling", "ml-features", "encoding", "llm-pipeline"),
@@ -308,5 +309,9 @@ def kfold_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segment",
         "fold",
         "n_rows",
-        ((s_all - F.col("s_fold")) / (n_all - F.col("n_rows"))).alias("oof_mean"),
+        # try_divide: a segment whose rows all hash into ONE fold has
+        # n_all == n_rows; under ANSI mode a bare division would abort
+        # the whole job for that degenerate (but legal) input. NULL
+        # oof_mean mirrors the oracle's CASE guard.
+        F.try_divide(s_all - F.col("s_fold"), n_all - F.col("n_rows")).alias("oof_mean"),
     )

@@ -140,8 +140,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: basket_association_rules (market-basket support/confidence/lift,
 #: top-20 by lift), ab_test_conversion (experiment readout:
 #: hash-armed two-proportion z-score from exact counts), and
-#: chi_square_segment_priority (categorical-association chi² — the
-#: marginals are window sums over the ≤25-cell contingency table), and
+#: (chi_square_segment_priority was registered here too, then removed —
+#: a round-5 duplicate of the pre-existing chisq_segment_priority), and
 #: corpus_mix_entropy_kl (data-mixing diagnostics: language-mix Shannon
 #: entropy + KL from uniform, decimal-staged term sums), and
 #: ansi_try_functions (try_divide/try_cast — the per-expression opt-out
@@ -152,8 +152,19 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: kcore_copurchase (k-core of the affinity graph by iterative peeling
 #: to an asserted fixpoint; rows-only, pinned against sequential
 #: pure-Python peeling).
+#: Round-6 rotation: r1–r5 drove every oracle-bearing query registered
+#: at the r5 freeze to a driver row (CORRECTNESS_r05 49/50 green +
+#: approx_distinct_users's proper rows-only row). This window keeps the
+#: same 15 per-category ANCHORS, then drains the entire ROUND-6 QUEUE
+#: above — the 21 oracled post-freeze additions (chi_square_segment_
+#: priority was removed as a duplicate of chisq_segment_priority, per
+#: round-5 ADVICE) and the 4 rows-only iterative tiers (BPE train +
+#: encode, Lloyd's k-means, k-core peeling — each reference-pinned by
+#: tests; their driver rows record the weaker rows-only check by
+#: design). The remaining slots carry round-6's NEW queries so every
+#: capability added this round gets a first-time driver row.
 PRIORITY_QUERIES: tuple[str, ...] = (
-    # --- anchors: one green representative per §2.4 category (r2-r4) ---
+    # --- anchors: one green representative per §2.4 category (r2-r5) ---
     "word_count",                     # parity / scan / flatMap
     "pricing_summary",                # hash + partial agg (TPC-H Q1)
     "join_asof_last_click",           # join family
@@ -169,59 +180,54 @@ PRIORITY_QUERIES: tuple[str, ...] = (
     "mr_word_count",                  # MR-compat / UDF surface
     "stream_tumbling_counts",         # streaming batch-twin
     "merge_cdc_orders",               # merge / CDC
-    # --- rotation: every remaining never-driver-checked oracle query ---
-    # TPC-H shapes added in round 4
-    "local_supplier_volume_q5",
-    "customer_order_distribution_q13",
-    "volume_shipping_q7",
-    "market_share_q8",
-    "late_shipper_q21",
-    "sales_opportunity_q22",
-    # chunk-level dedup + materialized clean-corpus tiers
-    "doc_chunk_windows",
-    "chunk_dedup_groups",
-    "corpus_dedup_apply",
-    "corpus_decontaminate_apply",
-    # VARIANT analytics
-    "variant_props_stats",
-    # unigram-LM pair (CCNet-style scoring)
-    "doc_unigram_nll",
-    "vocab_coverage_topk",
-    # relational tail: unpivot + LATERAL
-    "unpivot_lineitem_amounts",
-    "sql_lateral_top_customers",
-    # sinks / connector tail
-    "sink_partitioned_pruning",
-    "pysink_tsv_roundtrip",
-    # Arrow-kernel UDF tier
-    "arrow_byte_stats",
-    # transformWithState batch twin
-    "stream_user_type_counts",
-    # rows-only sketch tier: r1 predates the rows-only convention and
-    # recorded `no_oracle` as an ERROR — this row records it properly
-    "approx_distinct_users",
-    # --- re-anchors: queries whose broadcast hints were deleted this
-    # round (size-safety fix) — fresh driver rows prove the plan change
-    # left every value identical ---
-    "revenue_by_nation",
-    "revenue_topn_customers",
-    "shipping_priority_topk",
-    "join_orders_customers",
-    "promo_revenue_ratio",
-    "disjunctive_predicate_revenue",
-    "small_quantity_revenue_q17",
-    "cohort_retention",
-    "stream_enriched_segment_counts",
-    # round-5 additions: the catalog layout options (hash rows prove
-    # each layout value-lossless end-to-end), dynamic partition pruning,
-    # and iterative PageRank
-    "catalog_partitioned_scan",
-    "zorder_scan",
-    "dpp_partitioned_join",
-    "pagerank_supplier_customer",
-    "bm25_topk",
-    # --- re-anchor: oldest round-1 green, unchecked since r1 ---
-    "word_count_file_keyed",
+    # --- rotation: the round-6 queue — every oracle query added after
+    # the r5 window froze (first driver rows) ---
+    # TPC-H completion (suite now 22/22)
+    "min_cost_supplier_q2",
+    "product_type_profit_q9",
+    "important_part_value_q11",
+    "parts_supplier_relationship_q16",
+    "potential_promotion_q20",
+    # graph census + clustering
+    "triangle_count_copurchase",
+    "clustering_coefficient_topk",
+    # hypertable OHLC downsample
+    "ohlc_hourly_by_type",
+    # behavioral analytics
+    "attribution_linear_touch",
+    "rfm_customer_segments",
+    "basket_association_rules",
+    "ab_test_conversion",
+    "chisq_segment_priority",  # re-anchor: survivor of the r5 dup removal
+    # ML-feature + corpus-mix tiers
+    "kfold_target_encoding",
+    "corpus_mix_entropy_kl",
+    # recursive CTE + ANSI guards
+    "sql_recursive_subtree_rollup",
+    "ansi_try_functions",
+    # sketches + data quality
+    "cms_heavy_hitters",
+    "dq_constraint_violations",
+    # temporal / SCD family
+    "scd2_snapshot_asof",
+    "scd2_point_in_time_join",
+    "snapshot_diff_customers",
+    # rows-only iterative tiers (reference-pinned; driver records the
+    # weaker rows-only check by design)
+    "bpe_train_merges",
+    "bpe_encode_stats",
+    "kmeans_embedding_clusters",
+    "kcore_copurchase",
+    # --- round-6 additions (new capabilities this round) ---
+    "quality_gopher_rules",
+    "pii_scan_documents",
+    "dedup_paragraph_exact",
+    "langid_ngram_heuristic",
+    "ewma_daily_revenue",
+    "histogram_order_prices",
+    "sessionize_events",
+    "percentile_exact_by_priority",
+    "docs_repetition_filter",
 )
 
 

@@ -449,10 +449,15 @@ def compact_parquet_dir(
 
     Rewrites ``path`` into ``ceil(bytes / target_mb)`` files via a
     staged two-phase swap: write the compacted copy next to the data
-    (``<path>.__compact_tmp``), then atomically swap directories with
-    Hadoop FileSystem renames — readers see the old layout or the new
-    one, never a mixture, and a crash before the swap leaves the
+    (``<path>.__compact_tmp``), then swap directories with two Hadoop
+    FileSystem renames (each individually atomic). Single-writer and
+    crash-recoverable, not a single atomic transaction: a crash BETWEEN
+    the renames leaves ``path`` briefly absent with the data parked at
+    ``<path>.__compact_old`` — the next run (or any caller) restores it
+    before doing anything else, and a crash before the swap leaves the
     original untouched (the stale temp dir is swept by the next run).
+    Concurrent readers during the swap window may observe ENOENT and
+    should retry; no reader ever sees a mixture of layouts.
 
     ``sort_by`` optionally re-sorts during the rewrite (range-partition
     + in-file sort on that column) so compaction doubles as clustering
@@ -472,7 +477,13 @@ def compact_parquet_dir(
     old = f"{path.rstrip('/')}.__compact_old"
     tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
     old_p = jvm.org.apache.hadoop.fs.Path(old)
-    for stale in (tmp_p, old_p):  # crashed prior run
+    # Crash recovery first: a prior run that died between its two swap
+    # renames left the dataset parked at .__compact_old with `path`
+    # absent. Restore it before treating anything as stale garbage.
+    if fs.exists(old_p) and not fs.exists(hpath):
+        if not fs.rename(old_p, hpath):
+            raise IOError(f"compaction recovery failed: could not restore {old} to {path}")
+    for stale in (tmp_p, old_p):  # crashed prior run (post-recovery leftovers)
         if fs.exists(stale):
             fs.delete(stale, True)
 

@@ -425,7 +425,7 @@ CASES = {
             ("top-k never global-sorts", lambda p: "TakeOrderedAndProject" in p),
         ],
     ),
-    "chi_square_segment_priority": (
+    "chisq_segment_priority": (
         "chi-square: ONE fact pass to the contingency cells; marginals as window sums over the <=25-cell table; decimal-staged term sum",
         [
             ("single orders scan", lambda p: sum(1 for ln in p.splitlines() if "FileScan" in ln and "orders.parquet" in ln) == 1),
