@@ -1131,3 +1131,60 @@ def dq_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+
+
+@query(
+    "incremental_agg_merge",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           {sql_dsum('o_totalprice')} / COUNT(*) AS avg_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("aggregation", "incremental", "mergeable-state"),
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-view-maintenance demo: per-priority order stats
+    computed as TWO independent partial aggregates (the "yesterday"
+    base, orders before 1998-01-01, and the "today" delta) whose
+    mergeable states — (count, exact decimal sum, min, max) — are then
+    combined by a second aggregate. The oracle computes the same stats
+    in one pass over everything; matching hashes prove the merge is
+    lossless, which is the property that lets a 100 TB rollup refresh
+    from a day's delta instead of rescanning the lake.
+
+    Counts add, decimal sums add exactly (order-independent — the whole
+    reason the engine stages float sums through decimals), min/max
+    re-min/re-max; the final double cast and the avg division happen
+    once, after the merge. Both phases partial-aggregate map-side; the
+    merge input is O(groups × partials), negligible at any SF.
+    """
+    o = table(spark, sf_dir, "orders", fan_out=False)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("s"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+
+    base = partial(o.filter(F.col("o_orderdate") < "1998-01-01"))
+    delta = partial(o.filter(F.col("o_orderdate") >= "1998-01-01"))
+    merged = base.unionAll(delta).groupBy("o_orderpriority").agg(
+        F.sum("n").alias("n_orders"),
+        F.sum("s").alias("s"),
+        F.min("mn").alias("min_price"),
+        F.max("mx").alias("max_price"),
+    )
+    total = F.col("s").cast("double")
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        total.alias("total_price"),
+        "min_price",
+        "max_price",
+        (total / F.col("n_orders")).alias("avg_price"),
+    )

@@ -467,3 +467,86 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str, k: int = _KCORE_K) -> Dat
     return cur_deg.filter(F.col("d") >= k).select(
         "node", F.col("d").alias("core_degree")
     )
+
+
+_BFS_MAX_HOPS = 6
+
+
+@query(
+    "bfs_hops_from_hub",
+    oracle=f"""
+    WITH RECURSIVE fwd AS (
+        SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    hub AS (SELECT src AS node FROM deg ORDER BY outdeg DESC, src LIMIT 1),
+    reach(node, hop) AS (
+        SELECT node, 0 FROM hub
+        UNION
+        SELECT e.dst, r.hop + 1
+        FROM reach r JOIN edges e ON r.node = e.src
+        WHERE r.hop < {_BFS_MAX_HOPS}
+    )
+    SELECT node, CAST(MIN(hop) AS BIGINT) AS hops
+    FROM reach GROUP BY node
+    """,
+    tags=("graph", "iterative", "bfs"),
+)
+def bfs_hops_from_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distance from the hub (highest-degree node, id tiebreak)
+    of the supplier↔customer trade graph (same node encoding as
+    ``pagerank_supplier_customer``: supplier s ↦ 2s, customer c ↦ 2c+1,
+    mirrored edges) — "how far is everything from the busiest actor",
+    the reachability primitive under influence radii and blast-radius
+    queries. Capped at 6 hops: a mirrored bipartite trade graph is
+    small-world, so deeper frontiers are empty long before the cap.
+
+    The Spark side is true frontier BFS: per round, frontier ⋈ edges on
+    the source key (one keyed shuffle, O(|edges touched|)), dedup, then
+    an anti-join against the visited set — each node enters `visited`
+    exactly once, at its minimum hop, so no (node, hop) multiplicity
+    ever materializes. The loop breaks on an empty frontier; each
+    frontier is localCheckpoint'ed so round k+1's plan doesn't replay
+    rounds 1..k. The oracle spells the same search as a recursive CTE
+    whose UNION dedups (node, hop) rows, then takes MIN(hop) — bounded
+    by |V| × hops rows, exponential walk blowup excluded. All values
+    are exact integers; no float determinism risk anywhere.
+    """
+    li = table(spark, sf_dir, "lineitem", fan_out=False).select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders", fan_out=False).select("o_orderkey", "o_custkey")
+    fwd = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("o_custkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.unionAll(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    hub = (
+        deg.orderBy(F.desc("outdeg"), F.asc("src"))
+        .limit(1)
+        .select(F.col("src").alias("node"))
+    )
+    visited = hub.withColumn("hops", F.lit(0)).localCheckpoint(eager=True)
+    frontier = visited.select("node")
+    for hop in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionAll(
+            nxt.withColumn("hops", F.lit(hop))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.select("node", F.col("hops").cast("bigint").alias("hops"))

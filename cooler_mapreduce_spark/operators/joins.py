@@ -359,3 +359,60 @@ def join_full_outer_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_signups", F.lit(0)).alias("n_signups"),
         F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
     )
+
+
+@query(
+    "join_asof_forward_tolerance",
+    oracle="""
+    SELECT v.event_id, v.user_id, v.ts,
+           (SELECT MIN(p.ts) FROM events p
+            WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+              AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 7 DAY
+           ) AS next_purchase_ts
+    FROM events v WHERE v.event_type = 'view'
+    """,
+    tags=("join", "asof", "window", "tolerance"),
+)
+def join_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance: each view event matched to the
+    user's NEXT purchase at-or-after it, but only within 7 days — the
+    conversion-window join (pandas ``merge_asof(direction='forward',
+    tolerance=...)``). Complements ``join_asof_last_click``'s backward
+    direction.
+
+    Same carry idiom, reversed: union views+purchases, one shuffle on
+    user_id, sort by ts DESCENDING (purchases before views at equal ts,
+    so ``>=`` holds), and ``last(purchase_ts, ignorenulls)`` over the
+    unbounded-preceding frame — scanning from the future backwards, the
+    most recently seen purchase IS the nearest following one. The
+    tolerance then nulls matches beyond 7 days via exact integer
+    microsecond arithmetic (timestamp-flavor invariant). Linear per
+    user; the oracle's correlated MIN subquery is the quadratic
+    spelling DuckDB can afford at sf0.01.
+    """
+    ev = table(spark, sf_dir, "events", fan_out=False)
+    tagged = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "purchase", F.col("ts")).alias("purchase_ts"),
+        F.when(F.col("event_type") == "purchase", F.lit(0)).otherwise(F.lit(1)).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.asc("kind"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn(
+        "next_ts", F.last("purchase_ts", ignorenulls=True).over(w)
+    )
+    tol_us = 7 * 24 * 3600 * 1_000_000
+    return carried.filter(F.col("event_type") == "view").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(
+            us_between(F.col("ts"), F.col("next_ts")) <= tol_us, F.col("next_ts")
+        ).alias("next_purchase_ts"),
+    )

@@ -1114,3 +1114,119 @@ def corpus_mix_entropy_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(-F.col("p") * F.log(F.col("p")), 12).alias("entropy_nats"),
         dsum(F.col("p") * F.log(F.col("p") / F.col("q")), 12).alias("kl_uniform_nats"),
     )
+
+
+@query(
+    "docs_repetition_filter",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(
+                   list_transform(string_split_regex(lower(text), '\\s+'),
+                                  t -> regexp_replace(t, '[.,!?;:"''-]', '', 'g')),
+                   t -> length(t) > 0) AS t
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, unnest(t) AS w,
+               unnest(generate_series(1, len(t))) AS p
+        FROM toks
+    ),
+    wc AS (SELECT doc_id, w, COUNT(*) AS c FROM pos GROUP BY doc_id, w),
+    wstats AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+               COUNT(*) AS n_distinct_words, MAX(c) AS top_word_c
+        FROM wc GROUP BY doc_id
+    ),
+    big AS (
+        SELECT doc_id,
+               w || ' ' || LEAD(w) OVER (PARTITION BY doc_id ORDER BY p) AS bg
+        FROM pos
+        QUALIFY LEAD(w) OVER (PARTITION BY doc_id ORDER BY p) IS NOT NULL
+    ),
+    bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY doc_id, bg),
+    bstats AS (SELECT doc_id, MAX(c) AS top_bigram_c FROM bc GROUP BY doc_id)
+    SELECT w.doc_id, w.n_words, w.n_distinct_words,
+           CAST(w.n_words - w.n_distinct_words AS DOUBLE) / w.n_words
+             AS dup_word_ratio,
+           CAST(w.top_word_c AS DOUBLE) / w.n_words AS top_word_ratio,
+           CASE WHEN w.n_words > 1
+                THEN CAST(COALESCE(b.top_bigram_c, 0) AS DOUBLE) / (w.n_words - 1)
+                END AS top_bigram_ratio,
+           (CAST(w.top_word_c AS DOUBLE) / w.n_words > 0.12
+            OR (w.n_words > 1 AND
+                CAST(COALESCE(b.top_bigram_c, 0) AS DOUBLE) / (w.n_words - 1) > 0.08))
+             AS flagged
+    FROM wstats w LEFT JOIN bstats b ON w.doc_id = b.doc_id
+    """,
+    tags=("text-analysis", "llm-pipeline", "quality-filter"),
+)
+def docs_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter (Rae et al. 2021 §A1.1): per
+    document, the duplicate-word mass, the most-frequent-word share, and
+    the most-frequent-bigram share — then a flag for documents whose
+    repetition exceeds the quality thresholds (top word > 12 % of
+    tokens, or top bigram > 8 % of bigrams). Boilerplate, keyword-stuffed
+    and template-generated pages light up on exactly these ratios.
+
+    Tokenization is the engine-wide normalization (functions/text.py);
+    bigrams come from ``zip_with`` over two array slices — derived
+    inside the row, no positional explode-and-window pass. The only wide
+    ops are the two (doc_id, term)-keyed counts, both partial-aggregable
+    and embarrassingly parallel at 100 TB. Ratios are integer-derived
+    doubles (single divisions — bit-deterministic); the thresholds are
+    exact binary literals.
+    """
+    from ..functions.text import word_tokens
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", word_tokens("text").alias("t")
+    )
+    n = F.size("t")
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("t", 1, n - 1),
+            F.slice("t", 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wc = (
+        d.select("doc_id", F.explode("t").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    wstats = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct_words"),
+        F.max("c").alias("top_word_c"),
+    )
+    bstats = (
+        d.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_c"))
+    )
+    j = wstats.join(bstats, "doc_id", "left")
+    top_word_ratio = F.col("top_word_c").cast("double") / F.col("n_words")
+    top_bigram_ratio = F.when(
+        F.col("n_words") > 1,
+        F.coalesce(F.col("top_bigram_c"), F.lit(0)).cast("double")
+        / (F.col("n_words") - 1),
+    )
+    return j.select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        (
+            (F.col("n_words") - F.col("n_distinct_words")).cast("double")
+            / F.col("n_words")
+        ).alias("dup_word_ratio"),
+        top_word_ratio.alias("top_word_ratio"),
+        top_bigram_ratio.alias("top_bigram_ratio"),
+        (
+            (top_word_ratio > 0.12)
+            | ((F.col("n_words") > 1) & (top_bigram_ratio > 0.08))
+        ).alias("flagged"),
+    )

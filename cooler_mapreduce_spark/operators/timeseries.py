@@ -1,0 +1,303 @@
+"""Time-series analytics over the daily revenue series and event timelines.
+
+Beyond the reference (SURVEY.md §2.4 — its single-round MapReduce jobs
+cannot express order-dependent series math): EWMA smoothing, lagged
+autocorrelation, maximum drawdown, and time-weighted averaging — the
+feature-engineering staples of a forecasting / anomaly pipeline.
+
+Scale design (100 TB): every query first collapses the fact table to a
+calendar-bounded series (one partial-aggregated shuffle; the series has
+O(days) rows regardless of SF — ~2.4 k days here, still ~40 k rows after a
+century), so the subsequent global-ordered windows run over a frame whose
+size is fixed by the calendar, not the data. ``time_weighted_avg_value``
+windows per user_id — a keyed shuffle, never a global sort.
+
+Determinism: series values come from decimal-staged sums
+(``functions.numeric``); EWMA weights are powers of 0.5 (exact binary
+doubles, so products are exact scalings); composite expressions are
+generated ONCE as SQL text and parsed by both engines, pinning the
+floating-point evaluation order bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.numeric import dsum, sql_dsum
+from ..functions.timeutil import us_between, wall_trunc
+from ..registry import query
+from ..sources.catalog import table
+
+#: DuckDB fragment: the shared daily revenue series.
+_SQL_DAILY = f"""
+    daily AS (
+        SELECT date_trunc('day', o_orderdate) AS bucket_day,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM orders GROUP BY 1
+    )"""
+
+
+def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue series: one scan, partial-aggregable, O(days) rows."""
+    o = table(spark, sf_dir, "orders", fan_out=False)
+    return o.groupBy(
+        wall_trunc(F.col("o_orderdate"), "day").alias("bucket_day")
+    ).agg(dsum("o_totalprice").alias("revenue"))
+
+
+#: EWMA: 10 terms (lags 0..9) of weight 0.5^k — a half-life of one day,
+#: truncated where the remaining tail weight (0.5^10 ≈ 0.1 %) is below
+#: the series' own noise floor. Powers of 0.5 are exact binary doubles.
+_EWMA_LAGS = 9
+
+
+def _ewma_exprs() -> tuple[str, str]:
+    """(numerator, denominator) SQL — identical text for both engines, so
+    the left-associative double summation order is pinned by the parser."""
+    num, den = ["revenue"], ["1.0"]
+    for k in range(1, _EWMA_LAGS + 1):
+        w = repr(0.5**k)  # shortest round-trip literal → same double bits
+        num.append(f"CASE WHEN lag_{k} IS NULL THEN 0.0 ELSE {w} * lag_{k} END")
+        den.append(f"CASE WHEN lag_{k} IS NULL THEN 0.0 ELSE {w} END")
+    return " + ".join(num), " + ".join(den)
+
+
+def _ewma_oracle() -> str:
+    lags = ",\n               ".join(
+        f"LAG(revenue, {k}) OVER (ORDER BY bucket_day) AS lag_{k}"
+        for k in range(1, _EWMA_LAGS + 1)
+    )
+    num, den = _ewma_exprs()
+    return f"""
+    WITH {_SQL_DAILY},
+    lagged AS (
+        SELECT bucket_day, revenue,
+               {lags}
+        FROM daily
+    )
+    SELECT bucket_day, revenue, ({num}) / ({den}) AS ewma
+    FROM lagged
+    """
+
+
+@query(
+    "ewma_daily_revenue",
+    oracle=_ewma_oracle(),
+    tags=("timeseries", "window", "smoothing"),
+)
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily revenue
+    (half-life = 1 day, truncated at 10 taps, adjust-style
+    renormalization over the available lags at the series head).
+
+    The recurrence y_t = αx_t + (1-α)y_{t-1} is inherently sequential;
+    truncating the exponentially vanishing tail turns it into a
+    fixed-width FIR filter — 10 LAG taps over one ordered window, fully
+    parallel and shuffle-free beyond the day-rollup. The window is
+    global-ordered but runs on the O(days) series, not the fact table.
+    Weights 0.5^k are exact binary doubles (products are exact
+    scalings), and the summation expression is one SQL string parsed by
+    both engines — bit-identical left-to-right order.
+    """
+    d = _daily_revenue(spark, sf_dir)
+    w = Window.orderBy("bucket_day")
+    lagged = d.select(
+        "bucket_day",
+        "revenue",
+        *[F.lag("revenue", k).over(w).alias(f"lag_{k}") for k in range(1, _EWMA_LAGS + 1)],
+    )
+    num, den = _ewma_exprs()
+    return lagged.select(
+        "bucket_day", "revenue", F.expr(f"({num}) / ({den})").alias("ewma")
+    )
+
+
+_AC_LAGS = 7
+
+#: Pearson r from exact component sums — one SQL string for both engines
+#: (n is pre-cast to double as nd). corr() itself is merge-order-dependent;
+#: this decimal-staged formulation is not.
+_AC_CORR = (
+    "round((nd * sxy - sx * sy) / "
+    "sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 12)"
+)
+
+
+def _autocorr_oracle() -> str:
+    lags = ",\n               ".join(
+        f"LAG(revenue, {k}) OVER (ORDER BY bucket_day) AS lag_{k}"
+        for k in range(1, _AC_LAGS + 1)
+    )
+    pairs = "\n        UNION ALL ".join(
+        f"SELECT {k} AS lag_k, revenue AS x, lag_{k} AS y FROM lagged"
+        for k in range(1, _AC_LAGS + 1)
+    )
+    return f"""
+    WITH {_SQL_DAILY},
+    lagged AS (
+        SELECT bucket_day, revenue,
+               {lags}
+        FROM daily
+    ),
+    pairs AS (
+        {pairs}
+    ),
+    comp AS (
+        SELECT lag_k, COUNT(*) AS n,
+               CAST(COUNT(*) AS DOUBLE) AS nd,
+               {sql_dsum('x')} AS sx, {sql_dsum('y')} AS sy,
+               {sql_dsum('x * y', 4)} AS sxy,
+               {sql_dsum('x * x', 4)} AS sxx,
+               {sql_dsum('y * y', 4)} AS syy
+        FROM pairs WHERE y IS NOT NULL GROUP BY lag_k
+    )
+    SELECT lag_k, n AS n_pairs, {_AC_CORR} AS autocorr
+    FROM comp
+    """
+
+
+@query(
+    "autocorr_daily_revenue",
+    oracle=_autocorr_oracle(),
+    tags=("timeseries", "statistics", "window"),
+)
+def autocorr_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of daily revenue — the seasonality
+    fingerprint (weekly cadence shows as a lag-7 spike).
+
+    Each lag pairs the series with its own offset (7 LAG taps over one
+    ordered window on the O(days) series), the pairs unpivot via
+    ``stack`` into (lag_k, x, y) rows, and Pearson r comes from exact
+    decimal component sums (n, Σx, Σy, Σxy, Σx², Σy²) — the same
+    one-pass co-moment shape as ``stat_corr_qty_price`` but
+    order-independent: built-in ``corr()`` merges partial co-moments in
+    shuffle-arrival order and is not bit-stable. The closed form is one
+    shared SQL string, so both engines evaluate the identical double
+    expression tree.
+    """
+    d = _daily_revenue(spark, sf_dir)
+    w = Window.orderBy("bucket_day")
+    lagged = d.select(
+        "revenue",
+        *[F.lag("revenue", k).over(w).alias(f"lag_{k}") for k in range(1, _AC_LAGS + 1)],
+    )
+    stack_args = ", ".join(f"{k}, lag_{k}" for k in range(1, _AC_LAGS + 1))
+    pairs = lagged.select(
+        F.col("revenue").alias("x"),
+        F.expr(f"stack({_AC_LAGS}, {stack_args}) AS (lag_k, y)"),
+    ).filter(F.col("y").isNotNull())
+    comp = pairs.groupBy("lag_k").agg(
+        F.count("*").alias("n"),
+        F.count("*").cast("double").alias("nd"),
+        dsum("x").alias("sx"),
+        dsum("y").alias("sy"),
+        dsum(F.col("x") * F.col("y"), 4).alias("sxy"),
+        dsum(F.col("x") * F.col("x"), 4).alias("sxx"),
+        dsum(F.col("y") * F.col("y"), 4).alias("syy"),
+    )
+    return comp.select(
+        "lag_k", F.col("n").alias("n_pairs"), F.expr(_AC_CORR).alias("autocorr")
+    )
+
+
+@query(
+    "max_drawdown_revenue",
+    oracle=f"""
+    WITH {_SQL_DAILY},
+    peaks AS (
+        SELECT bucket_day, revenue,
+               MAX(revenue) OVER (ORDER BY bucket_day
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS peak
+        FROM daily
+    )
+    SELECT bucket_day, revenue, peak,
+           round((peak - revenue) / peak, 12) AS drawdown
+    FROM peaks
+    ORDER BY (peak - revenue) / peak DESC, bucket_day
+    LIMIT 1
+    """,
+    tags=("timeseries", "window", "running-extremum"),
+)
+def max_drawdown_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the daily revenue series: the worst
+    peak-to-trough fall relative to the running peak — the risk metric
+    behind "how bad did the dip get".
+
+    Running peak is a MAX over an unbounded-preceding frame (a picked
+    value — exact, order-independent); the drawdown ratio is one double
+    division of decimal-derived values; the single argmax row comes out
+    via TakeOrdered with the day as tiebreak. All heavy lifting is the
+    O(days) series rollup; the window itself is calendar-bounded.
+    """
+    d = _daily_revenue(spark, sf_dir)
+    w = Window.orderBy("bucket_day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    peaks = d.withColumn("peak", F.max("revenue").over(w))
+    dd = (F.col("peak") - F.col("revenue")) / F.col("peak")
+    return (
+        peaks.orderBy(dd.desc(), F.asc("bucket_day"))
+        .limit(1)
+        .select("bucket_day", "revenue", "peak", F.round(dd, 12).alias("drawdown"))
+    )
+
+
+@query(
+    "time_weighted_avg_value",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, value,
+               CAST(epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                    - epoch_us(ts) AS BIGINT) AS dt_us
+        FROM events
+    )
+    SELECT user_id, COUNT(*) AS n_intervals,
+           CAST(SUM(CAST(FLOOR(value * (dt_us / 1000000.0) * 1048576.0)
+                         AS DECIMAL(38,0))) AS DOUBLE)
+             / 1048576.0 / (CAST(SUM(dt_us) AS DOUBLE) / 1000000.0) AS twa_value
+    FROM seq WHERE dt_us IS NOT NULL
+    GROUP BY user_id HAVING SUM(dt_us) > 0
+    """,
+    tags=("timeseries", "window", "irregular-sampling"),
+)
+def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each user's ``value`` signal — the
+    correct mean for irregularly sampled series, where a plain AVG
+    over-weights bursts: each observation holds until the next one, so
+    it weighs by its holding duration (value ⋅ Δt / Σ Δt).
+
+    One keyed shuffle on user_id, one in-partition sort for the LEAD
+    tap; durations are exact integer microseconds
+    (``timeutil.us_between`` — timestamp-flavor invariant). The weighted
+    terms are floor-quantized at 2⁻²⁰ before the exact decimal sum (the
+    ``pagerank`` convention: a plain double→decimal cast ROUNDS, and
+    Spark's half-up vs DuckDB's tie rule diverge on half-way products),
+    then one fixed double division chain — bit-identical on both
+    engines. The last observation per user has no successor
+    and drops out (standard TWA); single-event users and all-tied
+    timelines (Σ Δt = 0) are filtered rather than left to divide by
+    zero under ANSI mode.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "value",
+        us_between(F.col("ts"), F.lead("ts").over(w)).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    q = F.floor(
+        F.col("value") * (F.col("dt_us") / F.lit(1000000.0)) * F.lit(1048576.0)
+    ).cast("decimal(38,0)")
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            (
+                F.sum(q).cast("double")
+                / F.lit(1048576.0)
+                / (F.sum("dt_us").cast("double") / F.lit(1000000.0))
+            ).alias("twa_value"),
+            F.sum("dt_us").alias("_tot_dt"),
+        )
+        .filter(F.col("_tot_dt") > 0)
+        .drop("_tot_dt")
+    )

@@ -426,3 +426,78 @@ def window_max_quantity_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame
         F.min("l_quantity").alias("max_qty"),
         F.min("l_orderkey").alias("first_orderkey"),
     )
+
+
+@query(
+    "skyline_pareto_orders",
+    oracle="""
+    SELECT a.o_orderkey, a.o_totalprice, a.o_orderdate
+    FROM orders a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders b
+        WHERE b.o_totalprice >= a.o_totalprice
+          AND b.o_orderdate <= a.o_orderdate
+          AND (b.o_totalprice > a.o_totalprice OR b.o_orderdate < a.o_orderdate)
+    )
+    """,
+    tags=("window", "skyline", "pareto"),
+)
+def skyline_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of orders: maximize o_totalprice,
+    minimize o_orderdate — "the earliest order at every price level no
+    later cheaper order beats". A row survives iff no other row is ≥ on
+    both dims and > on one (ties on both dims are mutually
+    non-dominating, so exact duplicates all stay).
+
+    Two stages, both shuffle-light. (1) Partition-local prune: rows
+    hash into 64 buckets and each bucket drops rows whose strict prefix
+    (price DESC, date ASC, key) already saw an earlier-or-equal date —
+    every dropped row is strictly dominated by a surviving bucket-mate,
+    and since dominance is transitive/acyclic the global skyline is a
+    subset of the survivors (the classic distributed-skyline
+    local-prune). Survivors number O(skyline × buckets) — tiny.
+    (2) Exact pass on the survivors: per price level take the min date,
+    run one ordered window over the distinct levels for the
+    strictly-higher-price running min, and keep rows at their level's
+    min date that no higher level undercuts. The global window touches
+    only the pruned frame, never the fact table. The oracle is the
+    independent quadratic NOT EXISTS definition — affordable at sf0.01
+    precisely because DuckDB verifies what the window formulation
+    computes. All comparisons are on raw column values; no float
+    arithmetic is introduced, so determinism is free.
+    """
+    o = table(spark, sf_dir, "orders", fan_out=False).select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    wb = (
+        Window.partitionBy(F.pmod(F.hash("o_orderkey"), F.lit(64)))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pruned = (
+        o.withColumn("_prefix_min", F.min("o_orderdate").over(wb))
+        .filter(
+            F.col("_prefix_min").isNull()
+            | (F.col("o_orderdate") <= F.col("_prefix_min"))
+        )
+        .drop("_prefix_min")
+    )
+    lvl = pruned.groupBy("o_totalprice").agg(
+        F.min("o_orderdate").alias("_lvl_min_date")
+    )
+    wl = (
+        Window.orderBy(F.desc("o_totalprice"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lvl = lvl.withColumn("_strict_min_date", F.min("_lvl_min_date").over(wl))
+    return (
+        pruned.join(lvl, "o_totalprice")
+        .filter(
+            (F.col("o_orderdate") == F.col("_lvl_min_date"))
+            & (
+                F.col("_strict_min_date").isNull()
+                | (F.col("_strict_min_date") > F.col("o_orderdate"))
+            )
+        )
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    )

@@ -42,6 +42,7 @@ _QUERY_MODULES = (
     "cooler_mapreduce_spark.operators.tpch",
     "cooler_mapreduce_spark.operators.joins",
     "cooler_mapreduce_spark.operators.windows",
+    "cooler_mapreduce_spark.operators.timeseries",
     "cooler_mapreduce_spark.operators.aggregates",
     "cooler_mapreduce_spark.operators.setops",
     "cooler_mapreduce_spark.operators.scalars",
@@ -219,15 +220,15 @@ PRIORITY_QUERIES: tuple[str, ...] = (
     "kmeans_embedding_clusters",
     "kcore_copurchase",
     # --- round-6 additions (new capabilities this round) ---
-    "quality_gopher_rules",
-    "pii_scan_documents",
-    "dedup_paragraph_exact",
-    "langid_ngram_heuristic",
     "ewma_daily_revenue",
-    "histogram_order_prices",
-    "sessionize_events",
-    "percentile_exact_by_priority",
+    "autocorr_daily_revenue",
+    "max_drawdown_revenue",
+    "time_weighted_avg_value",
     "docs_repetition_filter",
+    "bfs_hops_from_hub",
+    "incremental_agg_merge",
+    "skyline_pareto_orders",
+    "join_asof_forward_tolerance",
 )
 
 
