@@ -315,3 +315,60 @@ def kfold_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         # oof_mean mirrors the oracle's CASE guard.
         F.try_divide(s_all - F.col("s_fold"), n_all - F.col("n_rows")).alias("oof_mean"),
     )
+
+
+_WSAMPLE_K = 100
+
+
+@query(
+    "weighted_sample_wor_orders",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT o_orderkey, o_totalprice,
+               ln(({md5int_duckdb("CAST(o_orderkey AS VARCHAR)")} + 1.0)
+                  / 1152921504606846976.0) / o_totalprice AS es_key
+        FROM orders
+    )
+    SELECT o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (ORDER BY es_key DESC, o_orderkey) AS sample_rank
+    FROM keyed
+    ORDER BY es_key DESC, o_orderkey
+    LIMIT {_WSAMPLE_K}
+    """,
+    tags=("sampling", "weighted", "without-replacement"),
+)
+def weighted_sample_wor_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    k=100 orders drawn with probability proportional to o_totalprice,
+    each row drawn at most once — the sketch-free way to build a
+    price-weighted evaluation slice. Per row the key is
+    ln(u)/w with u = (md5int(orderkey)+1)/2^60 ∈ (0, 1] (the log-space
+    form of u^(1/w)); the top-k keys ARE the sample — reproducible
+    because u comes from the engine-portable content hash, not an RNG.
+
+    One scan + TakeOrdered: map-side partial top-k per partition, k-row
+    merge on the driver — no global sort, no shuffle of the fact table,
+    the same plan shape at any SF. The ln() value itself is never
+    emitted (libm last-ULP differences between JVM and DuckDB could
+    flip a hash compare); only the selected rows and their rank are —
+    and a rank flip would need two keys within one ULP of each other,
+    which distinct 60-bit hashes make vanishingly improbable.
+    """
+    o = table(spark, sf_dir, "orders", fan_out=False)
+    u = (F.expr(md5int_spark("CAST(o_orderkey AS STRING)")) + F.lit(1.0)) / F.lit(
+        float(1 << 60)
+    )
+    keyed = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.log(u) / F.col("o_totalprice")).alias("es_key"),
+    )
+    picked = keyed.orderBy(F.desc("es_key"), F.asc("o_orderkey")).limit(_WSAMPLE_K)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("es_key"), F.asc("o_orderkey"))
+    return picked.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("sample_rank"),
+    )

@@ -1169,6 +1169,15 @@ def docs_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens, or top bigram > 8 % of bigrams). Boilerplate, keyword-stuffed
     and template-generated pages light up on exactly these ratios.
 
+    NOT a twin of ``corpus.repetition_filter``: that query is the
+    corpus-health ROLLUP (per-language flag rates from trigram-dup
+    fraction + overlapping-bigram token coverage, raw-space-split
+    tokens); this one is the row-level GATE — one output row per
+    document with the word-grain ratios a filtering pipeline joins back
+    onto the corpus to drop rows (the shape ``corpus_dedup_apply`` uses
+    for dedup verdicts). Different grain, different metric family,
+    different tokenizer (the engine-wide normalization here).
+
     Tokenization is the engine-wide normalization (functions/text.py);
     bigrams come from ``zip_with`` over two array slices — derived
     inside the row, no positional explode-and-window pass. The only wide

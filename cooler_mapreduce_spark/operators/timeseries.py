@@ -301,3 +301,138 @@ def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_tot_dt") > 0)
         .drop("_tot_dt")
     )
+
+
+@query(
+    "cusum_changepoint_revenue",
+    oracle=f"""
+    WITH {_SQL_DAILY},
+    dev AS (
+        SELECT bucket_day, revenue,
+               revenue - (CAST(SUM(CAST(revenue AS DECIMAL(30,2))) OVER ()
+                               AS DOUBLE) / COUNT(*) OVER ()) AS d
+        FROM daily
+    ),
+    cu AS (
+        SELECT bucket_day, revenue,
+               CAST(SUM(CAST(FLOOR(d * 1048576.0) AS DECIMAL(38,0)))
+                        OVER (ORDER BY bucket_day
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) / 1048576.0 AS cusum
+        FROM dev
+    )
+    SELECT bucket_day, revenue, cusum, abs(cusum) AS abs_cusum
+    FROM cu
+    ORDER BY abs(cusum) DESC, bucket_day
+    LIMIT 1
+    """,
+    tags=("timeseries", "changepoint", "window"),
+)
+def cusum_changepoint_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on daily revenue: the day where the
+    cumulative sum of deviations from the series mean peaks in magnitude
+    — the classic single-changepoint estimator (the level shift
+    maximizes |Σ(xᵢ − x̄)| exactly at the shift).
+
+    The mean is an unbounded-frame window over the O(days) series (no
+    scalar collect, no cross join); deviations are floor-quantized at
+    2⁻²⁰ before the exact decimal running sum (the engine's
+    double→decimal convention — a plain cast ROUNDS and the engines'
+    tie rules differ), and the argmax row comes out via TakeOrdered
+    with the day tiebreak. Fact-table work is the one partial-aggregated
+    day rollup; everything after is calendar-bounded.
+    """
+    d = _daily_revenue(spark, sf_dir)
+    w_all = Window.partitionBy()
+    mean = (
+        F.sum(F.col("revenue").cast("decimal(30,2)")).over(w_all).cast("double")
+        / F.count("*").over(w_all)
+    )
+    dev = d.select("bucket_day", "revenue", (F.col("revenue") - mean).alias("d"))
+    w_run = Window.orderBy("bucket_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    q = F.floor(F.col("d") * F.lit(1048576.0)).cast("decimal(38,0)")
+    cu = dev.select(
+        "bucket_day",
+        "revenue",
+        (F.sum(q).over(w_run).cast("double") / F.lit(1048576.0)).alias("cusum"),
+    )
+    return (
+        cu.orderBy(F.abs(F.col("cusum")).desc(), F.asc("bucket_day"))
+        .limit(1)
+        .select("bucket_day", "revenue", "cusum", F.abs(F.col("cusum")).alias("abs_cusum"))
+    )
+
+
+#: OLS closed form from exact component sums — one SQL string for both
+#: engines (nd = n as double). Guarded: a single-day group has zero x
+#: variance; NULL the slope there instead of dividing by zero under ANSI.
+_OLS_SLOPE = "(nd * sxy - sx * sy) / nullif(nd * sxx - sx * sx, 0.0)"
+_OLS_EXPRS = (
+    f"round({_OLS_SLOPE}, 12) AS slope",
+    f"round((sy - {_OLS_SLOPE} * sx) / nd, 12) AS intercept",
+    f"round(({_OLS_SLOPE}) * ({_OLS_SLOPE}) * (nd * sxx - sx * sx)"
+    " / nullif(nd * syy - sy * sy, 0.0), 12) AS r2",
+)
+
+
+@query(
+    "linreg_trend_by_priority",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderpriority,
+               datediff('day', DATE '1995-01-01',
+                        CAST(date_trunc('day', o_orderdate) AS DATE)) AS x,
+               {sql_dsum('o_totalprice')} AS y
+        FROM orders GROUP BY 1, 2
+    ),
+    comp AS (
+        SELECT o_orderpriority, COUNT(*) AS n_days,
+               CAST(COUNT(*) AS DOUBLE) AS nd,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               {sql_dsum('y')} AS sy,
+               {sql_dsum('y * y', 4)} AS syy,
+               {sql_dsum('x * y')} AS sxy
+        FROM daily GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n_days,
+           {', '.join(_OLS_EXPRS)}
+    FROM comp
+    """,
+    tags=("timeseries", "statistics", "regression"),
+)
+def linreg_trend_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority revenue trend: ordinary-least-squares slope,
+    intercept and R² of the daily revenue series against the day index —
+    "is URGENT growing faster than LOW", the grouped trend-line
+    feature behind forecasting and drift monitors.
+
+    Everything reduces to six exact component sums per group (n, Σx,
+    Σx², Σy, Σy², Σxy) in ONE partial-aggregable pass over the day
+    rollup — never a window, never a per-group collect. x is an exact
+    integer day offset from a fixed epoch; x·y and y² are exact
+    low-decimal doubles (y carries 2 decimals), so their decimal-staged
+    sums are bit-identical; the closed form is one shared SQL string
+    evaluated in the same order by both engines, with zero-variance
+    groups NULLed under ``nullif`` instead of tripping ANSI division.
+    """
+    o = table(spark, sf_dir, "orders", fan_out=False)
+    daily = o.groupBy(
+        "o_orderpriority",
+        F.datediff(
+            wall_trunc(F.col("o_orderdate"), "day").cast("date"),
+            F.lit("1995-01-01").cast("date"),
+        ).alias("x"),
+    ).agg(dsum("o_totalprice").alias("y"))
+    comp = daily.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_days"),
+        F.count("*").cast("double").alias("nd"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        dsum("y").alias("sy"),
+        dsum(F.col("y") * F.col("y"), 4).alias("syy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return comp.select("o_orderpriority", "n_days", *[F.expr(e) for e in _OLS_EXPRS])
