@@ -934,3 +934,110 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     norm_df = spark.createDataFrame(norms, schema="cluster INT, centroid_norm DOUBLE")
     return sizes.join(norm_df, "cluster").select("cluster", "n_members", "centroid_norm")
+
+
+_PCA_ROUNDS = 8
+
+
+def _arr_lit(vals: list[float]) -> str:
+    """SQL literal array<double> — repr() round-trips exact bits."""
+    return "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vals) + ")"
+
+
+def pca_power_frame(
+    spark: SparkSession, sf_dir: str, rounds: int = _PCA_ROUNDS
+) -> tuple[list[float], list[float], float, float]:
+    """Top principal component of the embeddings by distributed power
+    iteration — the fourth iterative tier (PageRank / BPE / k-means /
+    PCA), again as the engine's own DataFrame loop, not a library fit.
+
+    Per round the unit vector v rides the plan as a literal (O(dim)
+    driver traffic — the bounded model-state budget): each row folds
+    s = (x−μ)·v with a sequential-order HOF aggregate (no codegen but
+    fixed evaluation order), then the matrix-vector product
+    w = Σᵢ sᵢ(xᵢ−μ) posexplodes into (dim, term) rows and re-sums
+    per dimension with decimal-staged sums (scale 12) — one keyed
+    shuffle of O(dim) groups per round regardless of corpus size, the
+    k-means update shape exactly. Normalization (and the deterministic
+    sign fix: the largest-|loading| dimension is made positive) happens
+    on the collected O(dim) vector in the driver. μ itself is one
+    posexplode + decimal-mean pass.
+
+    Returns (mu, loadings, eigenvalue_of_scatter, total_scatter) —
+    eigenvalue is the Rayleigh estimate ‖Cv‖ of the scatter matrix
+    C = Σ(x−μ)(x−μ)ᵀ; divide both by (n−1) for covariance units.
+
+    Test pin: a NumPy replica of the IDENTICAL algorithm (same start,
+    same round count, float64) must agree to ≤1e-6 — the k-means
+    convention; the data's eigengap is far too small for an
+    exact-eigenvector comparison to be meaningful at 8 rounds.
+    """
+    from ..functions.numeric import davg, dsum
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("x")
+    )
+    mu_rows = (
+        emb.select(F.posexplode("x").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(davg("v", 12).alias("m"))
+        .orderBy("pos")
+        .collect()
+    )
+    mu = [float(r.m) for r in mu_rows]
+    dim = len(mu)
+    v = [1.0] + [0.0] * (dim - 1)
+    w = v
+    for _ in range(rounds):
+        centered = f"zip_with(x, {_arr_lit(mu)}, (a, b) -> a - b)"
+        s = (
+            f"aggregate(zip_with({centered}, {_arr_lit(v)}, (a, b) -> a * b),"
+            f" CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
+        )
+        w_rows = (
+            emb.select(
+                F.expr(s).alias("s"), F.posexplode(F.expr(centered)).alias("pos", "cv")
+            )
+            .groupBy("pos")
+            .agg(dsum(F.col("s") * F.col("cv"), 12).alias("w"))
+            .orderBy("pos")
+            .collect()
+        )
+        w = [float(r.w) for r in w_rows]
+        norm = sum(c * c for c in w) ** 0.5
+        v = [c / norm for c in w]
+    # deterministic sign: largest-|loading| dimension positive (lowest
+    # dim wins ties)
+    pivot = max(range(dim), key=lambda i: (abs(v[i]), -i))
+    if v[pivot] < 0:
+        v = [-c for c in v]
+    eigenvalue = sum(c * c for c in w) ** 0.5
+    centered = f"zip_with(x, {_arr_lit(mu)}, (a, b) -> a - b)"
+    sq = f"aggregate({centered}, CAST(0.0 AS DOUBLE), (acc, t) -> acc + t * t)"
+    total = float(
+        emb.select(F.expr(sq).alias("q")).agg(dsum("q", 9).alias("t")).collect()[0].t
+    )
+    return mu, v, eigenvalue, total
+
+
+@query(
+    "pca_power_embeddings",
+    oracle=None,  # iterative matrix-vector loop — not one SQL expression;
+    # pinned against a NumPy replica of the identical algorithm (same
+    # start vector, same round count) in tests/test_llm_ops.py.
+    tags=("similarity", "iterative", "ml", "llm-pipeline"),
+)
+def pca_power_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of :func:`pca_power_frame`: one row per dimension
+    with the column mean and PC-1 loading (rounded to 9 decimals), plus
+    the scatter-matrix Rayleigh eigenvalue and the explained-variance
+    share as constant columns."""
+    mu, v, eig, total = pca_power_frame(spark, sf_dir)
+    rows = [
+        (i, round(m, 9), round(c, 9), round(eig, 6), round(eig / total, 9))
+        for i, (m, c) in enumerate(zip(mu, v))
+    ]
+    return spark.createDataFrame(
+        rows,
+        schema="dim INT, mu DOUBLE, loading DOUBLE, eigenvalue DOUBLE, explained_share DOUBLE",
+    )

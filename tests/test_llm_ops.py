@@ -723,3 +723,43 @@ def test_kcore_matches_pure_python_peeling(spark, oracle_sf_dir):
     want = sorted((n, len(nb)) for n, nb in adj.items())
     assert got == want
     assert 0 < len(want) < len(edges)  # nontrivial: some peeled, some survive
+
+
+def test_pca_power_matches_numpy_replica(spark, oracle_sf_dir):
+    """pca_power_frame == a NumPy float64 replica of the identical
+    algorithm (same start vector, same rounds, same sign fix) to 1e-6 —
+    the engine's decimal staging only perturbs at ~1e-12/step."""
+    import numpy as np
+
+    from cooler_mapreduce_spark.operators.similarity import (
+        _PCA_ROUNDS,
+        pca_power_frame,
+    )
+
+    mu, v, eig, total = pca_power_frame(spark, oracle_sf_dir)
+
+    rows = (
+        spark.read.parquet(f"{oracle_sf_dir}/embeddings.parquet")
+        .select("embedding")
+        .collect()
+    )
+    X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    mu_np = X.mean(axis=0)
+    Xc = X - mu_np
+    v_np = np.zeros(X.shape[1])
+    v_np[0] = 1.0
+    w_np = v_np
+    for _ in range(_PCA_ROUNDS):
+        w_np = Xc.T @ (Xc @ v_np)
+        v_np = w_np / np.linalg.norm(w_np)
+    pivot = int(np.argmax(np.abs(v_np)))
+    if v_np[pivot] < 0:
+        v_np = -v_np
+    assert np.allclose(np.array(mu), mu_np, atol=1e-6)
+    assert np.allclose(np.array(v), v_np, atol=1e-6)
+    assert abs(eig - np.linalg.norm(w_np)) / np.linalg.norm(w_np) < 1e-6
+    assert abs(total - (Xc * Xc).sum()) / (Xc * Xc).sum() < 1e-9
+    # unit norm + deterministic re-run
+    assert abs(sum(c * c for c in v) - 1.0) < 1e-12
+    _, v2, eig2, _ = pca_power_frame(spark, oracle_sf_dir)
+    assert v2 == v and eig2 == eig

@@ -48,7 +48,13 @@ _NL_ALLOWED = {
 #: audits would re-train three times per suite run. Their executor-side round plans share the explode/groupBy
 #: shapes audited via cms_heavy_hitters, and their correctness is
 #: pinned by the pure-Python reference + invariance tests.
-_LOCAL_RESULT = {"bpe_train_merges", "bpe_encode_stats"}
+_LOCAL_RESULT = {"bpe_train_merges", "bpe_encode_stats",
+                 # pca: the registered face is a driver-assembled local
+                 # relation; BUILDING it executes the 8-round power-
+                 # iteration loop (audited shapes: posexplode+groupBy,
+                 # covered via kmeans/cms), so the three plan audits
+                 # would re-train three times for zero assertions.
+                 "pca_power_embeddings"}
 
 
 def _plan(spark, name, sf_dir):
