@@ -349,6 +349,39 @@ def _dq(args: argparse.Namespace) -> int:
     return 1 if bad else 0
 
 
+def _explain(args: argparse.Namespace) -> int:
+    """Plan inspection surface: print a registered query's physical plan
+    (the `.explain` every operator was tuned against) without running
+    it — the first thing to look at when a query slows down at scale.
+    With --list, enumerate the registry instead (name + tags + whether
+    an oracle exists)."""
+    from .registry import load_all
+    from .session import get_session
+
+    specs = load_all()
+    if args.list:
+        width = max(len(n) for n in specs)
+        for name in sorted(specs):
+            spec = specs[name]
+            oracle = "oracled" if spec.oracle else "rows-only"
+            print(f"{name:<{width}}  {oracle:<9}  {','.join(spec.tags)}")
+        return 0
+    if args.query_name is None or args.query_name not in specs:
+        known = ", ".join(sorted(specs)[:8])
+        args.parser.error(
+            f"unknown query {args.query_name!r}; try --list (e.g. {known}, ...)"
+        )
+    spark = get_session("cli-explain")
+    df = specs[args.query_name].fn(spark, args.sf_dir)
+    print(df._jdf.queryExecution().explainString(_explain_mode(spark, args.mode)))
+    return 0
+
+
+def _explain_mode(spark, mode: str):
+    jvm = spark.sparkContext._jvm
+    return jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="cooler-mapreduce-spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -420,6 +453,15 @@ def main(argv: list[str] | None = None) -> int:
     sq.add_argument("--out", default=None,
                     help="write TSV part files here instead of printing")
     sq.set_defaults(fn=_sql, parser=sq)
+
+    ex = sub.add_parser("explain", help="print a registered query's physical "
+                        "plan without running it (or --list the registry)")
+    ex.add_argument("query_name", nargs="?", help="registered query name")
+    ex.add_argument("--list", action="store_true", help="list registered queries")
+    ex.add_argument("--mode", default="formatted",
+                    choices=["simple", "extended", "formatted", "cost", "codegen"])
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ex.set_defaults(fn=_explain, parser=ex)
 
     args = ap.parse_args(argv)
     return args.fn(args)

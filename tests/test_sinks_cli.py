@@ -978,3 +978,26 @@ def test_cli_sql_inline_and_tsv_out(spark, oracle_sf_dir, tmp_path, capsys):
         with open(p) as f:
             rows += [ln.rstrip("\n").split("\t") for ln in f if ln.strip()]
     assert len(rows) == 25 and all(len(r) == 2 for r in rows)
+
+
+def test_cli_explain_prints_plan(spark, capsys):
+    from cooler_mapreduce_spark.cli import main
+
+    rc = main(["explain", "pricing_summary", "--sf-dir", "/root/testdata/sf0.001"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "HashAggregate" in out or "Aggregate" in out
+    assert "Scan" in out
+
+
+def test_cli_explain_list_and_unknown(spark, capsys):
+    import pytest as _pytest
+
+    from cooler_mapreduce_spark.cli import main
+
+    rc = main(["explain", "--list"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "pricing_summary" in out and "rows-only" in out
+    with _pytest.raises(SystemExit):
+        main(["explain", "no_such_query"])
