@@ -436,3 +436,116 @@ def linreg_trend_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("x") * F.col("y")).alias("sxy"),
     )
     return comp.select("o_orderpriority", "n_days", *[F.expr(e) for e in _OLS_EXPRS])
+
+
+@query(
+    "interpolate_hourly_purchase_value",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_hour
+        FROM bounds
+    ),
+    hourly AS (
+        SELECT date_trunc('hour', ts) AS bucket_hour,
+               COUNT(*) AS n_obs,
+               CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS v
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    joined AS (SELECT s.bucket_hour, h.n_obs, h.v
+               FROM spine s LEFT JOIN hourly h USING (bucket_hour)),
+    carried AS (
+        SELECT bucket_hour, n_obs, v,
+               LAST_VALUE(v IGNORE NULLS) OVER
+                   (ORDER BY bucket_hour
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               LAST_VALUE(CASE WHEN v IS NOT NULL THEN bucket_hour END IGNORE NULLS)
+                   OVER (ORDER BY bucket_hour
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+               FIRST_VALUE(v IGNORE NULLS) OVER
+                   (ORDER BY bucket_hour
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               FIRST_VALUE(CASE WHEN v IS NOT NULL THEN bucket_hour END IGNORE NULLS)
+                   OVER (ORDER BY bucket_hour
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        FROM joined
+    )
+    SELECT bucket_hour, COALESCE(n_obs, 0) AS n_obs,
+           CASE WHEN v IS NOT NULL THEN v
+                ELSE pv + (nv - pv) *
+                     (CAST(epoch_us(bucket_hour) - epoch_us(ph) AS DOUBLE)
+                      / CAST(epoch_us(nh) - epoch_us(ph) AS DOUBLE))
+                END AS interp_value,
+           (v IS NULL AND pv IS NOT NULL AND nv IS NOT NULL) AS is_interpolated
+    FROM carried
+    """,
+    tags=("timeseries", "gapfill", "interpolation", "window"),
+)
+def interpolate_hourly_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over time-series gaps: the hourly mean
+    purchase value on a dense hourly spine, with missing hours filled by
+    the straight line between the nearest observed neighbors (NULL
+    outside the observed range, where no second anchor exists) — the
+    densify step ``gapfill_hourly_events`` zero-fills counts with, done
+    right for a *level* signal where zero would be a lie.
+
+    The spine is generated from the min/max bound aggregate (bounded by
+    calendar hours, never row count); prev/next anchors are the two
+    ignorenulls carry windows (the as-of idiom, forward + backward) over
+    that bounded spine; the interpolation weight is a ratio of exact
+    integer microsecond gaps. The hourly means are decimal-staged sums
+    of a 2-decimal-quantized signal — exact, so both engines interpolate
+    from bit-identical anchors.
+    """
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        wall_trunc(F.min("ts"), "hour").alias("lo"),
+        wall_trunc(F.max("ts"), "hour").alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket_hour")
+    )
+    hourly = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(wall_trunc(F.col("ts"), "hour").alias("bucket_hour"))
+        .agg(
+            F.count("*").alias("n_obs"),
+            (
+                F.sum(F.col("value").cast("decimal(30,2)")).cast("double")
+                / F.count("*")
+            ).alias("v"),
+        )
+    )
+    j = spine.join(hourly, "bucket_hour", "left")
+    wA = Window.orderBy("bucket_hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wB = Window.orderBy("bucket_hour").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    known_h = F.when(F.col("v").isNotNull(), F.col("bucket_hour"))
+    carried = j.select(
+        "bucket_hour",
+        "n_obs",
+        "v",
+        F.last("v", ignorenulls=True).over(wA).alias("pv"),
+        F.last(known_h, ignorenulls=True).over(wA).alias("ph"),
+        F.first("v", ignorenulls=True).over(wB).alias("nv"),
+        F.first(known_h, ignorenulls=True).over(wB).alias("nh"),
+    )
+    frac = us_between(F.col("ph"), F.col("bucket_hour")).cast("double") / us_between(
+        F.col("ph"), F.col("nh")
+    ).cast("double")
+    return carried.select(
+        "bucket_hour",
+        F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+        .alias("interp_value"),
+        (
+            F.col("v").isNull() & F.col("pv").isNotNull() & F.col("nv").isNotNull()
+        ).alias("is_interpolated"),
+    )
