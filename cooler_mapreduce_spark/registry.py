@@ -164,6 +164,16 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: tests; their driver rows record the weaker rows-only check by
 #: design). The remaining slots carry round-6's NEW queries so every
 #: capability added this round gets a first-time driver row.
+#:
+#: ROUND-7 QUEUE (added after the round-6 window of 50 filled; locally
+#: hash-green in tests/test_oracle_parity.py, first in line for r7
+#: driver rows): weighted_sample_wor_orders (Efraimidis–Spirakis
+#: weighted sampling without replacement), cusum_changepoint_revenue
+#: (CUSUM argmax changepoint), linreg_trend_by_priority (grouped OLS
+#: from exact component sums), interpolate_hourly_purchase_value
+#: (linear-interpolation gapfill), and the rows-only
+#: pca_power_embeddings (distributed power-iteration PCA, NumPy-replica
+#: pinned).
 PRIORITY_QUERIES: tuple[str, ...] = (
     # --- anchors: one green representative per §2.4 category (r2-r5) ---
     "word_count",                     # parity / scan / flatMap

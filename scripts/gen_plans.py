@@ -481,6 +481,87 @@ CASES = {
             ("dim broadcast reused as the pruning filter", lambda p: "BroadcastHashJoin" in p),
         ],
     ),
+    # --- round-6 additions ---
+    "autocorr_daily_revenue": (
+        "series autocorrelation: ONE fact scan collapses to the O(days) series (partial-aggregated); 7 lag taps in ONE window; co-moment sums aggregate the unpivoted pairs — no corr(), no per-lag re-scan",
+        [
+            ("single orders scan", lambda p: sum(1 for ln in p.splitlines() if "FileScan" in ln and "orders.parquet" in ln) == 1),
+            ("day rollup partial-aggregates before its exchange", lambda p: "partial_sum" in p),
+            ("all 7 lags share one window pass", lambda p: p.count("Window") == 1),
+        ],
+    ),
+    "ewma_daily_revenue": (
+        "EWMA smoothing: ONE fact scan to the O(days) series; all 10 FIR taps in ONE ordered window; the weighted sum is projection-only arithmetic",
+        [
+            ("single orders scan", lambda p: p.count("FileScan") == 1),
+            ("day rollup partial-aggregates", lambda p: "partial_sum" in p),
+            ("one window pass for every tap", lambda p: p.count("Window") == 1),
+        ],
+    ),
+    "cusum_changepoint_revenue": (
+        "CUSUM changepoint: O(days) series; mean + running sum as two window passes over the bounded frame; argmax via TakeOrdered — no scalar collect, no cross join",
+        [
+            ("single orders scan", lambda p: p.count("FileScan") == 1),
+            ("argmax never global-sorts", lambda p: "TakeOrderedAndProject" in p),
+            ("no join anywhere (mean via window, not cross join)", lambda p: "Join" not in p),
+        ],
+    ),
+    "linreg_trend_by_priority": (
+        "grouped OLS: six exact component sums in one partial-aggregable pass over the day rollup; the closed form is projection-only — no window, no join, no per-group iteration",
+        [
+            ("single orders scan", lambda p: p.count("FileScan") == 1),
+            ("component sums partial-aggregate", lambda p: "partial_sum" in p),
+            ("no window, no join", lambda p: "Window" not in p and "Join" not in p),
+        ],
+    ),
+    "time_weighted_avg_value": (
+        "time-weighted average: LEAD tap and the per-user rollup share ONE user_id exchange (the groupBy reuses the window's partitioning)",
+        [
+            ("single events scan", lambda p: p.count("FileScan") == 1),
+            ("one keyed exchange for window + agg", lambda p: p.count("Exchange hashpartitioning") == 1),
+            ("per-user sums partial-aggregate on the sorted stream", lambda p: "partial_sum" in p or "partial_count" in p),
+        ],
+    ),
+    "skyline_pareto_orders": (
+        "distributed skyline: bucketed local-prune window drops dominated rows before the exact pass; the level frame (a post-aggregate, data-dependent-small) broadcasts back by SIZE, not hint",
+        [
+            ("bucket-prune + level windows present (the prune subtree prints twice — it feeds both join sides; AQE reuses the stage at runtime)", lambda p: p.count("Window") >= 2),
+            ("level frame joins back as broadcast", lambda p: "BroadcastHashJoin" in p),
+            ("no cartesian product", lambda p: "CartesianProduct" not in p),
+        ],
+    ),
+    "incremental_agg_merge": (
+        "mergeable-state rollup: base and delta partial-aggregate independently (pushed date predicates), the merge aggregates O(groups x 2) rows — the incremental-refresh shape",
+        [
+            ("date split pushed to both scans", lambda p: sum(1 for ln in p.splitlines() if "FileScan" in ln and "orders.parquet" in ln) == 2),
+            ("partial states before the exchanges", lambda p: "partial_sum" in p and "partial_min" in p),
+            ("no join: merge is a union-aggregate", lambda p: "Join" not in p and "Union" in p),
+        ],
+    ),
+    "weighted_sample_wor_orders": (
+        "A-ES weighted sampling: per-partition top-k merge (TakeOrdered) — the fact table is scanned once and never shuffled; the rank window touches only the k selected rows",
+        [
+            ("single orders scan", lambda p: p.count("FileScan") == 1),
+            ("top-k via TakeOrdered, no global sort", lambda p: "TakeOrderedAndProject" in p),
+            ("no keyed exchange of the fact table", lambda p: "Exchange hashpartitioning" not in p),
+        ],
+    ),
+    "docs_repetition_filter": (
+        "repetition gate: tokenize + bigram derivation stay row-local (Generate) ahead of the two (doc,term)-keyed partial-aggregated counts; the per-doc join is keyed",
+        [
+            ("explodes are row-local Generates", lambda p: "Generate explode" in p),
+            ("term counts partial-aggregate", lambda p: "partial_count" in p),
+            ("no cartesian product", lambda p: "CartesianProduct" not in p),
+        ],
+    ),
+    "interpolate_hourly_purchase_value": (
+        "linear-interpolation gapfill: generated spine (bounds aggregate, never a third scan); both carry directions in window passes over the calendar-bounded frame",
+        [
+            ("exactly two events scans (bounds + hourly means)", lambda p: sum(1 for ln in p.splitlines() if "FileScan" in ln and "events.parquet" in ln) == 2),
+            ("ignorenulls carries via window", lambda p: "Window" in p),
+            ("spine join is keyed on the hour", lambda p: "CartesianProduct" not in p),
+        ],
+    ),
 }
 
 #: cases whose scan/reuse claims are only *printable* with AQE disabled:
