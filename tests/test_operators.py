@@ -230,3 +230,120 @@ def test_point_in_time_join_fanout_is_exactly_one(spark, oracle_sf_dir):
         .count()
     )
     assert n_out == n_purchases  # and none dropped on this fixture
+
+
+# --- round-6 independent-replica pins (beyond the DuckDB oracles) --------
+
+
+def test_skyline_matches_bruteforce(spark, sf_dir):
+    """The bucketed-prune + level-window skyline == the O(n²) dominance
+    definition evaluated directly in NumPy — independent of both the
+    window formulation AND the DuckDB NOT EXISTS spelling."""
+    import numpy as np
+
+    from cooler_mapreduce_spark.operators.windows import skyline_pareto_orders
+
+    got = {
+        (r.o_orderkey, r.o_totalprice, r.o_orderdate)
+        for r in skyline_pareto_orders(spark, sf_dir).collect()
+    }
+    rows = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .collect()
+    )
+    price = np.array([r.o_totalprice for r in rows])
+    date = np.array([r.o_orderdate.timestamp() for r in rows])
+    keep = set()
+    for i in range(len(rows)):
+        dominated = (
+            (price >= price[i])
+            & (date <= date[i])
+            & ((price > price[i]) | (date < date[i]))
+        ).any()
+        if not dominated:
+            keep.add((rows[i].o_orderkey, rows[i].o_totalprice, rows[i].o_orderdate))
+    assert got == keep
+
+
+def test_bfs_matches_pure_python(spark, sf_dir):
+    """Frontier BFS == a sequential deque BFS over the same edge set —
+    validates the anti-join loop independent of the recursive-CTE oracle."""
+    from collections import deque
+
+    from cooler_mapreduce_spark.operators.graph import (
+        _BFS_MAX_HOPS,
+        bfs_hops_from_hub,
+    )
+
+    got = {(r.node, r.hops) for r in bfs_hops_from_hub(spark, sf_dir).collect()}
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_suppkey")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_custkey")
+    fwd = {
+        (r.l_suppkey * 2, r.o_custkey * 2 + 1)
+        for r in li.join(o, li.l_orderkey == o.o_orderkey).collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for s, d in fwd:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    deg = {n: len(vs) for n, vs in adj.items()}
+    hub = max(deg, key=lambda n: (deg[n], -n))
+    dist = {hub: 0}
+    dq = deque([hub])
+    while dq:
+        n = dq.popleft()
+        if dist[n] >= _BFS_MAX_HOPS:
+            continue
+        for m in adj[n]:
+            if m not in dist:
+                dist[m] = dist[n] + 1
+                dq.append(m)
+    assert got == set(dist.items())
+
+
+def test_incremental_merge_is_cutoff_invariant(spark, sf_dir):
+    """The mergeable-state property: ANY base/delta split merges to the
+    same result (the registered query pins one cutoff against the
+    one-pass oracle; this pins three more against each other)."""
+    from cooler_mapreduce_spark.operators.aggregates import incremental_agg_merge
+
+    def run(cutoff: str):
+        import cooler_mapreduce_spark.operators.aggregates as agg
+
+        # re-run the query body with a different split point by
+        # monkey-free parameterization: rebuild inline
+        from pyspark.sql import functions as F
+
+        from cooler_mapreduce_spark.sources.catalog import table
+
+        o = table(spark, sf_dir, "orders", fan_out=False)
+
+        def partial(df):
+            return df.groupBy("o_orderpriority").agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("s"),
+                F.min("o_totalprice").alias("mn"),
+                F.max("o_totalprice").alias("mx"),
+            )
+
+        base = partial(o.filter(F.col("o_orderdate") < cutoff))
+        delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
+        merged = base.unionAll(delta).groupBy("o_orderpriority").agg(
+            F.sum("n").alias("n_orders"),
+            F.sum("s").cast("double").alias("total_price"),
+            F.min("mn").alias("min_price"),
+            F.max("mx").alias("max_price"),
+        )
+        return {tuple(r) for r in merged.collect()}
+
+    a = run("1996-01-01")
+    b = run("1999-06-15")
+    c = run("1995-01-01")  # degenerate: everything in delta
+    assert a == b == c
+    reg = {
+        (r.o_orderpriority, r.n_orders, r.total_price, r.min_price, r.max_price)
+        for r in incremental_agg_merge(spark, sf_dir).collect()
+    }
+    assert reg == a
