@@ -426,3 +426,40 @@ class TestLshBucketCap:
         exact = {(p.doc_a, p.doc_b) for p in band_bucket_pairs(bands, max_bucket=None).collect()}
         capped = {(p.doc_a, p.doc_b) for p in band_bucket_pairs(bands).collect()}
         assert capped == exact
+
+
+def test_runtime_bloom_filter_fires_at_scale_emulation(spark, oracle_sf_dir):
+    """100 TB emulation: when neither join side is broadcastable (at real
+    scale orders is far over any broadcast threshold — emulated here by
+    disabling broadcast) and the fact scan passes the application-side
+    size gate, Catalyst injects a runtime BLOOM FILTER from the selective
+    dim filter into the fact scan (might_contain on l_orderkey) — the
+    semi-join reduction that saves the shuffle of never-matching fact
+    rows. At test SF with defaults the same query correctly plans a
+    broadcast join instead (asserted too): the engine relies on Spark's
+    size-based escalation, no hand-tuning."""
+    from pyspark.sql import functions as F
+
+    sf = oracle_sf_dir
+
+    def build():
+        o = spark.read.parquet(f"{sf}/orders.parquet").filter(
+            (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 400000)
+        )
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        return j._jdf.queryExecution().executedPlan().toString()
+
+    assert "BroadcastHashJoin" in build()  # defaults: size-based broadcast
+
+    before_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    key = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(key, "64KB")
+        p = build()
+        assert "might_contain" in p, "runtime bloom filter was not injected"
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before_bc)
+        spark.conf.unset(key)
