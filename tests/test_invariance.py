@@ -45,6 +45,15 @@ CASES = [
     "bpe_train_merges",
     # iterative argmin/re-mean: literal centroids + decimal-staged means
     "kmeans_embedding_clusters",
+    # round-6: co-moment sums from decimal components (not corr()), the
+    # floor-quantized running CUSUM, the 2^-20-quantized TWA terms, the
+    # power-iteration matrix-vector products, and the A-ES top-k whose
+    # selection order must not depend on partitioning
+    "autocorr_daily_revenue",
+    "cusum_changepoint_revenue",
+    "time_weighted_avg_value",
+    "pca_power_embeddings",
+    "weighted_sample_wor_orders",
 ]
 
 
