@@ -1041,3 +1041,88 @@ def pca_power_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         schema="dim INT, mu DOUBLE, loading DOUBLE, eigenvalue DOUBLE, explained_share DOUBLE",
     )
+
+
+#: shared quantized-sum fragment: floor at 2^-20 before the exact decimal
+#: sum (the engine's double→decimal convention), one string, both engines.
+_QS = ("CAST(SUM(CAST(FLOOR(({t}) * 1048576.0) AS DECIMAL(38,0))) AS DOUBLE)"
+       " / 1048576.0")
+
+_QUANT_COS = (
+    "round(sxd / nullif(sqrt(sxx * sdd), 0.0), 12)"
+)
+
+
+@query(
+    "embedding_quantize_fidelity",
+    oracle=f"""
+    WITH pos AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               unnest(generate_series(1, len(embedding))) AS p
+        FROM embeddings
+    ),
+    stats AS (SELECT p, MIN(x) AS mn, MAX(x) AS mx FROM pos GROUP BY p),
+    dq AS (
+        SELECT vec_id, x,
+               CASE WHEN mx > mn
+                    THEN mn + (least(floor((x - mn) / (mx - mn) * 256.0), 255.0)
+                               + 0.5) * ((mx - mn) / 256.0)
+                    ELSE mn END AS d
+        FROM pos JOIN stats USING (p)
+    ),
+    comp AS (
+        SELECT vec_id,
+               {_QS.format(t='x * x')} AS sxx,
+               {_QS.format(t='d * d')} AS sdd,
+               {_QS.format(t='x * d')} AS sxd,
+               MAX(ABS(x - d)) AS max_abs_err
+        FROM dq GROUP BY vec_id
+    )
+    SELECT vec_id, {_QUANT_COS} AS cos_fidelity, max_abs_err
+    FROM comp
+    """,
+    tags=("similarity", "quantization", "llm-pipeline", "audit"),
+)
+def embedding_quantize_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-style embedding quantization with a per-vector fidelity
+    audit: each dimension affinely maps onto 256 levels between its
+    corpus-wide min and max (floor-bucketed, dequantized at bucket
+    midpoints), and every vector reports the cosine between itself and
+    its dequantized form plus the max absolute element error — the
+    storage-shrink step (4 bytes → 1 per component) a 100 TB embedding
+    corpus runs before ANN indexing, WITH the evidence it didn't bend
+    the geometry.
+
+    Per-dimension min/max is one posexplode + partial-aggregated pass
+    (O(dim) groups); the stats frame joins back by position — a
+    post-aggregate, data-dependent-small frame the planner broadcasts
+    BY SIZE, never by hint; the three self/cross products re-aggregate
+    per vec_id with floor-quantized decimal sums (the engine
+    convention), so the emitted doubles are bit-identical at any
+    partition count and in both engines. Constant dimensions (mx == mn)
+    dequantize to the constant — zero error, cosine preserved.
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.posexplode(F.expr("CAST(embedding AS ARRAY<DOUBLE>)")).alias("p", "x"),
+    )
+    stats = emb.groupBy("p").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    dq = emb.join(stats, "p").select(
+        "vec_id",
+        "x",
+        F.expr(
+            "CASE WHEN mx > mn"
+            " THEN mn + (least(floor((x - mn) / (mx - mn) * 256.0), 255.0)"
+            "            + 0.5) * ((mx - mn) / 256.0)"
+            " ELSE mn END"
+        ).alias("d"),
+    )
+    comp = dq.groupBy("vec_id").agg(
+        F.expr(_QS.format(t="x * x")).alias("sxx"),
+        F.expr(_QS.format(t="d * d")).alias("sdd"),
+        F.expr(_QS.format(t="x * d")).alias("sxd"),
+        F.max(F.abs(F.col("x") - F.col("d"))).alias("max_abs_err"),
+    )
+    return comp.select(
+        "vec_id", F.expr(_QUANT_COS).alias("cos_fidelity"), "max_abs_err"
+    )
