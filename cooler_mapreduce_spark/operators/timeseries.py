@@ -549,3 +549,62 @@ def interpolate_hourly_purchase_value(spark: SparkSession, sf_dir: str) -> DataF
             F.col("v").isNull() & F.col("pv").isNotNull() & F.col("nv").isNotNull()
         ).alias("is_interpolated"),
     )
+
+
+#: deseasonalized z from exact per-weekday component sums — one string,
+#: both engines; single-day weekdays (zero variance) NULL out via nullif.
+_WD_Z = (
+    "round((revenue - (swx / wn)) / nullif(sqrt((wn * swxx - swx * swx)"
+    " / (wn * (wn - 1.0))), 0.0), 12)"
+)
+
+
+@query(
+    "weekday_profile_anomalies",
+    oracle=f"""
+    WITH {_SQL_DAILY},
+    wd AS (
+        SELECT bucket_day, revenue, dayofweek(bucket_day) + 1 AS dow
+        FROM daily
+    ),
+    prof AS (
+        SELECT dow, CAST(COUNT(*) AS DOUBLE) AS wn,
+               {sql_dsum('revenue')} AS swx,
+               {sql_dsum('revenue * revenue', 4)} AS swxx
+        FROM wd GROUP BY dow
+    )
+    SELECT bucket_day, dow, revenue, {_WD_Z} AS z
+    FROM wd JOIN prof USING (dow)
+    ORDER BY abs({_WD_Z}) DESC, bucket_day
+    LIMIT 10
+    """,
+    tags=("timeseries", "anomaly", "seasonality"),
+)
+def weekday_profile_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally adjusted anomaly detection: each day's revenue scored
+    against ITS WEEKDAY's profile (mean/std over all same-weekday days),
+    top-10 |z| out — the adjustment that keeps every Sunday from looking
+    like an anomaly when weekends simply run lower.
+
+    The weekday profile is 7 groups of exact component sums over the
+    O(days) series (one partial-aggregable pass); profiles join back by
+    size-based broadcast (a 7-row post-aggregate); the z closed form is
+    one shared SQL string — bit-identical across engines — and the
+    top-10 is TakeOrdered with the day tiebreak. Spark's `dayofweek` is
+    1=Sunday..7; DuckDB's is 0-based — the oracle adds 1.
+    """
+    d = _daily_revenue(spark, sf_dir)
+    wd = d.select(
+        "bucket_day", "revenue", F.dayofweek("bucket_day").alias("dow")
+    )
+    prof = wd.groupBy("dow").agg(
+        F.count("*").cast("double").alias("wn"),
+        dsum("revenue").alias("swx"),
+        dsum(F.col("revenue") * F.col("revenue"), 4).alias("swxx"),
+    )
+    j = wd.join(prof, "dow")
+    return (
+        j.orderBy(F.abs(F.expr(_WD_Z)).desc(), F.asc("bucket_day"))
+        .limit(10)
+        .select("bucket_day", "dow", "revenue", F.expr(_WD_Z).alias("z"))
+    )
