@@ -510,3 +510,86 @@ def table_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .catalog import table
 
     return table(spark, sf_dir, "events")
+
+
+@query(
+    "sink_schema_evolution_roundtrip",
+    oracle=f"""
+    WITH v1 AS (
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY o_orderpriority
+    ),
+    v2 AS (
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               {{dsum}} AS total_price
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY o_orderpriority
+    ),
+    merged AS (
+        SELECT o_orderpriority, n_orders, NULL::DOUBLE AS total_price FROM v1
+        UNION ALL
+        SELECT o_orderpriority, n_orders, total_price FROM v2
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_batches,
+           CAST(SUM(n_orders) AS BIGINT) AS n_orders_total,
+           CAST(SUM(CAST(total_price AS DECIMAL(30,2))) AS DOUBLE)
+             AS late_total_price
+    FROM merged GROUP BY o_orderpriority
+    """.format(
+        dsum="CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)"
+    ),
+    tags=("sink", "parquet", "schema-evolution", "roundtrip"),
+)
+def sink_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution end-to-end: an early batch writes
+    (priority, n_orders); a later batch appends with an ADDED
+    total_price column; the read merges footers (``mergeSchema``) so old
+    files surface NULL for the new column — the additive-evolution
+    contract a 100 TB lake lives by (readers never rewrite history to
+    gain a column). The read-back aggregate proves both batch
+    generations landed: per priority, the batch count, the order total
+    across generations, and the new column's sum (old-generation NULLs
+    ignored by SUM, decimal-staged).
+
+    Scale note: mergeSchema reconciles FOOTERS, an O(files) planning
+    cost — production layouts record the merged schema in the catalog
+    instead; the semantics (NULL-filled added columns) are identical,
+    which is what this pins.
+    """
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    v1 = (
+        o.filter(F.col("o_orderdate") < "1998-01-01")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    v2 = (
+        o.filter(F.col("o_orderdate") >= "1998-01-01")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+    out_dir = scratch_dir(spark, "sink_schema_evo_")
+    try:
+        v1.write.mode("overwrite").parquet(out_dir)
+        v2.write.mode("append").parquet(out_dir)
+        back = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(out_dir)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_batches"),
+                F.sum("n_orders").alias("n_orders_total"),
+                F.sum(F.col("total_price").cast("decimal(30,2)"))
+                .cast("double")
+                .alias("late_total_price"),
+            )
+        )
+        return spark.createDataFrame(back.collect(), schema=back.schema)
+    finally:
+        remove_scratch(spark, out_dir)
