@@ -664,3 +664,73 @@ def corpus_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_doc_id").isNull() | (F.col("cluster_id") == F.col("doc_id")))
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+@query(
+    "dedup_incremental_new_batch",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT doc_id, md5(text) AS h,
+               ({md5int_duckdb('CAST(doc_id AS VARCHAR)')}) % 5 = 0 AS is_new
+        FROM documents
+    ),
+    hist AS (SELECT DISTINCT h FROM tagged WHERE NOT is_new),
+    new_batch AS (SELECT doc_id, h FROM tagged WHERE is_new),
+    survivors AS (
+        SELECT n.doc_id, n.h FROM new_batch n
+        WHERE NOT EXISTS (SELECT 1 FROM hist x WHERE x.h = n.h)
+    ),
+    kept AS (
+        SELECT h, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_in_batch
+        FROM survivors GROUP BY h
+    )
+    SELECT
+        (SELECT COUNT(*) FROM new_batch) AS n_new_docs,
+        (SELECT COUNT(*) FROM new_batch) -
+            (SELECT COUNT(*) FROM survivors) AS n_dropped_vs_history,
+        (SELECT COUNT(*) FROM survivors) -
+            (SELECT COUNT(*) FROM kept) AS n_dropped_within_batch,
+        (SELECT COUNT(*) FROM kept) AS n_admitted
+    """,
+    tags=("dedup", "incremental", "llm-pipeline"),
+)
+def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL exact dedup — the shape a daily ingest actually runs:
+    today's batch (a deterministic 20 % hash-slice standing in for the
+    new arrivals) dedups against the HISTORICAL corpus's content-hash
+    set via anti-join, then within itself by min-doc_id argmax — and
+    reports the funnel (arrived → dropped-vs-history →
+    dropped-within-batch → admitted).
+
+    Nothing rescans history's text: the historical side reduces to its
+    DISTINCT 16-byte hashes once (in production, a maintained hash
+    table; at 100 TB the anti-join shuffles only (hash, id) pairs and
+    AQE picks broadcast when the day's batch is small). Complements
+    ``dedup_exact`` (full-corpus grouping) and ``corpus_dedup_apply``
+    (verdict join-back) with the day-over-day admission path.
+    """
+    d = table(spark, sf_dir, "documents", fan_out=False)
+    tagged = d.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        (F.expr(md5int_spark("CAST(doc_id AS STRING)")) % 5 == 0).alias("is_new"),
+    )
+    hist = tagged.filter(~F.col("is_new")).select("h").distinct()
+    new_batch = tagged.filter(F.col("is_new")).select("doc_id", "h")
+    survivors = new_batch.join(hist, "h", "left_anti")
+    kept = survivors.groupBy("h").agg(
+        F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_in_batch")
+    )
+    n_new = new_batch.agg(F.count("*").alias("n_new_docs"))
+    n_surv = survivors.agg(F.count("*").alias("_ns"))
+    n_kept = kept.agg(F.count("*").alias("_nk"))
+    return (
+        n_new.crossJoin(n_surv)
+        .crossJoin(n_kept)
+        .select(
+            "n_new_docs",
+            (F.col("n_new_docs") - F.col("_ns")).alias("n_dropped_vs_history"),
+            (F.col("_ns") - F.col("_nk")).alias("n_dropped_within_batch"),
+            F.col("_nk").alias("n_admitted"),
+        )
+    )

@@ -33,6 +33,7 @@ _NL_ALLOWED = {
     "sales_opportunity_q22",   # single-row avg-balance threshold broadcast (Q22 scalar subquery)
     "important_part_value_q11",  # single-row 0.1%-of-total threshold broadcast (Q11 HAVING subquery)
     "triangle_count_copurchase",  # three single-row census aggregates cross-joined into one row
+    "dedup_incremental_new_batch",  # three single-row funnel counters cross-joined into one row
     "basket_association_rules",   # single-row basket-count scalar broadcast to the rule rows
     "vocab_coverage_topk",     # 3 literal k-thresholds broadcast against vocab ranks
     "doc_unigram_nll",         # single-row corpus-total scalar broadcast to vocab rows
