@@ -602,9 +602,10 @@ def weekday_profile_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("revenue").alias("swx"),
         dsum(F.col("revenue") * F.col("revenue"), 4).alias("swxx"),
     )
-    j = wd.join(prof, "dow")
-    return (
-        j.orderBy(F.abs(F.expr(_WD_Z)).desc(), F.asc("bucket_day"))
-        .limit(10)
-        .select("bucket_day", "dow", "revenue", F.expr(_WD_Z).alias("z"))
+    j = wd.join(prof, "dow").select(
+        "bucket_day", "dow", "revenue", F.expr(_WD_Z).alias("z")
     )
+    # project z BEFORE the sort: with the closed form inlined in the sort
+    # key Spark falls back to Sort+CollectLimit; on the named column the
+    # planner picks TakeOrderedAndProject (per-partition top-k merge).
+    return j.orderBy(F.abs(F.col("z")).desc(), F.asc("bucket_day")).limit(10)

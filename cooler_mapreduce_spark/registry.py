@@ -174,9 +174,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: (linear-interpolation gapfill), embedding_quantize_fidelity (int8
 #: quantization + cosine-fidelity audit), weekday_profile_anomalies
 #: (seasonally adjusted z anomalies), sink_schema_evolution_roundtrip
-#: (additive-column parquet evolution via mergeSchema), and the
-#: rows-only pca_power_embeddings (distributed power-iteration PCA,
-#: NumPy-replica pinned).
+#: (additive-column parquet evolution via mergeSchema),
+#: dedup_incremental_new_batch (new-batch admission funnel against the
+#: historical hash set), and the rows-only pca_power_embeddings
+#: (distributed power-iteration PCA, NumPy-replica pinned).
 PRIORITY_QUERIES: tuple[str, ...] = (
     # --- anchors: one green representative per §2.4 category (r2-r5) ---
     "word_count",                     # parity / scan / flatMap

@@ -562,6 +562,31 @@ CASES = {
             ("spine join is keyed on the hour", lambda p: "CartesianProduct" not in p),
         ],
     ),
+    "embedding_quantize_fidelity": (
+        "int8 quantization audit: per-dim stats are a posexplode partial-agg (O(dim) groups); the stats frame joins back by SIZE-based broadcast; fidelity sums re-aggregate per vec_id — two keyed exchanges total, no hint anywhere",
+        [
+            ("dim stats partial-aggregate", lambda p: "partial_min" in p and "partial_max" in p),
+            ("stats broadcast back by size", lambda p: "BroadcastHashJoin" in p),
+            ("no cartesian product", lambda p: "CartesianProduct" not in p),
+        ],
+    ),
+    "weekday_profile_anomalies": (
+        "seasonal anomaly: day rollup -> 7-group profile -> size-based broadcast-back -> TakeOrdered top-10; the fact table feeds only the day rollup's partial sums",
+        [
+            ("profile joins back as broadcast", lambda p: "BroadcastHashJoin" in p),
+            ("top-10 never global-sorts", lambda p: "TakeOrderedAndProject" in p),
+            ("day rollup partial-aggregates", lambda p: "partial_sum" in p),
+        ],
+    ),
+    "dedup_incremental_new_batch": (
+        "incremental dedup: history reduces to DISTINCT hashes before the anti-join; only (hash, id) pairs ever shuffle; funnel counters are single-row aggregates",
+        [
+            ("admission via anti-join", lambda p: "LeftAnti" in p),
+            ("history hash set deduplicates partial-aggregably", lambda p: "partial" in p),
+            ("no text column in any exchange's partitioning", lambda p: all(
+                "text" not in ln for ln in p.splitlines() if "Exchange" in ln)),
+        ],
+    ),
 }
 
 #: cases whose scan/reuse claims are only *printable* with AQE disabled:
