@@ -286,3 +286,81 @@ def multimodal_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("nb").alias("max_bytes"),
         )
     )
+
+
+_FRAME_DEDUP_EVERY_N = 4
+_FRAME_BUCKET_CAP = 16
+_FRAME_MIN_SHARED = 3
+
+
+@query(
+    "multimodal_frame_dedup",
+    oracle=f"""
+    WITH hx AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+    -- DuckDB has no BLOB substring: slice the hex rendering instead
+    -- (2 chars/byte, pure ASCII, so char offsets are exact byte offsets
+    -- x2 and the sliced hex equals hex(sliced bytes))
+    fr AS (
+        SELECT DISTINCT doc_id,
+               md5(substring(h, 1 + 2048 * k, 512)) AS fh
+        FROM hx,
+             unnest(generate_series(0,
+                 CAST(floor((length(h) / 2 - 1) / 1024.0) AS BIGINT)))
+               AS t(k)
+    ),
+    freq AS (SELECT fh, COUNT(*) AS c FROM fr GROUP BY fh),
+    p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM fr a
+        JOIN fr b ON a.fh = b.fh AND a.doc_id < b.doc_id
+        JOIN freq f ON f.fh = a.fh
+        WHERE f.c BETWEEN 2 AND {_FRAME_BUCKET_CAP}
+    )
+    SELECT doc_a, doc_b, COUNT(*) AS n_shared_frames
+    FROM p GROUP BY doc_a, doc_b
+    HAVING COUNT(*) >= {_FRAME_MIN_SHARED}
+    """,
+    tags=("multimodal", "dedup", "llm-pipeline"),
+)
+def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level video near-duplicate detection — the multimodal twin
+    of MinHash dedup: sample frames from each video (the 1→many
+    mapInPandas stage, deterministic fake decoder — production swaps in
+    ffmpeg + a real perceptual hash), fingerprint each frame, and pair
+    videos sharing ≥3 distinct frame fingerprints. Re-encoded or
+    trimmed copies share frames even when container bytes differ.
+
+    Scale shape is the LSH discipline exactly: fingerprints bucket the
+    corpus; buckets touched by >{_FRAME_BUCKET_CAP} videos are dropped
+    as boilerplate (real video: black frames, title cards — the skew
+    that would otherwise explode the pair join), so candidate pairs are
+    bucket-local and capped. Only (hash, doc_id) pairs shuffle — frames
+    never leave the sampling stage. The fingerprint is md5-over-hex so
+    the DuckDB oracle reproduces it exactly on the same byte slices
+    (DuckDB's md5 takes VARCHAR only).
+    """
+    frames = media_frame_sample_pipeline(spark, sf_dir, every_n=_FRAME_DEDUP_EVERY_N)
+    fr = frames.select(
+        "doc_id", F.md5(F.hex("frame")).alias("fh")
+    ).distinct()
+    per = (
+        fr.groupBy("fh")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
+        .filter(
+            (F.size("docs") >= 2) & (F.size("docs") <= _FRAME_BUCKET_CAP)
+        )
+    )
+    pairs = per.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(docs, (x, i) ->"
+                " transform(slice(docs, i + 2, size(docs)), y ->"
+                " struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared_frames"))
+        .filter(F.col("n_shared_frames") >= _FRAME_MIN_SHARED)
+    )
