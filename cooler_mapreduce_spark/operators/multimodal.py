@@ -340,15 +340,25 @@ def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DuckDB's md5 takes VARCHAR only).
     """
     frames = media_frame_sample_pipeline(spark, sf_dir, every_n=_FRAME_DEDUP_EVERY_N)
-    fr = frames.select(
-        "doc_id", F.md5(F.hex("frame")).alias("fh")
-    ).distinct()
+    return frame_dedup_pairs(frames)
+
+
+def frame_dedup_pairs(
+    frames: DataFrame,
+    bucket_cap: int = _FRAME_BUCKET_CAP,
+    min_shared: int = _FRAME_MIN_SHARED,
+) -> DataFrame:
+    """Pairing core of :func:`multimodal_frame_dedup`, factored so tests
+    can drive it with synthetic blobs that DO share frames — the real
+    test corpus is short word-soup documents (≤553 bytes, no exact
+    duplicates), so the registered query's honest answer there is the
+    empty pair set, verified against the oracle; the positive path is
+    pinned in tests/test_llm_ops.py."""
+    fr = frames.select("doc_id", F.md5(F.hex("frame")).alias("fh")).distinct()
     per = (
         fr.groupBy("fh")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
-        .filter(
-            (F.size("docs") >= 2) & (F.size("docs") <= _FRAME_BUCKET_CAP)
-        )
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= bucket_cap))
     )
     pairs = per.select(
         F.explode(
@@ -362,5 +372,5 @@ def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared_frames"))
-        .filter(F.col("n_shared_frames") >= _FRAME_MIN_SHARED)
+        .filter(F.col("n_shared_frames") >= min_shared)
     )

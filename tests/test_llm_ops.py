@@ -763,3 +763,47 @@ def test_pca_power_matches_numpy_replica(spark, oracle_sf_dir):
     assert abs(sum(c * c for c in v) - 1.0) < 1e-12
     _, v2, eig2, _ = pca_power_frame(spark, oracle_sf_dir)
     assert v2 == v and eig2 == eig
+
+
+def test_frame_dedup_positive_path(spark):
+    """Synthetic videos with genuinely shared frames: A and B share a long
+    common prefix (trimmed-copy scenario), C is unrelated, D is a
+    boilerplate frame shared by too many docs (bucket cap drops it)."""
+    from cooler_mapreduce_spark.operators.multimodal import (
+        frame_dedup_pairs,
+        sample_frames,
+    )
+
+    # 4096 shared bytes with period > 256 -> 16 DISTINCT shared frames
+    common = bytes(((i * 31) + (i >> 8)) & 0xFF for i in range(4096))
+    repeat = bytes(range(256)) * 16          # degenerate: 16 IDENTICAL frames
+    rows = [
+        (1, common + b"A" * 512),
+        (2, common + b"B" * 2048),           # same prefix, different tail
+        (3, bytes(reversed(range(256))) * 20),  # unrelated
+        (4, repeat),
+        (5, repeat + b"C" * 300),            # shares only the repeated frame
+    ]
+    import pandas as pd
+
+    frames = []
+    for doc_id, blob in rows:
+        for i, fr in enumerate(sample_frames(blob, 1, fake=True)):
+            frames.append((doc_id, i, bytearray(fr)))
+    df = spark.createDataFrame(
+        pd.DataFrame(frames, columns=["doc_id", "frame_no", "frame"])
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.n_shared_frames)
+        for r in frame_dedup_pairs(df, bucket_cap=16, min_shared=3).collect()
+    }
+    # 1/2 share 16 DISTINCT fingerprints; 4/5 share only ONE (their 16
+    # common frames are the same repeated pattern -> one fingerprint, so
+    # distinct-fingerprint counting keeps them under min_shared=3 — the
+    # black-frame false-positive the distinct() exists for).
+    assert got == {(1, 2, 16)}
+    got1 = {
+        (r.doc_a, r.doc_b)
+        for r in frame_dedup_pairs(df, bucket_cap=16, min_shared=1).collect()
+    }
+    assert got1 == {(1, 2), (4, 5)}
