@@ -176,7 +176,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: (seasonally adjusted z anomalies), sink_schema_evolution_roundtrip
 #: (additive-column parquet evolution via mergeSchema),
 #: dedup_incremental_new_batch (new-batch admission funnel against the
-#: historical hash set), and the rows-only pca_power_embeddings
+#: historical hash set), theilsen_trend_revenue (median-of-pairwise-
+#: slopes robust trend over the calendar-bounded series),
+#: multimodal_frame_dedup (frame-fingerprint video near-dup pairs,
+#: LSH-shaped capped buckets), and the rows-only pca_power_embeddings
 #: (distributed power-iteration PCA, NumPy-replica pinned).
 PRIORITY_QUERIES: tuple[str, ...] = (
     # --- anchors: one green representative per §2.4 category (r2-r5) ---
