@@ -685,3 +685,83 @@ def theilsen_trend_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("bigint").alias("n_pairs"),
         ((F.min("slope") + F.max("slope")) / F.lit(2.0)).alias("theil_sen_slope"),
     )
+
+
+_RC_WIN = 90  # rolling window: 90 observed days
+
+#: rolling Pearson r from windowed exact component sums — one SQL string
+#: for both engines; degenerate windows (constant series) NULL via nullif.
+_RC_CORR = (
+    "round((nd * sxy - sx * sy) /"
+    " nullif(sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 0.0), 12)"
+)
+
+
+@query(
+    "rolling_corr_revenue_orders",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', o_orderdate) AS bucket_day,
+               {sql_dsum('o_totalprice')} AS x,
+               CAST(COUNT(*) AS DOUBLE) AS y
+        FROM orders GROUP BY 1
+    ),
+    win AS (
+        SELECT bucket_day,
+               CAST(COUNT(*) OVER w AS DOUBLE) AS nd,
+               CAST(SUM(CAST(FLOOR(x) AS DECIMAL(38,0))) OVER w AS DOUBLE) AS sx,
+               CAST(SUM(CAST(FLOOR(y) AS DECIMAL(38,0))) OVER w AS DOUBLE) AS sy,
+               CAST(SUM(CAST(FLOOR(x * y) AS DECIMAL(38,0))) OVER w AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(FLOOR(x * x) AS DECIMAL(38,0))) OVER w AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(FLOOR(y * y) AS DECIMAL(38,0))) OVER w AS DOUBLE) AS syy
+        FROM daily
+        WINDOW w AS (ORDER BY bucket_day
+                     ROWS BETWEEN {_RC_WIN - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT bucket_day, CAST(nd AS BIGINT) AS n_days, {_RC_CORR} AS rolling_corr
+    FROM win WHERE nd >= {_RC_WIN}
+    """,
+    tags=("timeseries", "statistics", "window", "rolling"),
+)
+def rolling_corr_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 90-day correlation between daily revenue and daily order
+    count — "is growth volume-driven or price-driven lately", tracked as
+    it drifts. Windowed Pearson needs SIX running sums (n, Σx, Σy, Σxy,
+    Σx², Σy²); all six ride ONE ordered window over the calendar-bounded
+    series, each unit-floor-quantized before its exact decimal frame sum
+    (x² exceeds 2⁵³ units at any sub-unit staging scale, where a plain
+    rounding cast is conversion-path-dependent across engines — the TWA
+    lesson; FLOOR of an identical double is not, and whole units are
+    noise at 1e7-scale daily magnitudes: the corr error is ~1e-12,
+    below the 1e-12 output rounding). Partial windows
+    (fewer than 90 observed days) are suppressed rather than reported
+    with inflated variance. The closed form is one shared SQL string,
+    `nullif`-guarded for constant windows.
+    """
+    o = table(spark, sf_dir, "orders", fan_out=False)
+    daily = o.groupBy(
+        wall_trunc(F.col("o_orderdate"), "day").alias("bucket_day")
+    ).agg(
+        dsum("o_totalprice").alias("x"),
+        F.count("*").cast("double").alias("y"),
+    )
+    w = Window.orderBy("bucket_day").rowsBetween(-(_RC_WIN - 1), Window.currentRow)
+
+    def ws(expr):
+        q = F.floor(expr).cast("decimal(38,0)")
+        return F.sum(q).over(w).cast("double")
+
+    win = daily.select(
+        "bucket_day",
+        F.count("*").over(w).cast("double").alias("nd"),
+        ws(F.col("x")).alias("sx"),
+        ws(F.col("y")).alias("sy"),
+        ws(F.col("x") * F.col("y")).alias("sxy"),
+        ws(F.col("x") * F.col("x")).alias("sxx"),
+        ws(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return win.filter(F.col("nd") >= _RC_WIN).select(
+        "bucket_day",
+        F.col("nd").cast("bigint").alias("n_days"),
+        F.expr(_RC_CORR).alias("rolling_corr"),
+    )
