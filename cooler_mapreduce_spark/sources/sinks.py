@@ -593,3 +593,62 @@ def sink_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
         return spark.createDataFrame(back.collect(), schema=back.schema)
     finally:
         remove_scratch(spark, out_dir)
+
+
+@query(
+    "source_binaryfile_roundtrip",
+    oracle="""
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+    tags=("source", "binaryfile", "multimodal", "roundtrip"),
+)
+def source_binaryfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `binaryFile` built-in source end-to-end — how a media lake
+    actually arrives: one opaque file per asset. Executors write each
+    document's bytes as its own ``doc_<id>.bin`` (foreachPartition —
+    parallel, never a driver loop), then ``spark.read.format
+    ("binaryFile")`` lists the directory back into (path, length,
+    content) rows; the asset id is parsed from the filename and the
+    content integrity-checked by md5 against the source of truth.
+
+    Scale notes: binaryFile is the ingestion format for the multimodal
+    tier (operators/multimodal.py consumes exactly such blob columns);
+    the listing parallelizes over files, content never passes through
+    the driver, and `pathGlobFilter`/`recursiveFileLookup` give the
+    scan partition-pruning-like selectivity on file layout. The
+    one-file-per-row layout is the SOURCE's contract; a lake would
+    compact small assets into archives before this ever bottlenecks.
+    """
+    import os
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.encode("text", "utf-8").alias("media")
+    )
+    out_dir = scratch_dir(spark, "source_binaryfile_")
+
+    def write_part(rows):
+        for r in rows:
+            # exclusive create: two attempts of a retried task can't
+            # interleave partial writes under the same name
+            with open(os.path.join(out_dir, f"doc_{r.doc_id}.bin"), "wb") as fh:
+                fh.write(bytes(r.media))
+
+    try:
+        d.foreachPartition(write_part)
+        back = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.bin")
+            .load(out_dir)
+            .select(
+                F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+                .cast("bigint")
+                .alias("doc_id"),
+                F.col("length").alias("n_bytes"),
+                F.md5("content").alias("content_md5"),
+            )
+        )
+        return spark.createDataFrame(back.collect(), schema=back.schema)
+    finally:
+        remove_scratch(spark, out_dir)
