@@ -144,6 +144,23 @@ def _stream_cases(spark, sf_dir):
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
+    def scd2_history(i: int) -> None:
+        # raw-append + touched-bucket history rebuild + dynamic overwrite
+        # — the versioned (SCD2) sibling of the SCD1 upsert above
+        from cooler_mapreduce_spark.streaming.dedup import run_streaming_scd2
+
+        work = tempfile.mkdtemp(prefix=f"bench_scd2_{i}_")
+        try:
+            q = run_streaming_scd2(
+                spark, sf_dir, f"{work}/raw", f"{work}/hist", f"{work}/ckpt"
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     def tumbling_available_now(i: int) -> None:
         # Trigger.AvailableNow catch-up: drain everything present, then
         # self-terminate (cron-shaped streaming lifecycle)
@@ -154,6 +171,7 @@ def _stream_cases(spark, sf_dir):
 
     return {
         "stream_scd1_upsert_replay": scd1_upsert,
+        "stream_scd2_history_replay": scd2_history,
         "stream_tumbling_available_now": tumbling_available_now,
     }
 

@@ -597,3 +597,60 @@ def test_cms_stream_equals_batch_cells(spark, sf_dir):
     )
     assert len(got) > 0
     assert got == want
+
+
+def test_streaming_scd2_equals_batch_history(spark, sf_dir, tmp_path):
+    """Streaming SCD2 (raw-append + touched-bucket history rebuild +
+    dynamic partition overwrite) must converge to the batch window twin
+    exactly, regardless of micro-batch slicing — inserts arriving across
+    three rounds produce the same versioned history as one batch pass."""
+    from pyspark.sql import Window
+
+    from cooler_mapreduce_spark.sources.catalog import table
+    from cooler_mapreduce_spark.streaming.dedup import run_streaming_scd2
+
+    in_dir = str(tmp_path / "in")
+    raw = str(tmp_path / "scd2_raw")
+    hist = str(tmp_path / "scd2_hist")
+    ckpt = str(tmp_path / "scd2_ckpt")
+    base = table(spark, sf_dir, "orders", fan_out=False)
+    updates = (
+        base.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 9000 DAYS"))
+    )
+    base.repartition(2).write.mode("append").parquet(f"{in_dir}/orders.parquet")
+    updates.coalesce(1).write.mode("append").parquet(f"{in_dir}/orders.parquet")
+    q = run_streaming_scd2(spark, in_dir, raw, hist, ckpt, max_files_per_trigger=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(hist)
+        .select("custkey", "version", "valid_from", "valid_to", "is_current", "attr")
+        .collect()
+    }
+    allrows = base.unionByName(updates)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    want_df = allrows.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.col("o_totalprice").alias("attr"),
+        F.row_number().over(w).alias("version"),
+        F.lead("o_orderdate").over(w).alias("next_from"),
+    ).select(
+        "custkey",
+        "version",
+        "valid_from",
+        F.coalesce(
+            F.col("next_from"), F.lit("2200-01-01").cast("timestamp_ntz")
+        ).alias("valid_to"),
+        F.col("next_from").isNull().alias("is_current"),
+        "attr",
+    )
+    want = {tuple(r) for r in want_df.collect()}
+    assert got == want
+    # exactly one open version per key
+    n_keys = allrows.select("o_custkey").distinct().count()
+    assert sum(1 for r in got if r[4]) == n_keys
