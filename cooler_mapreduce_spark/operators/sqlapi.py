@@ -117,3 +117,68 @@ def sql_recursive_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_ROLLUP_SQL)
+
+
+@query(
+    "sql_pipe_syntax_revenue",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+    tags=("sql", "pipe-syntax", "aggregation"),
+)
+def sql_pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE syntax (Spark 4's ``|>`` operators, from the SQL:2023 /
+    GoogleSQL lineage): the same scan → filter → aggregate written as a
+    linear pipeline instead of inside-out SQL. Catalyst resolves it to
+    the identical logical plan — the oracle is the classic spelling of
+    the same query, proving the two surfaces agree row-for-row. Filters
+    still push down; the aggregate still partial-aggregates: syntax
+    sugar, not a different engine path.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        FROM orders
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+                       AS revenue
+           GROUP BY o_orderpriority
+    """)
+
+
+@query(
+    "sql_session_variables",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_totalprice >= 400000.0
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+    tags=("sql", "session-variables", "parameterized"),
+)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (``DECLARE`` / ``SET VARIABLE`` — the ANSI
+    parameterization surface Spark 4 added): thresholds live in typed
+    session state instead of string-spliced literals — the
+    SQL-injection-proof way to parameterize dashboards and promote-gate
+    scripts. Constant-folding inlines the variable values at plan time,
+    so the parquet scan still receives both pushed filters; the oracle
+    is the same query with the values inlined, proving the variable
+    path changes nothing semantically.
+    """
+    register_views(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 0.0")
+    spark.sql("DECLARE OR REPLACE VARIABLE date_floor TIMESTAMP_NTZ")
+    spark.sql("SET VARIABLE price_floor = 400000.0")
+    spark.sql("SET VARIABLE date_floor = TIMESTAMP_NTZ '1997-01-01 00:00:00'")
+    return spark.sql("""
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_totalprice >= price_floor AND o_orderdate >= date_floor
+        GROUP BY o_orderpriority
+    """)
