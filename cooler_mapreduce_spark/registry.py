@@ -179,8 +179,15 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: historical hash set), theilsen_trend_revenue (median-of-pairwise-
 #: slopes robust trend over the calendar-bounded series),
 #: multimodal_frame_dedup (frame-fingerprint video near-dup pairs,
-#: LSH-shaped capped buckets), and the rows-only pca_power_embeddings
-#: (distributed power-iteration PCA, NumPy-replica pinned).
+#: LSH-shaped capped buckets), rolling_corr_revenue_orders (90-day
+#: windowed Pearson from six floor-quantized frame sums),
+#: source_binaryfile_roundtrip (the binaryFile media-lake source,
+#: integrity-checked), sql_pipe_syntax_revenue + sql_session_variables
+#: (Spark 4 SQL surfaces, each oracled against its classic spelling),
+#: and the rows-only pca_power_embeddings (distributed power-iteration
+#: PCA, NumPy-replica pinned). Streaming gained run_streaming_scd2
+#: (arrival-order-free history maintenance; pytest-pinned to the batch
+#: twin and benched as stream_scd2_history_replay).
 PRIORITY_QUERIES: tuple[str, ...] = (
     # --- anchors: one green representative per §2.4 category (r2-r5) ---
     "word_count",                     # parity / scan / flatMap
