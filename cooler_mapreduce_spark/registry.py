@@ -64,6 +64,7 @@ _QUERY_MODULES = (
     "cooler_mapreduce_spark.streaming.stateful",
     "cooler_mapreduce_spark.streaming.transform_state",
     "cooler_mapreduce_spark.sources.sinks",
+    "cooler_mapreduce_spark.sources.bucketing",
 )
 
 

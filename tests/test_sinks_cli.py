@@ -1001,3 +1001,17 @@ def test_cli_explain_list_and_unknown(spark, capsys):
     assert "pricing_summary" in out and "rows-only" in out
     with _pytest.raises(SystemExit):
         main(["explain", "no_such_query"])
+
+
+def test_bucketed_join_query_plans_zero_pre_agg_exchanges(spark, oracle_sf_dir):
+    """The registered co-located join must show NO exchange between the
+    two bucketed scans and the join — the shuffle was paid at write."""
+    from cooler_mapreduce_spark.sources.bucketing import (
+        _bucketed_fixture,
+        bucketed_join,
+    )
+
+    t_o, t_l = _bucketed_fixture(spark, oracle_sf_dir)
+    j = bucketed_join(spark, t_l, t_o, "o_orderkey")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
