@@ -1004,14 +1004,28 @@ def test_cli_explain_list_and_unknown(spark, capsys):
 
 
 def test_bucketed_join_query_plans_zero_pre_agg_exchanges(spark, oracle_sf_dir):
-    """The registered co-located join must show NO exchange between the
-    two bucketed scans and the join — the shuffle was paid at write."""
+    """The co-located join never SHUFFLES either bucketed side: at test
+    size the planner (correctly) broadcasts the small side instead; with
+    broadcast impossible — the 100 TB fact-fact situation the layout
+    exists for — the join must run bucket-zipped with ZERO exchanges."""
     from cooler_mapreduce_spark.sources.bucketing import (
         _bucketed_fixture,
         bucketed_join,
     )
 
     t_o, t_l = _bucketed_fixture(spark, oracle_sf_dir)
-    j = bucketed_join(spark, t_l, t_o, "o_orderkey")
-    plan = j._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, plan
+
+    def plan():
+        j = bucketed_join(spark, t_l, t_o, "o_orderkey")
+        return j._jdf.queryExecution().executedPlan().toString()
+
+    assert "Exchange hashpartitioning" not in plan()  # size-based broadcast
+
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        p = plan()
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p, p  # the write paid the only shuffle
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
