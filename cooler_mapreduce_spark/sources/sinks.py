@@ -652,3 +652,72 @@ def source_binaryfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(back.collect(), schema=back.schema)
     finally:
         remove_scratch(spark, out_dir)
+
+
+@query(
+    "read_json_permissive_corrupt",
+    oracle="""
+    SELECT
+        CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_corrupt,
+        CAST(SUM(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_valid,
+        CAST(SUM(CASE WHEN doc_id % 10 <> 0 THEN n_chars END) AS BIGINT)
+          AS valid_chars
+    FROM documents
+    """,
+    tags=("source", "json", "error-handling", "roundtrip"),
+)
+def read_json_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input survival, end-to-end: a JSONL batch where every
+    10th record is TRUNCATED mid-object (the torn write / bad producer
+    every 100 TB ingest eventually meets) is read back in PERMISSIVE
+    mode with a ``_corrupt_record`` capture column — the malformed lines
+    land there for quarantine instead of killing the job (FAILFAST) or
+    silently vanishing (DROPMALFORMED), and every well-formed record
+    survives bit-intact. The oracle recomputes the expected
+    valid/corrupt split and surviving payload volume from the source of
+    truth.
+
+    The corruption is deterministic (doc_id % 10), so the assertion is
+    exact, not statistical. At scale the same option set plus a
+    quarantine sink on the corrupt column is the ingest contract.
+    """
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "n_chars"
+    )
+    line = F.to_json(F.struct("doc_id", "text", "n_chars"))
+    jsonl = d.select(
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            # torn record: drop the closing half of the object
+            F.substring(line, 1, 20),
+        )
+        .otherwise(line)
+        .alias("value")
+    )
+    out_dir = scratch_dir(spark, "json_permissive_")
+    try:
+        jsonl.write.mode("overwrite").text(out_dir)
+        back = (
+            spark.read.schema(
+                "doc_id bigint, text string, n_chars bigint, _corrupt_record string"
+            )
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(out_dir)
+        )
+        stats = back.agg(
+            F.sum(
+                F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)
+            ).alias("n_corrupt"),
+            F.sum(
+                F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0)
+            ).alias("n_valid"),
+            F.sum(
+                F.when(F.col("_corrupt_record").isNull(), F.col("n_chars"))
+            ).alias("valid_chars"),
+        )
+        return spark.createDataFrame(stats.collect(), schema=stats.schema)
+    finally:
+        remove_scratch(spark, out_dir)
