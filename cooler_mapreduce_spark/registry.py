@@ -185,10 +185,14 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: source_binaryfile_roundtrip (the binaryFile media-lake source,
 #: integrity-checked), sql_pipe_syntax_revenue + sql_session_variables
 #: (Spark 4 SQL surfaces, each oracled against its classic spelling),
-#: and the rows-only pca_power_embeddings (distributed power-iteration
-#: PCA, NumPy-replica pinned). Streaming gained run_streaming_scd2
-#: (arrival-order-free history maintenance; pytest-pinned to the batch
-#: twin and benched as stream_scd2_history_replay).
+#: bucketed_join_colocated (the paid-once-shuffle co-located join,
+#: zero-exchange plan asserted under broadcast-off emulation),
+#: read_json_permissive_corrupt (torn-record JSONL ingestion with
+#: _corrupt_record quarantine), and the rows-only pca_power_embeddings
+#: (distributed power-iteration PCA, NumPy-replica pinned). Streaming
+#: gained run_streaming_scd2 (arrival-order-free history maintenance;
+#: pytest-pinned to the batch twin and benched as
+#: stream_scd2_history_replay).
 PRIORITY_QUERIES: tuple[str, ...] = (
     # --- anchors: one green representative per §2.4 category (r2-r5) ---
     "word_count",                     # parity / scan / flatMap
