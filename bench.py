@@ -240,6 +240,18 @@ def main() -> None:
             df = spec.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             raw.append(round(time.perf_counter() - t0, 3))
+            # Drop the frame and force a driver GC so the ContextCleaner
+            # can release the run's localCheckpoint blocks before the
+            # next run: queries that checkpoint multi-consumer statics
+            # (the graph family) otherwise accumulate executor blocks
+            # across runs and their arrays degrade 2-3x (measured:
+            # triangle [12.1, 12.2, 14.6] without this, [7.3, 5.7, 5.6,
+            # 5.3] with — the run-array degradation SCALING.md's
+            # triangle note first attributed to the wedge join).
+            del df
+            import gc
+
+            gc.collect()
             if i >= 2:
                 lo, lo2 = sorted(raw)[:2]
                 # converged = the two fastest agree AND the latest run is
