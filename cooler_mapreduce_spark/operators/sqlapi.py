@@ -151,6 +151,39 @@ def sql_pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_group_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY o_orderstatus, o_orderpriority, n_orders, revenue
+    """,
+    tags=("sql", "group-by-all", "aggregation"),
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` / ``ORDER BY ALL`` (the DuckDB-originated
+    shorthand Spark adopted): every non-aggregate select item becomes a
+    grouping key, and the output orders by every column left-to-right —
+    no key list to keep in sync with the projection. The analyzer
+    expands ALL at resolution time, so the optimized plan is IDENTICAL
+    to the explicit spelling the oracle runs: same partial+final hash
+    aggregate, same exchange on the expanded keys — surface sugar, not
+    an engine path. (The ordering is total here — the two key columns
+    plus both aggregates — so the row order itself is deterministic,
+    though the driver's hash compare never relies on it.)
+    """
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+    """)
+
+
+@query(
     "sql_session_variables",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS n_orders
