@@ -366,9 +366,11 @@ def dedup_simhash_pairs(
 # ------------------------------------------------------ n-gram jaccard ----
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle=f"""
+#: Exact 3-gram Jaccard pair set at threshold 0.35 — the shared oracle of
+#: the posting-list formulation (dedup_ngram_jaccard) and the
+#: prefix-filter formulation (dedup_prefix_filter_jaccard): two physical
+#: strategies, one answer.
+_NGRAM_JACCARD_ORACLE = f"""
     WITH sh AS (
         SELECT doc_id, unnest({shingles_duckdb("string_split(text, ' ')")}) AS shingle
         FROM documents
@@ -385,7 +387,12 @@ def dedup_simhash_pairs(
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.35
-    """,
+    """
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_NGRAM_JACCARD_ORACLE,
     tags=("dedup", "jaccard", "llm-pipeline"),
 )
 def dedup_ngram_jaccard(
@@ -435,6 +442,92 @@ def dedup_ngram_jaccard(
     return (
         inter.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.35)
+    )
+
+
+@query(
+    "dedup_prefix_filter_jaccard",
+    oracle=_NGRAM_JACCARD_ORACLE,
+    tags=("dedup", "jaccard", "prefix-filter", "llm-pipeline"),
+)
+def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard ≥ 0.35 via PREFIX FILTERING (Bayardo et al.,
+    "Scaling Up All Pairs Similarity Search", WWW'07) — the scale path
+    that replaces ``dedup_ngram_jaccard``'s full posting-list self-join.
+
+    Every doc's shingle set is ordered by one corpus-global key
+    (document frequency ascending, shingle ascending — rarest first);
+    a pair with Jaccard ≥ t MUST share a token inside each side's first
+    |x| − ⌈t·|x|⌉ + 1 tokens, so candidates are generated only from
+    PREFIX-token buckets and then verified exactly against the full
+    shingle sets. Same oracle as the posting-list formulation: two
+    physical strategies, provably one answer.
+
+    Why this is the 100 TB shape: the posting-list join explodes on
+    boilerplate — one shingle shared by k docs emits k² pairs, so the
+    exact form needs a stop-shingle cap that silently weakens it. Under
+    the df-ascending order those heavy shingles sort to the END of
+    every doc and almost never enter a prefix; bucket fan-out
+    concentrates where df is small (k² of a small k), with NO
+    approximation. Stages: one shuffle to count df, one keyed shuffle
+    to re-sort each doc's tokens, candidate generation over prefix
+    buckets, a distinct, and two doc-keyed joins carrying the full
+    arrays only for surviving candidates. Verification cost is
+    O(candidates), and candidates ⊇ answers shrinks toward the answer
+    set as t rises.
+    """
+    t = 0.35
+    d = table(spark, sf_dir, "documents")
+    sh_arr = d.select(
+        "doc_id", F.expr(shingles_spark("split(text, ' ')")).alias("shingles")
+    )
+    tok = sh_arr.select(
+        "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("shingle")
+    )
+    df_counts = tok.groupBy("shingle").agg(F.count("*").alias("df"))
+    # corpus-global token order: (df asc, shingle asc) — struct sort
+    ordered = (
+        tok.join(df_counts, "shingle")
+        .groupBy("doc_id", "n")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("toks"))
+    )
+    plen = F.greatest(
+        F.col("n") - F.ceil(F.lit(t) * F.col("n")).cast("int") + F.lit(1), F.lit(1)
+    )
+    prefix = ordered.select(
+        "doc_id", "n", F.explode(F.slice(F.col("toks.shingle"), F.lit(1), plen)).alias("shingle")
+    )
+    buckets = (
+        prefix.groupBy("shingle")
+        .agg(F.collect_list(F.struct("doc_id", "n")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    cand = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) ->"
+                    " transform(filter(ds, y -> y.doc_id > x.doc_id),"
+                    " y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,"
+                    " x.n AS n_a, y.n AS n_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .distinct()
+    )
+    sets = sh_arr.select("doc_id", "shingles")
+    verified = (
+        cand.join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
+        .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
+        .select(
+            "doc_a", "doc_b", "n_a", "n_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("i"),
+        )
+    )
+    jac = F.col("i").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("i"))
+    return verified.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= t
     )
 
 
