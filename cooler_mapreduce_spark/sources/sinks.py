@@ -721,3 +721,136 @@ def read_json_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(stats.collect(), schema=stats.schema)
     finally:
         remove_scratch(spark, out_dir)
+
+
+# ------------------------------------------- copy-on-write upsert sink ----
+
+#: One shared spelling of the floor-quantized revenue sum (×2^20, FLOOR,
+#: exact decimal sum): updates carry full-entropy doubles (price × 1.1),
+#: where a straight double→DECIMAL(30,2) CAST would hit Spark-vs-DuckDB
+#: tie-rounding differences (half-up vs round-half-even).
+_COW_REVENUE = (
+    "CAST(SUM(CAST(FLOOR(o_totalprice * 1048576.0) AS DECIMAL(38,0)))"
+    " AS DOUBLE) / 1048576.0"
+)
+
+
+def cow_rewrite_partitions(
+    spark: SparkSession,
+    path: str,
+    touched: list[int],
+    change_keys: DataFrame,
+    upserts: DataFrame,
+) -> None:
+    """Copy-on-write MERGE into a parquet dataset partitioned by
+    ``o_year``: read ONLY the touched partitions (partition-pruned
+    scan), drop changed keys (broadcast anti join — the CDC batch is
+    bounded by ingest cadence, not dataset size), append the new row
+    versions, and overwrite JUST those partitions via dynamic partition
+    overwrite. Untouched partitions are never read, never rewritten —
+    the rewrite cost is O(touched data), not O(dataset); that
+    proportionality is the entire point of COW at 100 TB.
+
+    The dynamic-overwrite commit is per-partition-atomic (each partition
+    dir swaps on job commit); concurrent readers of untouched partitions
+    are unaffected throughout.
+    """
+    cur = spark.read.parquet(path).filter(F.col("o_year").isin(touched))
+    survivors = cur.join(F.broadcast(change_keys), "o_orderkey", "left_anti")
+    merged = survivors.select(*upserts.columns).unionByName(upserts)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+@query(
+    "sink_cow_upsert_partitioned",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year, o_totalprice
+        FROM orders
+    ),
+    src AS (SELECT * FROM base WHERE o_year IN (1996, 1997)),
+    deletes AS (
+        SELECT o_orderkey FROM src WHERE o_year = 1996 AND o_orderkey % 13 = 0
+    ),
+    updates AS (
+        SELECT o_orderkey, o_year, o_totalprice * 1.1 AS o_totalprice
+        FROM src WHERE o_orderkey % 13 <> 0 AND o_orderkey % 7 = 0
+    ),
+    inserts AS (
+        SELECT o_orderkey + 10000000 AS o_orderkey, o_year, 42.0 AS o_totalprice
+        FROM src WHERE o_year = 1997 AND o_orderkey % 97 = 0
+    ),
+    change_keys AS (
+        SELECT o_orderkey FROM deletes UNION ALL SELECT o_orderkey FROM updates
+    ),
+    merged AS (
+        SELECT b.o_orderkey, b.o_year, b.o_totalprice
+        FROM base b LEFT JOIN change_keys c ON b.o_orderkey = c.o_orderkey
+        WHERE b.o_year IN (1996, 1997) AND c.o_orderkey IS NULL
+        UNION ALL SELECT * FROM updates
+        UNION ALL SELECT * FROM inserts
+        UNION ALL SELECT * FROM base WHERE o_year NOT IN (1996, 1997)
+    )
+    SELECT o_year, COUNT(*) AS n_orders, {_COW_REVENUE} AS revenue
+    FROM merged GROUP BY o_year
+    """,
+    tags=("sink", "parquet", "cow", "merge", "partition-pruning", "roundtrip"),
+)
+def sink_cow_upsert_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write upsert into a year-partitioned parquet lake,
+    end-to-end: materialize orders partitioned by ``o_year``, apply a
+    deterministic CDC batch that touches ONLY 1996/1997 (deletes in
+    1996, price-uplift updates in both, fresh-key inserts into 1997),
+    rewrite JUST those two partition directories (dynamic partition
+    overwrite after a partition-pruned read), then read the whole
+    dataset back and aggregate per year. The oracle computes the same
+    MERGE in SQL — proving the file-level surgery preserved exact
+    table semantics, survivors and all, across the untouched years too.
+
+    This is the table-format primitive under Delta/Iceberg MERGE
+    (reference has no notion of mutable datasets — its sinks are
+    write-once TSV part files, design.md's sink contract): COW rewrite
+    cost scales with the touched slice, reads stay plain parquet scans
+    with partition pruning, and ``tests/test_sinks_cli.py`` pins that
+    untouched partitions' files are byte-identical (never rewritten).
+    """
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = o.select(
+        "o_orderkey", F.year("o_orderdate").cast("int").alias("o_year"), "o_totalprice"
+    )
+    out = scratch_dir(spark, "sink_cow_")
+    try:
+        base.write.mode("overwrite").partitionBy("o_year").parquet(out)
+        src = base.filter(F.col("o_year").isin(1996, 1997))
+        deletes = src.filter(
+            (F.col("o_year") == 1996) & (F.col("o_orderkey") % 13 == 0)
+        ).select("o_orderkey")
+        updates = src.filter(
+            (F.col("o_orderkey") % 13 != 0) & (F.col("o_orderkey") % 7 == 0)
+        ).select(
+            "o_orderkey", "o_year", (F.col("o_totalprice") * 1.1).alias("o_totalprice")
+        )
+        inserts = src.filter(
+            (F.col("o_year") == 1997) & (F.col("o_orderkey") % 97 == 0)
+        ).select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            "o_year",
+            F.lit(42.0).alias("o_totalprice"),
+        )
+        change_keys = deletes.union(updates.select("o_orderkey"))
+        cow_rewrite_partitions(
+            spark, out, [1996, 1997], change_keys, updates.unionByName(inserts)
+        )
+        back = (
+            spark.read.parquet(out)
+            .groupBy("o_year")
+            .agg(F.count("*").alias("n_orders"), F.expr(_COW_REVENUE).alias("revenue"))
+        )
+        return spark.createDataFrame(back.collect(), schema=back.schema)
+    finally:
+        remove_scratch(spark, out)

@@ -1029,3 +1029,52 @@ def test_bucketed_join_query_plans_zero_pre_agg_exchanges(spark, oracle_sf_dir):
         assert "Exchange" not in p, p  # the write paid the only shuffle
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+
+
+def test_cow_rewrite_leaves_untouched_partitions_byte_identical(spark, tmp_path):
+    """cow_rewrite_partitions must never read or rewrite partitions the
+    CDC batch doesn't touch — pinned by hashing the untouched partition
+    directories' data files before and after the rewrite."""
+    import hashlib
+
+    from cooler_mapreduce_spark.sources.sinks import cow_rewrite_partitions
+
+    path = str(tmp_path / "cow_ds")
+    base = spark.range(1, 201).select(
+        F.col("id").alias("o_orderkey"),
+        (F.lit(1994) + (F.col("id") % 4)).cast("int").alias("o_year"),
+        (F.col("id") * 1.5).alias("o_totalprice"),
+    )
+    base.write.partitionBy("o_year").parquet(path)
+
+    def dir_state(year):
+        files = sorted(glob.glob(f"{path}/o_year={year}/*.parquet"))
+        return [
+            (os.path.basename(f), hashlib.md5(open(f, "rb").read()).hexdigest())
+            for f in files
+        ]
+
+    before = {y: dir_state(y) for y in (1994, 1995)}
+    # touch only 1996/1997: delete keys %10==6 (year 1996 keys are id%4==2),
+    # update keys %10==7, insert two fresh keys into 1997
+    change_keys = spark.createDataFrame(
+        [(6,), (7,), (46,), (47,)], "o_orderkey bigint"
+    )
+    upserts = spark.createDataFrame(
+        [(7, 1997, 99.0), (47, 1997, 99.0), (1007, 1997, 42.0)],
+        "o_orderkey bigint, o_year int, o_totalprice double",
+    )
+    cow_rewrite_partitions(spark, path, [1996, 1997], change_keys, upserts)
+
+    assert {y: dir_state(y) for y in (1994, 1995)} == before
+    back = spark.read.parquet(path)
+    # untouched years keep all rows; touched years reflect the merge
+    assert back.filter(F.col("o_year").isin(1994, 1995)).count() == 100
+    keys_96_97 = {
+        r.o_orderkey
+        for r in back.filter(F.col("o_year").isin(1996, 1997)).collect()
+    }
+    assert 6 not in keys_96_97 and 46 not in keys_96_97  # deleted
+    assert 1007 in keys_96_97  # inserted
+    upd = back.filter(F.col("o_orderkey") == 7).collect()
+    assert len(upd) == 1 and upd[0].o_totalprice == 99.0 and upd[0].o_year == 1997
