@@ -550,3 +550,85 @@ def bfs_hops_from_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
         frontier = nxt
     return visited.select("node", F.col("hops").cast("bigint").alias("hops"))
+
+
+_LPA_ITERATIONS = 5
+
+
+@query(
+    "label_propagation_communities",
+    oracle=None,  # synchronous fixed-round label propagation — iterative
+    # multi-round dataflow, not one SQL expression; the test pins the
+    # full label assignment against a pure-Python replica of the
+    # identical (deterministic) update rule on the identical edge set.
+    tags=("graph", "iterative", "community"),
+)
+def label_propagation_communities(
+    spark: SparkSession, sf_dir: str, iterations: int = _LPA_ITERATIONS
+) -> DataFrame:
+    """Community detection by LABEL PROPAGATION (Raghavan et al. 2007)
+    over the part affinity graph (co-purchased in ≥2 distinct orders —
+    the same support threshold as the k-core and basket-rules tiers):
+    every node starts as its own label; each round it adopts the label
+    most frequent among its neighbors. Communities are the fixpoint
+    labels' member sets — the near-linear-time community primitive that
+    rounds out the graph suite.
+
+    Determinism (classic LPA is notoriously order-dependent — this
+    variant is not): updates are SYNCHRONOUS (round t+1 reads only
+    round t, like the connected-components rewrite) and the adopted
+    label is the argmax under the total order (count DESC, label ASC) —
+    one ``max(struct(cnt, -label))`` partial-aggregable aggregate, so
+    shuffle arrival order cannot change the winner. Fixed round count
+    rather than a convergence probe: synchronous LPA can 2-cycle on
+    bipartite-ish regions (a fixpoint test need not terminate), and a
+    fixed horizon keeps the result well-defined; 5 rounds saturate this
+    graph's diameter-2 affinity clusters.
+
+    Scale: each round is one hash join (labels onto the undirected edge
+    list, both sides keyed by node) + one partial-aggregable count +
+    one argmax — all O(|edges|) with no global structure; round results
+    localCheckpoint so the lineage stays flat across rounds (the
+    PageRank pattern). Output: one row per community with its size and
+    canonical (minimum) member — rows-only at the driver, value-pinned
+    by the replica test.
+    """
+    li = table(spark, sf_dir, "lineitem", fan_out=False).select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("u", "v")
+    )
+    und = (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .localCheckpoint(eager=True)
+    )
+    labels = und.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        nbl = (
+            und.join(
+                labels.select(F.col("node").alias("nbr"), "label"), "nbr"
+            )
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            nbl.groupBy("node")
+            .agg(F.max(F.struct("cnt", (-F.col("label")).alias("nl"))).alias("m"))
+            .select("node", (-F.col("m.nl")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        labels.groupBy("label")
+        .agg(F.count("*").alias("n_members"), F.min("node").alias("min_member"))
+        .select(F.col("label").alias("community"), "n_members", "min_member")
+    )

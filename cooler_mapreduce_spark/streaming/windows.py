@@ -477,6 +477,52 @@ def run_stream_stream_left_join(
     )
 
 
+@query(
+    "stream_stream_left_outer_clicks",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id, c.ts AS click_ts, p.ts AS purchase_ts
+    FROM events c LEFT JOIN events p
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click'
+    """,
+    tags=("streaming", "join", "stream-stream", "outer"),
+)
+def stream_stream_left_outer_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of :func:`run_stream_stream_left_join` — every click,
+    matched to purchases by the same user in the following 30 minutes,
+    null-extended when unconverted. The conversion-funnel denominator:
+    the inner twin above loses the unconverted clicks that this one
+    keeps, and those null rows are precisely what the streaming side
+    may only emit after the watermark proves no match can still arrive
+    (state eviction as emission — see the streaming runner's
+    docstring). The filters sit UNDER the join (pushed to both scan
+    sides); the join itself is an equi-join on user_id with a
+    time-range residual — hash-partitioned, never a cross product, and
+    the null-extension adds no extra exchange.
+    """
+    ev = table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return c.join(
+        p,
+        (c.user_id == p.p_user_id)
+        & (p.purchase_ts >= c.click_ts)
+        & (p.purchase_ts < c.click_ts + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+
+
 def run_ohlc_stream(
     spark: SparkSession,
     sf_dir: str,

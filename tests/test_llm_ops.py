@@ -807,3 +807,43 @@ def test_frame_dedup_positive_path(spark):
         for r in frame_dedup_pairs(df, bucket_cap=16, min_shared=1).collect()
     }
     assert got1 == {(1, 2), (4, 5)}
+
+
+def test_label_propagation_matches_pure_python_replica(spark, oracle_sf_dir):
+    """Synchronous LPA with the (count DESC, label ASC) argmax is fully
+    deterministic — the distributed rounds must equal a sequential
+    replica of the identical update rule on the identical affinity
+    edges, community by community."""
+    import duckdb
+
+    got = sorted(
+        tuple(r)
+        for r in SPECS["label_propagation_communities"].fn(spark, oracle_sf_dir).collect()
+    )
+
+    edges = duckdb.sql(f"""
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM '{oracle_sf_dir}/lineitem.parquet' a
+        JOIN '{oracle_sf_dir}/lineitem.parquet' b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """).fetchall()
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    label = {n: n for n in adj}
+    for _ in range(5):
+        nxt = {}
+        for n, nbrs in adj.items():
+            counts = {}
+            for m in nbrs:
+                counts[label[m]] = counts.get(label[m], 0) + 1
+            nxt[n] = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        label = nxt
+    comm = {}
+    for n, lb in label.items():
+        comm.setdefault(lb, []).append(n)
+    want = sorted((lb, len(ms), min(ms)) for lb, ms in comm.items())
+    assert got == want
+    assert 1 < len(want) < len(adj)  # nontrivial: real grouping happened
