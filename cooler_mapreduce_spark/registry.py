@@ -193,6 +193,20 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: gained run_streaming_scd2 (arrival-order-free history maintenance;
 #: pytest-pinned to the batch twin and benched as
 #: stream_scd2_history_replay).
+#:
+#: Round-6 second-half additions (locally hash-green, queued behind the
+#: items above for r7 driver rows): holt_linear_smoothing (sequential
+#: Holt fold over the calendar-bounded weekly series; recursive-CTE
+#: oracle sharing one spelling of the update expressions),
+#: sql_group_by_all (GROUP BY ALL / ORDER BY ALL surface vs the
+#: explicit spelling), dedup_prefix_filter_jaccard (Bayardo WWW'07
+#: prefix filtering — exact Jaccard pairs sharing the posting-list
+#: formulation's oracle), sink_cow_upsert_partitioned (copy-on-write
+#: partitioned MERGE via dynamic partition overwrite; untouched
+#: partitions pinned byte-identical), stream_stream_left_outer_clicks
+#: (watermark-evicted outer join's batch twin), and the rows-only
+#: label_propagation_communities (deterministic synchronous LPA,
+#: pure-Python-replica pinned).
 PRIORITY_QUERIES: tuple[str, ...] = (
     # --- anchors: one green representative per §2.4 category (r2-r5) ---
     "word_count",                     # parity / scan / flatMap

@@ -587,6 +587,35 @@ CASES = {
                 "text" not in ln for ln in p.splitlines() if "Exchange" in ln)),
         ],
     ),
+    "holt_linear_smoothing": (
+        "sequential Holt fold: the fact collapses to the calendar-bounded weekly series with ONE partial-aggregated shuffle; the HOF fold itself adds no join and no extra exchange",
+        [
+            ("partial agg before the series shuffle", lambda p: "partial" in p),
+            ("no join anywhere", lambda p: "Join" not in p),
+            ("exactly the series + global-collect exchanges", lambda p:
+                p.count("Exchange") <= 3),
+        ],
+    ),
+    "dedup_prefix_filter_jaccard": (
+        "prefix-filter all-pairs: candidates come from prefix-token buckets (never a cross join); verification joins carry full arrays only for candidate doc ids",
+        [
+            ("no cartesian product", lambda p: "CartesianProduct" not in p),
+            ("candidate pairs deduplicated before verification", lambda p:
+                "partial" in p),
+            ("no text column in any exchange's partitioning", lambda p: all(
+                "text" not in ln for ln in p.splitlines() if "Exchange" in ln)),
+        ],
+    ),
+    "stream_stream_left_outer_clicks": (
+        "outer attribution twin: event_type filters pushed to both scan sides under the join; equi-join on user_id with a time-range residual — hash-partitioned, never a cross product",
+        [
+            ("event_type filter reaches the scans", lambda p:
+                _scan_line(p) is not None and "PushedFilters: [" in p),
+            ("user_id equi-join (hash or sort-merge)", lambda p:
+                "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p),
+            ("no cartesian product", lambda p: "CartesianProduct" not in p),
+        ],
+    ),
 }
 
 #: cases whose scan/reuse claims are only *printable* with AQE disabled:

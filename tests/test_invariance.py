@@ -54,6 +54,14 @@ CASES = [
     "time_weighted_avg_value",
     "pca_power_embeddings",
     "weighted_sample_wor_orders",
+    # round-6 second half: the sequential Holt fold (one HOF pass whose
+    # input array order comes from array_sort, never from partitioning),
+    # the prefix-filter candidate set (df-ordering ties broken by
+    # shingle text — candidates must not depend on partition layout),
+    # and the synchronous LPA argmax (count DESC, label ASC total order)
+    "holt_linear_smoothing",
+    "dedup_prefix_filter_jaccard",
+    "label_propagation_communities",
 ]
 
 
