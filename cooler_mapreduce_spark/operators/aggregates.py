@@ -1188,3 +1188,78 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_price",
         (total / F.col("n_orders")).alias("avg_price"),
     )
+
+
+@query(
+    "weighted_median_price_by_flag",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS price,
+               CAST(l_quantity AS BIGINT) AS qty
+        FROM lineitem
+    ),
+    c AS (
+        SELECT flag, price, qty,
+               SUM(qty) OVER (PARTITION BY flag ORDER BY price
+                              RANGE BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cumw,
+               SUM(qty) OVER (PARTITION BY flag) AS tot
+        FROM w
+    )
+    SELECT flag AS l_returnflag, CAST(MIN(tot) AS BIGINT) AS total_qty,
+           MIN(price) AS weighted_median_price
+    FROM c WHERE 2 * cumw >= tot GROUP BY flag
+    """,
+    tags=("aggregation", "window", "percentiles", "weighted"),
+)
+def weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median of extended price per return flag, weighted
+    by quantity — the unit-economics median ("the price of the median
+    unit sold", not the median line item), which no built-in percentile
+    covers (percentile/median weigh every row equally).
+
+    Definition: the lower weighted median — the smallest price whose
+    cumulative weight reaches half the group total. The cumulative sum
+    uses a RANGE frame (peers included), so rows tied on price all see
+    the same cumw — the selected price is invariant to tie order and to
+    partitioning, with no row-id tiebreak needed. Weights are exact
+    BIGINTs (TPC-H quantities are integral), so the 2·cumw ≥ tot
+    crossing is integer arithmetic — no FP threshold to drift between
+    engines.
+
+    Scale: one keyed window over lineitem (sorts within the 3-value
+    flag partitions — the natural skew concern; at 100 TB you'd
+    pre-aggregate to (flag, price, Σqty) first, which THIS plan's
+    partial aggregation cannot do automatically because the window
+    needs raw cumulative order; the RANGE frame means a (flag, price)
+    pre-rollup is semantics-preserving and is exactly how to shrink the
+    sort: ~price-cardinality rows instead of the fact table) plus one
+    partial-aggregable min per group.
+    """
+    li = table(spark, sf_dir, "lineitem", fan_out=False)
+    w = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    cum = Window.partitionBy("flag").orderBy("price").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy("flag")
+    c = w.select(
+        "flag",
+        "price",
+        F.sum("qty").over(cum).alias("cumw"),
+        F.sum("qty").over(tot).alias("tot"),
+    )
+    return (
+        c.filter(2 * F.col("cumw") >= F.col("tot"))
+        .groupBy("flag")
+        .agg(
+            F.min("tot").alias("total_qty"),
+            F.min("price").alias("weighted_median_price"),
+        )
+        .select(
+            F.col("flag").alias("l_returnflag"), "total_qty", "weighted_median_price"
+        )
+    )

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.functions import pandas_udf, udtf
 
 from ..registry import query
-from ..sources.catalog import table
+from ..sources.catalog import register_views, table
 
 
 @udtf(returnType="word string")
@@ -165,3 +165,92 @@ def arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.max("n_bytes").alias("max_bytes"),
     )
+
+
+@udtf(
+    returnType="user_id bigint, session_seq bigint, n_events bigint,"
+    " session_start timestamp_ntz, session_end timestamp_ntz"
+)
+class SessionizeTable:
+    """Polymorphic (TABLE-argument) UDTF: 30-minute-gap sessionization as
+    per-group ordered streaming state. With ``PARTITION BY user_id
+    ORDER BY (ts, event_id)`` Spark instantiates the class once per user
+    and feeds that user's rows to ``eval`` in order — the state machine
+    holds O(1): the open session's start/last/count, emitted on each gap
+    and flushed by ``terminate``. The imperative twin of the
+    two-window lag+cumsum idiom (``operators.windows.sessionize_events``),
+    for session logic too procedural for window functions (multi-clock
+    timeouts, per-event budgets)."""
+
+    def __init__(self) -> None:
+        self.uid = None
+        self.seq = 0
+        self.n = 0
+        self.start = None
+        self.last = None
+
+    def eval(self, row):  # noqa: D102
+        uid, ts = row["user_id"], row["ts"]
+        if self.last is None:
+            self.uid, self.seq, self.n, self.start = uid, 1, 1, ts
+        elif (ts - self.last).total_seconds() > 1800:
+            yield (self.uid, self.seq, self.n, self.start, self.last)
+            self.seq += 1
+            self.n = 1
+            self.start = ts
+        else:
+            self.n += 1
+        self.last = ts
+
+    def terminate(self):  # noqa: D102
+        if self.last is not None:
+            yield (self.uid, self.seq, self.n, self.start, self.last)
+
+
+@query(
+    "udtf_table_arg_sessionize",
+    oracle="""
+    WITH gapped AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE OR
+                         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+    ), sessions AS (
+        SELECT user_id, event_id, ts,
+               CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_seq
+        FROM gapped
+    )
+    SELECT user_id, session_seq, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_seq
+    """,
+    tags=("udf-surface", "udtf", "table-argument", "session"),
+)
+def udtf_table_arg_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization through the Spark 4 polymorphic-UDTF surface:
+    ``SELECT * FROM sessionize_table(TABLE(...) PARTITION BY user_id
+    ORDER BY (ts, event_id))`` — the SQL-callable form of "run my
+    stateful per-key function over ordered groups" (the batch cousin of
+    ``applyInPandasWithState``; the reference cannot express ANY
+    order-dependent per-key state in one round). The oracle is the
+    declarative two-window spelling — proving the imperative state
+    machine and the lag+cumsum algebra produce identical sessions.
+
+    Scale: one exchange on user_id + an in-partition sort feed the
+    Python workers via Arrow; state per worker is one open session, so
+    memory is O(1) per group regardless of group size. It IS the Python
+    hot path (~rows × IPC), which is why the window twin exists — this
+    query certifies the API surface and its exactly-once group/order
+    contract, not a preferred plan at 100 TB.
+    """
+    spark.udtf.register("sessionize_table", SessionizeTable)
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT * FROM sessionize_table(
+            TABLE(SELECT user_id, event_id, ts FROM events)
+            PARTITION BY user_id ORDER BY (ts, event_id))
+    """)
