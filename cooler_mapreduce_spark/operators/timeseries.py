@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..functions.numeric import dsum, sql_dsum
+from ..functions.numeric import davg, dsum, sql_davg, sql_dsum
 from ..functions.timeutil import us_between, wall_trunc
 from ..registry import query
 from ..sources.catalog import table
@@ -871,3 +871,118 @@ def holt_linear_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc -> acc.out)
     """
     return series.select(F.explode(F.expr(fold)).alias("r")).select("r.*")
+
+
+# ------------------------------------------- LTTB-style downsampling ----
+
+#: Triangle area (×2) against the neighbor-bucket MEAN anchors — one
+#: spelling, both engines, identical IEEE evaluation order. Edge buckets
+#: (no prev/next anchor) get -1.0, below any real area, so their
+#: selection falls through to the earliest-point tiebreak.
+_LTTB_AREA = (
+    "COALESCE(abs((xp - xn) * (value - yp)"
+    " - (xp - CAST(x_us AS DOUBLE)) * (yn - yp)), -1.0)"
+)
+
+
+@query(
+    "downsample_lttb_daily",
+    oracle=f"""
+    WITH p AS (
+        SELECT event_id, ts, value, date_trunc('day', ts) AS bucket_day,
+               CAST(epoch_us(ts) AS BIGINT) AS x_us
+        FROM events WHERE event_type = 'purchase'
+    ),
+    b AS (
+        SELECT bucket_day,
+               CAST(SUM(x_us) AS DOUBLE) / COUNT(*) AS xbar,
+               {sql_davg('value', 6)} AS ybar
+        FROM p GROUP BY bucket_day
+    ),
+    anch AS (
+        SELECT bucket_day,
+               LAG(xbar)  OVER (ORDER BY bucket_day) AS xp,
+               LAG(ybar)  OVER (ORDER BY bucket_day) AS yp,
+               LEAD(xbar) OVER (ORDER BY bucket_day) AS xn,
+               LEAD(ybar) OVER (ORDER BY bucket_day) AS yn
+        FROM b
+    ),
+    scored AS (
+        SELECT p.bucket_day, p.event_id, p.ts, p.value, p.x_us,
+               {_LTTB_AREA} AS area
+        FROM p JOIN anch ON p.bucket_day = anch.bucket_day
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket_day
+                                     ORDER BY area DESC, x_us, event_id) AS rn
+        FROM scored
+    )
+    SELECT bucket_day, event_id, ts, value FROM r WHERE rn = 1
+    """,
+    tags=("timeseries", "downsampling", "window", "hypertable"),
+)
+def downsample_lttb_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visualization-grade downsampling of the purchase-value signal to
+    one representative point per day, LTTB-style (Steinarsson's
+    Largest-Triangle-Three-Buckets, the timeseries-DB downsampling
+    standard): within each bucket keep the point subtending the largest
+    triangle against the NEIGHBOR buckets' mean points. Classic LTTB
+    anchors on the previously *selected* point, making it sequential;
+    this mean-anchored variant (Steinarsson's "LTTB with bucket mean"
+    simplification) keeps the visual fidelity while every bucket scores
+    independently — fully parallel.
+
+    Scale: the per-bucket mean table is O(days) (exact-integer x̄ and
+    decimal-staged ȳ, so the anchors are bit-deterministic), the anchor
+    lag/lead runs on that calendar-bounded frame, and anchors join back
+    to the fact by size-based broadcast — no hint, one fact-side
+    shuffle for the bucket rollup and the per-bucket argmax, which is a
+    partial-aggregable ``max(struct(area, −x_us, −event_id, payload))``
+    (total-order tiebreak: earliest point wins ties, edge buckets with
+    no anchor degrade to first-point-of-bucket). The area expression is
+    one shared SQL string — both engines evaluate the identical double
+    tree.
+    """
+    ev = table(spark, sf_dir, "events", fan_out=False)
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "ts",
+        "value",
+        wall_trunc(F.col("ts"), "day").alias("bucket_day"),
+        us_between(epoch, F.col("ts").cast("timestamp_ntz")).alias("x_us"),
+    )
+    b = p.groupBy("bucket_day").agg(
+        (F.sum("x_us").cast("double") / F.count("*")).alias("xbar"),
+        davg("value", 6).alias("ybar"),
+    )
+    wb = Window.orderBy("bucket_day")
+    anch = b.select(
+        "bucket_day",
+        F.lag("xbar").over(wb).alias("xp"),
+        F.lag("ybar").over(wb).alias("yp"),
+        F.lead("xbar").over(wb).alias("xn"),
+        F.lead("ybar").over(wb).alias("yn"),
+    )
+    scored = p.join(anch, "bucket_day").select(
+        "bucket_day", "event_id", "ts", "value", "x_us",
+        F.expr(_LTTB_AREA).alias("area"),
+    )
+    sel = scored.groupBy("bucket_day").agg(
+        F.max(
+            F.struct(
+                "area",
+                (-F.col("x_us")).alias("nx"),
+                (-F.col("event_id")).alias("ne"),
+                F.col("event_id").alias("sel_event_id"),
+                F.col("ts").alias("sel_ts"),
+                F.col("value").alias("sel_value"),
+            )
+        ).alias("m")
+    )
+    return sel.select(
+        "bucket_day",
+        F.col("m.sel_event_id").alias("event_id"),
+        F.col("m.sel_ts").alias("ts"),
+        F.col("m.sel_value").alias("value"),
+    )
