@@ -1263,3 +1263,93 @@ def weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("flag").alias("l_returnflag"), "total_qty", "weighted_median_price"
         )
     )
+
+
+# ---------------------------------------- multiple OLS (2 features) ----
+
+#: Cramer's-rule solution of the 3×3 normal equations — one spelling of
+#: each determinant, both engines, identical IEEE evaluation order over
+#: exactly-summed components.
+_MLR_DET = (
+    "(nd * (s11 * s22 - s12 * s12) - sx1 * (sx1 * s22 - s12 * sx2)"
+    " + sx2 * (sx1 * s12 - s11 * sx2))"
+)
+_MLR_DET0 = (
+    "(sy * (s11 * s22 - s12 * s12) - sx1 * (s1y * s22 - s2y * s12)"
+    " + sx2 * (s1y * s12 - s2y * s11))"
+)
+_MLR_DET1 = (
+    "(nd * (s1y * s22 - s12 * s2y) - sy * (sx1 * s22 - s12 * sx2)"
+    " + sx2 * (sx1 * s2y - s1y * sx2))"
+)
+_MLR_DET2 = (
+    "(nd * (s11 * s2y - s1y * s12) - sx1 * (sx1 * s2y - s1y * sx2)"
+    " + sy * (sx1 * s12 - s11 * sx2))"
+)
+#: No round(): the quotient of two identically-built doubles is already
+#: bit-identical, while round(x, 12) at |x| ~ 5e4 asks for more digits
+#: than a double holds and the two engines' scaling tricks differ in the
+#: last ULP (observed on beta_discount at sf0.001).
+_MLR_EXPRS = (
+    f"{_MLR_DET0} / nullif({_MLR_DET}, 0.0) AS intercept",
+    f"{_MLR_DET1} / nullif({_MLR_DET}, 0.0) AS beta_quantity",
+    f"{_MLR_DET2} / nullif({_MLR_DET}, 0.0) AS beta_discount",
+)
+
+
+@query(
+    "multiple_ols_price_by_flag",
+    oracle=f"""
+    WITH comp AS (
+        SELECT l_returnflag, COUNT(*) AS n_rows,
+               CAST(COUNT(*) AS DOUBLE) AS nd,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sx1,
+               {sql_dsum('l_discount')} AS sx2,
+               {sql_dsum('l_extendedprice')} AS sy,
+               CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                    AS DOUBLE) AS s11,
+               {sql_dsum('l_quantity * l_discount')} AS s12,
+               {sql_dsum('l_discount * l_discount', 4)} AS s22,
+               {sql_dsum('l_quantity * l_extendedprice')} AS s1y,
+               {sql_dsum('l_discount * l_extendedprice', 4)} AS s2y
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n_rows,
+           {', '.join(_MLR_EXPRS)}
+    FROM comp
+    """,
+    tags=("aggregation", "statistics", "regression", "ml-features"),
+)
+def multiple_ols_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flag MULTIPLE regression — extended price on (quantity,
+    discount), intercept included: the grouped "fit a small linear
+    model per segment" primitive behind feature attribution and
+    what-if pricing, done the distributed-ML way: the fit reduces to
+    TEN exact component sums per group (the sufficient statistics of
+    the normal equations), one partial-aggregable pass over the fact
+    table, then a driver-free Cramer's-rule solve of the 3×3 system as
+    a scalar expression — no iteration, no collect, no per-group data
+    movement beyond the sums.
+
+    Determinism: quantities are exact integers; discounts/prices carry
+    ≤2 decimals, so every cross-product (x₁x₂, x₂², x₁y, x₂y) is an
+    exactly-representable ≤4-decimal double summed through exact
+    decimals; the determinant expressions are shared SQL strings, so
+    both engines evaluate the identical double tree; singular groups
+    NULL out under ``nullif`` instead of tripping ANSI division.
+    """
+    li = table(spark, sf_dir, "lineitem", fan_out=False)
+    q = F.col("l_quantity").cast("bigint")
+    comp = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.count("*").cast("double").alias("nd"),
+        F.sum(q).cast("double").alias("sx1"),
+        dsum("l_discount").alias("sx2"),
+        dsum("l_extendedprice").alias("sy"),
+        F.sum(q * q).cast("double").alias("s11"),
+        dsum(F.col("l_quantity") * F.col("l_discount")).alias("s12"),
+        dsum(F.col("l_discount") * F.col("l_discount"), 4).alias("s22"),
+        dsum(F.col("l_quantity") * F.col("l_extendedprice")).alias("s1y"),
+        dsum(F.col("l_discount") * F.col("l_extendedprice"), 4).alias("s2y"),
+    )
+    return comp.select("l_returnflag", "n_rows", *[F.expr(e) for e in _MLR_EXPRS])
