@@ -63,6 +63,10 @@ HEADLINE = [
     # round-6 additions:
     "autocorr_daily_revenue",       # series analytics: day-rollup + 7-tap lag + co-moment sums
     "skyline_pareto_orders",        # distributed skyline: bucketed local prune + level window
+    # round-6 second half:
+    "holt_linear_smoothing",        # sequential HOF fold over the calendar-bounded series
+    "weighted_median_price_by_flag",  # RANGE-frame cumulative crossing over the fact table
+    "multiple_ols_price_by_flag",   # 10 sufficient-statistic sums + scalar Cramer solve
 ]
 # Excluded by design: ann_recall_lsh/ann_recall_ivf re-run two already-
 # benched ANN tiers plus a join — benching them would double-count the
@@ -116,6 +120,22 @@ HEADLINE = [
 # benched); bfs_hops_from_hub is a ≤6-round frontier loop over the same
 # checkpointed edge set as pagerank — iterative scheduling overhead,
 # already represented.
+# Of the round-6 second-half additions, holt (sequential HOF fold — a
+# cost profile no other entry has), the weighted median (first RANGE-
+# frame cumulative window over the raw fact table) and the 2-feature
+# OLS (widest partial-agg payload: 10 decimal-staged sufficient
+# statistics in one pass) are benched. The rest re-exercise benched
+# shapes: sql_group_by_all resolves to pricing_summary's agg plan;
+# dedup_prefix_filter_jaccard's honest loss to the posting-list join at
+# this corpus shape is measured in SCALING.md (benching both would
+# double-count the shingle explode); sink_cow_upsert_partitioned is
+# ~80 % fixture write like the other sink roundtrips (ORC roundtrip
+# covers the sink path); stream_stream_left_outer_clicks matches the
+# inner twin's join shape; udtf_table_arg_sessionize is a deliberate
+# Python-hot-path API certification (its declarative twin's shape is
+# the benched window family); downsample_lttb_daily and
+# label_propagation_communities share benched shapes (events
+# day-rollup + argmax; pagerank-style keyed join rounds).
 
 #: REAL-STREAM surfaces (not batch twins): each starts an actual
 #: StreamingQuery over the sf dir and times a full bounded-replay drain —

@@ -206,7 +206,13 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: partitions pinned byte-identical), stream_stream_left_outer_clicks
 #: (watermark-evicted outer join's batch twin), and the rows-only
 #: label_propagation_communities (deterministic synchronous LPA,
-#: pure-Python-replica pinned).
+#: pure-Python-replica pinned). Plus: weighted_median_price_by_flag
+#: (exact weighted median — RANGE-frame cumulative crossing, tie-order
+#: invariant), udtf_table_arg_sessionize (Spark 4 polymorphic
+#: TABLE-argument UDTF oracled against the window spelling),
+#: downsample_lttb_daily (mean-anchored LTTB downsampling), and
+#: multiple_ols_price_by_flag (grouped 2-feature OLS from ten
+#: sufficient statistics + scalar Cramer solve).
 PRIORITY_QUERIES: tuple[str, ...] = (
     # --- anchors: one green representative per §2.4 category (r2-r5) ---
     "word_count",                     # parity / scan / flatMap

@@ -606,6 +606,31 @@ CASES = {
                 "text" not in ln for ln in p.splitlines() if "Exchange" in ln)),
         ],
     ),
+    "weighted_median_price_by_flag": (
+        "weighted median: one keyed window (RANGE frame — peers share cumw, so tie order can't matter) + one partial-aggregable min per group",
+        [
+            ("RANGE cumulative frame in the window", lambda p: "Window" in p),
+            ("final min is partial-aggregated", lambda p: "partial_min" in p),
+            ("no cartesian product", lambda p: "CartesianProduct" not in p),
+        ],
+    ),
+    "multiple_ols_price_by_flag": (
+        "2-feature OLS: ten sufficient-statistic sums in ONE partial-aggregable pass; the Cramer solve is pure projection — no second exchange, no collect",
+        [
+            ("partial agg before the single shuffle", lambda p: "partial_sum" in p),
+            ("exactly one aggregation exchange", lambda p:
+                p.count("Exchange hashpartitioning") == 1),
+            ("no join anywhere", lambda p: "Join" not in p),
+        ],
+    ),
+    "downsample_lttb_daily": (
+        "LTTB: the O(days) anchor frame joins back to the fact by SIZE-based broadcast (no hint); per-bucket argmax is a partial-aggregable struct max",
+        [
+            ("anchor frame broadcasts back", lambda p: "BroadcastHashJoin" in p),
+            ("selection argmax partial-aggregates", lambda p: "partial_max" in p),
+            ("no cartesian product", lambda p: "CartesianProduct" not in p),
+        ],
+    ),
     "stream_stream_left_outer_clicks": (
         "outer attribution twin: event_type filters pushed to both scan sides under the join; equi-join on user_id with a time-range residual — hash-partitioned, never a cross product",
         [
