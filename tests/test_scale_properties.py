@@ -465,3 +465,55 @@ def test_runtime_bloom_filter_fires_at_scale_emulation(spark, oracle_sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before_bc)
         spark.conf.unset(key)
+
+
+def test_result_stable_under_injected_task_retry(tmp_path):
+    """At 1000-executor scale task failures are routine, and Spark's
+    recovery contract is RE-EXECUTION — which only yields correct
+    results if every operator is deterministic (the engine-wide
+    discipline: hash-based sampling, total-order argmax tiebreaks,
+    decimal-staged sums). Pin it end-to-end: inject a first-attempt
+    failure into a mapInPandas stage and assert the job (a) retries
+    rather than failing, (b) produces exactly the no-failure result.
+    Needs ``local[4, 2]`` (local mode defaults to maxFailures=1, where
+    any task failure kills the job), so it runs in its own session via
+    a subprocess."""
+    import subprocess
+    import sys as _sys
+
+    marker = tmp_path / "failed_once"
+    script = f"""
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import SparkSession, functions as F
+
+spark = (SparkSession.builder.master("local[4, 2]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false").getOrCreate())
+o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+
+def fail_once(it):
+    ctx = TaskContext.get()
+    if ctx.partitionId() == 0 and ctx.attemptNumber() == 0:
+        open({str(marker)!r}, "w").write("raised")
+        raise RuntimeError("injected first-attempt failure")
+    for pdf in it:
+        yield pdf
+
+base = o.select("o_orderpriority", "o_totalprice").repartition(4)
+flaky = base.mapInPandas(fail_once, base.schema)
+agg = lambda df: sorted(
+    (r.o_orderpriority, r.n, str(r.s)) for r in df.groupBy("o_orderpriority")
+    .agg(F.count("*").alias("n"),
+         F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("s"))
+    .collect())
+got, want = agg(flaky), agg(base)
+assert got == want, (got[:2], want[:2])
+print("RETRY_OK")
+spark.stop()
+"""
+    r = subprocess.run(
+        [_sys.executable, "-c", script], capture_output=True, text=True, timeout=300
+    )
+    assert "RETRY_OK" in r.stdout, r.stderr[-2000:]
+    assert marker.exists(), "injected failure never fired — test proved nothing"
