@@ -1353,3 +1353,97 @@ def multiple_ols_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("l_discount") * F.col("l_extendedprice"), 4).alias("s2y"),
     )
     return comp.select("l_returnflag", "n_rows", *[F.expr(e) for e in _MLR_EXPRS])
+
+
+# ------------------------------------------- one-pass correlation matrix ----
+
+_CORRM_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+#: Pearson r from exact component sums — same closed form as
+#: stat_corr_qty_price / autocorr, one spelling per pair, both engines.
+_CORRM_R = (
+    "round((nd * s_{a}_{b} - s_{a} * s_{b}) / "
+    "sqrt((nd * s_{a}_{a} - s_{a} * s_{a}) * (nd * s_{b}_{b} - s_{b} * s_{b})), 12)"
+)
+
+
+def _corrm_pairs() -> list[tuple[str, str]]:
+    cs = _CORRM_COLS
+    return [(cs[i], cs[j]) for i in range(len(cs)) for j in range(i + 1, len(cs))]
+
+
+def _corrm_oracle() -> str:
+    sums = [f"CAST(COUNT(*) AS DOUBLE) AS nd"]
+    for c in _CORRM_COLS:
+        sums.append(f"{sql_dsum(c)} AS s_{c}")
+    done = set()
+    for a in _CORRM_COLS:
+        for b in _CORRM_COLS:
+            key = tuple(sorted((a, b)))
+            if key in done:
+                continue
+            done.add(key)
+            x, y = key
+            sums.append(f"{sql_dsum(f'{x} * {y}', 4)} AS s_{x}_{y}")
+    rows = "\n        UNION ALL ".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+        + _CORRM_R.format(a=min(a, b), b=max(a, b))
+        + " AS pearson_r FROM comp"
+        for a, b in _corrm_pairs()
+    )
+    return f"""
+    WITH comp AS (
+        SELECT {', '.join(sums)}
+        FROM lineitem
+    )
+    {rows}
+    """
+
+
+@query(
+    "correlation_matrix_lineitem",
+    oracle=_corrm_oracle(),
+    tags=("aggregation", "statistics", "ml-features"),
+)
+def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pairwise Pearson correlation matrix of four lineitem
+    measures (quantity, price, discount, tax) — the feature-screening
+    matrix at the head of every modeling pipeline — computed in ONE
+    pass: a single partial-aggregable aggregate produces the 15
+    sufficient statistics (n, four Σx, four Σx², six Σxy), and all six
+    coefficients are scalar expressions over that one row. Contrast a
+    naive per-pair ``corr()`` loop: 6 scans, 6 shuffles, and Spark's
+    built-in corr merges partial co-moments in arrival order (not
+    bit-stable); this shape is one scan, one exchange, exact decimal
+    sums, and one shared closed-form string per pair.
+
+    The long (col_a, col_b, r) output keeps cells scalar for the oracle
+    hash; the pairs explode from the single comp row via a local
+    literal frame — no data motion.
+    """
+    li = table(spark, sf_dir, "lineitem", fan_out=False)
+    aggs = [F.count("*").cast("double").alias("nd")]
+    for c in _CORRM_COLS:
+        aggs.append(dsum(c).alias(f"s_{c}"))
+    done = set()
+    for a in _CORRM_COLS:
+        for b in _CORRM_COLS:
+            key = tuple(sorted((a, b)))
+            if key in done:
+                continue
+            done.add(key)
+            x, y = key
+            aggs.append(dsum(F.col(x) * F.col(y), 4).alias(f"s_{x}_{y}"))
+    comp = li.agg(*aggs)
+    pair_cols = []
+    for a, b in _corrm_pairs():
+        pair_cols.append(
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.expr(_CORRM_R.format(a=min(a, b), b=max(a, b))).alias("pearson_r"),
+            )
+        )
+    return comp.select(
+        F.explode(F.array(*pair_cols)).alias("p")
+    ).select("p.*")
