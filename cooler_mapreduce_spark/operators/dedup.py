@@ -27,7 +27,7 @@ buckets, and verdicts exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Window, SparkSession, functions as F
 
 from ..functions.hashing import (
     LSH_BANDS,
@@ -826,4 +826,141 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_ns") - F.col("_nk")).alias("n_dropped_within_batch"),
             F.col("_nk").alias("n_admitted"),
         )
+    )
+
+
+# --------------------------------------- duplicated substring spans ----
+
+#: ExactSubstr window length: 8 tokens. Lee et al. use 50 UTF-8 bytes;
+#: 8 whitespace tokens is the same order of magnitude on this corpus.
+_SPAN_K = 8
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+    ),
+    gr AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(arr) - {_SPAN_K} + 1),
+                      i -> {{'pos': i,
+                             'h': {md5int_duckdb(f"array_to_string(arr[i:i+{_SPAN_K - 1}], ' ')")}}})) AS g
+        FROM toks
+    ),
+    grams AS (SELECT doc_id, g.pos AS pos, g.h AS h FROM gr),
+    dup_h AS (
+        SELECT h FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    dup_pos AS (
+        SELECT g.doc_id, g.pos,
+               CASE WHEN LAG(g.pos) OVER w IS NULL
+                         OR g.pos > LAG(g.pos) OVER w + {_SPAN_K}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM grams g JOIN dup_h USING (h)
+        WINDOW w AS (PARTITION BY g.doc_id ORDER BY g.pos)
+    ),
+    islands AS (
+        SELECT doc_id, pos,
+               SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS island
+        FROM dup_pos
+    ),
+    spans AS (
+        SELECT doc_id, island,
+               MIN(pos) AS span_start,
+               MAX(pos) + {_SPAN_K} - 1 AS span_end
+        FROM islands GROUP BY doc_id, island
+    )
+    SELECT s.doc_id,
+           CAST(len(t.arr) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_dup_spans,
+           CAST(SUM(span_end - span_start + 1) AS BIGINT) AS dup_tokens,
+           CAST(SUM(span_end - span_start + 1) AS DOUBLE)
+             / len(t.arr) AS dup_fraction
+    FROM spans s JOIN toks t ON s.doc_id = t.doc_id
+    GROUP BY s.doc_id, len(t.arr)
+    """,
+    tags=("dedup", "substring", "llm-pipeline"),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT duplicated-substring detection, ExactSubstr-style (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): find every maximal token span (≥ 8 tokens) that occurs
+    verbatim in MORE THAN ONE document, and score each affected doc by
+    its duplicated-token fraction — the scrubbing signal that catches
+    verbatim boilerplate/quotation reuse that whole-doc and near-dup
+    tiers miss (a doc 5 % similar overall can still contain a 200-token
+    verbatim lift).
+
+    Lee et al. build a corpus-wide suffix array — inherently
+    sequential. The distributed re-expression: fingerprint every
+    k-token window (rolling 60-bit hash), keep hashes seen in ≥2
+    DISTINCT docs (one partial-aggregable count — the corpus-wide
+    'suffix table' becomes a shuffle, not a sort), then merge each
+    doc's surviving window positions into maximal islands with the
+    gaps-and-islands window (new island when the next start clears the
+    previous window's end). Each stage is a keyed shuffle or a per-doc
+    window on positions — no global structure; collisions of the
+    60-bit hash are ~n²/2⁶¹ (≈10⁻⁴ at a billion windows) and only
+    create false POSITIVE spans, the right direction for a scrub gate.
+
+    Output: per affected doc, its token count, the number of maximal
+    duplicated spans, duplicated-token total, and fraction (single
+    int÷int division — deterministic).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("arr"))
+    # docs shorter than K tokens host no window: filter them BEFORE the
+    # sequence (Spark's sequence(1, 0) counts DOWN — [1, 0] — rather
+    # than returning empty as DuckDB's generate_series does)
+    grams = toks.filter(F.size("arr") >= _SPAN_K).select(
+        "doc_id",
+        F.size("arr").alias("n_tokens"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(arr) - {_SPAN_K} + 1),"
+                f" i -> struct(i AS pos,"
+                f" {md5int_spark(f'''concat_ws(' ', slice(arr, i, {_SPAN_K}))''')} AS h))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "n_tokens", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    dup_h = (
+        grams.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dup_pos = grams.join(dup_h, "h", "left_semi")
+    wo = Window.partitionBy("doc_id").orderBy("pos")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = dup_pos.select(
+        "doc_id",
+        "n_tokens",
+        "pos",
+        F.when(
+            F.lag("pos").over(wo).isNull()
+            | (F.col("pos") > F.lag("pos").over(wo) + _SPAN_K),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_new"),
+    ).withColumn("island", F.sum("is_new").over(wrun))
+    spans = marked.groupBy("doc_id", "n_tokens", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + _SPAN_K - 1).alias("span_end"),
+    )
+    span_len = F.col("span_end") - F.col("span_start") + 1
+    return spans.groupBy("doc_id", "n_tokens").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(span_len).alias("dup_tokens"),
+        (F.sum(span_len).cast("double") / F.col("n_tokens").cast("double")).alias("dup_fraction"),
+    ).select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "n_dup_spans",
+        F.col("dup_tokens").cast("bigint").alias("dup_tokens"),
+        "dup_fraction",
     )
