@@ -210,9 +210,12 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: (exact weighted median — RANGE-frame cumulative crossing, tie-order
 #: invariant), udtf_table_arg_sessionize (Spark 4 polymorphic
 #: TABLE-argument UDTF oracled against the window spelling),
-#: downsample_lttb_daily (mean-anchored LTTB downsampling), and
+#: downsample_lttb_daily (mean-anchored LTTB downsampling),
 #: multiple_ols_price_by_flag (grouped 2-feature OLS from ten
-#: sufficient statistics + scalar Cramer solve).
+#: sufficient statistics + scalar Cramer solve),
+#: correlation_matrix_lineitem (one-pass pairwise Pearson matrix), and
+#: dedup_substring_spans (ExactSubstr-style duplicated-span detection —
+#: rolling k-token fingerprints + gaps-and-islands merge).
 PRIORITY_QUERIES: tuple[str, ...] = (
     # --- anchors: one green representative per §2.4 category (r2-r5) ---
     "word_count",                     # parity / scan / flatMap
