@@ -374,3 +374,106 @@ def frame_dedup_pairs(
         .agg(F.count("*").alias("n_shared_frames"))
         .filter(F.col("n_shared_frames") >= min_shared)
     )
+
+
+# ------------------------------------------------ audio PCM statistics ----
+
+#: Fake audio contract: the blob is interpreted as 16-bit little-endian
+#: PCM at 16 kHz (a trailing odd byte is ignored) — production swaps in
+#: soundfile/ffmpeg behind the same mapInPandas signature. Derived stats
+#: share one SQL spelling: the Python stage emits only EXACT integers
+#: (n, Σv², silent count, peak), so the single sqrt/divide per asset is
+#: the only FP work and both engines evaluate the identical tree.
+_AUDIO_SAMPLE_RATE = 16_000
+_AUDIO_SILENCE_ABS = 512
+_AUDIO_SCHEMA = "doc_id bigint, n_samples bigint, sum_sq bigint, n_silent bigint, peak bigint"
+_AUDIO_EXPRS = (
+    "CAST(n_samples AS DOUBLE) / 16000.0 AS duration_s",
+    "sqrt(CAST(sum_sq AS DOUBLE) / n_samples) AS rms",
+    "CAST(n_silent AS DOUBLE) / n_samples AS silence_ratio",
+    "peak",
+)
+
+
+def _audio_stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            b = bytes(blob)
+            samples = np.frombuffer(b[: len(b) - (len(b) % 2)], dtype="<i2").astype(
+                np.int64
+            )
+            if samples.size == 0:
+                continue
+            rows.append(
+                (
+                    int(doc_id),
+                    int(samples.size),
+                    int((samples * samples).sum()),
+                    int((np.abs(samples) < _AUDIO_SILENCE_ABS).sum()),
+                    int(np.abs(samples).max()),
+                )
+            )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "n_samples", "sum_sq", "n_silent", "peak"]
+        )
+
+
+@query(
+    "multimodal_audio_stats",
+    oracle=f"""
+    WITH hx AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+    -- bytes via the hex rendering (2 chars/byte); sample i is bytes
+    -- (2i-1, 2i) little-endian, sign-corrected from the unsigned u16
+    u AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, length(h) // 4),
+                   i -> CAST(('0x' || substr(h, 4*i - 3, 2)) AS INT)
+                        + 256 * CAST(('0x' || substr(h, 4*i - 1, 2)) AS INT))) AS uu
+        FROM hx
+    ),
+    sg AS (
+        SELECT doc_id,
+               CASE WHEN uu >= 32768 THEN uu - 65536 ELSE uu END AS v
+        FROM u
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_samples,
+               CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+               CAST(SUM(CASE WHEN abs(v) < {_AUDIO_SILENCE_ABS} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_silent,
+               CAST(MAX(abs(v)) AS BIGINT) AS peak
+        FROM sg GROUP BY doc_id
+    )
+    SELECT doc_id, n_samples, {', '.join(_AUDIO_EXPRS)}
+    FROM agg WHERE n_samples > 0
+    """,
+    tags=("multimodal", "audio", "pandas-udf", "llm-pipeline"),
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over binary PCM columns — the third
+    modality's ingest stage (images: decode/resize; video: frame
+    sampling; audio: THIS): per asset, duration, RMS loudness, silence
+    ratio and peak amplitude, computed by an Arrow-batched
+    ``mapInPandas`` stage that interprets each blob as 16-bit PCM
+    (numpy ``frombuffer`` — vectorized, zero-copy from the Arrow
+    buffer; the deterministic stand-in for a soundfile/ffmpeg decode
+    behind the identical signature and schema).
+
+    The Python stage emits ONLY exact integers (sample count, Σv²,
+    silent-sample count, peak), so every floating-point derivation
+    (sqrt, the two ratios) happens engine-side from one shared SQL
+    spelling — the DuckDB oracle re-derives the identical samples by
+    slicing the blob's hex rendering, proving the byte-level
+    interpretation end to end. Scale: per-asset state is O(1), batches
+    stream through Arrow, and the silence gate (|v| < 512 ≈ −36 dBFS)
+    is the standard pre-filter that drops dead air before expensive
+    transcription."""
+    d = table(spark, sf_dir, "documents")
+    blobs = d.select("doc_id", F.encode("text", "utf-8").alias("blob"))
+    agg = blobs.mapInPandas(_audio_stats_batches, _AUDIO_SCHEMA)
+    return agg.filter(F.col("n_samples") > 0).select(
+        "doc_id", "n_samples", *[F.expr(e) for e in _AUDIO_EXPRS]
+    )
