@@ -215,7 +215,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: sufficient statistics + scalar Cramer solve),
 #: correlation_matrix_lineitem (one-pass pairwise Pearson matrix), and
 #: dedup_substring_spans (ExactSubstr-style duplicated-span detection —
-#: rolling k-token fingerprints + gaps-and-islands merge).
+#: rolling k-token fingerprints + gaps-and-islands merge), and
+#: multimodal_audio_stats (the audio modality's ingest stage: int16 PCM
+#: interpretation in Arrow batches, integer-exact Python stage, shared
+#: FP spelling engine-side).
 PRIORITY_QUERIES: tuple[str, ...] = (
     # --- anchors: one green representative per §2.4 category (r2-r5) ---
     "word_count",                     # parity / scan / flatMap

@@ -62,6 +62,13 @@ CASES = [
     "holt_linear_smoothing",
     "dedup_prefix_filter_jaccard",
     "label_propagation_communities",
+    # the islands window must merge the same spans at any partition
+    # count; the corr matrix's 15 decimal sums must be arrival-order
+    # free; the audio tier's Arrow batch boundaries must not leak into
+    # the per-asset integers
+    "dedup_substring_spans",
+    "correlation_matrix_lineitem",
+    "multimodal_audio_stats",
 ]
 
 
