@@ -1447,3 +1447,65 @@ def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(
         F.explode(F.array(*pair_cols)).alias("p")
     ).select("p.*")
+
+
+@query(
+    "incremental_join_view_delta",
+    oracle=f"""
+    SELECT c_mktsegment AS segment, COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS revenue,
+           MAX(o_totalprice) AS max_order
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("aggregation", "incremental", "join", "mergeable-state"),
+)
+def incremental_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view — the delta rule
+    Δ(R ⋈ S) = ΔR ⋈ S for a static dimension: the per-segment revenue
+    view over orders ⋈ customer is maintained by joining ONLY the delta
+    batch (orders on/after 1998-01-01) against customer and merging its
+    mergeable state (count, exact decimal sum, max) into the base
+    view's state — the fact table's history is never rescanned and
+    never re-joined. The oracle computes the view directly over
+    everything in one pass; matching hashes prove the delta-join +
+    state merge is lossless.
+
+    This extends ``incremental_agg_merge`` (same merge algebra) with
+    the property that makes IVM matter at 100 TB: the expensive
+    operator INSIDE the view (the join) also distributes over the
+    delta, so refresh cost is O(Δ ⋈ dim), independent of the view's
+    history. Distinct-style aggregates deliberately stay OUT of the
+    view schema — their state is not mergeable from partials (that is
+    the HLL tier's job, `hll_sketch_rollup_users`).
+    """
+    o = table(spark, sf_dir, "orders", fan_out=False)
+    c = table(spark, sf_dir, "customer", fan_out=False).select(
+        "c_custkey", "c_mktsegment"
+    )
+
+    def view_state(orders_slice: DataFrame) -> DataFrame:
+        return (
+            orders_slice.join(c, orders_slice.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("s"),
+                F.max("o_totalprice").alias("mx"),
+            )
+        )
+
+    base = view_state(o.filter(F.col("o_orderdate") < "1998-01-01"))
+    delta = view_state(o.filter(F.col("o_orderdate") >= "1998-01-01"))
+    return (
+        base.unionAll(delta)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("n").alias("n_orders"),
+            F.sum("s").cast("double").alias("revenue"),
+            F.max("mx").alias("max_order"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"), "n_orders", "revenue", "max_order"
+        )
+    )
