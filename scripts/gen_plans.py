@@ -631,6 +631,40 @@ CASES = {
             ("no cartesian product", lambda p: "CartesianProduct" not in p),
         ],
     ),
+    "correlation_matrix_lineitem": (
+        "one-pass corr matrix: all 15 sufficient statistics in a single partial-aggregable global aggregate; coefficients are pure projection",
+        [
+            ("partial agg before the single exchange", lambda p: "partial" in p),
+            ("no join anywhere", lambda p: "Join" not in p),
+            ("one scan of lineitem", lambda p: p.count("Scan parquet") == 1),
+        ],
+    ),
+    "dedup_substring_spans": (
+        "ExactSubstr spans: dup-hash survivors via semi-join (never the pair join); islands window keyed per doc; no text column shuffles",
+        [
+            ("survivor filter is a semi join", lambda p: "LeftSemi" in p),
+            ("no cartesian product", lambda p: "CartesianProduct" not in p),
+            ("no text column in any exchange's partitioning", lambda p: all(
+                "text" not in ln for ln in p.splitlines() if "Exchange" in ln)),
+        ],
+    ),
+    "multimodal_audio_stats": (
+        "audio tier: Arrow-batched mapInPandas emits exact integers; FP derivations are projection over the Python stage's output",
+        [
+            ("Arrow Python stage present", lambda p: "MapInPandas" in p),
+            ("no join, no shuffle after the Python stage", lambda p: "Join" not in p),
+            ("no cartesian product", lambda p: "CartesianProduct" not in p),
+        ],
+    ),
+    "incremental_join_view_delta": (
+        "join-view IVM: both slices join customer then partial-aggregate; the state merge is O(groups) — a second small aggregate, not a rescan",
+        [
+            ("partial agg in both view slices", lambda p: "partial" in p),
+            ("customer joined (broadcast or shuffle, size-chosen)", lambda p:
+                "Join" in p),
+            ("no cartesian product", lambda p: "CartesianProduct" not in p),
+        ],
+    ),
     "stream_stream_left_outer_clicks": (
         "outer attribution twin: event_type filters pushed to both scan sides under the join; equi-join on user_id with a time-range residual — hash-partitioned, never a cross product",
         [
