@@ -607,11 +607,11 @@ CASES = {
         ],
     ),
     "weighted_median_price_by_flag": (
-        "weighted median: one keyed window (RANGE frame — peers share cumw, so tie order can't matter) + one partial-aggregable min per group",
+        "binned weighted median: histogram pass finds the crossing bin; only that bin's rows sort (RANGE frame keeps ties exact); the 3-row star frame broadcasts by HINT (schema-bounded, the one safe hint case)",
         [
-            ("RANGE cumulative frame in the window", lambda p: "Window" in p),
-            ("final min is partial-aggregated", lambda p: "partial_min" in p),
-            ("no cartesian product", lambda p: "CartesianProduct" not in p),
+            ("RANGE cumulative frame over the bin slice", lambda p: "RangeFrame" in p),
+            ("star frame joins back as broadcast", lambda p: "BroadcastHashJoin" in p),
+            ("fact side is never the broadcast build", lambda p: "BuildLeft" not in p),
         ],
     ),
     "multiple_ols_price_by_flag": (
