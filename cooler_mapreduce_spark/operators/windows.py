@@ -261,6 +261,56 @@ def window_range_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exact_global_rank(df: DataFrame, keys: list[str], num_partitions: int | None = None):
+    """Distributed EXACT 0-based global rank over a unique total order.
+
+    The scalable replacement for ``row_number() OVER (ORDER BY ...)``
+    without PARTITION BY (which Spark plans as a single-task sort — the
+    one window shape that cannot scale).  Three steps, all parallel:
+
+    1. ``repartitionByRange`` + ``sortWithinPartitions`` on the keys —
+       the same sampled RangePartitioning exchange a global ORDER BY
+       uses, so partition *i*'s rows all precede partition *i+1*'s.
+       ``localCheckpoint`` pins the sampled range bounds: the count pass
+       and the rank pass must observe one layout, not two resamples.
+    2. Per-partition row counts — an O(num_partitions) collect — turned
+       into cumulative offsets on the driver.
+    3. rank = offset[partition] + (row_number within partition − 1),
+       computed by a window PARTITIONED by ``spark_partition_id`` — every
+       partition ranks independently, no single reducer anywhere.
+
+    Because the key list is a unique total order, the rank is
+    well-defined regardless of where the sampled range bounds fall, so
+    the result is deterministic even though the sampling itself is not.
+
+    Returns ``(ranked_df_with__rank0_column, total_row_count)``.
+    """
+    spark = df.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.repartitionByRange(n_part, *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_map = F.create_map(
+        *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+    )
+    local_rn = F.row_number().over(Window.partitionBy("_pid").orderBy(*keys))
+    ranked = ranged.withColumn(
+        "_rank0", (F.element_at(off_map, F.col("_pid")) + local_rn - 1).cast("long")
+    ).drop("_pid")
+    return ranked, acc
+
+
 @query(
     "ntile_order_deciles",
     oracle="""
@@ -277,23 +327,42 @@ def window_range_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "ntile", "distribution"),
 )
 def ntile_order_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equal-count decile banding: ``ntile(10)`` over the global order-value
-    ranking, then per-decile count/min/max/revenue — the revenue-by-
-    customer-decile report.  Ordering is made total (price, orderkey) so
-    bucket edges are deterministic; min/max are selections (bit-exact)
-    and the sum is decimal-staged.
+    """Equal-count decile banding — EXACT ``ntile(10)`` semantics over the
+    global order-value ranking, computed WITHOUT the single-task sort a
+    naive unpartitioned window requires.  The r6 10×-data sweep showed
+    the window spelling scaling 4.5× (every other agg absorbed 10×
+    inside fixed overhead): exact ntile was the registry's last
+    single-reducer survivor.
 
-    The unpartitioned ORDER BY is a single-task sort — fine at test SF,
-    the known scale ceiling of exact ntile.  The 100 TB form computes
-    decile *boundaries* with approx_percentile (one pass, mergeable
-    sketch) and bands by range comparison — see
-    :func:`~cooler_mapreduce_spark.operators.behavioral.quality_top_decile`
-    for that pattern; ``global_sort_orders`` shows the range-partitioned
-    total sort when exact ranks are required.
+    Spelling: :func:`exact_global_rank` (range-partitioned parallel
+    rank), then ntile's bucket-assignment closed form — with N rows and
+    k buckets, the first ``N mod k`` buckets take ``ceil(N/k)`` rows and
+    the rest ``floor(N/k)``, so the bucket of 0-based rank r is pure
+    arithmetic on (r, N, k) — no second pass, no boundary resolution.
+    Ordering is made total (price, orderkey) so bucket edges are
+    deterministic; min/max are selections (bit-exact) and the sum is
+    decimal-staged.  At 100 TB every stage is parallel: the range
+    exchange samples bounds, partitions rank independently against an
+    O(partitions) offset map, and the final shuffle carries 10 groups.
     """
     o = table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    t = o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+    ranked, n_total = exact_global_rank(
+        o.select("o_totalprice", "o_orderkey"), ["o_totalprice", "o_orderkey"]
+    )
+    k = 10
+    size_small, big = n_total // k, n_total % k
+    size_big = size_small + 1
+    cutoff = big * size_big
+    r = F.col("_rank0")
+    if size_small == 0:  # N < k: row i lands alone in bucket i+1
+        decile = (r + 1).cast("int")
+    else:
+        decile = (
+            F.when(r < cutoff, F.floor(r / size_big))
+            .otherwise(big + F.floor((r - cutoff) / size_small))
+            + 1
+        ).cast("int")
+    t = ranked.select("o_totalprice", decile.alias("decile"))
     return t.groupBy("decile").agg(
         F.count("*").alias("n_orders"),
         F.min("o_totalprice").alias("lo"),

@@ -1,0 +1,47 @@
+"""Full-registry scale-regression sweep: every query at 1x and 10x data.
+
+Runs each registered query warm (min of 2) against sf0.1 and a 10x
+inflated copy, printing one JSON line per query and writing the full
+map at the end.  Flags to investigate: ratio x10/x1 near or above 10
+(superlinear unless the query's OUTPUT grows superlinearly under the
+inflation — per-key pair producers do; see SCALING.md "Full-registry
+10x sweep" for the interpretation rules).
+
+Build the inflated copy first (orders/lineitem/events unioned 10x with
+key offsets, dimensions symlinked) — see SCALING.md.  Usage:
+
+    python scripts/scale_sweep.py [x1_dir] [x10_dir] [out.json]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from cooler_mapreduce_spark.session import get_session
+from cooler_mapreduce_spark import registry
+
+x1 = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+x10 = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1_inflated"
+out = sys.argv[3] if len(sys.argv) > 3 else "/tmp/scale_sweep.json"
+
+spark = get_session()
+res = {}
+for name, spec in registry.load_all().items():
+    row = {}
+    for sfd, label in ((x1, "x1"), (x10, "x10")):
+        try:
+            t0 = time.time()
+            spec.fn(spark, sfd).count()
+            warm = time.time() - t0
+            t0 = time.time()
+            spec.fn(spark, sfd).count()
+            row[label] = round(min(warm, time.time() - t0), 2)
+        except Exception as ex:  # keep sweeping; one bad query isn't the story
+            row[label] = f"ERR:{type(ex).__name__}"
+            break
+    res[name] = row
+    print(json.dumps({name: row}), flush=True)
+with open(out, "w") as fh:
+    json.dump(res, fh, indent=1)
+spark.stop()
