@@ -624,27 +624,37 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     is implementation-defined at ties, so every quintile ranking
     carries the customer key as a total-order tiebreak — both engines
     then assign identical quintiles. Plan: the fact table
-    partial-aggregates to one row per customer FIRST; the three global
-    NTILEs run over that per-customer frame (single-partition window —
-    acceptable because its input is one row per customer, already
-    reduced; a 100 TB deployment with billions of customers would swap
-    NTILE for percent_rank over a range-partitioned sort or
-    approx-quantile bucket edges, trading exact quintile boundaries
-    for scalability), then a tiny (≤125-group) rollup.
+    partial-aggregates to one row per customer FIRST; each quintile is
+    then an :func:`~cooler_mapreduce_spark.operators.windows.exact_global_rank`
+    (range-partitioned parallel rank — billions of customers never meet
+    a single-task sort) fed through NTILE's bucket closed form, the
+    three scores equi-join back on the customer key, and a tiny
+    (≤125-group) rollup finishes.  Before r6 this used three
+    unpartitioned NTILE windows with a docstring apologizing for the
+    single-partition sort; `exact_global_rank` retired the apology.
     """
+    from .windows import exact_global_rank, ntile_from_rank
+
     o = table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("frequency"),
         dsum("o_totalprice").alias("monetary"),
-    )
-    w_r = Window.orderBy(F.desc("last_order"), F.asc("o_custkey"))
-    w_f = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
-    w_m = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
-    scored = per_cust.select(
-        F.ntile(5).over(w_r).alias("r_score"),
-        F.ntile(5).over(w_f).alias("f_score"),
-        F.ntile(5).over(w_m).alias("m_score"),
+    ).localCheckpoint(eager=True)
+
+    def quintile(metric: str, out: str) -> DataFrame:
+        ranked, n = exact_global_rank(
+            per_cust.select("o_custkey", metric),
+            [F.desc(metric), F.asc("o_custkey")],
+        )
+        return ranked.select(
+            "o_custkey", ntile_from_rank(F.col("_rank0"), n, 5).alias(out)
+        )
+
+    scored = (
+        quintile("last_order", "r_score")
+        .join(quintile("frequency", "f_score"), "o_custkey")
+        .join(quintile("monetary", "m_score"), "o_custkey")
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").alias("n_customers")

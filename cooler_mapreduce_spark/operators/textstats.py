@@ -663,12 +663,18 @@ def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     OOV rate is acceptable).
 
     Shape: one tokenize scan → term partial-agg shuffle → the REST runs
-    on the vocabulary, not the corpus: rank terms by frequency (a sort
-    of |vocab| rows — bounded and orders smaller than the corpus; never
-    a corpus-wide window), bucket each term by the smallest k that
-    includes it, then a 3-group rollup turns per-bucket subtotals into
-    cumulative coverage. Counts are exact ints; the one double division
-    is rounded once — deterministic across engines.
+    on a BOUNDED slice of the vocabulary: only ranks ≤ max(k)=10 000 can
+    contribute to any coverage bucket, so the top-10k terms are taken
+    with orderBy+limit — planned as TakeOrdered (map-side partial top-k
+    per partition, k-row driver merge; never a vocabulary-wide sort —
+    a 100 TB web crawl's whitespace vocabulary is 10⁸⁺ junk-inflated
+    terms, and the old |vocab|-row window was a single-task sort of
+    it) — and the row_number window ranks just those ≤10 000 survivor
+    rows. Bucket each term by the smallest k that includes it, then a
+    3-group rollup turns per-bucket subtotals into cumulative coverage.
+    Counts are exact ints; the one double division is rounded once —
+    deterministic across engines (the (stf DESC, term ASC) order is a
+    unique total order, so the top-k cut is reproducible).
     """
     d = table(spark, sf_dir, "documents")
     pt = (
@@ -679,7 +685,8 @@ def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    ranked = pt.select(
+    topk = pt.orderBy(F.desc("stf"), F.asc("term")).limit(10000)
+    ranked = topk.select(
         "stf",
         F.row_number()
         .over(Window.orderBy(F.desc("stf"), F.asc("term")))

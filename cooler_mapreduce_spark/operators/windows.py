@@ -261,7 +261,7 @@ def window_range_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def exact_global_rank(df: DataFrame, keys: list[str], num_partitions: int | None = None):
+def exact_global_rank(df: DataFrame, keys: list, num_partitions: int | None = None):
     """Distributed EXACT 0-based global rank over a unique total order.
 
     The scalable replacement for ``row_number() OVER (ORDER BY ...)``
@@ -311,6 +311,27 @@ def exact_global_rank(df: DataFrame, keys: list[str], num_partitions: int | None
     return ranked, acc
 
 
+def ntile_from_rank(rank0, n_total: int, k: int):
+    """SQL ``NTILE(k)`` as pure arithmetic on a 0-based global rank.
+
+    With N rows, the first ``N mod k`` buckets take ``ceil(N/k)`` rows
+    and the rest ``floor(N/k)`` — exactly NTILE's tie-free assignment —
+    so the bucket of rank r needs no second pass and no boundary
+    resolution.  Pair with :func:`exact_global_rank` to spell NTILE
+    without the single-task sort of an unpartitioned window.
+    """
+    size_small, big = n_total // k, n_total % k
+    size_big = size_small + 1
+    cutoff = big * size_big
+    if size_small == 0:  # N < k: row i lands alone in bucket i+1
+        return (rank0 + 1).cast("int")
+    return (
+        F.when(rank0 < cutoff, F.floor(rank0 / size_big))
+        .otherwise(big + F.floor((rank0 - cutoff) / size_small))
+        + 1
+    ).cast("int")
+
+
 @query(
     "ntile_order_deciles",
     oracle="""
@@ -349,19 +370,7 @@ def ntile_order_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked, n_total = exact_global_rank(
         o.select("o_totalprice", "o_orderkey"), ["o_totalprice", "o_orderkey"]
     )
-    k = 10
-    size_small, big = n_total // k, n_total % k
-    size_big = size_small + 1
-    cutoff = big * size_big
-    r = F.col("_rank0")
-    if size_small == 0:  # N < k: row i lands alone in bucket i+1
-        decile = (r + 1).cast("int")
-    else:
-        decile = (
-            F.when(r < cutoff, F.floor(r / size_big))
-            .otherwise(big + F.floor((r - cutoff) / size_small))
-            + 1
-        ).cast("int")
+    decile = ntile_from_rank(F.col("_rank0"), n_total, 10)
     t = ranked.select("o_totalprice", decile.alias("decile"))
     return t.groupBy("decile").agg(
         F.count("*").alias("n_orders"),

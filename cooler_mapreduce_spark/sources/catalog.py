@@ -172,7 +172,11 @@ def rank16(col) -> "F.Column":
     amortization frequency, not query time; at 100 TB the rank pass is
     one range-partitioned sort of two narrow columns. (An approximate
     alternative — percentile_approx boundaries broadcast as a literal
-    bucketizer — trades exact uniformity for a fully parallel pass.)
+    bucketizer — trades exact uniformity for a fully parallel pass; the
+    EXACT parallel form is
+    :func:`~cooler_mapreduce_spark.operators.windows.exact_global_rank`
+    + bucket = floor(rank·65536/N), a DataFrame-level rewrite this
+    Column-level helper keeps out of the demo's way.)
     """
     from pyspark.sql import Window
 

@@ -434,11 +434,19 @@ CASES = {
         ],
     ),
     "rfm_customer_segments": (
-        "RFM: fact reduces to one row per customer BEFORE the three global NTILEs; final rollup is <=125 groups",
+        "RFM: fact reduces to one row per customer (checkpointed pre-plan), then three exact_global_rank quintiles — rank windows PARTITIONED by spark_partition_id, never a single-task NTILE — equi-join back on the customer key; final rollup is <=125 groups",
         [
-            ("per-customer reduction partial-aggregates", lambda p: "partial_count" in p and "partial_max" in p),
-            ("three quintile windows", lambda p: p.count("ntile(5)") >= 3),
-            ("no join anywhere", lambda p: "Join" not in p),
+            ("three parallel rank windows keyed by _pid", lambda p: p.count("row_number()") >= 3 and p.count("windowspecdefinition(_pid") >= 3),
+            ("scores equi-join on the customer key", lambda p: p.count("o_custkey") >= 2 and "Join" in p),
+            ("no unpartitioned window survives", lambda p: "windowspecdefinition(ntile" not in p and "ntile(" not in p),
+        ],
+    ),
+    "ntile_order_deciles": (
+        "exact NTILE with no single-task sort: sampled range exchange (checkpointed pre-plan), rank window PARTITIONED by spark_partition_id against the O(partitions) offset map, closed-form bucket arithmetic, 10-group rollup",
+        [
+            ("rank window partitioned by _pid", lambda p: "windowspecdefinition(_pid" in p),
+            ("no unpartitioned ntile window", lambda p: "ntile(" not in p),
+            ("rollup groups by the computed decile", lambda p: "decile" in p),
         ],
     ),
     "ab_test_conversion": (
