@@ -517,3 +517,66 @@ spark.stop()
     )
     assert "RETRY_OK" in r.stdout, r.stderr[-2000:]
     assert marker.exists(), "injected failure never fired — test proved nothing"
+
+
+# --- unpartitioned-window audit ---------------------------------------------
+#
+# A window with ORDER BY and no PARTITION BY is the one Spark shape that
+# silently serializes: every input row flows through a single sort task, so
+# the query works at test SF and collapses at 100 TB (SCALING.md
+# "Full-registry 10x sweep" — exact ntile scaled 4.5x at 10x data until its
+# rewrite). The engine's rule: an order-only window may exist ONLY over an
+# input bounded by construction — a calendar-bounded aggregated series, a
+# literal top-k survivor set, a cell grid — never over an SF-scaled frame.
+# Unbounded global ranks must be spelled via exact_global_rank (windows.py:
+# range-partitioned parallel rank + O(partitions) offset map).
+#
+# Detection: in the executed-plan text a Window node prints
+#   Window [exprs], [partitionSpec], [orderSpec]
+# so an order-only window is a Window line with a single trailing list that
+# carries a sort direction (a partition-only window's single list has none).
+
+#: order-only windows whose input is bounded by construction, each justified
+#: in its query's docstring.
+_ORDER_ONLY_WINDOW_ALLOWED = {
+    # calendar-bounded aggregated series: input is O(days/hours/months in
+    # the data's date range) AFTER a partial-aggregable groupBy — fixed by
+    # the calendar, not the SF.
+    "autocorr_daily_revenue",
+    "cusum_changepoint_revenue",
+    "downsample_lttb_daily",
+    "ewma_daily_revenue",
+    "interpolate_hourly_purchase_value",
+    "max_drawdown_revenue",
+    "rolling_corr_revenue_orders",
+    "theilsen_trend_revenue",
+    "yoy_revenue_by_month",
+    # literal-bounded survivor sets: the window ranks a LIMIT-k frame
+    # (TakeOrdered feeds it), k fixed by the query text.
+    "vocab_coverage_topk",        # top-10000 terms
+    "weighted_sample_wor_orders",  # top-100 sample
+    # per-price-level frame of the 64-bucket local skylines — data-
+    # dependent small (skyline of random data is O(log^d n) expected);
+    # worst case documented in the docstring.
+    "skyline_pareto_orders",
+}
+
+
+@pytest.mark.parametrize("name", sorted(set(SPECS) - _LOCAL_RESULT - _ORDER_ONLY_WINDOW_ALLOWED))
+def test_no_unpartitioned_window_over_unbounded_input(spark, oracle_sf_dir, name):
+    plan = _plan(spark, name, oracle_sf_dir)
+    offenders = []
+    for ln in plan.splitlines():
+        s = ln.strip().lstrip("+-*: ")
+        if not s.startswith("Window "):
+            continue
+        if s.count("], [") == 1:
+            tail = s.rsplit("], [", 1)[1]
+            if " ASC" in tail or " DESC" in tail:
+                offenders.append(s[:120])
+    assert not offenders, (
+        f"{name} plans an order-only (single-task) window: {offenders}; "
+        f"spell the rank via exact_global_rank or add the query to "
+        f"_ORDER_ONLY_WINDOW_ALLOWED with a docstring justifying the "
+        f"bounded input"
+    )
