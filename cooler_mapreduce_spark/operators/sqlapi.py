@@ -215,3 +215,111 @@ def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_totalprice >= price_floor AND o_orderdate >= date_floor
         GROUP BY o_orderpriority
     """)
+
+
+@query(
+    "sql_execute_immediate",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_totalprice >= 350000.0 AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    tags=("sql", "execute-immediate", "parameterized"),
+)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``EXECUTE IMMEDIATE`` (Spark 4): SQL text composed at runtime and
+    executed with bound parameters (``USING expr AS name`` feeding
+    ``:name`` markers) — the stored-procedure-style dynamic-SQL surface,
+    and the injection-safe alternative to f-string query splicing that
+    completes the parameterization family next to session variables
+    (:func:`sql_session_variables`) and the ``spark.sql(..., args=)``
+    API (:func:`sql_named_parameters`). The parameters inline at parse
+    time, so both pushed filters still reach the parquet scan; the
+    oracle is the same statement with the values written as literals,
+    proving the dynamic path changes nothing semantically.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "EXECUTE IMMEDIATE "
+        "'SELECT o_orderpriority, COUNT(*) AS n_orders, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue "
+        "FROM orders WHERE o_totalprice >= :floor AND o_orderstatus = :status "
+        "GROUP BY o_orderpriority' "
+        "USING 350000.0D AS floor, 'F' AS status"
+    )
+
+
+@query(
+    "sql_named_parameters",
+    oracle="""
+    SELECT c_mktsegment AS segment, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance
+    FROM customer
+    WHERE c_acctbal >= 2500.0 AND c_nationkey < 13
+    GROUP BY c_mktsegment
+    """,
+    tags=("sql", "parameterized", "api"),
+)
+def sql_named_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named parameter markers — ``spark.sql(text, args={...})``: the
+    PySpark API face of parameterized SQL (``:name`` markers bound from
+    a Python dict, values transported as typed literals, never string-
+    spliced). This is how application code should pass user input into
+    SQL; the marker substitution happens before analysis, so predicate
+    pushdown sees plain literals — the oracle runs the same text with
+    the values inlined and must match bit-for-bit.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_mktsegment AS segment, COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance
+        FROM customer
+        WHERE c_acctbal >= :min_bal AND c_nationkey < :max_nation
+        GROUP BY c_mktsegment
+        """,
+        args={"min_bal": 2500.0, "max_nation": 13},
+    )
+
+
+@query(
+    "sql_collated_grouping",
+    oracle="""
+    SELECT lower(CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                      ELSE lower(c_mktsegment) END) AS segment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance
+    FROM customer
+    GROUP BY 1
+    """,
+    tags=("sql", "collation", "string"),
+)
+def sql_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4): grouping under ``COLLATE UTF8_LCASE``
+    merges case variants engine-side — no normalizing rewrite of the
+    expression, the COLUMN carries the comparison semantics. The mixed
+    case is synthesized deterministically (even keys upper, odd lower)
+    so the test actually exercises the merge; the emitted key is
+    ``lower(seg)`` because the collated group's representative value is
+    whichever variant a partition saw first — nondeterministic by
+    contract, normalized once for both engines. The oracle spells the
+    same semantics the pre-collation way (group by lower()), proving
+    the collation path is a pure semantics transfer: same groups, same
+    counts, same decimal-staged balances. At scale collation-aware
+    grouping hashes the collation key exactly like any other group-by —
+    one shuffle, partial-aggregable.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT lower(seg) AS segment, COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance
+        FROM (SELECT (CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                           ELSE lower(c_mktsegment) END) COLLATE UTF8_LCASE AS seg,
+                     c_acctbal
+              FROM customer)
+        GROUP BY seg
+        """
+    )

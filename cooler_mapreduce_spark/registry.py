@@ -218,7 +218,12 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: rolling k-token fingerprints + gaps-and-islands merge), and
 #: multimodal_audio_stats (the audio modality's ingest stage: int16 PCM
 #: interpretation in Arrow batches, integer-exact Python stage, shared
-#: FP spelling engine-side).
+#: FP spelling engine-side). Third-wave r6 additions (also r7 queue):
+#: incremental_join_view_delta (join-view IVM delta rule),
+#: sql_execute_immediate + sql_named_parameters (the two remaining
+#: parameterized-SQL faces: dynamic text with USING binds, and the
+#: spark.sql(args=) API), and sql_collated_grouping (Spark 4 COLLATE
+#: UTF8_LCASE group-by oracled against the lower() spelling).
 PRIORITY_QUERIES: tuple[str, ...] = (
     # --- anchors: one green representative per §2.4 category (r2-r5) ---
     "word_count",                     # parity / scan / flatMap
