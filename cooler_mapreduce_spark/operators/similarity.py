@@ -1126,3 +1126,170 @@ def embedding_quantize_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(
         "vec_id", F.expr(_QUANT_COS).alias("cos_fidelity"), "max_abs_err"
     )
+
+
+# --- SemDeDup: cluster-bucketed semantic pruning ---------------------------
+
+#: within-cell prune threshold. SemDeDup's τ is the prune-rate knob (the
+#: paper sweeps it per target keep-ratio); 0.30 sits at this fixture's
+#: within-cluster p90 so the prune path is exercised on real mass
+#: (~100 within-label pairs at sf0.01) rather than the 1-pair tail that
+#: the corpus-wide 0.45 near-dup threshold would leave.
+_SEMDEDUP_THR = 0.30
+
+#: the label-mean coarse-quantizer CTE chain (same fixed-point fit as
+#: :func:`_labelmean_centroids` / the ann_recall_ivf oracle), ending with
+#: per-vector cell assignment that RETAINS the centroid-similarity score
+#: — SemDeDup's keep-priority key.
+_DUCK_LM_ASSIGNED = f"""
+    el AS (
+        SELECT label, u.idx, CAST(u.val AS DOUBLE) AS val
+        FROM embeddings,
+             LATERAL (SELECT unnest(embedding) AS val,
+                             generate_subscripts(embedding, 1) AS idx) u
+    ),
+    means AS (
+        SELECT label, idx,
+               CAST(SUM(CAST(floor(val * 1073741824.0) AS BIGINT)) AS DOUBLE)
+                   / 1073741824.0 / COUNT(*) AS m
+        FROM el GROUP BY label, idx
+    ),
+    cents AS (
+        SELECT label AS cell, list(m ORDER BY idx) AS c FROM means GROUP BY label
+    ),
+    cnorm AS (
+        SELECT cell, c,
+               sqrt(list_aggregate(list_transform(generate_series(1, {_DIM}),
+                    i -> c[i] * c[i]), 'sum')) AS nc
+        FROM cents
+    ),
+    cell_scores AS (
+        SELECT e.vec_id, k.cell,
+               round(list_aggregate(list_transform(generate_series(1, {_DIM}),
+                         i -> CAST(e.embedding[i] AS DOUBLE) * k.c[i]), 'sum')
+                     / ({_DUCK_NORM.format(a='e.embedding', dim=_DIM)} * k.nc), 9) AS score
+        FROM embeddings e, cnorm k
+    ),
+    lm_ranked AS (
+        SELECT vec_id, cell, score,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY score DESC, cell) AS rn
+        FROM cell_scores
+    ),
+    lm_assigned AS (SELECT vec_id, cell, score FROM lm_ranked WHERE rn = 1)"""
+
+
+@query(
+    "semdedup_prune_cells",
+    oracle=f"""
+    WITH {_DUCK_LM_ASSIGNED},
+    pruned AS (
+        SELECT DISTINCT b.cell, b.vec_id
+        FROM lm_assigned a
+        JOIN lm_assigned b
+          ON a.cell = b.cell
+         AND (a.score > b.score
+              OR (a.score = b.score AND a.vec_id < b.vec_id))
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE {duckdb_cosine('ea.embedding', 'eb.embedding')} >= {_SEMDEDUP_THR}
+    )
+    SELECT s.cell,
+           COUNT(*) AS n_total,
+           COALESCE(p.n_pruned, 0) AS n_pruned,
+           COUNT(*) - COALESCE(p.n_pruned, 0) AS n_kept
+    FROM lm_assigned s
+    LEFT JOIN (SELECT cell, COUNT(*) AS n_pruned FROM pruned GROUP BY cell) p
+      ON s.cell = p.cell
+    GROUP BY s.cell, p.n_pruned
+    ORDER BY s.cell
+    """,
+    tags=("dedup", "similarity", "embedding", "semdedup", "llm-pipeline"),
+)
+def semdedup_prune_cells(
+    spark: SparkSession, sf_dir: str, thr: float = _SEMDEDUP_THR
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): cluster-bucketed
+    semantic pruning — assign every embedding to its nearest
+    coarse-quantizer cell, then WITHIN each cell prune any item whose
+    cosine to a higher-priority cellmate is ≥ τ (0.30 — see
+    :data:`_SEMDEDUP_THR`). Priority is the paper's upper-triangular-max rule:
+    order cell members by (similarity-to-centroid DESC, vec_id), prune
+    an item iff ANY earlier member is a near-duplicate of it —
+    regardless of whether that member was itself pruned, so the
+    survivor set needs no sequential sweep and no connected components.
+
+    The quantizer is the label-mean fixed-point fit
+    (:func:`_labelmean_centroids`) — SQL-re-derivable, so the ENTIRE
+    pipeline (fit → assign → within-cell prune → per-cell census) has a
+    DuckDB oracle; the k-means variant of the same plumbing stays
+    recall-pinned in pytest via the IVF tiers.
+
+    Scale design (100 TB): this is the whole point of SemDeDup — the
+    O(n²) corpus-wide pairwise product becomes per-cell products, and
+    production fits grow k with the corpus (the paper uses 50 k
+    clusters) so cell size stays bounded. Here the pair join is an
+    equi-join on cell with the priority predicate as a post-filter;
+    the cosine runs on pre-cast arrays with per-ROW norms. Cells never
+    leave the executors; the output is a ≤|cells|-row census.
+
+    Reference parity: the reference engine has no embedding tier at all
+    (SURVEY.md §2) — this extends the dedup family
+    (dedup.py:163 minhash-LSH) to the semantic axis.
+    """
+    cents = _labelmean_centroids(spark, sf_dir)
+    e = _embeddings_normed(spark, sf_dir)
+    from pyspark.sql import Window
+
+    scores = e.select(
+        "vec_id",
+        "emb_d",
+        "nrm",
+        F.explode(F.expr(_cell_score_structs(cents))).alias("cs"),
+    ).select("vec_id", "emb_d", "nrm", "cs.cell", "cs.score")
+    rw = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cell"))
+    assigned = (
+        scores.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "emb_d", "nrm", "cell", "score")
+    )
+    a = assigned.select(
+        F.col("cell"),
+        F.col("vec_id").alias("a_id"),
+        F.col("score").alias("a_score"),
+        F.col("emb_d").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = assigned.select(
+        F.col("cell"),
+        F.col("vec_id").alias("b_id"),
+        F.col("score").alias("b_score"),
+        F.col("emb_d").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    earlier = (F.col("a_score") > F.col("b_score")) | (
+        (F.col("a_score") == F.col("b_score")) & (F.col("a_id") < F.col("b_id"))
+    )
+    pruned = (
+        a.join(b, "cell")
+        .filter(earlier)
+        .filter(
+            F.expr(spark_cosine_prenorm("a_emb", "b_emb", "a_nrm", "b_nrm"))
+            >= F.lit(thr)
+        )
+        .select("cell", F.col("b_id").alias("vec_id"))
+        .distinct()
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_pruned"))
+    )
+    census = assigned.groupBy("cell").agg(F.count("*").alias("n_total"))
+    return (
+        census.join(pruned, "cell", "left")
+        .select(
+            "cell",
+            "n_total",
+            F.coalesce("n_pruned", F.lit(0)).alias("n_pruned"),
+            (F.col("n_total") - F.coalesce("n_pruned", F.lit(0))).alias("n_kept"),
+        )
+        .orderBy("cell")
+    )

@@ -847,3 +847,29 @@ def test_label_propagation_matches_pure_python_replica(spark, oracle_sf_dir):
     want = sorted((lb, len(ms), min(ms)) for lb, ms in comm.items())
     assert got == want
     assert 1 < len(want) < len(adj)  # nontrivial: real grouping happened
+
+
+def test_semdedup_prune_monotone_in_threshold(spark, oracle_sf_dir):
+    """SemDeDup invariants the oracle can't see: (1) raising τ can only
+    prune FEWER items (the offending-pair set shrinks), (2) a τ above
+    the corpus max cosine prunes nothing, (3) every cell keeps at least
+    its top-priority member (the first item in the keep order has no
+    earlier cellmate, so no τ can prune it), (4) the census partitions
+    the corpus: n_pruned + n_kept == n_total summing to |embeddings|."""
+    from cooler_mapreduce_spark.operators.similarity import semdedup_prune_cells
+
+    rows_lo = {r.cell: r for r in semdedup_prune_cells(spark, oracle_sf_dir).collect()}
+    rows_hi = {
+        r.cell: r
+        for r in semdedup_prune_cells(spark, oracle_sf_dir, thr=0.40).collect()
+    }
+    rows_off = semdedup_prune_cells(spark, oracle_sf_dir, thr=1.01).collect()
+    assert rows_lo and set(rows_lo) == set(rows_hi)
+    for cell, lo in rows_lo.items():
+        hi = rows_hi[cell]
+        assert lo.n_pruned + lo.n_kept == lo.n_total == hi.n_total
+        assert hi.n_pruned <= lo.n_pruned          # (1)
+        assert lo.n_kept >= 1                      # (3)
+    assert all(r.n_pruned == 0 for r in rows_off)  # (2)
+    n_emb = spark.read.parquet(f"{oracle_sf_dir}/embeddings.parquet").count()
+    assert sum(r.n_total for r in rows_lo.values()) == n_emb  # (4)
