@@ -24,6 +24,7 @@ from ..functions.hashing import (
 from ..functions.numeric import dsum, sql_dsum
 from ..registry import query
 from ..sources.catalog import table
+from .similarity import duckdb_cosine
 
 #: Tiny per-language stopword inventories for the n-gram/stopword-hit
 #: heuristic. Deliberately minimal — language ID at corpus scale is a
@@ -722,10 +723,11 @@ _BM25_B = 0.75
 _BM25_Q = "1000000000000"
 
 
-@query(
-    "bm25_topk",
-    oracle=f"""
-    WITH toks AS (
+#: the BM25 scorer as a DuckDB CTE chain ending in ``bm_scores(doc_id,
+#: score)`` — shared verbatim by the bm25_topk and rrf_hybrid_search
+#: oracles (one spelling, one place to diverge from the engine — never).
+_BM25_ORACLE_CTES = f"""
+    toks AS (
         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
         FROM documents
     ),
@@ -755,10 +757,19 @@ _BM25_Q = "1000000000000"
         JOIN df ON tf.term = df.term
         JOIN dl ON tf.doc_id = dl.doc_id
         CROSS JOIN scal
-    )
-    SELECT doc_id,
-           round(CAST(SUM(qscore) AS DOUBLE) / {_BM25_Q}.0, 6) AS score
-    FROM scored GROUP BY doc_id
+    ),
+    bm_scores AS (
+        SELECT doc_id,
+               round(CAST(SUM(qscore) AS DOUBLE) / {_BM25_Q}.0, 6) AS score
+        FROM scored GROUP BY doc_id
+    )"""
+
+
+@query(
+    "bm25_topk",
+    oracle=f"""
+    WITH {_BM25_ORACLE_CTES}
+    SELECT doc_id, score FROM bm_scores
     ORDER BY score DESC, doc_id
     LIMIT 20
     """,
@@ -790,6 +801,17 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregable shuffles — the classic inverted-index build cost,
     per query term, without materializing an index.
     """
+    return (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BM25 score frame for the literal query terms — the
+    shared scorer behind :func:`bm25_topk` and the RRF fusion tier (only
+    docs matching ≥1 query term appear, the standard posting semantics)."""
     d = table(spark, sf_dir, "documents")
     tok = (
         d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
@@ -823,12 +845,129 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(term_score * q).cast("decimal(38,0)").alias("qscore"),
         )
     )
-    return (
-        scored.groupBy("doc_id")
-        .agg(F.round(F.sum("qscore").cast("double") / q, 6).alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(20)
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("qscore").cast("double") / q, 6).alias("score")
     )
+
+
+_RRF_K = 60          # the canonical damping constant (Cormack et al. SIGIR'09)
+_RRF_DEPTH = 50      # per-system candidate depth
+_RRF_QVEC = 0        # embeddings.vec_id used as the dense query vector
+
+
+@query(
+    "rrf_hybrid_search",
+    oracle=f"""
+    WITH {_BM25_ORACLE_CTES},
+    bm_top AS (
+        SELECT doc_id, score FROM bm_scores
+        ORDER BY score DESC, doc_id LIMIT {_RRF_DEPTH}
+    ),
+    bm_rank AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS bm25_rank
+        FROM bm_top
+    ),
+    qv AS (SELECT embedding FROM embeddings WHERE vec_id = {_RRF_QVEC}),
+    cos_all AS (
+        SELECT e.vec_id AS doc_id,
+               {duckdb_cosine('qv.embedding', 'e.embedding')} AS cosine
+        FROM embeddings e CROSS JOIN qv
+        WHERE e.vec_id != {_RRF_QVEC}
+    ),
+    cos_top AS (
+        SELECT doc_id, cosine FROM cos_all
+        ORDER BY cosine DESC, doc_id LIMIT {_RRF_DEPTH}
+    ),
+    cos_rank AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS cos_rank
+        FROM cos_top
+    )
+    SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+           b.bm25_rank, c.cos_rank,
+           round(COALESCE(1.0 / ({_RRF_K} + b.bm25_rank), 0.0)
+                 + COALESCE(1.0 / ({_RRF_K} + c.cos_rank), 0.0), 12) AS rrf_score
+    FROM bm_rank b FULL OUTER JOIN cos_rank c ON b.doc_id = c.doc_id
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 20
+    """,
+    tags=("textstats", "search", "hybrid", "rrf", "llm-pipeline"),
+)
+def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack, Clarke &
+    Büttcher, SIGIR'09): fuse a LEXICAL ranking (BM25 over the query
+    terms — the :func:`bm25_topk` scorer verbatim) with a DENSE ranking
+    (cosine against a query embedding — ``vec_id`` 0, the
+    ``documents``/``embeddings`` tables share one id space) by
+    ``score(d) = Σ_systems 1/(60 + rank_s(d))`` over each system's
+    top-50, the de-facto standard first stage of every
+    RAG / search pipeline that mixes keyword and vector indexes.
+
+    Determinism: BM25 scores are decimal-quantized, cosines round to
+    9 dp, both ranks break ties by doc_id → integer ranks are identical
+    in both engines, and the fused score is the same fixed sequence of
+    double ops (coalesce(1/(60+r),0) + coalesce(...), rounded to 12).
+
+    Scale design (100 TB): each system reduces to its top-k with
+    TakeOrdered (parallel partial top-k, no global sort); the rank
+    row_number windows run over the ≤50-row survivor sets
+    (bounded by the query literal — allowlisted in the plan audit), and
+    the fusion is a 50×2-row full outer join. Corpus-side
+    cost is one posting scan + one embedding scan; nothing quadratic,
+    nothing collected.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import _embeddings_normed, spark_cosine_prenorm
+
+    bm_top = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_RRF_DEPTH)
+    )
+    bm_rank = bm_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .cast("long")
+        .alias("bm25_rank"),
+    )
+    e = _embeddings_normed(spark, sf_dir)
+    qv = e.filter(F.col("vec_id") == _RRF_QVEC).select(
+        F.col("emb_d").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    cos_top = (
+        e.filter(F.col("vec_id") != _RRF_QVEC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.expr(spark_cosine_prenorm("q_emb", "emb_d", "q_nrm", "nrm")).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(_RRF_DEPTH)
+    )
+    cos_rank = cos_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), F.asc("doc_id")))
+        .cast("long")
+        .alias("cos_rank"),
+    )
+    k = F.lit(float(_RRF_K))
+    fused = bm_rank.join(cos_rank, "doc_id", "full_outer").select(
+        "doc_id",
+        "bm25_rank",
+        "cos_rank",
+        F.round(
+            F.coalesce(F.lit(1.0) / (k + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (k + F.col("cos_rank")), F.lit(0.0)),
+            12,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(20)
 
 
 #: Count-min sketch shape: 4 hash rows × 1024 buckets. The row hashes

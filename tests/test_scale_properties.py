@@ -40,6 +40,7 @@ _NL_ALLOWED = {
     "doc_unigram_nll",         # single-row corpus-total scalar broadcast to vocab rows
     "pagerank_supplier_customer",  # single-row node-count scalar broadcast per iteration
     "bm25_topk",               # single-row N/avgdl scalar broadcast to matching postings
+    "rrf_hybrid_search",       # bm25's scalar broadcast + the 1-row query-vector cross join
 }
 
 
@@ -112,6 +113,9 @@ _HINT_ALLOWED = {
     "ann_topk_ivf": {"embeddings"},
     "ann_recall_lsh": {"embeddings"},
     "ann_recall_ivf": {"embeddings"},
+    # the broadcast side is the single dense query vector (vec_id = literal
+    # equality filter over embeddings — exactly one row at any SF).
+    "rrf_hybrid_search": {"embeddings"},
     # exact all-pairs tier: oracle ground truth at test scale; docstring
     # says to swap for the LSH bucket join at 100 TB.
     "embedding_cosine_dups": {"embeddings"},
@@ -555,6 +559,7 @@ _ORDER_ONLY_WINDOW_ALLOWED = {
     # (TakeOrdered feeds it), k fixed by the query text.
     "vocab_coverage_topk",        # top-10000 terms
     "weighted_sample_wor_orders",  # top-100 sample
+    "rrf_hybrid_search",          # ranks two LIMIT-50 survivor sets
     # per-price-level frame of the 64-bucket local skylines — data-
     # dependent small (skyline of random data is O(log^d n) expected);
     # worst case documented in the docstring.
