@@ -172,6 +172,139 @@ def hll_sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_day.unionByName(total).orderBy(F.asc_nulls_last("day"))
 
 
+#: quantile-histogram shape: fixed equi-width bins over o_totalprice.
+#: Width/cap are MODEL CONSTANTS (like LSH planes or IVF centroids): 10 k
+#: wide, ids 0..63 — prices ≥ 640 k clamp into the top bin.
+_QBIN_W = 10_000.0
+_QBIN_CAP = 63
+
+
+def _qbin_est(q: str) -> str:
+    """Linear-interpolation estimate at quantile ``q`` from the crossing
+    bin — the SAME textual op sequence in Spark and DuckDB (bin edge +
+    fractional offset inside the bin), so the emitted double is
+    bit-identical given identical integer (bin, cnt, cum) inputs."""
+    return (
+        f"min(CASE WHEN cum >= {q} * total AND cum - cnt < {q} * total"
+        f" THEN bin * {_QBIN_W} + ({q} * total - (cum - cnt)) / cnt * {_QBIN_W}"
+        f" END)"
+    )
+
+
+@query(
+    "quantile_bin_rollup_regions",
+    oracle=f"""
+    WITH tiles AS (
+        SELECT n.n_regionkey, c.c_nationkey,
+               least(CAST(floor(o.o_totalprice / {_QBIN_W}) AS BIGINT),
+                     {_QBIN_CAP}) AS bin,
+               COUNT(*) AS cnt
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_regionkey, c.c_nationkey, bin
+    ),
+    merged AS (
+        SELECT n_regionkey, bin, SUM(cnt) AS cnt
+        FROM tiles GROUP BY n_regionkey, bin
+    ),
+    cums AS (
+        SELECT n_regionkey, bin, cnt,
+               SUM(cnt) OVER (PARTITION BY n_regionkey ORDER BY bin) AS cum,
+               SUM(cnt) OVER (PARTITION BY n_regionkey) AS total
+        FROM merged
+    ),
+    casted AS (
+        SELECT n_regionkey, bin,
+               CAST(cnt AS DOUBLE) AS cnt, CAST(cum AS DOUBLE) AS cum,
+               CAST(total AS DOUBLE) AS total
+        FROM cums
+    ),
+    est AS (
+        SELECT n_regionkey,
+               MAX(total) AS total,
+               {_qbin_est('CAST(0.5 AS DOUBLE)')} AS e50,
+               {_qbin_est('CAST(0.9 AS DOUBLE)')} AS e90
+        FROM casted GROUP BY n_regionkey
+    )
+    SELECT r.r_name AS region,
+           CAST(est.total AS BIGINT) AS n_orders,
+           round(e50, 6) AS est_p50,
+           round(e90, 6) AS est_p90
+    FROM est JOIN region r ON est.n_regionkey = r.r_regionkey
+    ORDER BY region
+    """,
+    tags=("aggregation", "approx", "sketch", "mergeable", "quantile"),
+)
+def quantile_bin_rollup_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile sketches — the quantile companion of
+    :func:`hll_sketch_rollup_users`: per-(region, nation) equi-width
+    histogram tiles over ``o_totalprice`` (the "sketch build": bounded
+    O(nations × 64 bins) rows), MERGED up to region level by summing bin
+    counts — an associative/commutative combine that never re-touches
+    the raw orders — then p50/p90 estimated from each region's merged
+    histogram by linear interpolation inside the crossing bin.
+
+    This is the two-level pattern a 100 TB lakehouse uses for
+    percentile dashboards: materialize tiny histogram tiles per
+    partition/day ONCE, answer any rollup (region, month, total) in
+    sketch space at O(tiles × bins) — no corpus re-scan, no
+    order-statistics shuffle. Contrast ``approx_quantiles_price``
+    (Spark's GK sketch — better error bounds, opaque binary) and
+    ``exact_median_quantity`` (exact, but a full sort-shuffle): fixed
+    bins trade resolution (≤ bin-width error, here 10 k) for a sketch
+    that is trivially mergeable, SQL-expressible, and auditable — which
+    is also why the whole pipeline has an exact DuckDB oracle rather
+    than a rows-only row.
+
+    Determinism: tiles/merge/cumsum are exact integers; the
+    interpolation is the same textual op sequence in both engines
+    (:func:`_qbin_est`) over those integers cast to double, so the
+    emitted estimates are bit-identical. The bin cumsum window is
+    partitioned by region (25 nations × ≤64 bins — never single-task).
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    joined = o.join(c, o.o_custkey == c.c_custkey).join(
+        n, F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    tiles = joined.groupBy(
+        "n_regionkey",
+        "c_nationkey",
+        F.least(
+            F.floor(F.col("o_totalprice") / F.lit(_QBIN_W)).cast("bigint"),
+            F.lit(_QBIN_CAP),
+        ).alias("bin"),
+    ).agg(F.count("*").alias("cnt"))
+    merged = tiles.groupBy("n_regionkey", "bin").agg(F.sum("cnt").alias("cnt"))
+    wcum = Window.partitionBy("n_regionkey").orderBy("bin")
+    wtot = Window.partitionBy("n_regionkey")
+    casted = merged.select(
+        "n_regionkey",
+        "bin",
+        F.col("cnt").cast("double").alias("cnt"),
+        F.sum("cnt").over(wcum).cast("double").alias("cum"),
+        F.sum("cnt").over(wtot).cast("double").alias("total"),
+    )
+    est = casted.groupBy("n_regionkey").agg(
+        F.max("total").alias("total"),
+        F.expr(_qbin_est("CAST(0.5 AS DOUBLE)")).alias("e50"),
+        F.expr(_qbin_est("CAST(0.9 AS DOUBLE)")).alias("e90"),
+    )
+    return (
+        est.join(F.broadcast(r), est.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("total").cast("bigint").alias("n_orders"),
+            F.round("e50", 6).alias("est_p50"),
+            F.round("e90", 6).alias("est_p90"),
+        )
+        .orderBy("region")
+    )
+
+
 @query(
     "pivot_event_counts",
     oracle="""

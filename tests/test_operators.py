@@ -347,3 +347,55 @@ def test_incremental_merge_is_cutoff_invariant(spark, sf_dir):
         for r in incremental_agg_merge(spark, sf_dir).collect()
     }
     assert reg == a
+
+
+def test_quantile_bin_rollup_accuracy_and_merge_identity(spark, oracle_sf_dir):
+    """The binned-quantile rollup must (a) bracket the exact per-region
+    quantile within one bin width (the sketch's resolution bound — the
+    crossing bin CONTAINS the exact order statistic, and interpolation
+    never leaves the bin), and (b) satisfy the merge identity EXACTLY:
+    histograms built per nation then summed to region equal a histogram
+    built directly at region grain (integer bin counts, associative sum)."""
+    from cooler_mapreduce_spark.operators.aggregates import _QBIN_CAP, _QBIN_W
+
+    rows = SPECS["quantile_bin_rollup_regions"].fn(spark, oracle_sf_dir).collect()
+    assert len(rows) == 5 and all(r.n_orders > 0 for r in rows)
+    o = table(spark, oracle_sf_dir, "orders")
+    c = table(spark, oracle_sf_dir, "customer")
+    n = table(spark, oracle_sf_dir, "nation")
+    r = table(spark, oracle_sf_dir, "region")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    exact = {
+        row["r_name"]: (row["p50"], row["p90"], row["cnt"])
+        for row in joined.groupBy("r_name")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+            F.count("*").alias("cnt"),
+        )
+        .collect()
+    }
+    for row in rows:
+        p50, p90, cnt = exact[row.region]
+        assert row.n_orders == cnt
+        assert abs(row.est_p50 - p50) <= _QBIN_W, (row.region, row.est_p50, p50)
+        assert abs(row.est_p90 - p90) <= _QBIN_W, (row.region, row.est_p90, p90)
+    # (b) merge identity: nation tiles summed == region-grain histogram
+    bin_col = F.least(
+        F.floor(F.col("o_totalprice") / F.lit(_QBIN_W)).cast("bigint"),
+        F.lit(_QBIN_CAP),
+    ).alias("bin")
+    via_tiles = (
+        joined.groupBy("n_regionkey", "c_nationkey", bin_col)
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("n_regionkey", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = joined.groupBy("n_regionkey", bin_col).agg(F.count("*").alias("cnt"))
+    assert sorted(map(tuple, via_tiles.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
