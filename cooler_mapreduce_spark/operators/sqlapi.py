@@ -323,3 +323,47 @@ def sql_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY seg
         """
     )
+
+
+@query(
+    "sql_identifier_clause",
+    oracle="""
+    SELECT n_name AS nation, COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("sql", "identifier", "parameterized"),
+)
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``IDENTIFIER(:param)`` (Spark 4): parameterized TABLE and COLUMN
+    *names* — the face of the parameterization family that values can't
+    cover (``:name`` markers only bind literals; splicing a table name
+    into f-string SQL is the injection vector IDENTIFIER exists to
+    close). One statement serves N tenant tables / metric columns by
+    binding names through the same injection-safe channel as values:
+    IDENTIFIER resolves at parse time, so the resolved plan — scan,
+    join, pushdown, partial aggregation — is byte-identical to the
+    hand-written query, which is exactly what the oracle (the same
+    statement with the names inlined) proves. Completes the family:
+    session variables (:func:`sql_session_variables`), EXECUTE IMMEDIATE
+    (:func:`sql_execute_immediate`), spark.sql args
+    (:func:`sql_named_parameters`), and now identifiers.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:name_col) AS nation, COUNT(*) AS n_suppliers,
+               CAST(SUM(CAST(IDENTIFIER(:bal_col) AS DECIMAL(12,2))) AS DOUBLE)
+                   AS total_balance
+        FROM IDENTIFIER(:fact) JOIN IDENTIFIER(:dim)
+          ON s_nationkey = n_nationkey
+        GROUP BY IDENTIFIER(:name_col)
+        """,
+        args={
+            "fact": "supplier",
+            "dim": "nation",
+            "name_col": "n_name",
+            "bal_col": "s_acctbal",
+        },
+    )
