@@ -67,6 +67,8 @@ HEADLINE = [
     "holt_linear_smoothing",        # sequential HOF fold over the calendar-bounded series
     "weighted_median_price_by_flag",  # RANGE-frame cumulative crossing over the fact table
     "multiple_ols_price_by_flag",   # 10 sufficient-statistic sums + scalar Cramer solve
+    # round-6 third wave:
+    "semdedup_prune_cells",         # per-cell quadratic cosine verify (SemDeDup prune)
 ]
 # Excluded by design: ann_recall_lsh/ann_recall_ivf re-run two already-
 # benched ANN tiers plus a join — benching them would double-count the
@@ -136,6 +138,17 @@ HEADLINE = [
 # the benched window family); downsample_lttb_daily and
 # label_propagation_communities share benched shapes (events
 # day-rollup + argmax; pagerank-style keyed join rounds).
+# Of the round-6 third-wave additions, semdedup_prune_cells is benched
+# (new cost profile: the within-cell all-pairs cosine self-join — the
+# quadratic-verify shape none of the LSH/bucketed dedup entries have).
+# The rest re-exercise benched shapes: rrf_hybrid_search is the benched
+# BM25 tokenize spine plus ONE query-vector cosine scan (the bruteforce
+# ANN entry times eight) and a 50-row fusion join;
+# quantile_bin_rollup_regions is an orders⋈customer join + an
+# O(nations×64-bins) two-level agg (revenue_by_nation covers that join
+# exchange); sql_identifier_clause parses to the same plan as a
+# hand-written supplier⋈nation group-by (parse-time name binding,
+# nothing to time).
 
 #: REAL-STREAM surfaces (not batch twins): each starts an actual
 #: StreamingQuery over the sf dir and times a full bounded-replay drain —

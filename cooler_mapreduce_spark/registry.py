@@ -224,6 +224,15 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: parameterized-SQL faces: dynamic text with USING binds, and the
 #: spark.sql(args=) API), and sql_collated_grouping (Spark 4 COLLATE
 #: UTF8_LCASE group-by oracled against the lower() spelling).
+#: Fourth-wave r6 additions (also r7 queue): semdedup_prune_cells
+#: (SemDeDup cluster-bucketed semantic pruning — label-mean quantizer
+#: makes fit→assign→prune→census fully oracled), rrf_hybrid_search
+#: (reciprocal-rank fusion of the BM25 lexical and cosine dense
+#: rankings over the shared doc-id space), quantile_bin_rollup_regions
+#: (mergeable binned-quantile sketch tiles: nation histograms summed to
+#: region, p50/p90 by in-bin interpolation), and sql_identifier_clause
+#: (IDENTIFIER(:param) table/column-name binding, closing the
+#: parameterized-SQL family).
 PRIORITY_QUERIES: tuple[str, ...] = (
     # --- anchors: one green representative per §2.4 category (r2-r5) ---
     "word_count",                     # parity / scan / flatMap

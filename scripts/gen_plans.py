@@ -683,6 +683,38 @@ CASES = {
             ("no cartesian product", lambda p: "CartesianProduct" not in p),
         ],
     ),
+    "semdedup_prune_cells": (
+        "SemDeDup prune: the pairwise cosine product is an EQUI-join on the cell key (priority order + threshold are post-filters) — per-cell quadratic, never corpus-quadratic; no cartesian product anywhere",
+        [
+            ("pair product keyed on cell (hash or sort-merge equi-join)", lambda p:
+                any("cell" in ln for ln in p.splitlines()
+                    if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln
+                    or "BroadcastHashJoin" in ln)),
+            ("no cartesian product", lambda p: "CartesianProduct" not in p),
+            ("census is partial-aggregable", lambda p: "partial_count" in p or "partial" in p),
+        ],
+    ),
+    "rrf_hybrid_search": (
+        "RRF fusion: each system reduces via TakeOrdered (parallel partial top-k, no global sort of the corpus); the rank windows and outer join touch only the LIMIT-50 survivor sets",
+        [
+            ("both systems reduce via TakeOrdered", lambda p:
+                p.count("TakeOrderedAndProject") >= 2),
+            ("no corpus-wide global Sort feeding a window", lambda p:
+                all("Exchange rangepartitioning" not in ln for ln in p.splitlines())),
+            ("no cartesian product", lambda p: "CartesianProduct" not in p),
+        ],
+    ),
+    "quantile_bin_rollup_regions": (
+        "mergeable quantile rollup: tile build partial-aggregates before its shuffle; the region merge and cumsum run over O(nations x bins) rows; region dim broadcasts",
+        [
+            ("tile build partial-aggregates", lambda p: "partial_count" in p or "partial" in p),
+            ("region dim broadcast-joined", lambda p: "BroadcastHashJoin" in p),
+            ("cum window partitioned by region (never single-task)", lambda p:
+                all("n_regionkey" in ln for ln in p.splitlines()
+                    if ln.strip().lstrip("+-*: ").startswith("Window "))),
+            ("no cartesian product", lambda p: "CartesianProduct" not in p),
+        ],
+    ),
 }
 
 #: cases whose scan/reuse claims are only *printable* with AQE disabled:
