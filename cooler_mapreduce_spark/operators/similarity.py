@@ -72,6 +72,16 @@ def spark_cosine_prenorm(a: str, b: str, na: str, nb: str) -> str:
     return f"round({_SPARK_DOT_RAW.format(a=a, b=b)} / ({na} * {nb}), 9)"
 
 
+# Measured negative result (don't re-try): unrolling the dot product to
+# 64 explicit `a[i] * b[i]` terms — hoping to swap the HOF fold's
+# interpreted evaluation for whole-stage codegen — was SLOWER than the
+# fold on the semdedup pair kernel (1.4 s vs 0.6 s for the salted pair
+# stage at sf0.1): 128 per-term getItem null checks in one giant
+# expression beat the fold's single pass over both arrays. The fold is
+# the right spelling for array kernels; the HOF cost that mattered in
+# SCALING.md's minhash episode was JIT warm-up, not steady-state.
+
+
 def _embeddings_normed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings with the vector pre-cast to double and its norm."""
     return table(spark, sf_dir, "embeddings").select(
@@ -1248,17 +1258,42 @@ def semdedup_prune_cells(
         F.explode(F.expr(_cell_score_structs(cents))).alias("cs"),
     ).select("vec_id", "emb_d", "nrm", "cs.cell", "cs.score")
     rw = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cell"))
+    # materialize the assignment ONCE: it has three consumers (both pair
+    # sides + the census), and its cell-scoring subtree is a full
+    # 10-cosine-folds-per-vector pass — without truncation the self-join
+    # recomputes it twice (the pagerank/graph multi-consumer pattern).
+    # Together with the salted pinned pair join below, the full query's
+    # sf0.1 steady state went 3.3 s → 2.0-2.5 s. At cluster scale this
+    # is a `.checkpoint()`/cache of an O(corpus)-row frame.
     assigned = (
         scores.withColumn("rn", F.row_number().over(rw))
         .filter(F.col("rn") == 1)
         .select("vec_id", "emb_d", "nrm", "cell", "score")
+        .localCheckpoint(eager=True)
     )
+    # SALTED, EXPLICITLY-PARTITIONED self-join. Two scale hazards meet
+    # here: (1) |cells| is small (10 here; 50 k in a paper-scale fit)
+    # while the per-pair work is quadratic in cell size, so a plain
+    # cell-keyed join concentrates each cell's whole verify kernel on
+    # one shuffle key — salting the b-side by vec_id and replicating the
+    # a-side over the salt space splits every cell's pair work 32 ways
+    # (skew.py's hot-key treatment; the replicated side is O(32·corpus)
+    # rows, paid once). (2) The join's INPUT is tiny while its OUTPUT
+    # fans out ~|cell|×, so AQE's input-size coalescing folds the tiny
+    # shuffle into ONE task and the fan-out work serializes — the
+    # explicit repartition pins the (cell, salt) partitioning, which AQE
+    # honors (user-specified repartitions are exempt from coalescing).
+    # Measured at sf0.1: the pair stage went 2.2 s single-task →
+    # 0.6-0.8 s salted+pinned; the join runs exchange-free on the pinned
+    # partitioning.
+    _NSALT = 32
     a = assigned.select(
         F.col("cell"),
         F.col("vec_id").alias("a_id"),
         F.col("score").alias("a_score"),
         F.col("emb_d").alias("a_emb"),
         F.col("nrm").alias("a_nrm"),
+        F.explode(F.array(*[F.lit(i) for i in range(_NSALT)])).alias("salt"),
     )
     b = assigned.select(
         F.col("cell"),
@@ -1266,12 +1301,15 @@ def semdedup_prune_cells(
         F.col("score").alias("b_score"),
         F.col("emb_d").alias("b_emb"),
         F.col("nrm").alias("b_nrm"),
+        F.pmod(F.col("vec_id"), F.lit(_NSALT)).cast("int").alias("salt"),
     )
     earlier = (F.col("a_score") > F.col("b_score")) | (
         (F.col("a_score") == F.col("b_score")) & (F.col("a_id") < F.col("b_id"))
     )
+    a = a.repartition(_NSALT * 2, "cell", "salt")
+    b = b.repartition(_NSALT * 2, "cell", "salt")
     pruned = (
-        a.join(b, "cell")
+        a.join(b, ["cell", "salt"])
         .filter(earlier)
         .filter(
             F.expr(spark_cosine_prenorm("a_emb", "b_emb", "a_nrm", "b_nrm"))
