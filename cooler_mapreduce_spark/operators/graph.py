@@ -160,14 +160,26 @@ def pagerank_frame(
         (F.lit(1.0) / F.col("n_nodes")).alias("rank"),
     )
     q = F.lit(float(_Q))
+    # SHUFFLE_HASH on the rank-state side of both per-iteration joins:
+    # sort-merge would re-SORT the checkpointed edge partitions every
+    # iteration (5 sorts of the O(|edges|) side for zero information),
+    # while a shuffled-hash build of the rank side streams the edges
+    # unsorted. The build side is O(|nodes|/partitions) rows of
+    # (id, outdeg, rank) per task — bounded far below the edge side at
+    # any scale, and partition count grows with the cluster, so the
+    # per-task hash map stays executor-sized (this is the textbook SHJ
+    # case, unlike a forced broadcast which must fit ONE executor whole).
+    # Measured at sf0.1, identical top-20 hash: 6.3 s → ~4 s steady.
     for _ in range(iterations):
-        contribs = ranks.join(edges, F.col("node") == F.col("src")).select(
+        contribs = ranks.hint("shuffle_hash").join(
+            edges, F.col("node") == F.col("src")
+        ).select(
             F.col("dst").alias("to"),
             F.floor(F.col("rank") / F.col("outdeg") * q).cast("decimal(38,0)").alias("c"),
         )
         sums = contribs.groupBy("to").agg(F.sum("c").alias("s"))
         ranks = (
-            sums.join(deg, F.col("to") == F.col("src"))
+            sums.join(deg.hint("shuffle_hash"), F.col("to") == F.col("src"))
             .crossJoin(F.broadcast(n))
             .select(
                 F.col("to").alias("node"),
