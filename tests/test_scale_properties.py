@@ -41,6 +41,7 @@ _NL_ALLOWED = {
     "pagerank_supplier_customer",  # single-row node-count scalar broadcast per iteration
     "bm25_topk",               # single-row N/avgdl scalar broadcast to matching postings
     "rrf_hybrid_search",       # bm25's scalar broadcast + the 1-row query-vector cross join
+    "embedding_jl_projection_fidelity",  # theta pair join of the literal-bounded 50-row audit set
 }
 
 
@@ -116,6 +117,9 @@ _HINT_ALLOWED = {
     # the broadcast side is the single dense query vector (vec_id = literal
     # equality filter over embeddings — exactly one row at any SF).
     "rrf_hybrid_search": {"embeddings"},
+    # the broadcast side is the literal-bounded audit population
+    # (vec_id < 50 over embeddings — fixed rows at any SF).
+    "embedding_jl_projection_fidelity": {"embeddings"},
     # exact all-pairs tier: oracle ground truth at test scale; docstring
     # says to swap for the LSH bucket join at 100 TB.
     "embedding_cosine_dups": {"embeddings"},
