@@ -1448,3 +1448,151 @@ def embedding_jl_projection_fidelity(spark: SparkSession, sf_dir: str) -> DataFr
             F.expr(spark_cosine("a_pr", "b_pr")).alias("cos_proj"),
         )
     )
+
+
+# --- Product-quantization (PQ) fidelity -------------------------------------
+
+#: PQ shape: 4 subspaces x 16 dims, one codebook per subspace. The
+#: codebooks are the label-mean centroids' dim slices — SQL-re-derivable
+#: like the IVF/semdedup quantizer, so the whole encode→reconstruct→audit
+#: pipeline has a DuckDB oracle (a k-means codebook fit would not).
+_PQ_S = 4
+_PQ_SUB = 16
+
+
+def _pq_codes_and_recon(cents: list) -> tuple[list[str], str]:
+    """(per-subspace argmin-code expressions, reconstruction expression).
+
+    Code s = the label whose sub-centroid minimizes the L2² distance of
+    the embedding's dims [16s+1 .. 16s+16] (fold in dim order, rounded
+    to 9 dp for cross-engine ties, label id as tiebreak via struct
+    ordering). Reconstruction concatenates the chosen sub-centroids via
+    literal maps keyed by code.
+    """
+    code_exprs = []
+    recon_parts = []
+    for s in range(_PQ_S):
+        lo = s * _PQ_SUB
+        entries = []
+        map_entries = []
+        for label, c in cents:
+            sub = c[lo : lo + _PQ_SUB]
+            arr = f"array({', '.join(f'CAST({v!r} AS DOUBLE)' for v in sub)})"
+            dist = (
+                f"round(aggregate(zip_with(slice(emb_d, {lo + 1}, {_PQ_SUB}), {arr},"
+                f" (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE),"
+                f" (acc, v) -> acc + v), 9)"
+            )
+            entries.append(f"struct({dist} AS d, {label} AS l)")
+            map_entries.append(f"{label}, {arr}")
+        code_exprs.append(f"array_min(array({', '.join(entries)})).l")
+        recon_parts.append(f"element_at(map({', '.join(map_entries)}), code{s + 1})")
+    return code_exprs, f"concat({', '.join(recon_parts)})"
+
+
+def _pq_oracle() -> str:
+    subs = ", ".join(str(s + 1) for s in range(_PQ_S))
+    code_cols = ", ".join(
+        f"MAX(CASE WHEN sub = {s + 1} THEN label END) AS code{s + 1}"
+        for s in range(_PQ_S)
+    )
+    return f"""
+    WITH el AS (
+        SELECT label, u.idx, CAST(u.val AS DOUBLE) AS val
+        FROM embeddings,
+             LATERAL (SELECT unnest(embedding) AS val,
+                             generate_subscripts(embedding, 1) AS idx) u
+    ),
+    means AS (
+        SELECT label, idx,
+               CAST(SUM(CAST(floor(val * 1073741824.0) AS BIGINT)) AS DOUBLE)
+                   / 1073741824.0 / COUNT(*) AS m
+        FROM el GROUP BY label, idx
+    ),
+    cents AS (
+        SELECT label AS cell, list(m ORDER BY idx) AS c FROM means GROUP BY label
+    ),
+    subdist AS (
+        SELECT e.vec_id, k.cell AS label, s.sub,
+               round(list_aggregate(list_transform(generate_series(1, {_PQ_SUB}),
+                   i -> (CAST(e.embedding[(s.sub - 1) * {_PQ_SUB} + i] AS DOUBLE)
+                         - k.c[(s.sub - 1) * {_PQ_SUB} + i])
+                      * (CAST(e.embedding[(s.sub - 1) * {_PQ_SUB} + i] AS DOUBLE)
+                         - k.c[(s.sub - 1) * {_PQ_SUB} + i])), 'sum'), 9) AS d
+        FROM embeddings e
+        CROSS JOIN cents k
+        CROSS JOIN (SELECT unnest([{subs}]) AS sub) s
+    ),
+    codes AS (
+        SELECT vec_id, sub, label FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                         ORDER BY d, label) AS rn
+            FROM subdist
+        ) WHERE rn = 1
+    ),
+    codes_p AS (SELECT vec_id, {code_cols} FROM codes GROUP BY vec_id),
+    recon AS (
+        SELECT codes.vec_id,
+               flatten(list(list_slice(k.c, (sub - 1) * {_PQ_SUB} + 1,
+                                       sub * {_PQ_SUB}) ORDER BY sub)) AS r
+        FROM codes JOIN cents k ON codes.label = k.cell
+        GROUP BY codes.vec_id
+    )
+    SELECT e.vec_id, p.code1, p.code2, p.code3, p.code4,
+           {duckdb_cosine('e.embedding', 'r.r')} AS cos_fidelity
+    FROM embeddings e
+    JOIN codes_p p ON p.vec_id = e.vec_id
+    JOIN recon r ON r.vec_id = e.vec_id
+    """
+
+
+@query(
+    "embedding_pq_fidelity",
+    oracle=_pq_oracle(),
+    tags=("embedding", "quantization", "pq", "audit", "llm-pipeline"),
+)
+def embedding_pq_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al., TPAMI'11 — the workhorse of
+    billion-scale ANN indexes): split each 64-dim embedding into 4
+    subspaces of 16 dims, encode every subspace as the id of its nearest
+    sub-codebook centroid (argmin L2², dim-ordered fold, label tiebreak),
+    reconstruct from the 4 chosen sub-centroids, and emit each vector's
+    PQ code alongside the reconstruction's cosine fidelity — the audit
+    that decides how many subspaces/bits an index needs.
+
+    Completes the embedding-compression triptych: scalar quantization
+    (``embedding_quantize_fidelity``, precision axis), random projection
+    (``embedding_jl_projection_fidelity``, dimensionality axis), and PQ
+    (codebook axis — 64 doubles become 4 small ints, a 128× compression
+    here). The codebooks are the label-mean centroids' dim slices
+    (:func:`_labelmean_centroids`), so unlike a k-means fit the whole
+    encode→reconstruct→audit pipeline is SQL-re-derivable and
+    hash-checked against DuckDB.
+
+    Plan shape: codes and reconstruction are pure Catalyst expressions
+    over literal codebooks — ONE scan, zero shuffles, zero Python; the
+    output is O(corpus) rows of (vec_id, 4 codes, fidelity). At 100 TB
+    this is exactly how PQ encoding runs in production: broadcast-free
+    map-side encode against constant codebooks.
+    """
+    cents = _labelmean_centroids(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("emb_d"),
+    )
+    code_exprs, recon_expr = _pq_codes_and_recon(cents)
+    coded = e.select(
+        "vec_id",
+        "emb_d",
+        *[F.expr(ex).alias(f"code{s + 1}") for s, ex in enumerate(code_exprs)],
+    )
+    return coded.select(
+        "vec_id",
+        "code1",
+        "code2",
+        "code3",
+        "code4",
+        F.expr(
+            spark_cosine("emb_d", recon_expr)
+        ).alias("cos_fidelity"),
+    )
