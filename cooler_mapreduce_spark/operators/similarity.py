@@ -1247,6 +1247,27 @@ def semdedup_prune_cells(
     (SURVEY.md §2) — this extends the dedup family
     (dedup.py:163 minhash-LSH) to the semantic axis.
     """
+    assigned, pruned_ids = _semdedup_frames(spark, sf_dir, thr)
+    pruned = pruned_ids.groupBy("cell").agg(F.count("*").alias("n_pruned"))
+    census = assigned.groupBy("cell").agg(F.count("*").alias("n_total"))
+    return (
+        census.join(pruned, "cell", "left")
+        .select(
+            "cell",
+            "n_total",
+            F.coalesce("n_pruned", F.lit(0)).alias("n_pruned"),
+            (F.col("n_total") - F.coalesce("n_pruned", F.lit(0))).alias("n_kept"),
+        )
+        .orderBy("cell")
+    )
+
+
+def _semdedup_frames(
+    spark: SparkSession, sf_dir: str, thr: float
+) -> tuple[DataFrame, DataFrame]:
+    """SemDeDup's two building blocks, shared by the census and apply
+    queries: the per-vector cell assignment (vec_id, emb_d, nrm, cell,
+    score) and the distinct pruned ids (cell, vec_id)."""
     cents = _labelmean_centroids(spark, sf_dir)
     e = _embeddings_normed(spark, sf_dir)
     from pyspark.sql import Window
@@ -1259,12 +1280,12 @@ def semdedup_prune_cells(
     ).select("vec_id", "emb_d", "nrm", "cs.cell", "cs.score")
     rw = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cell"))
     # materialize the assignment ONCE: it has three consumers (both pair
-    # sides + the census), and its cell-scoring subtree is a full
+    # sides + the census/apply), and its cell-scoring subtree is a full
     # 10-cosine-folds-per-vector pass — without truncation the self-join
     # recomputes it twice (the pagerank/graph multi-consumer pattern).
-    # Together with the salted pinned pair join below, the full query's
-    # sf0.1 steady state went 3.3 s → 2.0-2.5 s. At cluster scale this
-    # is a `.checkpoint()`/cache of an O(corpus)-row frame.
+    # Together with the salted pinned pair join below, the census
+    # query's sf0.1 steady state went 3.3 s → 2.0-2.5 s. At cluster
+    # scale this is a `.checkpoint()`/cache of an O(corpus)-row frame.
     assigned = (
         scores.withColumn("rn", F.row_number().over(rw))
         .filter(F.col("rn") == 1)
@@ -1308,7 +1329,7 @@ def semdedup_prune_cells(
     )
     a = a.repartition(_NSALT * 2, "cell", "salt")
     b = b.repartition(_NSALT * 2, "cell", "salt")
-    pruned = (
+    pruned_ids = (
         a.join(b, ["cell", "salt"])
         .filter(earlier)
         .filter(
@@ -1317,20 +1338,50 @@ def semdedup_prune_cells(
         )
         .select("cell", F.col("b_id").alias("vec_id"))
         .distinct()
-        .groupBy("cell")
-        .agg(F.count("*").alias("n_pruned"))
     )
-    census = assigned.groupBy("cell").agg(F.count("*").alias("n_total"))
-    return (
-        census.join(pruned, "cell", "left")
-        .select(
-            "cell",
-            "n_total",
-            F.coalesce("n_pruned", F.lit(0)).alias("n_pruned"),
-            (F.col("n_total") - F.coalesce("n_pruned", F.lit(0))).alias("n_kept"),
-        )
-        .orderBy("cell")
+    return assigned, pruned_ids
+
+
+@query(
+    "semdedup_apply",
+    oracle=f"""
+    WITH {_DUCK_LM_ASSIGNED},
+    pruned AS (
+        SELECT DISTINCT b.vec_id
+        FROM lm_assigned a
+        JOIN lm_assigned b
+          ON a.cell = b.cell
+         AND (a.score > b.score
+              OR (a.score = b.score AND a.vec_id < b.vec_id))
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE {duckdb_cosine('ea.embedding', 'eb.embedding')} >= {_SEMDEDUP_THR}
     )
+    SELECT s.vec_id, e.label, s.cell
+    FROM lm_assigned s
+    JOIN embeddings e ON e.vec_id = s.vec_id
+    LEFT JOIN pruned p ON p.vec_id = s.vec_id
+    WHERE p.vec_id IS NULL
+    """,
+    tags=("dedup", "similarity", "embedding", "semdedup", "llm-pipeline"),
+)
+def semdedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup verdict APPLIED — the companion of
+    :func:`semdedup_prune_cells` the way ``corpus_dedup_apply`` is the
+    companion of the pairwise dedup tiers: materialize the semantically
+    deduplicated corpus, i.e. every vector the within-cell prune kept,
+    with its label and cell. The prune set is the duplicate MINORITY
+    (O(pruned) rows, tiny next to the corpus), so the verdict moves to
+    the corpus as a broadcast-sized anti join and the corpus itself
+    never reshuffles — the heavy-table-moves-once discipline all apply
+    tiers share.
+    """
+    assigned, pruned_ids = _semdedup_frames(spark, sf_dir, _SEMDEDUP_THR)
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    kept = assigned.join(
+        F.broadcast(pruned_ids.select("vec_id")), "vec_id", "left_anti"
+    )
+    return kept.join(emb, "vec_id").select("vec_id", "label", "cell")
 
 
 # --- Johnson-Lindenstrauss random-projection fidelity ----------------------
