@@ -925,3 +925,18 @@ def test_pq_codes_informative_and_fidelity_bounded(spark, oracle_sf_dir):
     assert min(fids) > 0.1
     again = embedding_pq_fidelity(spark, oracle_sf_dir).collect()
     assert sorted(map(tuple, df.collect())) == sorted(map(tuple, again))
+
+
+def test_pq_adc_recall_above_random_below_exact(spark, oracle_sf_dir):
+    """The PQ-ADC recall audit must land where the fidelity predicts:
+    above the random-rank baseline (10/(N-1) ~= 0.02 — reconstruction
+    carries SOME signal) yet clearly below 0.5 (10 codes per subspace
+    cannot rank this weak-cluster corpus — the audit's whole point).
+    Every per-query recall stays a valid fraction of TOP_K."""
+    from cooler_mapreduce_spark.operators.similarity import ann_recall_pq
+
+    rows = ann_recall_pq(spark, oracle_sf_dir).collect()
+    assert len(rows) == 8
+    mean = sum(r.recall for r in rows) / len(rows)
+    assert 0.02 < mean < 0.5, mean
+    assert all(0.0 <= r.recall <= 1.0 and r.hits == round(r.recall * 10) for r in rows)

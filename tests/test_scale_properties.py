@@ -20,6 +20,7 @@ _NL_ALLOWED = {
     "ann_topk_bruteforce",     # |queries| rows broadcast against corpus
     "ann_recall_lsh",          # runs the bruteforce tier internally (above)
     "ann_recall_ivf",          # runs the bruteforce tier internally (above)
+    "ann_recall_pq",           # |queries| rows broadcast against the PQ-recon corpus
     "embedding_cosine_dups",   # exact all-pairs tier (oracle ground truth)
     "join_range_price_bands",  # theta join against a literal band table
     "join_asof_last_click",    # bounded theta as-of candidates
@@ -114,6 +115,7 @@ _HINT_ALLOWED = {
     "ann_topk_ivf": {"embeddings"},
     "ann_recall_lsh": {"embeddings"},
     "ann_recall_ivf": {"embeddings"},
+    "ann_recall_pq": {"embeddings"},
     # the broadcast side is the single dense query vector (vec_id = literal
     # equality filter over embeddings — exactly one row at any SF).
     "rrf_hybrid_search": {"embeddings"},
