@@ -69,6 +69,8 @@ HEADLINE = [
     "multiple_ols_price_by_flag",   # 10 sufficient-statistic sums + scalar Cramer solve
     # round-6 third wave:
     "semdedup_prune_cells",         # per-cell quadratic cosine verify (SemDeDup prune)
+    # round-6 fourth wave:
+    "embedding_pq_fidelity",        # map-side PQ encode: heavy literal-codebook projection, zero shuffles
 ]
 # Excluded by design: ann_recall_lsh/ann_recall_ivf re-run two already-
 # benched ANN tiers plus a join — benching them would double-count the
@@ -149,6 +151,14 @@ HEADLINE = [
 # exchange); sql_identifier_clause parses to the same plan as a
 # hand-written supplier⋈nation group-by (parse-time name binding,
 # nothing to time).
+# Of the round-6 fourth-wave additions, embedding_pq_fidelity is
+# benched (new cost profile: the pure map-side encode — 40 literal
+# sub-codebook distance folds + reconstruction per row, zero
+# shuffles — no other entry is expression-bound like this).
+# semdedup_apply re-runs the benched semdedup derivation plus an
+# anti-join; embedding_jl_projection_fidelity and ann_recall_pq are
+# literal-bounded audit joins (1225 / 8×corpus pairs) whose corpus-side
+# scans the benched ANN tiers already time.
 
 #: REAL-STREAM surfaces (not batch twins): each starts an actual
 #: StreamingQuery over the sf dir and times a full bounded-replay drain —

@@ -1,0 +1,149 @@
+"""Data-governance tier: re-identification risk and private release.
+
+A training-data pipeline at 100 TB is also a compliance surface: before
+a corpus (or its statistics) leaves the platform, the pipeline must
+(1) MEASURE re-identification risk — k-anonymity over the
+quasi-identifier combinations an attacker could join on — and
+(2) RELEASE aggregate statistics without leaking individuals —
+ε-differentially-private counts. Both are single-pass grouped
+aggregates here (partial-aggregable, one shuffle), and both are
+hash-checked against DuckDB: the DP noise is the classic inverse-CDF
+Laplace sample driven by a SEEDED hash uniform, so the "randomness" is
+a deterministic function of the group key — reproducible releases, the
+property real DP deployments get from a stored noise seed.
+
+The reference engine has no governance surface (SURVEY.md §2); this
+extends the LLM-pipeline families (pii_redaction's detector is the
+row-level sibling — textstats.py:359).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.hashing import md5int_duckdb, md5int_spark
+from ..registry import query
+from ..sources.catalog import table
+
+#: quasi-identifier class-size bands for the census (k < 5 is the
+#: classic "violates k-anonymity at k=5" line).
+_KA_BANDS = "CASE WHEN k < 5 THEN 'k<5' WHEN k < 20 THEN '5<=k<20' ELSE 'k>=20' END"
+
+
+@query(
+    "kanonymity_census",
+    oracle=f"""
+    WITH classes AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_band,
+               COUNT(*) AS k
+        FROM customer
+        GROUP BY 1, 2, 3
+    )
+    SELECT {_KA_BANDS} AS band,
+           COUNT(*) AS n_classes,
+           CAST(SUM(k) AS BIGINT) AS n_rows,
+           MIN(k) AS min_k,
+           MAX(k) AS max_k
+    FROM classes GROUP BY 1
+    ORDER BY band
+    """,
+    tags=("governance", "privacy", "aggregation", "llm-pipeline"),
+)
+def kanonymity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity census (Sweeney, 2002): group the table by its
+    quasi-identifier tuple — here (nation, market segment, account-
+    balance band), the columns an attacker could plausibly join against
+    an external dataset — and report the equivalence-class size
+    distribution. Classes with k < 5 are re-identification risks: any
+    released row carrying that QI combination narrows to fewer than 5
+    people. The census is the measurement step before suppression or
+    generalization; its output is the compliance artifact.
+
+    Scale shape: ONE partial-aggregable groupBy over the table, then an
+    O(classes) banding aggregate — the same cost as any count rollup.
+    All values exact integers; the balance band is an integer floor, so
+    both engines agree bit-for-bit.
+    """
+    c = table(spark, sf_dir, "customer")
+    classes = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(2000.0)).cast("bigint").alias("bal_band"),
+    ).agg(F.count("*").alias("k"))
+    return (
+        classes.groupBy(F.expr(_KA_BANDS).alias("band"))
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.sum("k").alias("n_rows"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("band")
+    )
+
+
+_DP_EPS = 0.5
+_DP_SEED = "dp-release-r6"
+#: uniform in (-0.5, 0.5) from the seeded group-key hash: bucket the
+#: 60-bit hash to 1e6 buckets and center — the +0.5 half-bucket offset
+#: keeps u strictly inside the open interval, so ln(1 - 2|u|) is finite.
+_DP_U = "((CAST(h % 1000000 AS DOUBLE) + 0.5) / 1000000.0 - 0.5)"
+#: inverse-CDF Laplace(b = 1/eps) sample: -b * sgn(u) * ln(1 - 2|u|).
+_DP_NOISE = (
+    f"(-(1.0 / {_DP_EPS}) * (CASE WHEN {_DP_U} >= 0.0 THEN 1.0 ELSE -1.0 END)"
+    f" * ln(1.0 - 2.0 * abs({_DP_U})))"
+)
+
+
+@query(
+    "dp_noisy_segment_counts",
+    oracle=f"""
+    WITH counts AS (
+        SELECT c_mktsegment AS segment, COUNT(*) AS n
+        FROM customer GROUP BY 1
+    ),
+    seeded AS (
+        SELECT segment, n,
+               {md5int_duckdb(f"'{_DP_SEED}:' || segment")} AS h
+        FROM counts
+    )
+    SELECT segment,
+           round(CAST(n AS DOUBLE) + {_DP_NOISE}, 6) AS noisy_count,
+           {_DP_EPS} AS epsilon
+    FROM seeded
+    ORDER BY segment
+    """,
+    tags=("governance", "privacy", "differential-privacy", "llm-pipeline"),
+)
+def dp_noisy_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private count release (Dwork et al., TCC'06 —
+    the Laplace mechanism): per-segment customer counts plus
+    Laplace(1/ε) noise, ε = 0.5, sensitivity 1 (one customer moves one
+    count by one). The noise is the textbook inverse-CDF sample
+    ``-b·sgn(u)·ln(1-2|u|)`` driven by a uniform derived from a SEEDED
+    hash of the group key — deterministic, so repeated releases of the
+    same statistic reuse the same noise draw (re-running a DP query
+    with fresh noise is a privacy-budget leak; production systems pin
+    the draw exactly like this). Deterministic noise is also what makes
+    the release hash-checkable against DuckDB.
+
+    Scale shape: one partial-aggregable count + O(groups) scalar math.
+    The ln() runs on both engines' libm over identical doubles;
+    round-to-6 on O(100) magnitudes absorbs any ULP skew (the repo's
+    standard staging argument).
+    """
+    c = table(spark, sf_dir, "customer")
+    counts = c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n")
+    )
+    seeded = counts.withColumn(
+        "h", F.expr(md5int_spark(f"'{_DP_SEED}:' || segment"))
+    )
+    return seeded.select(
+        "segment",
+        F.round(F.col("n").cast("double") + F.expr(_DP_NOISE), 6).alias(
+            "noisy_count"
+        ),
+        F.lit(_DP_EPS).alias("epsilon"),
+    ).orderBy("segment")

@@ -56,6 +56,7 @@ _QUERY_MODULES = (
     "cooler_mapreduce_spark.operators.behavioral",
     "cooler_mapreduce_spark.operators.multimodal",
     "cooler_mapreduce_spark.operators.skew",
+    "cooler_mapreduce_spark.operators.governance",
     "cooler_mapreduce_spark.operators.udtf_ops",
     "cooler_mapreduce_spark.operators.mapreduce",
     "cooler_mapreduce_spark.operators.sqlapi",
@@ -226,13 +227,23 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: UTF8_LCASE group-by oracled against the lower() spelling).
 #: Fourth-wave r6 additions (also r7 queue): semdedup_prune_cells
 #: (SemDeDup cluster-bucketed semantic pruning — label-mean quantizer
-#: makes fit→assign→prune→census fully oracled), rrf_hybrid_search
-#: (reciprocal-rank fusion of the BM25 lexical and cosine dense
-#: rankings over the shared doc-id space), quantile_bin_rollup_regions
-#: (mergeable binned-quantile sketch tiles: nation histograms summed to
-#: region, p50/p90 by in-bin interpolation), and sql_identifier_clause
-#: (IDENTIFIER(:param) table/column-name binding, closing the
-#: parameterized-SQL family).
+#: makes fit→assign→prune→census fully oracled; pair join salted and
+#: partition-pinned per the AQE fan-out rule) + semdedup_apply (the
+#: verdict materialized: broadcast anti-join of the pruned minority),
+#: rrf_hybrid_search (reciprocal-rank fusion of the BM25 lexical and
+#: cosine dense rankings over the shared doc-id space),
+#: quantile_bin_rollup_regions (mergeable binned-quantile sketch tiles:
+#: nation histograms summed to region, p50/p90 by in-bin
+#: interpolation), sql_identifier_clause (IDENTIFIER(:param)
+#: table/column-name binding, closing the parameterized-SQL family),
+#: and the embedding-compression triptych's missing legs:
+#: embedding_jl_projection_fidelity (16 seeded literal JL directions,
+#: paired full/projected cosines, error pinned at the 1/√k level),
+#: embedding_pq_fidelity (product quantization: 4×16 label-mean
+#: sub-codebooks, map-side encode, reconstruction cosine audited), and
+#: ann_recall_pq (ADC recall@10 vs the exact tier — measured 3× random
+#: and pinned as the honest too-coarse verdict for 10-code codebooks).
+#: All eight are sf0.1 hash-verified in addition to the sf0.01 gate.
 PRIORITY_QUERIES: tuple[str, ...] = (
     # --- anchors: one green representative per §2.4 category (r2-r5) ---
     "word_count",                     # parity / scan / flatMap

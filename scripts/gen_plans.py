@@ -704,6 +704,14 @@ CASES = {
             ("no cartesian product", lambda p: "CartesianProduct" not in p),
         ],
     ),
+    "embedding_pq_fidelity": (
+        "PQ encode: codes + reconstruction are literal-codebook expressions over ONE scan — no join, no exchange, no Python stage",
+        [
+            ("no join anywhere", lambda p: "Join" not in p),
+            ("no exchange (map-side only)", lambda p: "Exchange" not in p),
+            ("no Python/Arrow stage", lambda p: "MapInPandas" not in p and "ArrowEvalPython" not in p and "BatchEvalPython" not in p),
+        ],
+    ),
     "quantile_bin_rollup_regions": (
         "mergeable quantile rollup: tile build partial-aggregates before its shuffle; the region merge and cumsum run over O(nations x bins) rows; region dim broadcasts",
         [

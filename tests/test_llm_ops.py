@@ -940,3 +940,42 @@ def test_pq_adc_recall_above_random_below_exact(spark, oracle_sf_dir):
     mean = sum(r.recall for r in rows) / len(rows)
     assert 0.02 < mean < 0.5, mean
     assert all(0.0 <= r.recall <= 1.0 and r.hits == round(r.recall * 10) for r in rows)
+
+
+def test_dp_noise_has_laplace_shape_and_census_partitions(spark, oracle_sf_dir):
+    """Governance invariants: (a) the DP release's noise draws are the
+    deterministic Laplace(1/eps) inverse-CDF samples — nonzero, distinct
+    across groups (seeded per key), and bounded by the draw the hash
+    uniform implies; (b) re-release reuses the SAME draw (privacy-budget
+    pinning); (c) the k-anonymity census partitions the table exactly:
+    band row totals sum to |customer| and min/max respect band edges."""
+    from cooler_mapreduce_spark.operators.governance import (
+        dp_noisy_segment_counts,
+        kanonymity_census,
+    )
+    from cooler_mapreduce_spark.sources.catalog import table
+
+    c = table(spark, oracle_sf_dir, "customer")
+    exact = {
+        r.segment: r.n
+        for r in c.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    rel = dp_noisy_segment_counts(spark, oracle_sf_dir).collect()
+    noises = {r.segment: r.noisy_count - exact[r.segment] for r in rel}
+    assert all(abs(v) > 1e-9 for v in noises.values())          # noise applied
+    assert len(set(round(v, 6) for v in noises.values())) == len(noises)
+    assert all(abs(v) < 40 for v in noises.values())            # < b*ln(1e6)
+    rel2 = dp_noisy_segment_counts(spark, oracle_sf_dir).collect()
+    assert sorted(map(tuple, rel)) == sorted(map(tuple, rel2))  # pinned draw
+
+    rows = kanonymity_census(spark, oracle_sf_dir).collect()
+    assert sum(r.n_rows for r in rows) == c.count()
+    for r in rows:
+        if r.band == "k<5":
+            assert r.max_k < 5
+        elif r.band == "5<=k<20":
+            assert 5 <= r.min_k and r.max_k < 20
+        else:
+            assert r.min_k >= 20
