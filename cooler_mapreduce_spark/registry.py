@@ -243,7 +243,13 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: sub-codebooks, map-side encode, reconstruction cosine audited), and
 #: ann_recall_pq (ADC recall@10 vs the exact tier — measured 3× random
 #: and pinned as the honest too-coarse verdict for 10-code codebooks).
-#: All eight are sf0.1 hash-verified in addition to the sf0.01 gate.
+#: Plus the governance tier (operators/governance.py):
+#: kanonymity_census (equivalence-class size census over the
+#: quasi-identifier tuple — the re-identification-risk artifact) and
+#: dp_noisy_segment_counts (ε-DP Laplace count release; the noise draw
+#: is a seeded hash inverse-CDF sample — deterministic = pinned privacy
+#: budget, and hash-checkable). All ten are sf0.1 hash-verified in
+#: addition to the sf0.01 gate.
 PRIORITY_QUERIES: tuple[str, ...] = (
     # --- anchors: one green representative per §2.4 category (r2-r5) ---
     "word_count",                     # parity / scan / flatMap

@@ -705,10 +705,11 @@ CASES = {
         ],
     ),
     "embedding_pq_fidelity": (
-        "PQ encode: codes + reconstruction are literal-codebook expressions over ONE scan — no join, no exchange, no Python stage",
+        "PQ encode: codes + reconstruction are literal-codebook expressions over ONE scan — no join, no key shuffle (the only exchange is the catalog's single-split fan-out guard, round-robin), no Python stage",
         [
             ("no join anywhere", lambda p: "Join" not in p),
-            ("no exchange (map-side only)", lambda p: "Exchange" not in p),
+            ("no key shuffle (hash/range exchange)", lambda p:
+                "Exchange hashpartitioning" not in p and "Exchange rangepartitioning" not in p),
             ("no Python/Arrow stage", lambda p: "MapInPandas" not in p and "ArrowEvalPython" not in p and "BatchEvalPython" not in p),
         ],
     ),
