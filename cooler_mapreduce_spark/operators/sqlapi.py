@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions.numeric import sql_dsum
 from ..registry import query
 from ..sources.catalog import register_views
 
@@ -366,4 +367,52 @@ def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
             "name_col": "n_name",
             "bal_col": "s_acctbal",
         },
+    )
+
+
+@query(
+    "sql_create_function_udfs",
+    oracle=f"""
+    WITH bands(band, lo, hi) AS (VALUES
+        ('small', 0, 20), ('mid', 21, 40), ('large', 41, 100))
+    SELECT b.band, COUNT(*) AS n_items,
+           {sql_dsum('l_extendedprice * (1.0 - l_discount)', 4)} AS revenue
+    FROM lineitem l JOIN bands b ON l.l_quantity BETWEEN b.lo AND b.hi
+    GROUP BY b.band
+    """,
+    tags=("sql", "udf-surface", "sql-udf"),
+)
+def sql_create_function_udfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language UDFs (Spark 4 ``CREATE FUNCTION ... RETURN``): both
+    faces — a SCALAR function (``disc_price``: the discounted-revenue
+    expression, named once and reused) and a TABLE function
+    (``qty_bands()``: a banding dimension defined as a query, used in
+    FROM like any relation). SQL UDFs are the missing middle of the UDF
+    surface matrix (Python UDF/UDTF/pandas exist at the other end):
+    pure-SQL bodies are INLINED by the analyzer — no serialization
+    boundary, no black box; the optimizer sees through them, so the
+    plan (and hence pushdown/pruning/codegen) is byte-identical to the
+    hand-inlined spelling. That is precisely what the oracle asserts:
+    it runs the same statement with both bodies written out, and the
+    decimal-staged revenue must match bit for bit.
+    """
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)"
+        " RETURNS DOUBLE RETURN p * (1.0 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION qty_bands()"
+        " RETURNS TABLE(band STRING, lo INT, hi INT)"
+        " RETURN SELECT * FROM VALUES"
+        " ('small', 0, 20), ('mid', 21, 40), ('large', 41, 100) t(band, lo, hi)"
+    )
+    return spark.sql(
+        """
+        SELECT b.band, COUNT(*) AS n_items,
+               CAST(SUM(CAST((disc_price(l_extendedprice, l_discount))
+                    AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+        FROM lineitem l JOIN qty_bands() b ON l.l_quantity BETWEEN b.lo AND b.hi
+        GROUP BY b.band
+        """
     )

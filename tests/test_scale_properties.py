@@ -23,6 +23,7 @@ _NL_ALLOWED = {
     "ann_recall_pq",           # |queries| rows broadcast against the PQ-recon corpus
     "embedding_cosine_dups",   # exact all-pairs tier (oracle ground truth)
     "join_range_price_bands",  # theta join against a literal band table
+    "sql_create_function_udfs",  # BETWEEN theta join against the 3-row qty_bands() table function
     "join_asof_last_click",    # bounded theta as-of candidates
     "tfidf_top_terms",         # single-row N_docs scalar broadcast to every task
     "boilerplate_ngrams",      # single-row corpus-count scalar broadcast to df counts
