@@ -690,6 +690,8 @@ CASES = {
                 any("cell" in ln for ln in p.splitlines()
                     if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln
                     or "BroadcastHashJoin" in ln)),
+            ("pair-stage parallelism pinned (AQE fan-out rule)", lambda p:
+                "REPARTITION_BY_NUM" in p),
             ("no cartesian product", lambda p: "CartesianProduct" not in p),
             ("census is partial-aggregable", lambda p: "partial_count" in p or "partial" in p),
         ],

@@ -906,7 +906,7 @@ def test_pq_codes_informative_and_fidelity_bounded(spark, oracle_sf_dir):
     fidelity sits in the measured band for this weak-cluster fixture
     (mean ≈0.39) and never collapses to ~0; deterministic re-run."""
     from cooler_mapreduce_spark.operators.similarity import embedding_pq_fidelity
-    from pyspark.sql import functions as F
+    from cooler_mapreduce_spark.sources.catalog import table
 
     df = embedding_pq_fidelity(spark, oracle_sf_dir)
     emb = table(spark, oracle_sf_dir, "embeddings").select("vec_id", "label")
