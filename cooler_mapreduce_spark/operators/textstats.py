@@ -1262,6 +1262,83 @@ def corpus_mix_entropy_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: temperature-sampling exponent (the mT5/XLM-R standard α = 0.7) and
+#: the fixed-point quantum that stages each pow() output before the
+#: cross-language normalizer sum (the bm25/graph floor-staging rule).
+_MIX_ALPHA = 0.7
+_MIX_Q = "1000000000000"
+
+
+@query(
+    "mixing_weights_temperature",
+    oracle=f"""
+    WITH langs AS (
+        SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    probs AS (
+        SELECT lang, n_docs,
+               CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS DOUBLE) AS p
+        FROM langs
+    ),
+    staged AS (
+        SELECT lang, n_docs, p,
+               CAST(FLOOR(pow(p, {_MIX_ALPHA}) * {_MIX_Q}.0) AS DECIMAL(38,0)) AS pw
+        FROM probs
+    )
+    SELECT lang, n_docs,
+           round(p, 9) AS p,
+           round(CAST(pw AS DOUBLE) / CAST(SUM(pw) OVER () AS DOUBLE), 9) AS weight,
+           round((CAST(pw AS DOUBLE) / CAST(SUM(pw) OVER () AS DOUBLE)) / p, 6)
+               AS upsample_factor
+    FROM staged
+    ORDER BY lang
+    """,
+    tags=("textstats", "mixing", "sampling", "llm-pipeline"),
+)
+def mixing_weights_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus mixing weights (the mT5 / XLM-R
+    standard, α = 0.7): sampling weight q_i ∝ p_i^α, where p_i is each
+    language's share of the corpus — the knob that upsamples tail
+    languages (upsample_factor > 1) and downsamples the head without
+    flattening the mix entirely (α = 0 would be uniform, α = 1 the raw
+    mix). The emitted table IS the sampler configuration a training
+    pipeline feeds to its per-source rates — the prescription companion
+    to ``corpus_mix_entropy_kl``'s diagnostics and
+    ``mixing_rates_by_lang``'s observed rates.
+
+    One partial-aggregable pass to per-language counts; everything
+    after is window math over the ≤|langs|-row frame. Each pow() output
+    is floor-staged at 1e-12 before the normalizer sum (the bm25/graph
+    convention), so the weights are bit-identical across engines.
+    """
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    langs = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    probs = langs.select(
+        "lang",
+        "n_docs",
+        (
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w_all).cast("double")
+        ).alias("p"),
+    )
+    staged = probs.withColumn(
+        "pw",
+        F.floor(F.pow("p", F.lit(_MIX_ALPHA)) * F.lit(float(_MIX_Q))).cast(
+            "decimal(38,0)"
+        ),
+    )
+    weight = F.col("pw").cast("double") / F.sum("pw").over(w_all).cast("double")
+    return staged.select(
+        "lang",
+        "n_docs",
+        F.round("p", 9).alias("p"),
+        F.round(weight, 9).alias("weight"),
+        F.round(weight / F.col("p"), 6).alias("upsample_factor"),
+    ).orderBy("lang")
+
+
 @query(
     "docs_repetition_filter",
     oracle="""
