@@ -71,6 +71,7 @@ HEADLINE = [
     "semdedup_prune_cells",         # per-cell quadratic cosine verify (SemDeDup prune)
     # round-6 fourth wave:
     "embedding_pq_fidelity",        # map-side PQ encode: heavy literal-codebook projection, zero shuffles
+    "stream_quantile_tiles",        # real stream: foreachBatch tile deltas + dynamic overwrite + tile read-back
 ]
 # Excluded by design: ann_recall_lsh/ann_recall_ivf re-run two already-
 # benched ANN tiers plus a join — benching them would double-count the

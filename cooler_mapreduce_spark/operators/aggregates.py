@@ -191,9 +191,10 @@ def _qbin_est(q: str) -> str:
     )
 
 
-@query(
-    "quantile_bin_rollup_regions",
-    oracle=f"""
+#: the batch rollup's oracle — shared verbatim by the streaming-tile
+#: face (stream_quantile_tiles), whose materialized tiles must produce
+#: the identical quantiles.
+_QBIN_ROLLUP_ORACLE = f"""
     WITH tiles AS (
         SELECT n.n_regionkey, c.c_nationkey,
                least(CAST(floor(o.o_totalprice / {_QBIN_W}) AS BIGINT),
@@ -233,7 +234,12 @@ def _qbin_est(q: str) -> str:
            round(e90, 6) AS est_p90
     FROM est JOIN region r ON est.n_regionkey = r.r_regionkey
     ORDER BY region
-    """,
+    """
+
+
+@query(
+    "quantile_bin_rollup_regions",
+    oracle=_QBIN_ROLLUP_ORACLE,
     tags=("aggregation", "approx", "sketch", "mergeable", "quantile"),
 )
 def quantile_bin_rollup_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -266,7 +272,6 @@ def quantile_bin_rollup_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
-    r = table(spark, sf_dir, "region")
     joined = o.join(c, o.o_custkey == c.c_custkey).join(
         n, F.col("c_nationkey") == F.col("n_nationkey")
     )
@@ -279,6 +284,16 @@ def quantile_bin_rollup_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bin"),
     ).agg(F.count("*").alias("cnt"))
     merged = tiles.groupBy("n_regionkey", "bin").agg(F.sum("cnt").alias("cnt"))
+    return qbin_quantiles_by_region(spark, sf_dir, merged)
+
+
+def qbin_quantiles_by_region(
+    spark: SparkSession, sf_dir: str, merged: DataFrame
+) -> DataFrame:
+    """p50/p90 tail over MERGED histogram tiles (n_regionkey, bin, cnt)
+    — shared by the batch rollup and the streaming-tile face, so both
+    produce bit-identical quantiles from the same tile algebra."""
+    r = table(spark, sf_dir, "region")
     wcum = Window.partitionBy("n_regionkey").orderBy("bin")
     wtot = Window.partitionBy("n_regionkey")
     casted = merged.select(

@@ -62,6 +62,7 @@ _QUERY_MODULES = (
     "cooler_mapreduce_spark.operators.sqlapi",
     "cooler_mapreduce_spark.operators.pipeline",
     "cooler_mapreduce_spark.streaming.windows",
+    "cooler_mapreduce_spark.streaming.tiles",
     "cooler_mapreduce_spark.streaming.stateful",
     "cooler_mapreduce_spark.streaming.transform_state",
     "cooler_mapreduce_spark.sources.sinks",

@@ -654,3 +654,38 @@ def test_streaming_scd2_equals_batch_history(spark, sf_dir, tmp_path):
     # exactly one open version per key
     n_keys = allrows.select("o_custkey").distinct().count()
     assert sum(1 for r in got if r[4]) == n_keys
+
+
+def test_quantile_tiles_multibatch_equals_batch_rollup(spark, sf_dir, tmp_path):
+    """Tile maintenance across REAL micro-batch boundaries: split orders
+    into 4 files, drive the stream one file per trigger (≥4 batches,
+    each writing its own batch_id=N delta partition), and the quantiles
+    computed FROM THE TILES must equal the batch rollup row-for-row —
+    the mergeable-histogram contract under incremental arrival. Also
+    asserts the tile store really is per-batch partitioned (the
+    replay-idempotence mechanism: a replayed batch overwrites its own
+    partition instead of double-adding)."""
+    from cooler_mapreduce_spark.streaming.tiles import (
+        read_tile_quantiles,
+        run_quantile_tiles_stream,
+    )
+
+    src = str(tmp_path / "orders_split")
+    spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(4).write.parquet(src)
+    tiles_dir = str(tmp_path / "tiles")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_quantile_tiles_stream(
+        spark, src, sf_dir, tiles_dir, ckpt, max_files_per_trigger=1
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    batch_ids = {
+        r.batch_id
+        for r in spark.read.parquet(tiles_dir).select("batch_id").distinct().collect()
+    }
+    assert len(batch_ids) >= 4
+    got = read_tile_quantiles(spark, sf_dir, tiles_dir).collect()
+    want = SPECS["quantile_bin_rollup_regions"].fn(spark, sf_dir).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
