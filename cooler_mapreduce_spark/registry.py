@@ -249,8 +249,17 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: quasi-identifier tuple — the re-identification-risk artifact) and
 #: dp_noisy_segment_counts (ε-DP Laplace count release; the noise draw
 #: is a seeded hash inverse-CDF sample — deterministic = pinned privacy
-#: budget, and hash-checkable). All ten are sf0.1 hash-verified in
-#: addition to the sf0.01 gate.
+#: budget, and hash-checkable). Late fourth wave:
+#: sql_create_function_udfs (Spark 4 SQL-language UDFs — scalar +
+#: table-valued faces, analyzer-inlined so the plan equals the
+#: hand-inlined oracle spelling), mixing_weights_temperature (the
+#: mT5/XLM-R α=0.7 temperature-sampling weights — the sampler
+#: prescription next to corpus_mix_entropy_kl's diagnostics), and
+#: stream_quantile_tiles (streaming histogram-tile maintenance:
+#: per-batch delta partitions via dynamic overwrite make the
+#: non-idempotent sum replay-safe; answers the batch rollup's oracle
+#: bit-identically). All thirteen are sf0.1 hash-verified in addition
+#: to the sf0.01 gate.
 PRIORITY_QUERIES: tuple[str, ...] = (
     # --- anchors: one green representative per §2.4 category (r2-r5) ---
     "word_count",                     # parity / scan / flatMap
