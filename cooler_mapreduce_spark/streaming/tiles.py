@@ -94,6 +94,51 @@ def run_quantile_tiles_stream(
     )
 
 
+def compact_tiles(spark: SparkSession, tiles_dir: str) -> int:
+    """Fold all existing batch-delta partitions into ONE compacted
+    partition (``batch_id = -1``) — the maintenance job that keeps
+    reader cost O(bins) instead of O(batches × bins) on a long-running
+    stream. The fold is the same mergeable sum readers apply, so the
+    answer is unchanged by construction; the rewrite uses dynamic
+    partition overwrite plus explicit deletion of the folded batch
+    partitions. Single-writer job (run it between triggers or from a
+    maintenance schedule — the same contract as
+    ``sinks.compact_parquet_dir``). Returns the number of batch
+    partitions folded.
+
+    Replay interaction: the checkpoint guarantees a batch id never
+    re-fires after its commit, so folding COMMITTED batches into
+    ``batch_id=-1`` cannot collide with a future overwrite of the same
+    id; an UNCOMMITTED trailing batch would replay, which is why the
+    single-writer contract says to run compaction quiescent.
+    """
+    tiles = spark.read.parquet(tiles_dir)
+    ids = [r.batch_id for r in tiles.select("batch_id").distinct().collect()
+           if r.batch_id != -1]
+    if not ids:
+        return 0
+    folded = (
+        tiles.groupBy("n_regionkey", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+        .withColumn("batch_id", F.lit(-1))
+        .localCheckpoint(eager=True)  # the write overwrites what it read
+    )
+    (
+        folded.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(tiles_dir)
+    )
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for bid in ids:
+        p = jvm.org.apache.hadoop.fs.Path(f"{tiles_dir}/batch_id={bid}")
+        fs = p.getFileSystem(hconf)
+        if fs.exists(p):
+            fs.delete(p, True)
+    return len(ids)
+
+
 def read_tile_quantiles(
     spark: SparkSession, sf_dir: str, tiles_dir: str
 ) -> DataFrame:

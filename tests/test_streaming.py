@@ -689,3 +689,36 @@ def test_quantile_tiles_multibatch_equals_batch_rollup(spark, sf_dir, tmp_path):
     got = read_tile_quantiles(spark, sf_dir, tiles_dir).collect()
     want = SPECS["quantile_bin_rollup_regions"].fn(spark, sf_dir).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_tile_compaction_preserves_quantiles(spark, sf_dir, tmp_path):
+    """Compacting the batch-delta partitions into batch_id=-1 must not
+    move the answer by a bit (the fold IS the readers' merge), must
+    actually shrink the store to one partition, and must be idempotent
+    (a second compaction folds nothing)."""
+    from cooler_mapreduce_spark.streaming.tiles import (
+        compact_tiles,
+        read_tile_quantiles,
+        run_quantile_tiles_stream,
+    )
+
+    src = str(tmp_path / "orders_split")
+    spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(3).write.parquet(src)
+    tiles_dir = str(tmp_path / "tiles")
+    q = run_quantile_tiles_stream(
+        spark, src, sf_dir, tiles_dir, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    before = [tuple(r) for r in read_tile_quantiles(spark, sf_dir, tiles_dir).collect()]
+    folded = compact_tiles(spark, tiles_dir)
+    assert folded >= 3
+    ids = {r.batch_id for r in spark.read.parquet(tiles_dir)
+           .select("batch_id").distinct().collect()}
+    assert ids == {-1}
+    after = [tuple(r) for r in read_tile_quantiles(spark, sf_dir, tiles_dir).collect()]
+    assert before == after
+    assert compact_tiles(spark, tiles_dir) == 0  # idempotent
