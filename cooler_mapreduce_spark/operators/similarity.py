@@ -1734,3 +1734,220 @@ def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
     return _recall_df(ann_topk_bruteforce(spark, sf_dir), approx)
+
+
+# --- incremental SemDeDup: new-batch admission vs the kept history ----------
+
+#: deterministic 20% "new batch" split (the dedup_incremental convention)
+_SD_NEW_PRED_SPARK = "pmod({h}, 5) = 0"
+_SD_NEW_SEED = "sd-new:"
+
+
+def _sd_pair_join(a_side: DataFrame, b_side: DataFrame, thr: float) -> DataFrame:
+    """Salted, partition-pinned within-cell pair join with the cosine
+    threshold applied — the semdedup kernel generalized to arbitrary
+    (a, b) sides. Column contract: both sides carry (cell, vec_id,
+    score, emb_d, nrm); output is (cell, a_id, b_id) for pairs with
+    cos ≥ thr and a strictly before b in the keep order
+    (score DESC, vec_id ASC)."""
+    nsalt = 32
+    a = a_side.select(
+        "cell",
+        F.col("vec_id").alias("a_id"),
+        F.col("score").alias("a_score"),
+        F.col("emb_d").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+        F.explode(F.array(*[F.lit(i) for i in range(nsalt)])).alias("salt"),
+    ).repartition(nsalt * 2, "cell", "salt")
+    b = b_side.select(
+        "cell",
+        F.col("vec_id").alias("b_id"),
+        F.col("score").alias("b_score"),
+        F.col("emb_d").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+        F.pmod(F.col("vec_id"), F.lit(nsalt)).cast("int").alias("salt"),
+    ).repartition(nsalt * 2, "cell", "salt")
+    earlier = (F.col("a_score") > F.col("b_score")) | (
+        (F.col("a_score") == F.col("b_score")) & (F.col("a_id") < F.col("b_id"))
+    )
+    return (
+        a.join(b, ["cell", "salt"])
+        .filter(earlier)
+        .filter(
+            F.expr(spark_cosine_prenorm("a_emb", "b_emb", "a_nrm", "b_nrm"))
+            >= F.lit(thr)
+        )
+        .select("cell", "a_id", "b_id")
+    )
+
+
+def _sd_incr_oracle() -> str:
+    from ..functions.hashing import md5int_duckdb
+
+    h = md5int_duckdb(f"'{_SD_NEW_SEED}' || CAST(s.vec_id AS VARCHAR)")
+    pair_cos = duckdb_cosine("ea.embedding", "eb.embedding")
+    return f"""
+    WITH {_DUCK_LM_ASSIGNED},
+    tagged AS (
+        SELECT s.vec_id, s.cell, s.score, ({h}) % 5 = 0 AS is_new
+        FROM lm_assigned s
+    ),
+    hist AS (SELECT * FROM tagged WHERE NOT is_new),
+    newb AS (SELECT * FROM tagged WHERE is_new),
+    hist_pruned AS (
+        SELECT DISTINCT b.vec_id
+        FROM hist a JOIN hist b
+          ON a.cell = b.cell
+         AND (a.score > b.score OR (a.score = b.score AND a.vec_id < b.vec_id))
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE {pair_cos} >= {_SEMDEDUP_THR}
+    ),
+    hist_kept AS (
+        SELECT h.* FROM hist h LEFT JOIN hist_pruned p ON p.vec_id = h.vec_id
+        WHERE p.vec_id IS NULL
+    ),
+    rejected AS (
+        SELECT DISTINCT n.vec_id
+        FROM hist_kept k JOIN newb n ON k.cell = n.cell
+        JOIN embeddings ea ON ea.vec_id = k.vec_id
+        JOIN embeddings eb ON eb.vec_id = n.vec_id
+        WHERE {pair_cos} >= {_SEMDEDUP_THR}
+    ),
+    surv AS (
+        SELECT n.* FROM newb n LEFT JOIN rejected r ON r.vec_id = n.vec_id
+        WHERE r.vec_id IS NULL
+    ),
+    batch_pruned AS (
+        SELECT DISTINCT b.vec_id
+        FROM surv a JOIN surv b
+          ON a.cell = b.cell
+         AND (a.score > b.score OR (a.score = b.score AND a.vec_id < b.vec_id))
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE {pair_cos} >= {_SEMDEDUP_THR}
+    )
+    SELECT (SELECT COUNT(*) FROM hist) AS n_history,
+           (SELECT COUNT(*) FROM hist_kept) AS n_kept_history,
+           (SELECT COUNT(*) FROM newb) AS n_new,
+           (SELECT COUNT(*) FROM rejected) AS n_rejected_vs_history,
+           (SELECT COUNT(*) FROM batch_pruned) AS n_pruned_within_batch,
+           (SELECT COUNT(*) FROM surv)
+               - (SELECT COUNT(*) FROM batch_pruned) AS n_admitted
+    """
+
+
+@query(
+    "semdedup_incremental_new_batch",
+    oracle=_sd_incr_oracle(),
+    tags=("dedup", "similarity", "semdedup", "incremental", "llm-pipeline"),
+)
+def semdedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup — the admission funnel a GROWING corpus
+    runs per ingest batch, the semantic sibling of
+    ``dedup_incremental_new_batch``'s exact-hash funnel: a deterministic
+    20 % split plays the incoming batch, the rest is history. Stages:
+    (1) history is semantically deduplicated once (the standing kept
+    set); (2) a new vector is REJECTED if it is a near-duplicate
+    (cos ≥ τ) of any KEPT history vector in its cell — only the kept
+    minority is compared against, never raw history; (3) survivors are
+    deduplicated among THEMSELVES by the same upper-triangular keep
+    rule. Output: the one-row funnel
+    (history, kept, new, rejected, within-batch pruned, admitted).
+
+    The quantizer is the frozen offline model artifact
+    (:func:`_labelmean_centroids`) shared by history and batch — how a
+    production incremental pipeline works (the codebook is NOT refit
+    per batch). All three pair stages run the salted, partition-pinned
+    cell join (:func:`_sd_pair_join`); per-batch cost is
+    O(batch × kept-per-cell + batch²-per-cell), independent of raw
+    history size — the property that makes continuous ingestion
+    affordable at 100 TB.
+    """
+    from ..functions.hashing import md5int_spark
+
+    cents = _labelmean_centroids(spark, sf_dir)
+    e = _embeddings_normed(spark, sf_dir)
+    from pyspark.sql import Window
+
+    scores = e.select(
+        "vec_id",
+        "emb_d",
+        "nrm",
+        F.explode(F.expr(_cell_score_structs(cents))).alias("cs"),
+    ).select("vec_id", "emb_d", "nrm", "cs.cell", "cs.score")
+    rw = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cell"))
+    h = md5int_spark(f"'{_SD_NEW_SEED}' || CAST(vec_id AS STRING)")
+    assigned = (
+        scores.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "emb_d", "nrm", "cell", "score")
+        .withColumn("is_new", F.expr(_SD_NEW_PRED_SPARK.format(h=h)))
+        .localCheckpoint(eager=True)
+    )
+    hist = assigned.filter(~F.col("is_new"))
+    newb = assigned.filter(F.col("is_new"))
+    hist_pruned = _sd_pair_join(hist, hist, _SEMDEDUP_THR).select(
+        F.col("b_id").alias("vec_id")
+    ).distinct()
+    hist_kept = hist.join(F.broadcast(hist_pruned), "vec_id", "left_anti")
+    # admission screen: kept history on the a-side WITHOUT the priority
+    # order (any kept near-dup rejects a new vector) — reuse the pair
+    # kernel by giving history infinite priority: it is 'earlier' than
+    # every new vector by construction of the funnel, so the kernel's
+    # order predicate must not drop cross pairs. Spell it directly:
+    rejected = _sd_cross_reject(hist_kept, newb, _SEMDEDUP_THR)
+    surv = newb.join(F.broadcast(rejected), "vec_id", "left_anti")
+    batch_pruned = _sd_pair_join(surv, surv, _SEMDEDUP_THR).select(
+        F.col("b_id").alias("vec_id")
+    ).distinct()
+    n_hist = hist.agg(F.count("*").alias("n_history"))
+    n_kept = hist_kept.agg(F.count("*").alias("n_kept_history"))
+    n_new = newb.agg(F.count("*").alias("n_new"))
+    n_rej = rejected.agg(F.count("*").alias("n_rejected_vs_history"))
+    n_bp = batch_pruned.agg(F.count("*").alias("n_pruned_within_batch"))
+    n_surv = surv.agg(F.count("*").alias("_ns"))
+    return (
+        n_hist.crossJoin(F.broadcast(n_kept))
+        .crossJoin(F.broadcast(n_new))
+        .crossJoin(F.broadcast(n_rej))
+        .crossJoin(F.broadcast(n_bp))
+        .crossJoin(F.broadcast(n_surv))
+        .select(
+            "n_history",
+            "n_kept_history",
+            "n_new",
+            "n_rejected_vs_history",
+            "n_pruned_within_batch",
+            (F.col("_ns") - F.col("n_pruned_within_batch")).alias("n_admitted"),
+        )
+    )
+
+
+def _sd_cross_reject(kept: DataFrame, newb: DataFrame, thr: float) -> DataFrame:
+    """New vectors with a kept-history near-duplicate in their cell —
+    the salted cell join without the keep-order predicate (every kept
+    history vector outranks every new one in the funnel)."""
+    nsalt = 32
+    a = kept.select(
+        "cell",
+        F.col("emb_d").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+        F.explode(F.array(*[F.lit(i) for i in range(nsalt)])).alias("salt"),
+    ).repartition(nsalt * 2, "cell", "salt")
+    b = newb.select(
+        "cell",
+        F.col("vec_id").alias("b_id"),
+        F.col("emb_d").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+        F.pmod(F.col("vec_id"), F.lit(nsalt)).cast("int").alias("salt"),
+    ).repartition(nsalt * 2, "cell", "salt")
+    return (
+        a.join(b, ["cell", "salt"])
+        .filter(
+            F.expr(spark_cosine_prenorm("a_emb", "b_emb", "a_nrm", "b_nrm"))
+            >= F.lit(thr)
+        )
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )

@@ -36,6 +36,7 @@ _NL_ALLOWED = {
     "important_part_value_q11",  # single-row 0.1%-of-total threshold broadcast (Q11 HAVING subquery)
     "triangle_count_copurchase",  # three single-row census aggregates cross-joined into one row
     "dedup_incremental_new_batch",  # three single-row funnel counters cross-joined into one row
+    "semdedup_incremental_new_batch",  # six single-row funnel counters cross-joined into one row
     "theilsen_trend_revenue",  # pairwise theta join of the CALENDAR-BOUNDED day series (O(days^2) fixed by date range, not SF)
     "basket_association_rules",   # single-row basket-count scalar broadcast to the rule rows
     "vocab_coverage_topk",     # 3 literal k-thresholds broadcast against vocab ranks
