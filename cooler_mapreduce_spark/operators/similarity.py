@@ -1951,3 +1951,80 @@ def _sd_cross_reject(kept: DataFrame, newb: DataFrame, thr: float) -> DataFrame:
         .select(F.col("b_id").alias("vec_id"))
         .distinct()
     )
+
+
+@query(
+    "ann_recall_jl",
+    oracle=f"""
+    WITH planes(k, p) AS (VALUES
+        {{JL_PLANES}}
+    ),
+    proj AS (
+        SELECT e.vec_id,
+               list(list_aggregate(list_transform(generate_series(1, {_DIM}),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * pl.p[i]), 'sum')
+                    ORDER BY pl.k) AS pr
+        FROM embeddings e CROSS JOIN planes pl
+        GROUP BY e.vec_id
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_aggregate(list_transform(generate_series(1, {_JL_K}),
+                         i -> q.pr[i] * c.pr[i]), 'sum')
+                     / (sqrt(list_aggregate(list_transform(generate_series(1, {_JL_K}),
+                            i -> q.pr[i] * q.pr[i]), 'sum'))
+                        * sqrt(list_aggregate(list_transform(generate_series(1, {_JL_K}),
+                            i -> c.pr[i] * c.pr[i]), 'sum'))), 9) AS cosine
+        FROM proj q JOIN proj c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+    ),
+    approx_topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, neighbor_id) AS rn
+            FROM scored
+        ) WHERE rn <= {_TOP_K}
+    ),{_DUCK_BF_TOPK}
+{_DUCK_RECALL_TAIL}
+    """.replace("{JL_PLANES}", _jl_duck_planes()),
+    tags=("similarity", "ann", "projection", "audit", "llm-pipeline"),
+)
+def ann_recall_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of ranking in the 16-dim JL-projected space against the
+    exact 64-dim tier — the retrieval-grade number for the projection
+    the fidelity audit (:func:`embedding_jl_projection_fidelity`) scores
+    pairwise. Completes the compression→recall matrix: LSH (hashing),
+    IVF (cells), PQ (codes), JL (dimensions) — each axis now has both a
+    geometry audit and a search audit, each DuckDB-oracled from the same
+    literal model constants. Plan shape: the projection is 16 fold
+    expressions map-side (one scan, no shuffle); queries project the
+    same way and broadcast; ranking is cosine over the 16-dim arrays —
+    4× less per-pair arithmetic than the full space, which is the
+    operational case FOR the projection wherever its recall suffices.
+    """
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("emb_d"),
+    )
+    proj = e.select("vec_id", F.expr(_jl_proj_expr("emb_d")).alias("pr"))
+    q = proj.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("pr").alias("q_pr")
+    )
+    scored = (
+        proj.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(spark_cosine("q_pr", "pr")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    approx = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    return _recall_df(ann_topk_bruteforce(spark, sf_dir), approx)

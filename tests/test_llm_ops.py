@@ -979,3 +979,21 @@ def test_dp_noise_has_laplace_shape_and_census_partitions(spark, oracle_sf_dir):
             assert 5 <= r.min_k and r.max_k < 20
         else:
             assert r.min_k >= 20
+
+
+def test_jl_recall_beats_pq_and_random(spark, oracle_sf_dir):
+    """The compression->recall matrix must order sensibly on this
+    fixture: JL-16 ranking (mean recall ~0.10) beats PQ-ADC (~0.06)
+    beats random (~0.02) and all stay below 0.5 — the quantitative
+    ordering the fidelity audits predict (JL mean cos error 0.20 vs
+    PQ reconstruction fidelity 0.39 but with only 10 codes/subspace)."""
+    from cooler_mapreduce_spark.operators.similarity import (
+        ann_recall_jl,
+        ann_recall_pq,
+    )
+
+    jl = [r.recall for r in ann_recall_jl(spark, oracle_sf_dir).collect()]
+    pq = [r.recall for r in ann_recall_pq(spark, oracle_sf_dir).collect()]
+    mean_jl, mean_pq = sum(jl) / len(jl), sum(pq) / len(pq)
+    assert 0.02 < mean_jl < 0.5, mean_jl
+    assert mean_jl > mean_pq > 0.02, (mean_jl, mean_pq)

@@ -21,6 +21,7 @@ _NL_ALLOWED = {
     "ann_recall_lsh",          # runs the bruteforce tier internally (above)
     "ann_recall_ivf",          # runs the bruteforce tier internally (above)
     "ann_recall_pq",           # |queries| rows broadcast against the PQ-recon corpus
+    "ann_recall_jl",           # |queries| rows broadcast against the projected corpus
     "embedding_cosine_dups",   # exact all-pairs tier (oracle ground truth)
     "join_range_price_bands",  # theta join against a literal band table
     "sql_create_function_udfs",  # BETWEEN theta join against the 3-row qty_bands() table function
@@ -118,6 +119,7 @@ _HINT_ALLOWED = {
     "ann_recall_lsh": {"embeddings"},
     "ann_recall_ivf": {"embeddings"},
     "ann_recall_pq": {"embeddings"},
+    "ann_recall_jl": {"embeddings"},
     # the broadcast side is the single dense query vector (vec_id = literal
     # equality filter over embeddings — exactly one row at any SF).
     "rrf_hybrid_search": {"embeddings"},
