@@ -157,9 +157,15 @@ HEADLINE = [
 # sub-codebook distance folds + reconstruction per row, zero
 # shuffles — no other entry is expression-bound like this).
 # semdedup_apply re-runs the benched semdedup derivation plus an
-# anti-join; embedding_jl_projection_fidelity and ann_recall_pq are
-# literal-bounded audit joins (1225 / 8×corpus pairs) whose corpus-side
-# scans the benched ANN tiers already time.
+# anti-join; embedding_jl_projection_fidelity, ann_recall_pq and
+# ann_recall_jl are literal-bounded audit joins (1225 / 8×corpus pairs)
+# whose corpus-side scans the benched ANN tiers already time;
+# semdedup_incremental_new_batch runs three instances of the benched
+# semdedup pair kernel over subsets of the same cells; the governance
+# pair and mixing_weights_temperature are single-groupBy rollups
+# (pricing_summary's exchange shape) with O(groups) scalar math;
+# sql_create_function_udfs inlines to a lineitem band join the TPC-H
+# entries already cover.
 
 #: REAL-STREAM surfaces (not batch twins): each starts an actual
 #: StreamingQuery over the sf dir and times a full bounded-replay drain —

@@ -258,8 +258,15 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: stream_quantile_tiles (streaming histogram-tile maintenance:
 #: per-batch delta partitions via dynamic overwrite make the
 #: non-idempotent sum replay-safe; answers the batch rollup's oracle
-#: bit-identically). All thirteen are sf0.1 hash-verified in addition
-#: to the sf0.01 gate.
+#: bit-identically). Closing the wave: semdedup_incremental_new_batch
+#: (the admission funnel a growing corpus runs per ingest batch — new
+#: vectors screened against the KEPT history then deduplicated among
+#: themselves; per-batch cost independent of raw history size),
+#: ann_recall_jl (JL-projected ranking recall — the compression→recall
+#: matrix now has both geometry and search audits on every axis), and
+#: the tile store gained compact_tiles (fold committed batch deltas
+#: into one partition, answer pinned unchanged). All sixteen wave
+#: queries are sf0.1 hash-verified in addition to the sf0.01 gate.
 PRIORITY_QUERIES: tuple[str, ...] = (
     # --- anchors: one green representative per §2.4 category (r2-r5) ---
     "word_count",                     # parity / scan / flatMap
