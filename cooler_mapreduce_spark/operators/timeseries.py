@@ -986,3 +986,116 @@ def downsample_lttb_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.sel_ts").alias("ts"),
         F.col("m.sel_value").alias("value"),
     )
+
+
+# --- classical additive seasonal decomposition (period 7) -------------------
+
+#: the centered 7-tap trend as ONE SQL string (the EWMA convention:
+#: explicit lags/leads instead of a sliding frame — sliding-window SUMs
+#: may evaluate incrementally with FP subtraction, which is engine- and
+#: implementation-dependent; a parsed expression pins the op sequence).
+_STL_TREND = (
+    "(lag_3 + lag_2 + lag_1 + revenue + lead_1 + lead_2 + lead_3) / 7.0"
+)
+
+
+def _stl_oracle() -> str:
+    taps = ",\n               ".join(
+        [f"LAG(revenue, {k}) OVER (ORDER BY bucket_day) AS lag_{k}" for k in (1, 2, 3)]
+        + [f"LEAD(revenue, {k}) OVER (ORDER BY bucket_day) AS lead_{k}" for k in (1, 2, 3)]
+    )
+    return f"""
+    WITH {_SQL_DAILY},
+    tapped AS (
+        SELECT bucket_day, revenue,
+               {taps}
+        FROM daily
+    ),
+    det AS (
+        SELECT dayofweek(bucket_day) AS dow,
+               revenue - ({_STL_TREND}) AS detrended
+        FROM tapped
+        WHERE lag_3 IS NOT NULL AND lead_3 IS NOT NULL
+    ),
+    seas AS (
+        SELECT dow, detrended,
+               COUNT(*) OVER (PARTITION BY dow) AS n_days,
+               CAST(SUM(CAST(detrended AS DECIMAL(30,6))) OVER (PARTITION BY dow)
+                    AS DOUBLE) / CAST(COUNT(*) OVER (PARTITION BY dow) AS DOUBLE)
+                   AS seasonal
+        FROM det
+    )
+    SELECT dow, CAST(MAX(n_days) AS BIGINT) AS n_days,
+           round(MAX(seasonal), 6) AS seasonal,
+           round(sqrt({sql_dsum('(detrended - seasonal) * (detrended - seasonal)', 6)}
+                 / CAST(COUNT(*) AS DOUBLE)), 6) AS residual_rms
+    FROM seas
+    GROUP BY dow
+    ORDER BY dow
+    """
+
+
+@query(
+    "seasonal_decompose_weekly",
+    oracle=_stl_oracle(),
+    tags=("timeseries", "window", "statistics", "seasonal"),
+)
+def seasonal_decompose_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily revenue,
+    period 7 (the moving-average step of STL without loess): trend =
+    centered 7-tap mean; seasonal = per-weekday mean of the detrended
+    series; residual = what neither explains. Emits one row per weekday
+    (dow 0=Sunday..6): the seasonal component and the within-weekday
+    residual RMS — together the variance split that tells a forecaster
+    whether a weekly cycle is real and how much noise rides on it.
+    ``weekday_profile_anomalies`` flags individual outliers against the
+    same cycle; this emits the MODEL (trend/seasonal/residual
+    decomposition itself), and ``holt_linear_smoothing`` the level/trend
+    recursion — the three standard views of one series.
+
+    Scale shape: the fact table collapses to the calendar-bounded daily
+    series in one partial-aggregable pass; every window after that runs
+    on O(days) rows (the order-only trend window is calendar-bounded —
+    allowlisted class). Determinism: the 7-tap trend is one parsed
+    expression (no incremental sliding-sum FP), the per-weekday means
+    and the residual sum are decimal-staged, and dayofweek is pinned to
+    the 0=Sunday convention in both engines.
+    """
+    d = _daily_revenue(spark, sf_dir)
+    w = Window.orderBy("bucket_day")
+    tapped = d.select(
+        "bucket_day",
+        "revenue",
+        *[F.lag("revenue", k).over(w).alias(f"lag_{k}") for k in (1, 2, 3)],
+        *[F.lead("revenue", k).over(w).alias(f"lead_{k}") for k in (1, 2, 3)],
+    )
+    det = tapped.filter(
+        F.col("lag_3").isNotNull() & F.col("lead_3").isNotNull()
+    ).select(
+        (F.dayofweek("bucket_day") - F.lit(1)).alias("dow"),
+        (F.col("revenue") - F.expr(_STL_TREND)).alias("detrended"),
+    )
+    wd = Window.partitionBy("dow")
+    seas = det.select(
+        "dow",
+        "detrended",
+        F.count("*").over(wd).alias("n_days"),
+        (
+            F.sum(F.col("detrended").cast("decimal(30,6)")).over(wd).cast("double")
+            / F.count("*").over(wd).cast("double")
+        ).alias("seasonal"),
+    )
+    res2 = (F.col("detrended") - F.col("seasonal")) * (
+        F.col("detrended") - F.col("seasonal")
+    )
+    return (
+        seas.groupBy("dow")
+        .agg(
+            F.max("n_days").cast("bigint").alias("n_days"),
+            F.round(F.max("seasonal"), 6).alias("seasonal"),
+            F.round(
+                F.sqrt(dsum(res2, 6) / F.count("*").cast("double")), 6
+            ).alias("residual_rms"),
+        )
+        .orderBy("dow")
+    )

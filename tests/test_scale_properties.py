@@ -560,6 +560,7 @@ _ORDER_ONLY_WINDOW_ALLOWED = {
     "cusum_changepoint_revenue",
     "downsample_lttb_daily",
     "ewma_daily_revenue",
+    "seasonal_decompose_weekly",
     "interpolate_hourly_purchase_value",
     "max_drawdown_revenue",
     "rolling_corr_revenue_orders",
