@@ -69,6 +69,21 @@ CASES = [
     "dedup_substring_spans",
     "correlation_matrix_lineitem",
     "multimodal_audio_stats",
+    # round-6 fourth wave: the salted pair join must find the same
+    # prune/admission sets at any partition count (pinned partitioning
+    # only sets parallelism, never membership); the tile stream's
+    # batch-delta sums are exact integers; the fused rank lists and PQ
+    # codes come from rounded scores with total-order tie-breaks; the
+    # DP release's seeded draw is a pure key function; the decomposition
+    # stages per-weekday means through decimals
+    "semdedup_prune_cells",
+    "semdedup_incremental_new_batch",
+    "stream_quantile_tiles",
+    "rrf_hybrid_search",
+    "embedding_pq_fidelity",
+    "quantile_bin_rollup_regions",
+    "dp_noisy_segment_counts",
+    "seasonal_decompose_weekly",
 ]
 
 
