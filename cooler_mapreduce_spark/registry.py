@@ -265,8 +265,14 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: ann_recall_jl (JL-projected ranking recall — the compression→recall
 #: matrix now has both geometry and search audits on every axis), and
 #: the tile store gained compact_tiles (fold committed batch deltas
-#: into one partition, answer pinned unchanged). All sixteen wave
-#: queries are sf0.1 hash-verified in addition to the sf0.01 gate.
+#: into one partition, answer pinned unchanged), and
+#: seasonal_decompose_weekly (classical additive decomposition, period
+#: 7 — parsed 7-tap trend, decimal-staged weekday means/residual RMS;
+#: completes the series triptych with weekday_profile_anomalies and
+#: holt_linear_smoothing). All seventeen wave queries are sf0.1
+#: hash-verified in addition to the sf0.01 gate, and the fourth wave's
+#: deterministic kernels are pinned partition-count-invariant in
+#: tests/test_invariance.py.
 PRIORITY_QUERIES: tuple[str, ...] = (
     # --- anchors: one green representative per §2.4 category (r2-r5) ---
     "word_count",                     # parity / scan / flatMap
