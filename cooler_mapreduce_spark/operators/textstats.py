@@ -538,10 +538,10 @@ def mixing_rates_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "doc_unigram_nll",
-    oracle="""
-    WITH toks AS (
+#: the unigram-LM per-doc scoring chain, ending in ``nll_per_doc(doc_id,
+#: n_tokens, nll)`` — shared by the doc_unigram_nll and
+#: ccnet_perplexity_buckets oracles (one spelling).
+_NLL_CTES = """toks AS (
         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
         FROM documents
     ),
@@ -554,14 +554,24 @@ def mixing_rates_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     lp AS (
         SELECT term, round(ln(CAST(stf AS DOUBLE) / t), 9) AS lp
         FROM pt CROSS JOIN tot
-    )
-    SELECT tf.doc_id,
-           CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
-           round(-CAST(SUM(CAST(tf.tf AS DECIMAL(18,0)) *
-                            CAST(lp.lp AS DECIMAL(20,9))) AS DOUBLE)
-                 / SUM(tf.tf), 6) AS nll
-    FROM tf JOIN lp ON tf.term = lp.term
-    GROUP BY tf.doc_id
+    ),
+    nll_per_doc AS (
+        SELECT tf.doc_id,
+               CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+               round(-CAST(SUM(CAST(tf.tf AS DECIMAL(18,0)) *
+                                CAST(lp.lp AS DECIMAL(20,9))) AS DOUBLE)
+                     / SUM(tf.tf), 6) AS nll
+        FROM tf JOIN lp ON tf.term = lp.term
+        GROUP BY tf.doc_id
+    )"""
+
+
+@query(
+    "doc_unigram_nll",
+    oracle=f"""
+    WITH {_NLL_CTES}
+    SELECT doc_id, n_tokens, nll
+    FROM nll_per_doc
     ORDER BY nll DESC, doc_id
     LIMIT 100
     """,
@@ -630,6 +640,128 @@ def doc_unigram_nll(
     if top is None:
         return per_doc
     return per_doc.orderBy(F.desc("nll"), F.asc("doc_id")).limit(top)
+
+
+#: perplexity-bucket histogram shape: equi-width NLL bins of 1e-4 nats,
+#: capped at [0, 16.384) — resolution chosen for unigram NLLs, whose
+#: corpus spread is a few millinats (the first cut, 0.01-nat bins, put
+#: BOTH tercile cutoffs inside one bin and the uniform-within-bin
+#: interpolation mis-split the terciles 140/243/117; at 1e-4 the
+#: crossing bins hold ~1 doc). The bin SPACE is a bounded literal; the
+#: histogram/CDF only materializes NONEMPTY bins (≤ distinct nll
+#: values), so the CDF window input stays bounded either way.
+_PPL_BIN_W = "0.0001"
+_PPL_BIN_CAP = 163839
+#: tercile crossing estimate from the binned CDF — same in-bin linear
+#: interpolation as aggregates._qbin_est, one spelling for both engines.
+_PPL_CUT = (
+    "min(CASE WHEN cum >= {q} * total AND cum - cnt < {q} * total"
+    " THEN bin * {w} + ({q} * total - (cum - cnt)) / cnt * {w} END)"
+)
+
+
+def _ppl_cut(q: str) -> str:
+    return _PPL_CUT.format(q=q, w=_PPL_BIN_W)
+
+
+@query(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+    WITH {_NLL_CTES},
+    binned AS (
+        SELECT doc_id, n_tokens, nll,
+               least(CAST(floor(nll / {_PPL_BIN_W}) AS BIGINT), {_PPL_BIN_CAP}) AS bin
+        FROM nll_per_doc
+    ),
+    hist AS (SELECT bin, COUNT(*) AS cnt FROM binned GROUP BY bin),
+    cdf AS (
+        SELECT bin, CAST(cnt AS DOUBLE) AS cnt,
+               CAST(SUM(cnt) OVER (ORDER BY bin) AS DOUBLE) AS cum,
+               CAST(SUM(cnt) OVER () AS DOUBLE) AS total
+        FROM hist
+    ),
+    cuts AS (
+        SELECT {_ppl_cut('CAST(1.0 AS DOUBLE) / 3.0')} AS t33,
+               {_ppl_cut('CAST(2.0 AS DOUBLE) / 3.0')} AS t67
+        FROM cdf
+    )
+    SELECT CASE WHEN nll <= t33 THEN 'head'
+                WHEN nll <= t67 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(CAST(nll AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6)
+               AS mean_nll
+    FROM binned CROSS JOIN cuts
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+    tags=("textstats", "language-model", "quality", "sketch", "llm-pipeline"),
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al., LREC 2020): bucket
+    every document by LM perplexity terciles — 'head' (most fluent
+    third, usually kept), 'middle' (kept or sampled), 'tail' (most
+    surprising third, dropped or down-sampled). The LM is the corpus's
+    own unigram model (:func:`doc_unigram_nll`'s scoring chain,
+    verbatim); the tercile cutoffs come from a BINNED NLL CDF — the
+    mergeable-histogram quantile (1024 × 0.01-nat bins, in-bin linear
+    interpolation), not a global sort, so the cutoff step is
+    O(bins) after a partial-aggregable histogram even when documents
+    number in the billions. Output: the three buckets' doc counts,
+    token counts, and decimal-staged mean NLL — the numbers that decide
+    the keep/sample/drop policy.
+
+    Determinism: NLLs are the rounded-6 doubles the oracle shares; bins
+    and counts are exact ints; the cutoffs and bucket comparisons are
+    one spelled expression evaluated on identical doubles in both
+    engines. The CDF window is order-only but runs over the ≤1024-row
+    histogram (bounded by the literal bin count — allowlisted class).
+    """
+    from pyspark.sql import Window
+
+    per_doc = doc_unigram_nll(spark, sf_dir, top=None)
+    binned = per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "nll",
+        F.least(
+            F.floor(F.col("nll") / F.lit(float(_PPL_BIN_W))).cast("bigint"),
+            F.lit(_PPL_BIN_CAP),
+        ).alias("bin"),
+    )
+    hist = binned.groupBy("bin").agg(F.count("*").alias("cnt"))
+    wcum = Window.orderBy("bin")
+    wtot = Window.partitionBy()
+    cdf = hist.select(
+        "bin",
+        F.col("cnt").cast("double").alias("cnt"),
+        F.sum("cnt").over(wcum).cast("double").alias("cum"),
+        F.sum("cnt").over(wtot).cast("double").alias("total"),
+    )
+    cuts = cdf.agg(
+        F.expr(_ppl_cut("CAST(1.0 AS DOUBLE) / 3.0")).alias("t33"),
+        F.expr(_ppl_cut("CAST(2.0 AS DOUBLE) / 3.0")).alias("t67"),
+    )
+    bucket = (
+        F.when(F.col("nll") <= F.col("t33"), "head")
+        .when(F.col("nll") <= F.col("t67"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        binned.crossJoin(F.broadcast(cuts))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("nll").cast("decimal(30,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_nll"),
+        )
+        .orderBy("bucket")
+    )
 
 
 @query(

@@ -997,3 +997,19 @@ def test_jl_recall_beats_pq_and_random(spark, oracle_sf_dir):
     mean_jl, mean_pq = sum(jl) / len(jl), sum(pq) / len(pq)
     assert 0.02 < mean_jl < 0.5, mean_jl
     assert mean_jl > mean_pq > 0.02, (mean_jl, mean_pq)
+
+
+def test_ccnet_buckets_partition_and_order(spark, oracle_sf_dir):
+    """The tercile split must partition the corpus into three near-equal
+    buckets (binned cutoffs land within one bin of exact terciles),
+    with head < middle < tail mean NLL — the monotonicity that makes
+    the keep/sample/drop policy meaningful."""
+    rows = {r.bucket: r for r in SPECS["ccnet_perplexity_buckets"]
+            .fn(spark, oracle_sf_dir).collect()}
+    assert set(rows) == {"head", "middle", "tail"}
+    n = sum(r.n_docs for r in rows.values())
+    # tolerance: tie blocks (identical nll) straddling a cutoff go whole
+    # to one side, plus the one-crossing-bin interpolation error
+    for r in rows.values():
+        assert abs(r.n_docs - n / 3) <= max(5, 0.05 * n), (r.bucket, r.n_docs, n)
+    assert rows["head"].mean_nll < rows["middle"].mean_nll < rows["tail"].mean_nll

@@ -42,6 +42,7 @@ _NL_ALLOWED = {
     "basket_association_rules",   # single-row basket-count scalar broadcast to the rule rows
     "vocab_coverage_topk",     # 3 literal k-thresholds broadcast against vocab ranks
     "doc_unigram_nll",         # single-row corpus-total scalar broadcast to vocab rows
+    "ccnet_perplexity_buckets",  # single-row tercile-cutoff scalar broadcast to doc rows
     "pagerank_supplier_customer",  # single-row node-count scalar broadcast per iteration
     "bm25_topk",               # single-row N/avgdl scalar broadcast to matching postings
     "rrf_hybrid_search",       # bm25's scalar broadcast + the 1-row query-vector cross join
@@ -575,6 +576,8 @@ _ORDER_ONLY_WINDOW_ALLOWED = {
     # dependent small (skyline of random data is O(log^d n) expected);
     # worst case documented in the docstring.
     "skyline_pareto_orders",
+    # CDF window over the <=1024-row NLL histogram (literal bin count)
+    "ccnet_perplexity_buckets",
 }
 
 
