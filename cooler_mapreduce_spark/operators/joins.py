@@ -429,3 +429,69 @@ def join_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             us_between(F.col("ts"), F.col("next_ts")) <= tol_us, F.col("next_ts")
         ).alias("next_purchase_ts"),
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    SELECT v.event_id, v.user_id, v.ts,
+           (SELECT p.ts FROM events p
+            WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+            ORDER BY abs(epoch_us(p.ts) - epoch_us(v.ts)), p.ts
+            LIMIT 1) AS nearest_purchase_ts
+    FROM events v WHERE v.event_type = 'view'
+    """,
+    tags=("join", "asof", "window"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join — pandas ``merge_asof(direction='nearest')``,
+    completing the family's third direction (backward:
+    :func:`join_asof_last_click`; forward + tolerance:
+    :func:`join_asof_forward_tolerance`): each view event matched to the
+    user's purchase with the smallest |Δt| in EITHER direction, ties
+    broken toward the earlier purchase (a spelled rule, identical in
+    both engines — pandas leaves equidistant ties unspecified).
+
+    Shape: both directional carries from ONE user-keyed exchange — the
+    ascending and descending windows share the shuffle, each a linear
+    pass (two sorts, zero extra exchanges; .explain shows one
+    hashpartitioning). The nearest pick is then pure projection over
+    exact microsecond arithmetic. The oracle's correlated ORDER
+    BY/LIMIT 1 subquery is the quadratic spelling DuckDB can afford at
+    test scale; the engine side stays O(events) per user at any SF.
+    """
+    ev = table(spark, sf_dir, "events", fan_out=False)
+    tagged = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "purchase", F.col("ts")).alias("purchase_ts"),
+        # purchases sort before views at equal ts in BOTH directions, so
+        # a same-instant purchase is visible to each carry (<= / >=)
+        F.when(F.col("event_type") == "purchase", F.lit(0)).otherwise(F.lit(1)).alias("kind"),
+    )
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.asc("kind"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn(
+        "prev_ts", F.last("purchase_ts", ignorenulls=True).over(w_back)
+    ).withColumn("next_ts", F.last("purchase_ts", ignorenulls=True).over(w_fwd))
+    d_prev = us_between(F.col("prev_ts"), F.col("ts"))
+    d_next = us_between(F.col("ts"), F.col("next_ts"))
+    nearest = (
+        F.when(F.col("prev_ts").isNull(), F.col("next_ts"))
+        .when(F.col("next_ts").isNull(), F.col("prev_ts"))
+        .when(d_prev <= d_next, F.col("prev_ts"))
+        .otherwise(F.col("next_ts"))
+    )
+    return carried.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", nearest.alias("nearest_purchase_ts")
+    )
