@@ -165,7 +165,11 @@ HEADLINE = [
 # pair and mixing_weights_temperature are single-groupBy rollups
 # (pricing_summary's exchange shape) with O(groups) scalar math;
 # sql_create_function_udfs inlines to a lineitem band join the TPC-H
-# entries already cover.
+# entries already cover; ccnet_perplexity_buckets re-runs the benched
+# doc_unigram_nll spine plus an O(bins) CDF; join_asof_nearest is the
+# benched as-of exchange with a second per-user sort;
+# seasonal_decompose_weekly shares autocorr's day-rollup scan with an
+# O(days) window tail.
 
 #: REAL-STREAM surfaces (not batch twins): each starts an actual
 #: StreamingQuery over the sf dir and times a full bounded-replay drain —

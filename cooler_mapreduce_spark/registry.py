@@ -269,10 +269,15 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: seasonal_decompose_weekly (classical additive decomposition, period
 #: 7 — parsed 7-tap trend, decimal-staged weekday means/residual RMS;
 #: completes the series triptych with weekday_profile_anomalies and
-#: holt_linear_smoothing). All seventeen wave queries are sf0.1
-#: hash-verified in addition to the sf0.01 gate, and the fourth wave's
-#: deterministic kernels are pinned partition-count-invariant in
-#: tests/test_invariance.py.
+#: holt_linear_smoothing), ccnet_perplexity_buckets (CCNet's
+#: head/middle/tail perplexity terciles from a binned NLL CDF — 1e-4
+#: nat bins after the 0.01-nat first cut mis-split the few-millinat
+#: corpus spread), and join_asof_nearest (direction=nearest completes
+#: the as-of family: both directional carries off ONE user-keyed
+#: exchange, earlier-wins tie rule). All nineteen wave queries are
+#: sf0.1 hash-verified in addition to the sf0.01 gate, and the fourth
+#: wave's deterministic kernels are pinned partition-count-invariant
+#: in tests/test_invariance.py.
 PRIORITY_QUERIES: tuple[str, ...] = (
     # --- anchors: one green representative per §2.4 category (r2-r5) ---
     "word_count",                     # parity / scan / flatMap
