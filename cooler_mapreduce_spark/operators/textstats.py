@@ -1594,3 +1594,86 @@ def docs_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((F.col("n_words") > 1) & (top_bigram_ratio > 0.08))
         ).alias("flagged"),
     )
+
+
+_HN_DENSE_K = 20   # dense top-k treated as positives (excluded)
+_HN_TOP = 20       # hard negatives emitted
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH {_BM25_ORACLE_CTES},
+    qv AS (SELECT embedding FROM embeddings WHERE vec_id = {_RRF_QVEC}),
+    dense AS (
+        SELECT e.vec_id AS doc_id,
+               {duckdb_cosine('qv.embedding', 'e.embedding')} AS cosine
+        FROM embeddings e CROSS JOIN qv
+        WHERE e.vec_id != {_RRF_QVEC}
+    ),
+    positives AS (
+        SELECT doc_id FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS rn
+            FROM dense
+        ) WHERE rn <= {_HN_DENSE_K}
+    )
+    SELECT b.doc_id, b.score AS bm25_score, d.cosine
+    FROM bm_scores b
+    JOIN dense d ON d.doc_id = b.doc_id
+    LEFT JOIN positives p ON p.doc_id = b.doc_id
+    WHERE p.doc_id IS NULL
+    ORDER BY b.score DESC, b.doc_id
+    LIMIT {_HN_TOP}
+    """,
+    tags=("textstats", "search", "training-data", "llm-pipeline"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for retriever training (the DPR/contrastive
+    recipe, Karpukhin et al. EMNLP'20): documents the LEXICAL ranker
+    scores highly for the query but that are NOT among the dense
+    ranker's top-{_HN_DENSE_K} "positives" — exactly the
+    confusable-but-wrong examples a bi-encoder needs as negatives.
+    Composes the engine's two rankers over the shared doc-id space
+    (the :func:`_bm25_scored` scorer; cosine against the ``vec_id`` 0
+    query embedding) and emits the top-{_HN_TOP} by BM25 with the
+    cosine attached — the training-pair table a contrastive dataloader
+    consumes.
+
+    Plan shape: one posting scan (BM25 side, query-term-pruned), one
+    embedding scan (dense side, 1-row query broadcast), a broadcast
+    anti-join against the {_HN_DENSE_K}-row positive set, and
+    TakeOrdered — no global sort, nothing quadratic. Determinism:
+    decimal-staged BM25 scores, round-9 cosines, id tie-breaks.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import _embeddings_normed, spark_cosine_prenorm
+
+    e = _embeddings_normed(spark, sf_dir)
+    qv = e.filter(F.col("vec_id") == _RRF_QVEC).select(
+        F.col("emb_d").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    dense = (
+        e.filter(F.col("vec_id") != _RRF_QVEC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.expr(spark_cosine_prenorm("q_emb", "emb_d", "q_nrm", "nrm")).alias(
+                "cosine"
+            ),
+        )
+    )
+    positives = (
+        dense.orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(_HN_DENSE_K)
+        .select("doc_id")
+    )
+    return (
+        _bm25_scored(spark, sf_dir)
+        .withColumnRenamed("score", "bm25_score")
+        .join(dense, "doc_id")
+        .join(F.broadcast(positives), "doc_id", "left_anti")
+        .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+        .limit(_HN_TOP)
+        .select("doc_id", "bm25_score", "cosine")
+    )

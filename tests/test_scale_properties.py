@@ -46,6 +46,7 @@ _NL_ALLOWED = {
     "pagerank_supplier_customer",  # single-row node-count scalar broadcast per iteration
     "bm25_topk",               # single-row N/avgdl scalar broadcast to matching postings
     "rrf_hybrid_search",       # bm25's scalar broadcast + the 1-row query-vector cross join
+    "hard_negative_mining",    # same 1-row query-vector cross join + bm25's scalar broadcast
     "embedding_jl_projection_fidelity",  # theta pair join of the literal-bounded 50-row audit set
 }
 
@@ -127,6 +128,9 @@ _HINT_ALLOWED = {
     # the broadcast side is the literal-bounded audit population
     # (vec_id < 50 over embeddings — fixed rows at any SF).
     "embedding_jl_projection_fidelity": {"embeddings"},
+    # 1-row query vector + the LIMIT-20 dense-positive set, both
+    # literal-bounded filters over embeddings.
+    "hard_negative_mining": {"embeddings"},
     # exact all-pairs tier: oracle ground truth at test scale; docstring
     # says to swap for the LSH bucket join at 100 TB.
     "embedding_cosine_dups": {"embeddings"},
