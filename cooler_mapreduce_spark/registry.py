@@ -274,7 +274,9 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: nat bins after the 0.01-nat first cut mis-split the few-millinat
 #: corpus spread), and join_asof_nearest (direction=nearest completes
 #: the as-of family: both directional carries off ONE user-keyed
-#: exchange, earlier-wins tie rule). All nineteen wave queries are
+#: exchange, earlier-wins tie rule), and hard_negative_mining (the
+#: DPR contrastive recipe: BM25-high docs absent from the dense top-k,
+#: composed from the shared rankers). All twenty wave queries are
 #: sf0.1 hash-verified in addition to the sf0.01 gate, and the fourth
 #: wave's deterministic kernels are pinned partition-count-invariant
 #: in tests/test_invariance.py.
