@@ -142,6 +142,9 @@ _FLAVOR_CASES = [
     "session_conversion_rate",
     "ohlc_hourly_by_type",
     "attribution_linear_touch",
+    # nearest-direction carry + |delta-t| microsecond arithmetic must not
+    # depend on the lake's timestamp annotation, like its siblings above
+    "join_asof_nearest",
 ]
 
 
