@@ -743,17 +743,23 @@ def corpus_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Composes the pairwise tier (:func:`dedup_simhash_pairs`) with the
     transitive closure (:func:`connected_components`) and applies the
-    verdict back to the corpus with one broadcast-sized left join: the
-    label table is O(docs-in-clusters) — the duplicate minority, tiny
-    next to the corpus — so the corpus scan never shuffles; non-keepers
-    are filtered out in the scan stage. This is the shape that holds at
-    100 TB: the heavy table moves once, the verdict moves to it.
+    verdict back to the corpus with one left join. The label table is
+    O(docs-in-clusters) — deliberately UNHINTED: on a real web corpus
+    (near-dup fractions of 30–60 %) the verdict set is billions of
+    narrow rows and a forced broadcast hint would be a forced OOM.
+    Because the labels arrive as a checkpointed RDD (no size stats),
+    the planner keeps a sort-merge join of the two-column label table
+    against the projected corpus scan — one exchange each side, no
+    driver materialization, the exact plan that holds at 100 TB (AQE's
+    empty-partition demotion heuristic declines the broadcast at test
+    SF; a hint would override it, which is precisely what the engine's
+    hint rule forbids for corpus-scaled frames).
     """
     pairs = dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     clusters = connected_components(pairs).withColumnRenamed("doc_id", "c_doc_id")
     d = table(spark, sf_dir, "documents")
     return (
-        d.join(F.broadcast(clusters), d.doc_id == clusters.c_doc_id, "left")
+        d.join(clusters, d.doc_id == clusters.c_doc_id, "left")
         .filter(F.col("c_doc_id").isNull() | (F.col("cluster_id") == F.col("doc_id")))
         .select("doc_id", "lang", "source", "n_chars")
     )

@@ -1370,17 +1370,18 @@ def semdedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`semdedup_prune_cells` the way ``corpus_dedup_apply`` is the
     companion of the pairwise dedup tiers: materialize the semantically
     deduplicated corpus, i.e. every vector the within-cell prune kept,
-    with its label and cell. The prune set is the duplicate MINORITY
-    (O(pruned) rows, tiny next to the corpus), so the verdict moves to
-    the corpus as a broadcast-sized anti join and the corpus itself
-    never reshuffles — the heavy-table-moves-once discipline all apply
-    tiers share.
+    with its label and cell. The prune set is O(pruned) rows and
+    deliberately UNHINTED: at test SF it sits far under the 64 MB
+    ``autoBroadcastJoinThreshold`` (session.py) so the planner picks the
+    same broadcast anti join a hint would force, while at real-corpus
+    prune rates (SemDeDup's own paper prunes 50 %+) the verdict set
+    scales with the corpus and the size-based planner correctly falls
+    back to a shuffle join of a one-column table — a forced hint there
+    would be a forced driver/executor OOM.
     """
     assigned, pruned_ids = _semdedup_frames(spark, sf_dir, _SEMDEDUP_THR)
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "label")
-    kept = assigned.join(
-        F.broadcast(pruned_ids.select("vec_id")), "vec_id", "left_anti"
-    )
+    kept = assigned.join(pruned_ids.select("vec_id"), "vec_id", "left_anti")
     return kept.join(emb, "vec_id").select("vec_id", "label", "cell")
 
 
@@ -1890,14 +1891,17 @@ def semdedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFram
     hist_pruned = _sd_pair_join(hist, hist, _SEMDEDUP_THR).select(
         F.col("b_id").alias("vec_id")
     ).distinct()
-    hist_kept = hist.join(F.broadcast(hist_pruned), "vec_id", "left_anti")
+    # hist_pruned / rejected scale with the corpus dup-rate, so no
+    # broadcast hints: the 64 MB auto-threshold keeps the broadcast plan
+    # at test SF and degrades to a shuffle anti join at scale.
+    hist_kept = hist.join(hist_pruned, "vec_id", "left_anti")
     # admission screen: kept history on the a-side WITHOUT the priority
     # order (any kept near-dup rejects a new vector) — reuse the pair
     # kernel by giving history infinite priority: it is 'earlier' than
     # every new vector by construction of the funnel, so the kernel's
     # order predicate must not drop cross pairs. Spell it directly:
     rejected = _sd_cross_reject(hist_kept, newb, _SEMDEDUP_THR)
-    surv = newb.join(F.broadcast(rejected), "vec_id", "left_anti")
+    surv = newb.join(rejected, "vec_id", "left_anti")
     batch_pruned = _sd_pair_join(surv, surv, _SEMDEDUP_THR).select(
         F.col("b_id").alias("vec_id")
     ).distinct()

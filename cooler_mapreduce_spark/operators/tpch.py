@@ -507,14 +507,16 @@ def large_orders_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     The HAVING collapses the fact table to a handful of order keys
     before any join — that survivor set broadcasts onto orders and the
     enriched (still tiny) result broadcasts onto customer, so neither
-    big table ever shuffles. The explicit hint on the survivor set is
-    deliberate and size-safe: qty > 300 selects a vanishing fraction of
-    orders at ANY scale (data-dependent small, not SF-proportional), and
-    statistics cannot see through the HAVING, so without the hint the
-    planner would assume fact-table cardinality and sort-merge.  The final ranking is TakeOrdered (per-
-    partition heaps), tie-broken by orderkey for a total order.  The
-    quantity sum is exact decimal, so the >300 gate admits identical
-    rows on both engines.
+    big table ever shuffles. The survivor set carries NO broadcast hint:
+    qty > 300 selects ~1-in-20k orders, so at test SF the 64 MB
+    size threshold (and AQE's runtime stats) pick the identical
+    BroadcastHashJoin — measured at sf0.1 — while at 100 TB the
+    survivor count is still O(orders) strictly speaking, and the
+    size-based planner degrades to a shuffle join instead of a forced
+    OOM.  The final ranking is TakeOrdered (per-partition heaps),
+    tie-broken by orderkey for a total order.  The quantity sum is
+    exact decimal, so the >300 gate admits identical rows on both
+    engines.
     """
     li = table(spark, sf_dir, "lineitem", fan_out=False)
     o = table(spark, sf_dir, "orders")
@@ -526,7 +528,7 @@ def large_orders_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", F.col("q").cast("double").alias("total_qty"))
     )
     return (
-        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        o.join(big, o.o_orderkey == big.l_orderkey)
         .join(c, F.col("o_custkey") == c.c_custkey)
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
@@ -559,8 +561,12 @@ def top_supplier_by_revenue_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     The per-supplier revenue aggregate stays in exact decimal so the
     ``r = MAX(r)`` equality is bit-safe (a double-rounded revenue could
     admit different tie sets on different engines).  The global max is a
-    one-row broadcast; the surviving winner rows (ties only) broadcast
-    onto supplier — the fact table shuffles once for the aggregate and
+    one-row broadcast (the always-safe hint); the surviving winner rows
+    (ties only) carry NO hint — their subtree contains the per-supplier
+    aggregate, whose key is SF-scaled, so the engine's hint rule leaves
+    the choice to size-based planning, which picks the identical
+    BroadcastHashJoin at test SF (measured at sf0.1) and would shuffle
+    at 100 TB.  The fact table shuffles once for the aggregate and
     nothing else moves.
     """
     li = table(spark, sf_dir, "lineitem", fan_out=False).filter(
@@ -573,7 +579,7 @@ def top_supplier_by_revenue_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = rev.agg(F.max("r").alias("mr"))
     winners = rev.crossJoin(F.broadcast(mx)).filter(F.col("r") == F.col("mr"))
     s = table(spark, sf_dir, "supplier")
-    return s.join(F.broadcast(winners), s.s_suppkey == F.col("l_suppkey")).select(
+    return s.join(winners, s.s_suppkey == F.col("l_suppkey")).select(
         "s_suppkey", "s_name", F.col("r").cast("double").alias("total_revenue")
     )
 

@@ -8,6 +8,8 @@ sweep stays cheap.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from cooler_mapreduce_spark.registry import load_all
@@ -107,8 +109,43 @@ _SF_COLUMNS = {"user_id": "events", "ts": "events", "doc_id": "documents",
                "text": "documents", "vec_id": "embeddings",
                "embedding": "embeddings"}
 #: plan nodes that collapse cardinality to data-dependent-small, making a
-#: downstream hint size-safe (e.g. q18's HAVING-survivor set).
-_REDUCERS = {"Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate"}
+#: downstream hint size-safe. Limits always qualify; Aggregate/Deduplicate
+#: qualify ONLY if their grouping/dedup keys avoid SF-scaled entity ids —
+#: a per-document or per-vector aggregate has O(SF) groups (the round-6
+#: verdict's loophole: connected-components labels and SemDeDup prune
+#: verdicts slipped a forced broadcast past the bare-node rule).
+_REDUCERS = {"GlobalLimit", "LocalLimit"}
+
+#: entity-id columns whose distinct count scales with SF (TPC-H keys, the
+#: LLM-table ids, and the engine's known renames of them in pair/graph
+#: kernels). An Aggregate grouping on any of these — or a Deduplicate
+#: keyed on one — does NOT bound cardinality by construction.
+_SF_ENTITY_KEYS = {
+    "o_orderkey", "l_orderkey", "c_custkey", "o_custkey", "s_suppkey",
+    "l_suppkey", "ps_suppkey", "p_partkey", "l_partkey", "ps_partkey",
+    "event_id", "user_id", "doc_id", "vec_id",
+    # pair/graph-kernel renames of doc_id / vec_id
+    "doc_a", "doc_b", "vec_a", "vec_b", "a_id", "b_id", "src", "dst",
+    "nb", "c_doc_id", "node_id",
+}
+
+_ATTR_RE = re.compile(r"(\w+)#\d+")
+
+
+def _is_bounded_reducer(node, name):
+    """True if this Aggregate/Deduplicate bounds cardinality by
+    construction: a global aggregate (single row) or one whose keys are
+    all non-entity columns (flags, buckets, dates, cells, ...)."""
+    if name == "Aggregate":
+        keys = node.groupingExpressions()
+    elif name == "Deduplicate":
+        keys = node.keys()
+    else:
+        return False
+    refs = set()
+    for i in range(keys.size()):
+        refs.update(_ATTR_RE.findall(keys.apply(i).toString()))
+    return not (refs & _SF_ENTITY_KEYS)
 
 #: documented exceptions: hint subtrees that DO reach an SF-scaled relation
 #: but are bounded by construction (see each query's docstring).
@@ -161,7 +198,7 @@ def _hinted_sf_tables(df):
 
     def walk(node, in_hint):
         name = node.getClass().getSimpleName()
-        if in_hint and name in _REDUCERS:
+        if in_hint and (name in _REDUCERS or _is_bounded_reducer(node, name)):
             return
         if name == "ResolvedHint":
             in_hint = True
@@ -209,6 +246,19 @@ _SIZE_BROADCAST_QUERIES = (
     "sales_opportunity_q22",
     "stream_enriched_segment_counts",
     "cohort_retention",
+    # round-7 hint deletions: the two TPC-H survivor-set hints the
+    # tightened Aggregate-reducer rule flagged (q18's HAVING survivors
+    # and q15's max-revenue winners both group on SF-scaled keys), and
+    # the three dedup/semdedup apply tiers whose verdict sets scale with
+    # the corpus dup-rate (round-6 verdict What's-wrong #1).
+    "large_orders_q18",
+    "top_supplier_by_revenue_q15",
+    "semdedup_apply",
+    "semdedup_incremental_new_batch",
+    # corpus_dedup_apply is deliberately NOT here: its verdict side is a
+    # checkpointed RDD (no size stats), so AQE's empty-partition
+    # demotion keeps the sort-merge join of the two-column label table —
+    # itself the plan that holds at 100 TB (see the query docstring).
 )
 
 
