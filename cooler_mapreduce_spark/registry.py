@@ -280,71 +280,108 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: sf0.1 hash-verified in addition to the sf0.01 gate, and the fourth
 #: wave's deterministic kernels are pinned partition-count-invariant
 #: in tests/test_invariance.py.
+#: Round-7 rotation — the backlog-drain window the round-6 verdict
+#: prescribed. Registry growth is FROZEN this round (zero new
+#: registrations); the entire window goes to draining the 58 queries
+#: that have never had a driver CORRECTNESS row. The per-category
+#: anchor set is temporarily cut from 15 to the 9 §2.1-critical
+#: representatives (scan/flatMap, partial+final agg, joins, windows,
+#: streaming, LLM dedup, similarity, multimodal, MR-compat/UDF) to
+#: free slots; the six displaced anchors (cube_sales, union_all,
+#: string_functions, tfidf_top_terms, sample_hash_documents,
+#: merge_cdc_orders) have r6 greens and return in round 8.
+#: corpus_dedup_apply is RE-anchored because this round deleted its
+#: forced broadcast hint (round-6 What's-wrong #1) — its driver row
+#: proves the plan change kept results identical; semdedup_apply and
+#: semdedup_incremental_new_batch (same fix) get first driver rows in
+#: this window. The remaining 40 slots are backlog first-timers,
+#: family-balanced so every family lands at least one row this round.
+#:
+#: ROUND-8 QUEUE (the 18-query backlog remainder — all locally
+#: hash-green / replica-pinned at sf0.01 AND sf0.1, ordered first for
+#: the r8 window): the four deferred timeseries shapes
+#: (cusum_changepoint_revenue, weekday_profile_anomalies,
+#: rolling_corr_revenue_orders, downsample_lttb_daily — the family has
+#: six representatives in THIS window), the three deferred
+#: parameterized-SQL faces (sql_session_variables,
+#: sql_execute_immediate, sql_identifier_clause — sql_named_parameters
+#: represents the family this round), the JL pair
+#: (embedding_jl_projection_fidelity, ann_recall_jl — the PQ pair +
+#: int8 quantize audit cover compression this round),
+#: mixing_weights_temperature (sibling corpus_mix_entropy_kl is r6
+#: green), incremental_join_view_delta, and the seven rows-only tiers
+#: (hll_sketch_rollup_users, approx_quantiles_price,
+#: label_propagation_communities, ann_topk_lsh, ann_topk_ivf,
+#: embedding_cosine_dups_lsh, pca_power_embeddings — each
+#: accuracy/replica-pinned in tests; their rows record the weaker
+#: rows-only check by design).
 PRIORITY_QUERIES: tuple[str, ...] = (
-    # --- anchors: one green representative per §2.4 category (r2-r5) ---
+    # --- anchors: the 9 §2.1-critical category representatives ---
     "word_count",                     # parity / scan / flatMap
     "pricing_summary",                # hash + partial agg (TPC-H Q1)
     "join_asof_last_click",           # join family
     "window_top_orders_per_customer", # window functions
-    "cube_sales",                     # grouping sets / cube
-    "union_all_high_low_value_orders",# set ops
-    "string_functions",               # scalar suites
     "dedup_minhash_lsh",              # LLM dedup
     "ann_topk_bruteforce",            # LLM similarity
-    "tfidf_top_terms",                # LLM text analysis
-    "sample_hash_documents",          # LLM sampling
     "multimodal_catalog",             # multimodal
     "mr_word_count",                  # MR-compat / UDF surface
     "stream_tumbling_counts",         # streaming batch-twin
-    "merge_cdc_orders",               # merge / CDC
-    # --- rotation: the round-6 queue — every oracle query added after
-    # the r5 window froze (first driver rows) ---
-    # TPC-H completion (suite now 22/22)
-    "min_cost_supplier_q2",
-    "product_type_profit_q9",
-    "important_part_value_q11",
-    "parts_supplier_relationship_q16",
-    "potential_promotion_q20",
-    # graph census + clustering
-    "triangle_count_copurchase",
-    "clustering_coefficient_topk",
-    # hypertable OHLC downsample
-    "ohlc_hourly_by_type",
-    # behavioral analytics
-    "attribution_linear_touch",
-    "rfm_customer_segments",
-    "basket_association_rules",
-    "ab_test_conversion",
-    "chisq_segment_priority",  # re-anchor: survivor of the r5 dup removal
-    # ML-feature + corpus-mix tiers
-    "kfold_target_encoding",
-    "corpus_mix_entropy_kl",
-    # recursive CTE + ANSI guards
-    "sql_recursive_subtree_rollup",
-    "ansi_try_functions",
-    # sketches + data quality
-    "cms_heavy_hitters",
-    "dq_constraint_violations",
-    # temporal / SCD family
-    "scd2_snapshot_asof",
-    "scd2_point_in_time_join",
-    "snapshot_diff_customers",
-    # rows-only iterative tiers (reference-pinned; driver records the
-    # weaker rows-only check by design)
-    "bpe_train_merges",
-    "bpe_encode_stats",
-    "kmeans_embedding_clusters",
-    "kcore_copurchase",
-    # --- round-6 additions (new capabilities this round) ---
-    "ewma_daily_revenue",
-    "autocorr_daily_revenue",
-    "max_drawdown_revenue",
-    "time_weighted_avg_value",
-    "docs_repetition_filter",
-    "bfs_hops_from_hub",
-    "incremental_agg_merge",
-    "skyline_pareto_orders",
-    "join_asof_forward_tolerance",
+    # --- re-anchor: broadcast hint deleted this round; the driver row
+    # proves the plan change kept results identical ---
+    "corpus_dedup_apply",
+    # --- backlog drain: 40 first-time driver rows ---
+    # timeseries / trend family
+    "join_asof_nearest",
+    "linreg_trend_by_priority",
+    "interpolate_hourly_purchase_value",
+    "theilsen_trend_revenue",
+    "holt_linear_smoothing",
+    "seasonal_decompose_weekly",
+    # quantile / statistics tiers
+    "quantile_bin_rollup_regions",
+    "weighted_median_price_by_flag",
+    "multiple_ols_price_by_flag",
+    "correlation_matrix_lineitem",
+    # dedup family (scale-path tiers)
+    "dedup_prefix_filter_jaccard",
+    "dedup_incremental_new_batch",
+    "dedup_substring_spans",
+    # embedding compression + SemDeDup family (incl. the two de-hinted
+    # apply tiers)
+    "embedding_quantize_fidelity",
+    "embedding_pq_fidelity",
+    "ann_recall_pq",
+    "semdedup_prune_cells",
+    "semdedup_apply",
+    "semdedup_incremental_new_batch",
+    # text-quality / retrieval tiers
+    "ccnet_perplexity_buckets",
+    "rrf_hybrid_search",
+    "hard_negative_mining",
+    # sampling
+    "weighted_sample_wor_orders",
+    # multimodal (audio + video modalities)
+    "multimodal_frame_dedup",
+    "multimodal_audio_stats",
+    # governance
+    "kanonymity_census",
+    "dp_noisy_segment_counts",
+    # Spark-4 SQL surfaces
+    "udtf_table_arg_sessionize",
+    "sql_pipe_syntax_revenue",
+    "sql_group_by_all",
+    "sql_named_parameters",
+    "sql_collated_grouping",
+    "sql_create_function_udfs",
+    # streaming / sinks / sources
+    "stream_stream_left_outer_clicks",
+    "stream_quantile_tiles",
+    "sink_schema_evolution_roundtrip",
+    "sink_cow_upsert_partitioned",
+    "source_binaryfile_roundtrip",
+    "read_json_permissive_corrupt",
+    # co-located join layout
+    "bucketed_join_colocated",
 )
 
 
