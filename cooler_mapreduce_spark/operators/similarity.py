@@ -1447,7 +1447,7 @@ def _jl_duck_planes() -> str:
 )
 def embedding_jl_projection_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss random-projection fidelity audit: project
-    the 64-dim embeddings onto {_JL_K} seeded random directions (a
+    the 64-dim embeddings onto 16 seeded random directions (a
     literal 16×64 matrix — the model constant a production pipeline
     ships next to its LSH planes) and report, for every pair of a
     bounded audit population, the original cosine next to the projected
@@ -1458,7 +1458,7 @@ def embedding_jl_projection_fidelity(spark: SparkSession, sf_dir: str) -> DataFr
 
     The projection is 16 Catalyst fold expressions per row (one scan,
     no shuffle, no Python); the pair join is literal-bounded
-    (vec_id < {_JL_N} → C({_JL_N},2) pairs) and broadcast-sized. Both
+    (vec_id < 50 → C(50,2)=1225 pairs) and broadcast-sized. Both
     engines evaluate the identical left-to-right fold and the cosines
     round to 9 dp, so the audit is hash-checkable end to end. At 100 TB
     the audit population stays a bounded sample by construction — the

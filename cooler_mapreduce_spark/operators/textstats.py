@@ -705,9 +705,10 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     surprising third, dropped or down-sampled). The LM is the corpus's
     own unigram model (:func:`doc_unigram_nll`'s scoring chain,
     verbatim); the tercile cutoffs come from a BINNED NLL CDF — the
-    mergeable-histogram quantile (1024 × 0.01-nat bins, in-bin linear
-    interpolation), not a global sort, so the cutoff step is
-    O(bins) after a partial-aggregable histogram even when documents
+    mergeable-histogram quantile (1e-4-nat bins capped at 163,839 →
+    a 163,840-bin space; in-bin linear interpolation), not a global
+    sort, so the cutoff step is O(nonempty bins ≤ distinct rounded
+    NLLs) after a partial-aggregable histogram even when documents
     number in the billions. Output: the three buckets' doc counts,
     token counts, and decimal-staged mean NLL — the numbers that decide
     the keep/sample/drop policy.
@@ -715,8 +716,9 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: NLLs are the rounded-6 doubles the oracle shares; bins
     and counts are exact ints; the cutoffs and bucket comparisons are
     one spelled expression evaluated on identical doubles in both
-    engines. The CDF window is order-only but runs over the ≤1024-row
-    histogram (bounded by the literal bin count — allowlisted class).
+    engines. The CDF window is order-only but runs over the histogram,
+    bounded by the literal 163,840-bin space (nonempty bins only —
+    allowlisted class).
     """
     from pyspark.sql import Window
 
@@ -1631,7 +1633,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for retriever training (the DPR/contrastive
     recipe, Karpukhin et al. EMNLP'20): documents the LEXICAL ranker
     scores highly for the query but that are NOT among the dense
-    ranker's top-{_HN_DENSE_K} "positives" — exactly the
+    ranker's top-20 "positives" — exactly the
     confusable-but-wrong examples a bi-encoder needs as negatives.
     Composes the engine's two rankers over the shared doc-id space
     (the :func:`_bm25_scored` scorer; cosine against the ``vec_id`` 0
@@ -1641,7 +1643,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: one posting scan (BM25 side, query-term-pruned), one
     embedding scan (dense side, 1-row query broadcast), a broadcast
-    anti-join against the {_HN_DENSE_K}-row positive set, and
+    anti-join against the 20-row positive set, and
     TakeOrdered — no global sort, nothing quadratic. Determinism:
     decimal-staged BM25 scores, round-9 cosines, id tie-breaks.
     """

@@ -470,38 +470,66 @@ def compact_parquet_dir(
     hconf = spark._jsc.hadoopConfiguration()
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(hconf)
+    recover_swap(spark, path)
     total = fs.getContentSummary(hpath).getLength()
     n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
 
-    tmp = f"{path.rstrip('/')}.__compact_tmp"
-    old = f"{path.rstrip('/')}.__compact_old"
-    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
-    old_p = jvm.org.apache.hadoop.fs.Path(old)
-    # Crash recovery first: a prior run that died between its two swap
-    # renames left the dataset parked at .__compact_old with `path`
-    # absent. Restore it before treating anything as stale garbage.
+    def write_tmp(tmp: str) -> None:
+        df = spark.read.parquet(path)
+        if sort_by:
+            staged = df.repartitionByRange(n_files, sort_by).sortWithinPartitions(sort_by)
+        else:
+            staged = df.repartition(n_files)
+        staged.write.mode("overwrite").parquet(tmp)
+
+    staged_swap(spark, path, write_tmp)
+    return n_files
+
+
+def recover_swap(spark: SparkSession, path: str) -> None:
+    """Crash recovery for :func:`staged_swap`: a prior run that died
+    between its two swap renames left the dataset parked at
+    ``<path>.__compact_old`` with ``path`` absent — restore it before
+    treating anything as stale garbage, then sweep leftovers."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(hconf)
+    tmp_p = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}.__compact_tmp")
+    old_p = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}.__compact_old")
     if fs.exists(old_p) and not fs.exists(hpath):
         if not fs.rename(old_p, hpath):
-            raise IOError(f"compaction recovery failed: could not restore {old} to {path}")
+            raise IOError(f"swap recovery failed: could not restore {old_p} to {path}")
     for stale in (tmp_p, old_p):  # crashed prior run (post-recovery leftovers)
         if fs.exists(stale):
             fs.delete(stale, True)
 
-    df = spark.read.parquet(path)
-    if sort_by:
-        df = df.repartitionByRange(n_files, sort_by).sortWithinPartitions(sort_by)
-    else:
-        df = df.repartition(n_files)
-    df.write.mode("overwrite").parquet(tmp)
+
+def staged_swap(spark: SparkSession, path: str, write_tmp) -> None:
+    """Replace the dataset at ``path`` with one staged by
+    ``write_tmp(tmp_path)`` via two Hadoop renames (each individually
+    atomic). Single-writer and crash-recoverable (:func:`recover_swap`),
+    not one atomic transaction: a crash between the renames leaves
+    ``path`` briefly absent with the data parked aside; no reader ever
+    sees a MIXTURE of old and new layouts — the invariant the tile
+    compactor's no-double-count guarantee rests on."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(hconf)
+    tmp = f"{path.rstrip('/')}.__compact_tmp"
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+    old_p = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}.__compact_old")
+
+    write_tmp(tmp)
 
     # two renames, each atomic on HDFS/local FS: old data aside, new in
     if not fs.rename(hpath, old_p):
-        raise IOError(f"compaction swap failed: could not move {path} aside")
+        raise IOError(f"swap failed: could not move {path} aside")
     if not fs.rename(tmp_p, hpath):
         fs.rename(old_p, hpath)  # roll back
-        raise IOError(f"compaction swap failed: could not promote {tmp}")
+        raise IOError(f"swap failed: could not promote {tmp}")
     fs.delete(old_p, True)
-    return n_files
 
 
 def table_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -94,49 +94,89 @@ def run_quantile_tiles_stream(
     )
 
 
-def compact_tiles(spark: SparkSession, tiles_dir: str) -> int:
-    """Fold all existing batch-delta partitions into ONE compacted
+def committed_batch_ids(spark: SparkSession, checkpoint_dir: str) -> set[int]:
+    """Batch ids recorded in a Structured Streaming checkpoint's commits
+    log — the set the engine guarantees will never re-fire on restart.
+    Anything NOT in this set (a partition written by a batch that died
+    before its commit record) WILL replay and must not be compacted."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(f"{checkpoint_dir.rstrip('/')}/commits")
+    fs = p.getFileSystem(hconf)
+    if not fs.exists(p):
+        return set()
+    out: set[int] = set()
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.isdigit():  # skip .tmp staging files and metadata
+            out.add(int(name))
+    return out
+
+
+def compact_tiles(
+    spark: SparkSession, tiles_dir: str, checkpoint_dir: str | None = None
+) -> int:
+    """Fold COMMITTED batch-delta partitions into ONE compacted
     partition (``batch_id = -1``) — the maintenance job that keeps
     reader cost O(bins) instead of O(batches × bins) on a long-running
     stream. The fold is the same mergeable sum readers apply, so the
-    answer is unchanged by construction; the rewrite uses dynamic
-    partition overwrite plus explicit deletion of the folded batch
-    partitions. Single-writer job (run it between triggers or from a
-    maintenance schedule — the same contract as
-    ``sinks.compact_parquet_dir``). Returns the number of batch
-    partitions folded.
+    answer is unchanged by construction. Returns the number of batch
+    partitions folded. Single-writer job (run it between triggers or
+    from a maintenance schedule — the same contract as
+    ``sinks.compact_parquet_dir``).
 
-    Replay interaction: the checkpoint guarantees a batch id never
-    re-fires after its commit, so folding COMMITTED batches into
-    ``batch_id=-1`` cannot collide with a future overwrite of the same
-    id; an UNCOMMITTED trailing batch would replay, which is why the
-    single-writer contract says to run compaction quiescent.
+    Two replay/crash hazards are designed out:
+
+    - **Uncommitted trailing batch.** A partition whose batch id is not
+      in the checkpoint's commits log was written by a batch that died
+      before committing — on restart the engine re-fires that id and
+      dynamic-partition-overwrites the partition, so folding it first
+      would count it twice. With ``checkpoint_dir`` the commits log is
+      consulted directly; without it, the highest batch id is excluded
+      as the conservative stand-in (only the trailing batch can be
+      uncommitted under in-order micro-batch execution).
+    - **Crash mid-compaction.** The fold rewrites the WHOLE tile tree
+      (folded partition + excluded partitions verbatim) into a staged
+      directory and promotes it with the two-rename swap shared with
+      ``sinks.compact_parquet_dir`` (``sinks.staged_swap``): readers see
+      either the old tree or the new tree, never a state where a delta
+      exists both in ``batch_id=-1`` and its source partition. A crash
+      between the renames parks the old tree aside; ``recover_swap``
+      (called here first) restores it on the next run.
     """
+    from ..sources.sinks import recover_swap, staged_swap
+
+    recover_swap(spark, tiles_dir)
     tiles = spark.read.parquet(tiles_dir)
-    ids = [r.batch_id for r in tiles.select("batch_id").distinct().collect()
-           if r.batch_id != -1]
-    if not ids:
+    ids = sorted(
+        r.batch_id for r in tiles.select("batch_id").distinct().collect()
+        if r.batch_id != -1
+    )
+    if checkpoint_dir is not None:
+        committed = committed_batch_ids(spark, checkpoint_dir)
+        fold_ids = [i for i in ids if i in committed]
+    else:
+        fold_ids = ids[:-1]  # trailing batch may be uncommitted
+    if not fold_ids:
         return 0
+    fold_set = set(fold_ids)
+    in_fold = F.col("batch_id").isin([-1, *fold_ids])
     folded = (
-        tiles.groupBy("n_regionkey", "bin")
+        tiles.filter(in_fold)
+        .groupBy("n_regionkey", "bin")
         .agg(F.sum("cnt").alias("cnt"))
         .withColumn("batch_id", F.lit(-1))
-        .localCheckpoint(eager=True)  # the write overwrites what it read
     )
-    (
-        folded.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(tiles_dir)
-    )
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    for bid in ids:
-        p = jvm.org.apache.hadoop.fs.Path(f"{tiles_dir}/batch_id={bid}")
-        fs = p.getFileSystem(hconf)
-        if fs.exists(p):
-            fs.delete(p, True)
-    return len(ids)
+    kept = tiles.filter(~in_fold).select("n_regionkey", "bin", "cnt", "batch_id")
+    new_tree = folded.select("n_regionkey", "bin", "cnt", "batch_id").unionAll(kept)
+    # materialize BEFORE the swap unlinks the directory being read
+    new_tree = new_tree.localCheckpoint(eager=True)
+
+    def write_tmp(tmp: str) -> None:
+        new_tree.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+
+    staged_swap(spark, tiles_dir, write_tmp)
+    return len(fold_set)
 
 
 def read_tile_quantiles(

@@ -38,7 +38,10 @@ _OFFSET = 100_000_000
 _FACTS = {
     "orders": ["o_orderkey"],
     "lineitem": ["l_orderkey"],
-    "events": [],            # user_id stays: per-user history just gets denser
+    # event_id offsets so replicas stay globally distinct rows (distinct/
+    # key-on-event_id queries must scale, not collapse to 1x — round-6
+    # advice); user_id stays shared: per-user history just gets denser
+    "events": ["event_id"],
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
 }

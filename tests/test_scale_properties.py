@@ -630,7 +630,9 @@ _ORDER_ONLY_WINDOW_ALLOWED = {
     # dependent small (skyline of random data is O(log^d n) expected);
     # worst case documented in the docstring.
     "skyline_pareto_orders",
-    # CDF window over the <=1024-row NLL histogram (literal bin count)
+    # CDF window over the NLL histogram — bounded by the literal
+    # 163,840-bin space (1e-4-nat bins capped at 163,839; nonempty
+    # bins <= distinct rounded NLL values), independent of doc count
     "ccnet_perplexity_buckets",
 }
 

@@ -705,20 +705,120 @@ def test_tile_compaction_preserves_quantiles(spark, sf_dir, tmp_path):
     src = str(tmp_path / "orders_split")
     spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(3).write.parquet(src)
     tiles_dir = str(tmp_path / "tiles")
+    ckpt = str(tmp_path / "ckpt")
     q = run_quantile_tiles_stream(
-        spark, src, sf_dir, tiles_dir, str(tmp_path / "ckpt"),
-        max_files_per_trigger=1,
+        spark, src, sf_dir, tiles_dir, ckpt, max_files_per_trigger=1,
     )
     try:
         q.processAllAvailable()
     finally:
         q.stop()
     before = [tuple(r) for r in read_tile_quantiles(spark, sf_dir, tiles_dir).collect()]
-    folded = compact_tiles(spark, tiles_dir)
+    folded = compact_tiles(spark, tiles_dir, ckpt)
     assert folded >= 3
     ids = {r.batch_id for r in spark.read.parquet(tiles_dir)
            .select("batch_id").distinct().collect()}
-    assert ids == {-1}
+    assert ids == {-1}  # every batch committed → everything folds
     after = [tuple(r) for r in read_tile_quantiles(spark, sf_dir, tiles_dir).collect()]
     assert before == after
-    assert compact_tiles(spark, tiles_dir) == 0  # idempotent
+    assert compact_tiles(spark, tiles_dir, ckpt) == 0  # idempotent
+
+
+def test_tile_compaction_skips_uncommitted_trailing_batch(spark, sf_dir, tmp_path):
+    """The two replay hazards from the round-6 advice, designed out:
+    a partition written by a batch that died BEFORE its checkpoint
+    commit must survive compaction untouched (it will re-fire on
+    restart and dynamic-overwrite its partition — folding it first
+    would double-count), and without checkpoint knowledge the trailing
+    id is excluded conservatively. The replay is then simulated and the
+    answer must come out unchanged."""
+    from pyspark.sql import functions as F
+
+    from cooler_mapreduce_spark.streaming.tiles import (
+        compact_tiles,
+        read_tile_quantiles,
+        run_quantile_tiles_stream,
+    )
+
+    src = str(tmp_path / "orders_split")
+    spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(3).write.parquet(src)
+    tiles_dir = str(tmp_path / "tiles")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_quantile_tiles_stream(
+        spark, src, sf_dir, tiles_dir, ckpt, max_files_per_trigger=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    committed = sorted(
+        r.batch_id for r in spark.read.parquet(tiles_dir)
+        .select("batch_id").distinct().collect()
+    )
+    # simulate a batch that wrote its partition but died pre-commit:
+    # its delta is PRESENT in the store but absent from ckpt/commits
+    dead_id = committed[-1] + 1
+    phantom = (
+        spark.read.parquet(tiles_dir)
+        .filter(F.col("batch_id") == committed[0])
+        .select("n_regionkey", "bin", "cnt")
+        .withColumn("batch_id", F.lit(dead_id))
+        # pin the rows: the replay re-write below happens after
+        # compaction has deleted the source partition this derives from
+        .localCheckpoint(eager=True)
+    )
+    phantom.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("batch_id").parquet(tiles_dir)
+    before = [tuple(r) for r in read_tile_quantiles(spark, sf_dir, tiles_dir).collect()]
+
+    folded = compact_tiles(spark, tiles_dir, ckpt)
+    assert folded == len(committed)
+    ids = {r.batch_id for r in spark.read.parquet(tiles_dir)
+           .select("batch_id").distinct().collect()}
+    assert ids == {-1, dead_id}  # uncommitted delta NOT folded
+    # the engine restarts and re-fires the dead batch: dynamic overwrite
+    # REPLACES the phantom partition — answer must not double-count
+    phantom.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("batch_id").parquet(tiles_dir)
+    after = [tuple(r) for r in read_tile_quantiles(spark, sf_dir, tiles_dir).collect()]
+    assert before == after
+
+    # no checkpoint knowledge → the trailing id is excluded conservatively
+    folded2 = compact_tiles(spark, tiles_dir)
+    assert folded2 == 0  # only {-1, dead_id} remain; dead_id IS the trailing id
+    assert {r.batch_id for r in spark.read.parquet(tiles_dir)
+            .select("batch_id").distinct().collect()} == {-1, dead_id}
+
+
+def test_tile_compaction_crash_recovery(spark, sf_dir, tmp_path):
+    """A crash between the swap's two renames parks the tree aside with
+    tiles_dir absent; the next compact_tiles run must restore it before
+    doing anything, and the answer must be intact."""
+    from cooler_mapreduce_spark.streaming.tiles import (
+        compact_tiles,
+        read_tile_quantiles,
+        run_quantile_tiles_stream,
+    )
+
+    src = str(tmp_path / "orders_split")
+    spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(2).write.parquet(src)
+    tiles_dir = str(tmp_path / "tiles")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_quantile_tiles_stream(
+        spark, src, sf_dir, tiles_dir, ckpt, max_files_per_trigger=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    before = [tuple(r) for r in read_tile_quantiles(spark, sf_dir, tiles_dir).collect()]
+    # simulate the mid-swap crash state: data parked aside, path absent
+    import os
+
+    os.rename(tiles_dir, f"{tiles_dir}.__compact_old")
+    folded = compact_tiles(spark, tiles_dir, ckpt)
+    assert folded >= 2
+    after = [tuple(r) for r in read_tile_quantiles(spark, sf_dir, tiles_dir).collect()]
+    assert before == after
