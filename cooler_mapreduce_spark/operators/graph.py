@@ -409,7 +409,12 @@ _KCORE_K = 3
     # peeling of the identical edge set.
     tags=("graph", "iterative", "aggregation"),
 )
-def kcore_copurchase(spark: SparkSession, sf_dir: str, k: int = _KCORE_K) -> DataFrame:
+def kcore_copurchase(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _KCORE_K,
+    stats: dict | None = None,
+) -> DataFrame:
     """K-core decomposition (k=3) of the part AFFINITY graph — parts
     linked only when co-purchased in ≥2 distinct orders (the raw
     co-purchase graph is too dense to have a nontrivial core: its
@@ -431,7 +436,10 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str, k: int = _KCORE_K) -> Dat
     components' checksum); it terminates because the node count
     strictly decreases until the fixpoint — asserted, never assumed:
     a non-converged loop raises rather than returning a partial core.
-    Output: one row per surviving node with its in-core degree.
+    Output: one row per surviving node with its in-core degree. When a
+    ``stats`` dict is passed, the peeling round count and final
+    survivor count are recorded in it (the 1×/10× scale sweep asserts
+    the fixpoint arrives in comparably few rounds at both scales).
     """
     li = table(spark, sf_dir, "lineitem", fan_out=False).select(
         "l_orderkey", "l_partkey"
@@ -453,9 +461,12 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str, k: int = _KCORE_K) -> Dat
         .agg(F.count("*").alias("d"))
     )
     prev_nodes = None
+    n_keep = 0
+    rounds_run = 0
     for _ in range(60):  # diameter-independent bound; peeling halves fast
         keep = cur_deg.filter(F.col("d") >= k).select("node")
         n_keep = keep.count()
+        rounds_run += 1
         if prev_nodes is not None and n_keep == prev_nodes:
             break
         prev_nodes = n_keep
@@ -476,6 +487,9 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str, k: int = _KCORE_K) -> Dat
         )
     else:
         raise RuntimeError("k-core peeling did not converge in 60 rounds")
+    if stats is not None:
+        stats["rounds"] = rounds_run
+        stats["survivors"] = n_keep
     return cur_deg.filter(F.col("d") >= k).select(
         "node", F.col("d").alias("core_degree")
     )
