@@ -238,11 +238,11 @@ CASES = {
         ],
     ),
     "corpus_dedup_apply": (
-        "dedup applied: cluster labels (the duplicate minority) broadcast onto the corpus scan, non-keepers filtered in the scan stage — the corpus itself never shuffles",
+        "dedup applied: UNHINTED verdict join (r7 — the forced broadcast of the corpus-scaled label table was the round-6 scale-killer); the stat-less checkpointed label side keeps a sort-merge LEFT join of two narrow tables — one exchange each side, the plan that holds at any dup-rate",
         [
-            ("broadcast left join", lambda p: "BroadcastHashJoin" in p and "LeftOuter" in p),
-            ("no sort-merge join", lambda p: "SortMergeJoin" not in p),
-            ("only the label-side agg exchanges", lambda p: p.count("Exchange hashpartitioning") <= 1),
+            ("sort-merge left join (no forced broadcast)", lambda p: "SortMergeJoin" in p and "LeftOuter" in p),
+            ("no broadcast of the corpus-scaled verdict", lambda p: "BroadcastHashJoin" not in p),
+            ("one exchange per join side", lambda p: p.count("Exchange hashpartitioning") <= 2),
         ],
     ),
     "multimodal_resize_stats": (
