@@ -216,6 +216,43 @@ def _hinted_sf_tables(df):
     return found
 
 
+class TestReducerRule:
+    """Pin the tightened reducer rule itself (round-7): a bare
+    Aggregate/Deduplicate no longer launders a hint when its keys are
+    SF-scaled entity ids — the loophole that let the round-6 dedup
+    apply-tier hints through — while bounded-key and global aggregates
+    still qualify."""
+
+    def _docs(self, spark, oracle_sf_dir):
+        from pyspark.sql import functions as F
+
+        return spark.read.parquet(f"{oracle_sf_dir}/documents.parquet"), F
+
+    def test_entity_keyed_deduplicate_does_not_launder(self, spark, oracle_sf_dir):
+        docs, F = self._docs(spark, oracle_sf_dir)
+        verdict = docs.select("doc_id").distinct()
+        j = docs.join(F.broadcast(verdict), "doc_id", "left_anti")
+        assert _hinted_sf_tables(j) == {"documents"}
+
+    def test_entity_keyed_aggregate_does_not_launder(self, spark, oracle_sf_dir):
+        docs, F = self._docs(spark, oracle_sf_dir)
+        per_doc = docs.groupBy("doc_id").agg(F.count("*").alias("n"))
+        j = docs.join(F.broadcast(per_doc), "doc_id")
+        assert _hinted_sf_tables(j) == {"documents"}
+
+    def test_bounded_key_aggregate_still_reduces(self, spark, oracle_sf_dir):
+        docs, F = self._docs(spark, oracle_sf_dir)
+        langs = docs.groupBy("lang").agg(F.count("*").alias("n"))
+        j = docs.join(F.broadcast(langs), "lang")
+        assert _hinted_sf_tables(j) == set()
+
+    def test_global_aggregate_still_reduces(self, spark, oracle_sf_dir):
+        docs, F = self._docs(spark, oracle_sf_dir)
+        g = docs.agg(F.count("*").alias("n"))
+        j = docs.crossJoin(F.broadcast(g))
+        assert _hinted_sf_tables(j) == set()
+
+
 @pytest.mark.parametrize("name", sorted(set(SPECS) - _LOCAL_RESULT))
 def test_no_forced_broadcast_of_sf_scaled_tables(spark, oracle_sf_dir, name):
     flagged = _hinted_sf_tables(SPECS[name].fn(spark, oracle_sf_dir))
