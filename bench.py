@@ -269,8 +269,10 @@ def main() -> None:
     for _ in range(6):
         hof.groupBy().sum("s").count()
 
-    # Run each query to STEADY STATE: at least 3 runs, up to 6, stopping
-    # early once the two fastest runs agree within 12%. The min then
+    # Run each query to STEADY STATE: at least 3 runs, up to 8, stopping
+    # early once the two fastest runs agree within 12% AND the latest
+    # run is no longer improving the min (>5 % drops keep the loop
+    # alive — the graph tier descends ~10 %/run for 5+ runs). The min then
     # reflects the plan's steady-state cost — what a warm cluster pays
     # per query — rather than one-time compile overhead or transient
     # host load. The variable run count exists because warm-up length is
@@ -289,7 +291,7 @@ def main() -> None:
     for name in HEADLINE:
         spec = specs[name]
         raw: list[float] = []
-        for i in range(6):
+        for i in range(8):
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -313,22 +315,35 @@ def main() -> None:
                 # agree with each other (observed: [2.34, 2.09, ...] for
                 # minhash before its ~1.0 s steady state), so agreement
                 # alone must not stop the loop while runs are still
-                # improving or swinging.
-                if lo2 <= lo * 1.12 and raw[-1] <= lo * 1.12:
+                # improving or swinging. A monotonic descent passes both
+                # checks trivially (the latest run IS the min and the
+                # previous run is within 12 % of it — observed: pagerank
+                # [7.8, 5.3, 4.85] broke here while still dropping ~10 %
+                # per run toward its ~3.1 s steady state), so a third
+                # condition rejects the break while the latest run is
+                # still lowering the min by more than 5 %.
+                still_improving = raw[-1] < 0.95 * min(raw[:-1])
+                if lo2 <= lo * 1.12 and raw[-1] <= lo * 1.12 and not still_improving:
                     break
         runs[name] = raw
         timings[name] = min(raw)
         print(f"# {name}: {timings[name]:.3f}s  runs={raw}", file=sys.stderr)
 
-    # real-stream bounded-replay entries (see _stream_cases): 3 runs each
-    # — streaming drains are dominated by fixed micro-batch scheduling,
-    # not JIT, so the batch loop's 6-run convergence budget buys nothing.
+    # real-stream bounded-replay entries (see _stream_cases): 3-5 runs
+    # each — streaming drains are dominated by micro-batch scheduling,
+    # not JIT, so they need less of the batch loop's 8-run budget, but
+    # their scheduling floor is run-order-dependent (observed arrays
+    # still descending ~7 % at a fixed 3-run cut), so the same
+    # still-improving rule extends the loop while the min keeps
+    # dropping by more than 5 %.
     for name, drive in _stream_cases(spark, sf_dir).items():
         raw = []
-        for i in range(3):
+        for i in range(5):
             t0 = time.perf_counter()
             drive(i)
             raw.append(round(time.perf_counter() - t0, 3))
+            if i >= 2 and raw[-1] >= 0.95 * min(raw[:-1]):
+                break
         runs[name] = raw
         timings[name] = min(raw)
         print(f"# {name}: {timings[name]:.3f}s  runs={raw}", file=sys.stderr)

@@ -228,6 +228,17 @@ def _copurchase_graph(spark: SparkSession, sf_dir: str):
     lower_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
+    # NOT pre-partitioned by src, deliberately (measured, r7): a
+    # repartition("src") before the checkpoint — the pagerank
+    # static-side discipline — makes the adjacency groupBy and the
+    # src-side census join exchange-free, but the interleaved A/B at
+    # sf0.1 read old 1.39 s vs src-partitioned 2.14 s steady-state.
+    # The frozen src-hash layout inherits the oriented graph's hub
+    # skew at a fixed partition count and removes the exchanges AQE
+    # uses to rebalance; the census's dst-keyed second join re-shuffles
+    # the O(m) frame either way. The pagerank discipline pays off only
+    # when the SAME key is joined every iteration — a one-shot census
+    # is cheaper letting AQE size each exchange.
     oriented = ranked.select(
         F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
