@@ -84,6 +84,46 @@ CASES = [
     "quantile_bin_rollup_regions",
     "dp_noisy_segment_counts",
     "seasonal_decompose_weekly",
+    # round-7: every driver-window entry runs here before its first
+    # CORRECTNESS row — the driver's session may size shuffles
+    # differently than local tests, so partition-count sensitivity is
+    # exactly the failure mode that turns locally-green into
+    # driver-red. Order/float-sensitive shapes (Theil-Sen's pairwise
+    # slope median, the as-of carries' tie rules, the CDF terciles,
+    # cosine top-k ties, the verdict-set joins) plus the cheap
+    # remainder of the window (SQL faces, sinks/sources, MR tier):
+    "join_asof_last_click",
+    "ann_topk_bruteforce",
+    "multimodal_catalog",
+    "mr_word_count",
+    "stream_tumbling_counts",
+    "corpus_dedup_apply",
+    "join_asof_nearest",
+    "linreg_trend_by_priority",
+    "interpolate_hourly_purchase_value",
+    "theilsen_trend_revenue",
+    "weighted_median_price_by_flag",
+    "multiple_ols_price_by_flag",
+    "dedup_incremental_new_batch",
+    "embedding_quantize_fidelity",
+    "ann_recall_pq",
+    "semdedup_apply",
+    "ccnet_perplexity_buckets",
+    "hard_negative_mining",
+    "multimodal_frame_dedup",
+    "kanonymity_census",
+    "udtf_table_arg_sessionize",
+    "sql_pipe_syntax_revenue",
+    "sql_group_by_all",
+    "sql_named_parameters",
+    "sql_collated_grouping",
+    "sql_create_function_udfs",
+    "stream_stream_left_outer_clicks",
+    "sink_schema_evolution_roundtrip",
+    "sink_cow_upsert_partitioned",
+    "source_binaryfile_roundtrip",
+    "read_json_permissive_corrupt",
+    "bucketed_join_colocated",
 ]
 
 
