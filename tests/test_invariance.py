@@ -164,6 +164,14 @@ _TZ_CASES = [
     "attribution_linear_touch",
     # midnight AS-OF cut over [valid_from, valid_to) ranges
     "scd2_snapshot_asof",
+    # round-7 window entries over events.ts: as-of carries, the hourly
+    # interpolation spine's bucket edges, UDTF sessionization gaps, and
+    # the stream-stream outer join's event-time band
+    "join_asof_last_click",
+    "join_asof_nearest",
+    "interpolate_hourly_purchase_value",
+    "udtf_table_arg_sessionize",
+    "stream_stream_left_outer_clicks",
 ]
 
 
@@ -185,6 +193,12 @@ _FLAVOR_CASES = [
     # nearest-direction carry + |delta-t| microsecond arithmetic must not
     # depend on the lake's timestamp annotation, like its siblings above
     "join_asof_nearest",
+    # round-7 window entries whose event-time arithmetic reads events.ts:
+    # hourly interpolation buckets, UDTF sessionization gap splits, the
+    # stream-stream outer join's band + watermark expiry
+    "interpolate_hourly_purchase_value",
+    "udtf_table_arg_sessionize",
+    "stream_stream_left_outer_clicks",
 ]
 
 
