@@ -124,11 +124,40 @@ CASES = [
     "source_binaryfile_roundtrip",
     "read_json_permissive_corrupt",
     "bucketed_join_colocated",
+    # round-7 second half: the ROUND-8 QUEUE (registry.py docstring)
+    # gets the same pre-driver-row protection as this round's window —
+    # notably the LTTB bucket argmax, the rolling-corr co-moments, the
+    # HLL register merge, the ANN bucket probes, and the LSH pair
+    # membership, all of whose tie/fold rules must not see partition
+    # layout:
+    "weekday_profile_anomalies",
+    "rolling_corr_revenue_orders",
+    "downsample_lttb_daily",
+    "sql_session_variables",
+    "sql_execute_immediate",
+    "sql_identifier_clause",
+    "embedding_jl_projection_fidelity",
+    "ann_recall_jl",
+    "mixing_weights_temperature",
+    "incremental_join_view_delta",
+    "hll_sketch_rollup_users",
+    "approx_quantiles_price",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "embedding_cosine_dups_lsh",
 ]
 
 
 def _rows(df):
-    return sorted(tuple(r) for r in df.collect())
+    # None-safe total order: rollup total rows carry NULL keys (e.g.
+    # the HLL rollup's day=NULL row) and Python refuses None < date.
+    def key(t):
+        return tuple((v is None, () if v is None else (v,)) for v in t)
+
+    def norm(v):
+        return tuple(v) if isinstance(v, list) else v
+
+    return sorted((tuple(norm(v) for v in r) for r in df.collect()), key=key)
 
 
 @pytest.mark.parametrize("name", CASES)
