@@ -201,6 +201,13 @@ _TZ_CASES = [
     "interpolate_hourly_purchase_value",
     "udtf_table_arg_sessionize",
     "stream_stream_left_outer_clicks",
+    # round-8 queue: weekday buckets / calendar windows over
+    # o_orderdate, the LTTB day buckets over events.ts, and the
+    # incremental view's midnight cutoff filter
+    "weekday_profile_anomalies",
+    "rolling_corr_revenue_orders",
+    "downsample_lttb_daily",
+    "incremental_join_view_delta",
 ]
 
 
@@ -228,6 +235,9 @@ _FLAVOR_CASES = [
     "interpolate_hourly_purchase_value",
     "udtf_table_arg_sessionize",
     "stream_stream_left_outer_clicks",
+    # round-8 queue: LTTB's day buckets + triangle arithmetic read
+    # events.ts microseconds directly
+    "downsample_lttb_daily",
 ]
 
 
