@@ -469,24 +469,36 @@ def event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (P(a,b)/(P(a)·P(b))) — the did-X-also-did-Y signal behind
     recommendations, computed on users-as-baskets.
 
-    Events collapse to DISTINCT (user, type) first — the self-join then
-    operates on ≤ |users|×|types| narrow rows, co-partitioned on
-    user_id (one shuffle, no cartesian; at 100 TB this is the
-    bucketed-join shape).  Marginals are an O(types) broadcast, lift is
+    Events collapse to DISTINCT (user, type) first; each user's type
+    set then yields its C(k,2) pairs JVM-side from ONE user-keyed
+    exchange (k ≤ |types|, a constant). Marginals are an O(types)
+    broadcast, lift is
     exact-count rational arithmetic, deterministic everywhere.
     """
     ev = table(spark, sf_dir, "events")
     ut = ev.select("user_id", "event_type").distinct()
     marg = ut.groupBy("event_type").agg(F.count("*").alias("n"))
     total = ut.agg(F.countDistinct("user_id").alias("n_total"))
-    a = ut.alias("a")
-    b = ut.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.user_id") == F.col("b.user_id"))
-        & (F.col("a.event_type") < F.col("b.event_type")),
-    ).select(
-        F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b")
+    # Pair generation as ONE user-keyed exchange, not a self-join (the
+    # census-derivation pattern, graph.py): collect each user's
+    # distinct type set sorted, emit the C(k,2) ordered pairs JVM-side.
+    # The self-join exchanged the distinct frame twice; identical pair
+    # multiset since ``ut`` is distinct-first.
+    pairs = (
+        ut.groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("ts"))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(ts, (x, i) -> transform("
+                        "slice(ts, i + 2, size(ts)),"
+                        " y -> struct(x AS type_a, y AS type_b)))"
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.type_a", "p.type_b")
     )
     counted = pairs.groupBy("type_a", "type_b").agg(F.count("*").alias("n_both"))
     ma = marg.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
@@ -700,8 +712,9 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     builds on.
 
     Scale shape: baskets reduce to DISTINCT (order, item) pairs first
-    (partial-aggregable); the pair join is intra-order — bounded by
-    basket size per order key, never an item×item product; item
+    (partial-aggregable); pair generation is intra-order from one
+    basket exchange — bounded by basket size per order key, never an
+    item×item product; item
     supports are a second tiny aggregate of the same frame; the basket
     count is a single-row broadcast (the always-safe scalar hint). All
     three metrics are ratios of exact integer counts with identical
@@ -711,15 +724,25 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     item_orders = li.select("l_orderkey", "l_partkey").distinct()
     n = item_orders.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
-    a = item_orders.alias("a")
-    b = item_orders.alias("b")
+    # Pair generation as ONE basket exchange, not a self-join (the
+    # census-derivation pattern, graph.py): per-order sorted distinct
+    # item array, C(k,2) ordered pairs JVM-side, then the cross-order
+    # support count. Identical pair multiset since ``item_orders`` is
+    # distinct-first; per-order cost stays C(basket²) either way.
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        item_orders.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(ps, (x, i) -> transform("
+                        "slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v)))"
+                    )
+                )
+            ).alias("p")
         )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .agg(F.count("*").alias("c_uv"))
         .filter(F.col("c_uv") >= 5)
     )
