@@ -145,6 +145,13 @@ CASES = [
     "ann_topk_lsh",
     "ann_topk_ivf",
     "embedding_cosine_dups_lsh",
+    # round-7: the basket-array pair derivations (census + market
+    # basket) replaced intra-key self-joins — the collect_set order and
+    # the nested-TRANSFORM pair emission must not see partition layout
+    "triangle_count_copurchase",
+    "clustering_coefficient_topk",
+    "event_cooccurrence_lift",
+    "basket_association_rules",
 ]
 
 
