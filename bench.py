@@ -105,7 +105,8 @@ HEADLINE = [
 # measured 4.3 s at sf0.1 is ~10 rounds of fixed small-job scheduling
 # over the vocab-bounded (31-word) symbol table — a scheduler-overhead
 # measurement, not an engine-throughput one. clustering_coefficient_topk
-# (6.2 s steady at sf0.1) re-runs the census's checkpointed graph
+# (5.1 s steady at sf0.1 on the r7 basket-array derivation) re-runs
+# the census's checkpointed graph
 # derivation plus the same adjacency join with an exploded listing —
 # benching it would mostly double-count the benched census;
 # kcore_copurchase (4.1 s) is a peeling loop over the tiny affinity
