@@ -306,6 +306,43 @@ def test_result_invariant_under_timestamp_flavor(spark, flavor_dirs, name):
     assert ntz == ltz
 
 
+#: Queries whose PHYSICAL plan interacts with AQE the most — runtime
+#: broadcast promotion/demotion (corpus_dedup_apply's stat-less label
+#: side, the size-based q15/q18 chains), skew-join splitting, pinned
+#: parallelism that must survive coalescing (the semdedup pair joins),
+#: partition pruning, bucketed layouts, and the shuffle_hash-hinted
+#: iterative tier. A cluster flips spark.sql.adaptive.* freely, so
+#: results must be bit-identical either way (the full 50-query driver
+#: window swept clean under this A/B in round 7; these keep the net).
+_AQE_CASES = [
+    "skew_salted_event_stats",
+    "corpus_dedup_apply",
+    "semdedup_prune_cells",
+    "semdedup_apply",
+    "dedup_minhash_lsh",
+    "dpp_partitioned_join",
+    "bucketed_join_colocated",
+    "large_orders_q18",
+    "min_cost_supplier_q2",
+    "market_share_q8",
+    "pagerank_supplier_customer",
+    "triangle_count_copurchase",
+]
+
+
+@pytest.mark.parametrize("name", _AQE_CASES)
+def test_result_invariant_under_aqe(spark, sf_dir, name):
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        on = _rows(SPECS[name].fn(spark, sf_dir))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        off = _rows(SPECS[name].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert on == off
+
+
 @pytest.mark.parametrize("name", _TZ_CASES)
 def test_result_invariant_under_session_timezone(spark, sf_dir, name):
     """The driver runs queries in ITS session, whose timezone we don't
