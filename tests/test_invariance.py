@@ -330,6 +330,40 @@ _AQE_CASES = [
 ]
 
 
+#: Whole-stage codegen compiles expression trees to Java; off, the same
+#: trees run interpreted. Both paths must emit identical bits — the
+#: probe targets the numeric-heaviest shapes (decimal staging, HOF
+#: folds, rounded doubles, the minhash fold). The full 50-query driver
+#: window swept clean under this A/B in round 7; these keep the net
+#: (codegen also silently falls back per-stage on huge generated
+#: methods, so the off-path runs in production whether asked or not).
+_CODEGEN_CASES = [
+    "pricing_summary",
+    "stat_corr_qty_price",
+    "multiple_ols_price_by_flag",
+    "holt_linear_smoothing",
+    "weighted_median_price_by_flag",
+    "doc_unigram_nll",
+    "embedding_pq_fidelity",
+    "autocorr_daily_revenue",
+    "dedup_minhash_lsh",
+    "theilsen_trend_revenue",
+]
+
+
+@pytest.mark.parametrize("name", _CODEGEN_CASES)
+def test_result_invariant_under_codegen(spark, sf_dir, name):
+    prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    try:
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        on = _rows(SPECS[name].fn(spark, sf_dir))
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        off = _rows(SPECS[name].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    assert on == off
+
+
 @pytest.mark.parametrize("name", _AQE_CASES)
 def test_result_invariant_under_aqe(spark, sf_dir, name):
     prev = spark.conf.get("spark.sql.adaptive.enabled")
