@@ -351,6 +351,39 @@ _CODEGEN_CASES = [
 ]
 
 
+#: Two more engine-config axes a cluster flips without asking, swept
+#: clean over the full 50-query driver window in round 7 and kept as a
+#: compact net here: the parquet VECTORIZED reader vs the row-based
+#: fallback (production falls back per-file on nested/unsupported
+#: schemas — the multimodal/embedding scans read nested and binary
+#: columns), and ANSI mode off (Spark 4 defaults it on; results for
+#: well-formed queries must not depend on it — a DIFF here means a
+#: query leans on ANSI-only cast/overflow semantics).
+_ENGINE_CONF_CASES = [
+    ("spark.sql.parquet.enableVectorizedReader", "multimodal_catalog"),
+    ("spark.sql.parquet.enableVectorizedReader", "ann_topk_bruteforce"),
+    ("spark.sql.parquet.enableVectorizedReader", "pricing_summary"),
+    ("spark.sql.parquet.enableVectorizedReader", "read_json_permissive_corrupt"),
+    ("spark.sql.ansi.enabled", "pricing_summary"),
+    ("spark.sql.ansi.enabled", "multiple_ols_price_by_flag"),
+    ("spark.sql.ansi.enabled", "string_functions"),
+    ("spark.sql.ansi.enabled", "ccnet_perplexity_buckets"),
+]
+
+
+@pytest.mark.parametrize("conf,name", _ENGINE_CONF_CASES)
+def test_result_invariant_under_engine_conf(spark, sf_dir, conf, name):
+    prev = spark.conf.get(conf)
+    try:
+        spark.conf.set(conf, "true")
+        on = _rows(SPECS[name].fn(spark, sf_dir))
+        spark.conf.set(conf, "false")
+        off = _rows(SPECS[name].fn(spark, sf_dir))
+    finally:
+        spark.conf.set(conf, prev)
+    assert on == off
+
+
 @pytest.mark.parametrize("name", _CODEGEN_CASES)
 def test_result_invariant_under_codegen(spark, sf_dir, name):
     prev = spark.conf.get("spark.sql.codegen.wholeStage")
