@@ -241,8 +241,18 @@ def _copurchase_graph(spark: SparkSession, sf_dir: str):
         .agg(F.count("*").alias("d"))
         .localCheckpoint(eager=True)
     )
-    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    # SHUFFLE_HASH on the degree side of both annotation joins (the
+    # pagerank rationale, pagerank_frame): sort-merge would sort the
+    # O(m) edge side twice for zero information, while a shuffled-hash
+    # build of the O(nodes) degree table streams the edges unsorted —
+    # the per-task build is O(|nodes|/partitions), bounded at any
+    # scale. Interleaved A/B at sf0.1: orientation 0.67 → 0.55 s.
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du")).hint(
+        "shuffle_hash"
+    )
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv")).hint(
+        "shuffle_hash"
+    )
     ranked = edges.join(du, "u").join(dv, "v")
     lower_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
