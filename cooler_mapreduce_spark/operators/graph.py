@@ -528,6 +528,10 @@ def kcore_copurchase(
         prev_nodes = n_keep
         if n_keep == 0:
             break
+        # NOT shuffle_hash-hinted, deliberately (measured, r7): hinting
+        # the keep sides read 3.94 s vs 3.78 s unhinted at sf0.1 — the
+        # peeling loop is fixpoint-probe + checkpoint bound, not
+        # sort bound, unlike the census orientation where the hint won.
         ku = keep.select(F.col("node").alias("u"))
         kv = keep.select(F.col("node").alias("v"))
         cur = (
