@@ -371,6 +371,35 @@ _ENGINE_CONF_CASES = [
 ]
 
 
+#: Input-SPLIT invariance — orthogonal to shuffle partitioning: the
+#: scan planner's split boundaries move with
+#: spark.sql.files.maxPartitionBytes (cluster-tuned freely), and
+#: byte-range splits are the classic breakage for custom sources and
+#: line readers. The 50-query window + the text/MR/source shapes swept
+#: clean at 64 KB vs 128 MB splits (a 2048x change) in round 7; these
+#: keep the net over the split-sensitive readers.
+_SPLIT_CASES = [
+    "word_count",            # textFile line splits
+    "mr_word_count",         # RDD-compat tier over the same splits
+    "pysource_event_mix",    # custom Python DataSource byte-range splits
+    "pricing_summary",       # parquet row-group splits
+    "multimodal_catalog",    # binary-column parquet scan
+]
+
+
+@pytest.mark.parametrize("name", _SPLIT_CASES)
+def test_result_invariant_under_input_splits(spark, sf_dir, name):
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+        big = _rows(SPECS[name].fn(spark, sf_dir))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+        small = _rows(SPECS[name].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    assert big == small
+
+
 @pytest.mark.parametrize("conf,name", _ENGINE_CONF_CASES)
 def test_result_invariant_under_engine_conf(spark, sf_dir, conf, name):
     prev = spark.conf.get(conf)
