@@ -451,6 +451,16 @@ def approx_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     versus exact percentiles, which need a full sort or two-pass
     count-then-seek (see exact_median_quantity). accuracy=10000 bounds
     rank error at n/10000 with O(accuracy) state per partition.
+
+    Determinism contract (measured, r7 split-axis sweep): the returned
+    DOUBLES depend on the SCAN partitioning — GK merge is associative
+    in its error bound, not in its chosen cut points, so changing
+    spark.sql.files.maxPartitionBytes 128 MB → 64 KB moves the values
+    (max rank drift measured 1.3e-4, well inside the bound). This is
+    the only registry query whose values move under the input-split
+    axis; HLL and CMS passed it exactly (register-max / counter-add
+    merges ARE order-independent). Hence rows-only at the driver, with
+    the 1 %-rank-error pin (tests/test_operators.py) as the contract.
     """
     o = table(spark, sf_dir, "orders")
     return o.select(
