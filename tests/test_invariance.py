@@ -387,6 +387,31 @@ _SPLIT_CASES = [
 ]
 
 
+#: Arrow BATCH-SIZE invariance for the mapInPandas tier: the kernel
+#: sees the data in arbitrary-sized pandas batches, so any cross-row
+#: state inside one batch (a groupby that assumes batch == asset, a
+#: running reduction) leaks batch boundaries into the output. Swept
+#: clean at maxRecordsPerBatch 10000 vs 7 over the whole multimodal/
+#: audio tier in round 7; the two heaviest kernels keep the net.
+_ARROW_BATCH_CASES = [
+    "multimodal_resize_stats",
+    "multimodal_audio_stats",
+]
+
+
+@pytest.mark.parametrize("name", _ARROW_BATCH_CASES)
+def test_result_invariant_under_arrow_batch_size(spark, sf_dir, name):
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        big = _rows(SPECS[name].fn(spark, sf_dir))
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        small = _rows(SPECS[name].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    assert big == small
+
+
 @pytest.mark.parametrize("name", _SPLIT_CASES)
 def test_result_invariant_under_input_splits(spark, sf_dir, name):
     prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
