@@ -592,16 +592,20 @@ def doc_unigram_nll(
     model side chains off tf (term-level re-agg → vocab stf, plus a
     single-row corpus total T), so Catalyst reuses tf's exchange for
     both the scoring side and the model side — no second scan. The
-    vocab table (term, lp) broadcasts back onto tf, so the score join
-    never shuffles the corpus side. Per-doc reduction is a
-    partial-aggregable groupBy, final top-100 is TakeOrdered.
+    vocab table (term, lp) joins back onto tf SIZE-BASED (no hint —
+    round-8: the vocabulary scales with the corpus under Heaps' law, so
+    a forced broadcast is a forced OOM at 100 TB; the 64 MB threshold
+    keeps the identical BroadcastHashJoin at test SF and degrades to a
+    shuffle join at scale). Per-doc reduction is a partial-aggregable
+    groupBy, final top-100 is TakeOrdered.
 
-    ``min_count`` is the broadcast bound (same convention as the LSH
-    bucket / posting-list caps: the REGISTERED query runs exact with
-    ``None``, the scale path sets it): terms rarer than the threshold
-    are dropped from the model, capping the broadcast at the head
-    vocabulary (Zipf: a tiny min_count removes the long singleton tail
-    that dominates raw vocab size). T still counts ALL tokens, so kept
+    ``min_count`` is the model-side cardinality bound (same convention
+    as the LSH bucket / posting-list caps: the REGISTERED query runs
+    exact with ``None``, the scale path sets it): terms rarer than the
+    threshold are dropped from the model, capping the vocab side at the
+    head vocabulary (Zipf: a tiny min_count removes the long singleton
+    tail that dominates raw vocab size) — small enough that size-based
+    planning restores the broadcast. T still counts ALL tokens, so kept
     probabilities are unchanged; pruned terms simply don't contribute —
     per-doc n_tokens can only shrink (inner join), a one-sided
     approximation tested in tests/test_llm_ops.py.
@@ -625,7 +629,15 @@ def doc_unigram_nll(
         "term",
         F.round(F.log(F.col("stf").cast("double") / F.col("t")), 9).alias("lp"),
     )
-    scored = tf.join(F.broadcast(lp), "term")
+    # NO broadcast hint on lp: the vocabulary grows with the corpus
+    # (Heaps' law — billions of distinct whitespace tokens at 100 TB of
+    # web text), so a forced broadcast is a forced OOM at scale. The
+    # 64 MB autoBroadcastJoinThreshold picks the identical
+    # BroadcastHashJoin at test SF (plan-pinned in
+    # test_scale_properties._SIZE_BROADCAST_QUERIES) and degrades to a
+    # shuffle join when the vocab outgrows it; min_count bounds the
+    # model side when the scale path wants the broadcast back.
+    scored = tf.join(lp, "term")
     per_doc = scored.groupBy("doc_id").agg(
         F.sum("tf").cast("bigint").alias("n_tokens"),
         F.round(
