@@ -1447,30 +1447,32 @@ def _jl_duck_planes() -> str:
 )
 def embedding_jl_projection_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss random-projection fidelity audit: project
-    the 64-dim embeddings onto 16 seeded random directions (a
-    literal 16×64 matrix — the model constant a production pipeline
-    ships next to its LSH planes) and report, for every pair of a
-    bounded audit population, the original cosine next to the projected
-    cosine — the measurement behind "can we run ANN / dedup in k≪d
-    dims". Complements ``embedding_quantize_fidelity`` (precision axis)
-    with the dimensionality axis; together they bound the two standard
+    the 64-dim embeddings onto ``_JL_K`` (= 16 as shipped; literals
+    below mirror the constants) seeded random directions — a literal
+    _JL_K×64 matrix, the model constant a production pipeline ships
+    next to its LSH planes — and report, for every pair of a bounded
+    audit population, the original cosine next to the projected cosine
+    — the measurement behind "can we run ANN / dedup in k≪d dims".
+    Complements ``embedding_quantize_fidelity`` (precision axis) with
+    the dimensionality axis; together they bound the two standard
     embedding-compression losses.
 
-    The projection is 16 Catalyst fold expressions per row (one scan,
-    no shuffle, no Python); the pair join is literal-bounded
-    (vec_id < 50 → C(50,2)=1225 pairs) and broadcast-sized. Both
-    engines evaluate the identical left-to-right fold and the cosines
-    round to 9 dp, so the audit is hash-checkable end to end. At 100 TB
-    the audit population stays a bounded sample by construction — the
-    operator's cost does not scale with the corpus.
+    The projection is _JL_K Catalyst fold expressions per row (one
+    scan, no shuffle, no Python); the pair join is literal-bounded
+    (vec_id < _JL_N → C(_JL_N, 2) pairs: 50 → 1225 as shipped) and
+    broadcast-sized. Both engines evaluate the identical left-to-right
+    fold and the cosines round to 9 dp, so the audit is hash-checkable
+    end to end. At 100 TB the audit population stays a bounded sample
+    by construction — the operator's cost does not scale with the
+    corpus.
 
-    Fidelity at k=16 (measured, pinned in tests): mean
-    |cos_full − cos_proj| of the 1225 audit pairs is ≈0.20 — right at
-    the 1/√k ≈ 0.25 noise level JL predicts for 16 dims — with max
-    ≈0.69. That is the audit's POINT: it quantifies that k=16 is too
-    lossy for this corpus's weak cluster structure (max pairwise cosine
-    ~0.5), exactly the go/no-go number a pipeline needs before running
-    dedup in projected space.
+    Fidelity at k=_JL_K=16 (measured, pinned in tests): mean
+    |cos_full − cos_proj| of the C(_JL_N,2)=1225 audit pairs is ≈0.20 —
+    right at the 1/√k ≈ 0.25 noise level JL predicts for 16 dims — with
+    max ≈0.69. That is the audit's POINT: it quantifies that k=16 is
+    too lossy for this corpus's weak cluster structure (max pairwise
+    cosine ~0.5), exactly the go/no-go number a pipeline needs before
+    running dedup in projected space.
     """
     e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _JL_N).select(
         "vec_id",

@@ -1645,7 +1645,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for retriever training (the DPR/contrastive
     recipe, Karpukhin et al. EMNLP'20): documents the LEXICAL ranker
     scores highly for the query but that are NOT among the dense
-    ranker's top-20 "positives" — exactly the
+    ranker's top-``_HN_DENSE_K`` (= 20 as shipped) "positives" — exactly the
     confusable-but-wrong examples a bi-encoder needs as negatives.
     Composes the engine's two rankers over the shared doc-id space
     (the :func:`_bm25_scored` scorer; cosine against the ``vec_id`` 0
@@ -1655,7 +1655,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: one posting scan (BM25 side, query-term-pruned), one
     embedding scan (dense side, 1-row query broadcast), a broadcast
-    anti-join against the 20-row positive set, and
+    anti-join against the _HN_DENSE_K-row positive set, and
     TakeOrdered — no global sort, nothing quadratic. Determinism:
     decimal-staged BM25 scores, round-9 cosines, id tie-breaks.
     """

@@ -132,9 +132,13 @@ def compact_tiles(
       before committing — on restart the engine re-fires that id and
       dynamic-partition-overwrites the partition, so folding it first
       would count it twice. With ``checkpoint_dir`` the commits log is
-      consulted directly; without it, the highest batch id is excluded
-      as the conservative stand-in (only the trailing batch can be
-      uncommitted under in-order micro-batch execution).
+      consulted directly (prefer this form); without it, the highest
+      batch id is excluded as the conservative stand-in — sound ONLY
+      under strictly in-order micro-batch execution, so that fallback
+      first ASSERTS the observed ids are contiguous and refuses to
+      compact otherwise (a gap means some partition was produced out of
+      band, e.g. a manual backfill write, and the trailing-id heuristic
+      would silently double-count).
     - **Crash mid-compaction.** The fold rewrites the WHOLE tile tree
       (folded partition + excluded partitions verbatim) into a staged
       directory and promotes it with the two-rename swap shared with
@@ -156,6 +160,14 @@ def compact_tiles(
         committed = committed_batch_ids(spark, checkpoint_dir)
         fold_ids = [i for i in ids if i in committed]
     else:
+        # trailing-id heuristic: sound only for in-order micro-batch ids
+        if ids and ids != list(range(ids[0], ids[0] + len(ids))):
+            raise ValueError(
+                f"compact_tiles(checkpoint_dir=None): batch ids {ids} are not "
+                f"contiguous — some partition was written out of band (manual "
+                f"backfill?); pass checkpoint_dir so the commits log decides "
+                f"what is safe to fold"
+            )
         fold_ids = ids[:-1]  # trailing batch may be uncommitted
     if not fold_ids:
         return 0

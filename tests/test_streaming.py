@@ -792,6 +792,54 @@ def test_tile_compaction_skips_uncommitted_trailing_batch(spark, sf_dir, tmp_pat
             .select("batch_id").distinct().collect()} == {-1, dead_id}
 
 
+def test_tile_compaction_refuses_noncontiguous_ids_without_checkpoint(
+    spark, sf_dir, tmp_path
+):
+    """The checkpoint-free trailing-id heuristic is sound only under
+    strictly in-order micro-batch ids; an out-of-band partition (manual
+    backfill) breaks that premise, so compact_tiles must REFUSE rather
+    than silently double-count (round-7 advice). With the commits log
+    the same store compacts fine — only the committed ids fold."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from cooler_mapreduce_spark.streaming.tiles import (
+        compact_tiles,
+        run_quantile_tiles_stream,
+    )
+
+    src = str(tmp_path / "orders_split")
+    spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(2).write.parquet(src)
+    tiles_dir = str(tmp_path / "tiles")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_quantile_tiles_stream(
+        spark, src, sf_dir, tiles_dir, ckpt, max_files_per_trigger=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    top = max(
+        r.batch_id for r in spark.read.parquet(tiles_dir)
+        .select("batch_id").distinct().collect()
+    )
+    # out-of-band backfill: a partition whose id leaves a gap
+    (
+        spark.read.parquet(tiles_dir)
+        .filter(F.col("batch_id") == top)
+        .select("n_regionkey", "bin", "cnt")
+        .withColumn("batch_id", F.lit(top + 5))
+        .write.mode("append").partitionBy("batch_id").parquet(tiles_dir)
+    )
+    with _pytest.raises(ValueError, match="not .*contiguous"):
+        compact_tiles(spark, tiles_dir)
+    # the commits log sees through it: only committed ids fold
+    assert compact_tiles(spark, tiles_dir, ckpt) >= 2
+    ids = {r.batch_id for r in spark.read.parquet(tiles_dir)
+           .select("batch_id").distinct().collect()}
+    assert ids == {-1, top + 5}  # backfill partition untouched
+
+
 def test_tile_compaction_crash_recovery(spark, sf_dir, tmp_path):
     """A crash between the swap's two renames parks the tree aside with
     tiles_dir absent; the next compact_tiles run must restore it before
