@@ -376,6 +376,75 @@ def frame_dedup_pairs(
     )
 
 
+#: Seeded-twin parameters for the NONEMPTY frame-dedup driver row: every
+#: 7th asset gets a twin (simulated exact re-upload) whose doc_id is
+#: offset far above the corpus id space; pairs must share ≥2 frames so
+#: single-frame (short) assets are filtered — the HAVING clause does
+#: real work on this corpus instead of passing everything through.
+_FRAME_TWIN_MOD = 7
+_FRAME_TWIN_OFFSET = 10_000_000
+_FRAME_SEEDED_MIN_SHARED = 2
+
+
+@query(
+    "multimodal_frame_dedup_seeded",
+    oracle=f"""
+    WITH hx AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+    fr AS (
+        SELECT DISTINCT doc_id,
+               md5(substring(h, 1 + 512 * k, 512)) AS fh
+        FROM hx,
+             unnest(generate_series(0,
+                 CAST(floor((length(h) / 2 - 1) / 256.0) AS BIGINT)))
+               AS t(k)
+    ),
+    allfr AS (
+        SELECT doc_id, fh FROM fr
+        UNION ALL
+        SELECT doc_id + {_FRAME_TWIN_OFFSET}, fh FROM fr
+        WHERE doc_id % {_FRAME_TWIN_MOD} = 0
+    ),
+    freq AS (SELECT fh, COUNT(*) AS c FROM allfr GROUP BY fh),
+    p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM allfr a
+        JOIN allfr b ON a.fh = b.fh AND a.doc_id < b.doc_id
+        JOIN freq f ON f.fh = a.fh
+        WHERE f.c BETWEEN 2 AND {_FRAME_BUCKET_CAP}
+    )
+    SELECT doc_a, doc_b, COUNT(*) AS n_shared_frames
+    FROM p GROUP BY doc_a, doc_b
+    HAVING COUNT(*) >= {_FRAME_SEEDED_MIN_SHARED}
+    """,
+    tags=("multimodal", "dedup", "llm-pipeline"),
+)
+def multimodal_frame_dedup_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`multimodal_frame_dedup` driven to a NONEMPTY answer on
+    this corpus (round-7 verdict What's-wrong #3: the registered query's
+    driver row is an honest-but-weak 0=0 match because the word-soup
+    fixture shares no frames by construction; this variant makes the
+    driver hash-check the POSITIVE pairing path too, the way pytest's
+    synthetic blobs already do).
+
+    Sharing is seeded deterministically: every ``_FRAME_TWIN_MOD``-th
+    asset gains a twin (same frames, doc_id offset by
+    ``_FRAME_TWIN_OFFSET``) — the exact-re-upload case frame dedup
+    exists to catch. Frames sample at stride 1 so multi-frame assets
+    exist at ≤553-byte fixture sizes, and ``min_shared=2`` keeps the
+    HAVING filter doing real work (single-frame assets pair but are
+    dropped). The pairing core, bucket cap, and fingerprinting are the
+    registered query's own (:func:`frame_dedup_pairs`); only the input
+    frame set differs, so a green row here certifies the same plan.
+    """
+    frames = media_frame_sample_pipeline(spark, sf_dir, every_n=1)
+    twins = frames.filter(F.col("doc_id") % _FRAME_TWIN_MOD == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(_FRAME_TWIN_OFFSET)
+    )
+    return frame_dedup_pairs(
+        frames.unionByName(twins), min_shared=_FRAME_SEEDED_MIN_SHARED
+    )
+
+
 # ------------------------------------------------ audio PCM statistics ----
 
 #: Fake audio contract: the blob is interpreted as 16-bit little-endian
