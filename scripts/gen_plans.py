@@ -182,7 +182,7 @@ CASES = {
         ],
     ),
     "decontaminate_ngram_overlap": (
-        "benchmark decontamination: bench shingle set broadcast, train side probed without a second corpus shuffle, top-100 is TakeOrdered",
+        "benchmark decontamination: bench shingle set broadcast BY SIZE (hint deleted r8 — the fixture's bench slice scales with SF), train side probed without a second corpus shuffle, top-100 is TakeOrdered",
         [
             ("bench probe is broadcast", lambda p: "BroadcastHashJoin" in p),
             ("no sort-merge join", lambda p: "SortMergeJoin" not in p),
@@ -254,7 +254,7 @@ CASES = {
         ],
     ),
     "corpus_decontaminate_apply": (
-        "decontamination applied: metadata rides through the shingle explode as group keys — one corpus scan, one partial-agg shuffle, bench set broadcast, no verdict join-back",
+        "decontamination applied: metadata rides through the shingle explode as group keys — one corpus scan, one partial-agg shuffle, bench set broadcast BY SIZE (hint deleted r8), no verdict join-back",
         [
             ("bench probe is broadcast", lambda p: "BroadcastHashJoin" in p),
             ("no sort-merge join", lambda p: "SortMergeJoin" not in p),
@@ -280,7 +280,7 @@ CASES = {
         ],
     ),
     "doc_unigram_nll": (
-        "unigram-LM scoring: one tokenize scan, model side reuses the tf exchange, vocab broadcast back onto tf — corpus never re-shuffles for the score join (plan shown AQE-off: AQE's initial plan prints the diamond un-deduplicated but reuses the same shuffle stages at runtime)",
+        "unigram-LM scoring: one tokenize scan, model side reuses the tf exchange, vocab broadcast back onto tf BY SIZE — the forced full-vocabulary hint was deleted r8 (Heaps' law: vocab scales with the corpus), the 64 MB threshold keeps this identical plan at test SF and degrades to a shuffle join at scale (plan shown AQE-off: AQE's initial plan prints the diamond un-deduplicated but reuses the same shuffle stages at runtime)",
         [
             ("single corpus scan", lambda p: p.count("Scan parquet") == 1),
             ("tf exchange reused by the model side", lambda p: "ReusedExchange" in p),
@@ -713,6 +713,15 @@ CASES = {
             ("no key shuffle (hash/range exchange)", lambda p:
                 "Exchange hashpartitioning" not in p and "Exchange rangepartitioning" not in p),
             ("no Python/Arrow stage", lambda p: "MapInPandas" not in p and "ArrowEvalPython" not in p and "BatchEvalPython" not in p),
+        ],
+    ),
+    "multimodal_frame_dedup_seeded": (
+        "frame dedup (seeded twins): pair emission is the in-bucket explode over capped collect_set buckets — NO join anywhere (the LSH discipline); frames reduce to (hash, doc) before any exchange; twin seeding is a union fused into the same Python sampling stage shape",
+        [
+            ("no join anywhere", lambda p: "Join" not in p),
+            ("Arrow-batched python sampling stage", lambda p: "MapInPandas" in p),
+            ("bucket agg partial-aggregates", lambda p: "partial_" in p),
+            ("no cartesian product", lambda p: "CartesianProduct" not in p),
         ],
     ),
     "quantile_bin_rollup_regions": (

@@ -145,6 +145,11 @@ CASES = [
     "ann_topk_lsh",
     "ann_topk_ivf",
     "embedding_cosine_dups_lsh",
+    # round-8: the seeded frame-dedup twin variant enters the driver
+    # window this round — its bucket collect_set + pair explode and the
+    # min_shared filter must not see partition layout (same rule as
+    # multimodal_frame_dedup above)
+    "multimodal_frame_dedup_seeded",
     # round-7: the basket-array pair derivations (census + market
     # basket) replaced intra-key self-joins — the collect_set order and
     # the nested-TRANSFORM pair emission must not see partition layout
