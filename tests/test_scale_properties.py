@@ -249,16 +249,21 @@ def _hinted_sf_tables(df):
     hiding inside a subquery expression is just as much a forced
     broadcast).
 
-    Known blind spot (documented, round-8): a checkpoint boundary
-    (LogicalRDD from ``localCheckpoint()``) erases the lineage this walk
-    follows, so a hint placed on an ALREADY-CHECKPOINTED SF-scaled frame
-    would pass silently. The engine convention is therefore: never wrap a
-    checkpointed frame in ``F.broadcast`` — checkpoints exist precisely
-    because the frame was too large/iterative to recompute, which is the
-    same reason it must not be forced into executor memory. The one
-    checkpoint-adjacent join in the engine (corpus_dedup_apply's verdict
-    side) is deliberately hint-free and relies on AQE (see its
-    docstring)."""
+    Checkpoint boundaries FAIL CLOSED (round-8, closing the blind spot
+    the advice flagged): a LogicalRDD (``localCheckpoint()`` output —
+    but also PySpark ``createDataFrame`` literals, which share the node
+    type) erases the lineage this walk follows, so nothing under it can
+    prove boundedness. A broadcast hint reaching a LogicalRDD whose
+    output columns identify an SF-scaled table (the same column
+    heuristic used for relations) is flagged as
+    ``<checkpointed:table>``; literal dims with their own column names
+    (band tables, event-type dims) stay clean. That encodes the engine
+    convention directly: never wrap a checkpointed frame in
+    ``F.broadcast`` — checkpoints exist precisely because the frame was
+    too large/iterative to recompute, which is the same reason it must
+    not be forced into executor memory. The one checkpoint-adjacent
+    join in the engine (corpus_dedup_apply's verdict side) is
+    deliberately hint-free and relies on AQE (see its docstring)."""
     found = set()
 
     def walk(node, in_hint):
@@ -271,6 +276,10 @@ def _hinted_sf_tables(df):
             t = _relation_table(node)
             if t:
                 found.add(t)
+        if in_hint and name == "LogicalRDD":
+            t = _relation_table(node)
+            if t:
+                found.add(f"<checkpointed:{t}>")
         subs = node.subqueries()
         for i in range(subs.size()):
             walk(subs.apply(i), in_hint)
@@ -322,6 +331,24 @@ class TestReducerRule:
         )
         j = tf.join(F.broadcast(vocab), "term")
         assert _hinted_sf_tables(j) == {"documents"}
+
+    def test_hinted_checkpoint_fails_closed(self, spark, oracle_sf_dir):
+        """A broadcast hint on a checkpointed frame is flagged no matter
+        what the frame holds — lineage is gone, so boundedness is
+        unprovable and the audit fails closed (round-8 closure of the
+        LogicalRDD blind spot)."""
+        docs, F = self._docs(spark, oracle_sf_dir)
+        ckpt = docs.select("doc_id").localCheckpoint(eager=False)
+        j = docs.join(F.broadcast(ckpt), "doc_id")
+        assert "<checkpointed:documents>" in _hinted_sf_tables(j)
+        # hint-free checkpointed join stays clean (corpus_dedup_apply's shape)
+        j2 = docs.join(ckpt, "doc_id")
+        assert _hinted_sf_tables(j2) == set()
+        # a hinted LITERAL frame with its own column names stays clean
+        # (createDataFrame shares the LogicalRDD node type)
+        lit = spark.createDataFrame([("budget", 0.0)], "band string, lo double")
+        j3 = docs.crossJoin(F.broadcast(lit))
+        assert _hinted_sf_tables(j3) == set()
 
     def test_shuffle_family_hint_is_not_a_broadcast_risk(self, spark, oracle_sf_dir):
         """shuffle_hash / merge hints pick among shuffle strategies that
