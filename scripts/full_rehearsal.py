@@ -24,6 +24,10 @@ def main() -> None:
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
+        # the default 1g driver heap survives sf0.01 but kills the JVM at
+        # sf0.1's graph tier (checkpoint blocks live in the single local
+        # JVM); match the engine session's allocation
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
