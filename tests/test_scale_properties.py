@@ -132,26 +132,29 @@ _REDUCERS = {"GlobalLimit", "LocalLimit"}
 #: bounded-but-unlisted key shows up as a red audit and gets added here
 #: with a reason, never silently.
 _BOUNDED_KEYS = {
-    # TPC-H enums / flags (fixed value sets per the spec)
+    # TPC-H enums / flags (fixed value sets per the spec; schema-prefixed
+    # names, so no generic-name collision risk)
     "l_returnflag", "l_linestatus", "l_shipmode", "l_shipinstruct",
     "o_orderstatus", "o_orderpriority", "c_mktsegment", "l_linenumber",
     "p_brand", "p_container", "p_type", "p_size", "p_mfgr",
     # fixed dimensions (25 nations / 5 regions) and their FKs
     "n_nationkey", "n_name", "n_regionkey", "r_regionkey", "r_name",
-    "c_nationkey", "s_nationkey", "nation", "cust_nation", "supp_nation",
-    # events/documents enums
-    "type", "type_a", "type_b", "lang", "event_type", "modality", "kind",
-    # calendar units (bounded by the data's date RANGE, not its volume)
-    "year", "month", "week", "weekday", "dow", "day", "hour", "o_year",
-    "order_date", "o_orderdate", "l_shipdate", "date", "ds", "d",
-    # literal grids: LSH bands, histogram bins, IVF/SemDeDup cells,
-    # k-means labels, vector dimension indices, quantile buckets, the
-    # CMS sketch's (row j, bucket) cell grid (d×w literal)
-    "band", "band_key", "bin", "cell", "label", "idx", "dim", "bucket",
-    "centroid", "code", "subspace", "pos", "decile", "grp", "level", "j",
-    # engine renames of bounded columns (aliases keep both names in refs)
-    "p", "pr", "flag", "priority", "segment", "status",
+    "c_nationkey", "s_nationkey",
+    # events/documents enums (5 event types / a handful of langs)
+    "event_type", "lang",
+    # literal grids actually gating hints today (probed over the full
+    # registry): histogram bins + price-band flags (weighted median),
+    # the CMS sketch's (row j, bucket) d×w cell grid, k-means labels ×
+    # vector dim indices (cluster compactness)
+    "bin", "bucket", "flag", "idx", "j", "label",
 }
+# Deliberately NOT listed (round-8 minimality pass — a probe over every
+# registered query's hinted subtrees showed only the keys above gate a
+# reducer): generic names (d/date/ds, code, grp, pos, level, type,
+# band, cell, status, priority, calendar units...) are omitted because
+# a FUTURE unbounded column could coincidentally reuse them and launder
+# a hint; a genuinely bounded new key fails the audit loudly and gets
+# added here with a reason, which is the intended workflow.
 
 _ATTR_RE = re.compile(r"(\w+)#\d+")
 
