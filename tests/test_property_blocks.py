@@ -147,3 +147,99 @@ def test_dsum_is_partition_invariant_and_decimal_exact(spark, vals, parts):
         sum(decimal.Decimal(v).quantize(q, rounding=decimal.ROUND_HALF_UP) for v in vals)
     )
     assert got == want
+
+
+# ------------------------------------------------------ portable hashing ----
+#
+# The md5int / shingle kernels are the foundation every dedup/similarity
+# oracle stands on; the 253 hash-green queries exercise them only on
+# corpus-shaped text, so property-test them on ADVERSARIAL strings
+# (unicode, empties, quotes) against BOTH the DuckDB spelling and an
+# independent pure-Python reference.
+
+_texts = st.lists(st.text(min_size=0, max_size=24), min_size=1, max_size=12)
+
+
+def _md5int_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(texts=_texts)
+def test_md5int_tri_engine_identical(spark, texts):
+    """md5int(s) must be the SAME int64 in Spark SQL, DuckDB SQL, and
+    pure Python for any unicode string — collisions between the dedup
+    engine and its oracle would otherwise be silent."""
+    import duckdb
+    import pandas as pd
+
+    from cooler_mapreduce_spark.functions.hashing import md5int_duckdb, md5int_spark
+
+    df = spark.createDataFrame([(t,) for t in texts], "s string")
+    got_spark = [r.h for r in df.select(F.expr(md5int_spark("s")).alias("h")).collect()]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"s": texts}))
+    got_duck = [r[0] for r in con.execute(
+        f"SELECT {md5int_duckdb('s')} FROM t"
+    ).fetchall()]
+    want = [_md5int_py(t) for t in texts]
+    assert got_spark == want
+    assert got_duck == want
+
+
+_token_lists = st.lists(
+    st.lists(st.text(min_size=0, max_size=6), min_size=1, max_size=10),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _shingles_py(tokens: list[str], n: int = 3) -> list[str]:
+    upper = max(len(tokens) - n + 1, 1)
+    seen, out = set(), []
+    for i in range(upper):
+        s = " ".join(tokens[i : i + n])
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(token_lists=_token_lists)
+def test_shingles_tri_engine_same_set(spark, token_lists):
+    """Word-n-gram shingling must produce the identical DISTINCT SET of
+    shingles in Spark, DuckDB, and Python — including the short-document
+    edge (fewer tokens than n collapses to one whole-document shingle).
+
+    SET, not list: this property's first run found that DuckDB's
+    ``list_distinct`` does NOT preserve element order (falsifying input
+    ``['', '', '', '0']`` → Spark/Python ``['  ', '  0']``, DuckDB
+    ``['  0', '  ']``) while Spark's ``array_distinct`` keeps first
+    occurrence. Every registered consumer treats shingles as a set
+    (explode→distinct joins, minhash minima), so the engine is
+    unaffected — but any FUTURE oracle that relied on shingle ORDER
+    would silently diverge, which is why the exact contract is pinned
+    here: Spark == Python order-preserving reference; DuckDB == same
+    set, order unspecified; no duplicates anywhere."""
+    import duckdb
+    import pandas as pd
+
+    from cooler_mapreduce_spark.functions.hashing import shingles_duckdb, shingles_spark
+
+    df = spark.createDataFrame([(t,) for t in token_lists], "toks array<string>")
+    got_spark = [
+        list(r.sh) for r in df.select(F.expr(shingles_spark("toks")).alias("sh")).collect()
+    ]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"toks": token_lists}))
+    got_duck = [list(r[0]) for r in con.execute(
+        f"SELECT {shingles_duckdb('toks')} FROM t"
+    ).fetchall()]
+    want = [_shingles_py(t) for t in token_lists]
+    assert got_spark == want  # order-preserving, matches Python exactly
+    for duck, py in zip(got_duck, want):
+        assert sorted(duck) == sorted(py)  # same set...
+        assert len(duck) == len(set(duck))  # ...and genuinely distinct
