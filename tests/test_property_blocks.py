@@ -243,3 +243,80 @@ def test_shingles_tri_engine_same_set(spark, token_lists):
     for duck, py in zip(got_duck, want):
         assert sorted(duck) == sorted(py)  # same set...
         assert len(duck) == len(set(duck))  # ...and genuinely distinct
+
+
+_hash_arrays = st.lists(
+    st.lists(st.integers(0, (1 << 60) - 1), min_size=1, max_size=12),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(hash_arrays=_hash_arrays)
+def test_minhash_signature_tri_engine_identical(spark, hash_arrays):
+    """The minhash signature — Spark's scalar-accumulator HOF fold over
+    PRE-REDUCED hashes vs DuckDB's list_min-over-transform on RAW
+    hashes vs a direct Python evaluation — must agree elementwise for
+    any 60-bit hash multiset (the fold-at-P initialization and the
+    (a·(h mod P)+b) mod P == (a·h+b) mod P identity, both pinned)."""
+    import duckdb
+    import pandas as pd
+
+    from cooler_mapreduce_spark.functions.hashing import (
+        MERSENNE_P,
+        MINHASH_A,
+        MINHASH_B,
+        NUM_MINHASHES,
+        minhash_sig_duckdb,
+        minhash_sig_spark,
+    )
+
+    reduced = [[h % MERSENNE_P for h in arr] for arr in hash_arrays]
+    df = spark.createDataFrame([(a,) for a in reduced], "hs array<bigint>")
+    got_spark = [
+        list(r.sig)
+        for r in df.select(F.expr(minhash_sig_spark("hs")).alias("sig")).collect()
+    ]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"hs": hash_arrays}))
+    # the kernel's input contract is BIGINT hashes (md5int_duckdb
+    # guarantees that in every registered oracle); feeding DuckDB INT32
+    # values keeps the a·h+b arithmetic in INT32 and overflows — found
+    # by this property's first run, hence the explicit cast here
+    bigint_hs = "list_transform(hs, x -> CAST(x AS BIGINT))"
+    got_duck = [list(r[0]) for r in con.execute(
+        f"SELECT {minhash_sig_duckdb(bigint_hs)} FROM t"
+    ).fetchall()]
+    want = [
+        [
+            min((MINHASH_A[j] * (h % MERSENNE_P) + MINHASH_B[j]) % MERSENNE_P
+                for h in arr)
+            for j in range(NUM_MINHASHES)
+        ]
+        for arr in hash_arrays
+    ]
+    assert got_spark == want
+    assert got_duck == want
+
+
+def _morton_py(a: int, b: int) -> int:
+    out = 0
+    for i in range(16):
+        out |= ((a >> i) & 1) << (2 * i)
+        out |= ((b >> i) & 1) << (2 * i + 1)
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(pairs=st.lists(st.tuples(st.integers(0, 0xFFFF), st.integers(0, 0xFFFF)),
+                      min_size=1, max_size=16))
+def test_morton_code_equals_bit_interleave(spark, pairs):
+    """The z-order key (bit-spread shiftleft/AND/OR chain) must equal a
+    direct per-bit interleave for every 16-bit pair — the data-skipping
+    layout's correctness rests on this being a true Morton curve."""
+    from cooler_mapreduce_spark.sources.catalog import morton_code
+
+    df = spark.createDataFrame(pairs, "a bigint, b bigint")
+    got = [r.z for r in df.select(morton_code("a", "b").alias("z")).collect()]
+    assert got == [_morton_py(a, b) for a, b in pairs]
