@@ -320,3 +320,67 @@ def test_morton_code_equals_bit_interleave(spark, pairs):
     df = spark.createDataFrame(pairs, "a bigint, b bigint")
     got = [r.z for r in df.select(morton_code("a", "b").alias("z")).collect()]
     assert got == [_morton_py(a, b) for a, b in pairs]
+
+
+# --------------------------------------------- ExactSubstr span merge ----
+
+_span_docs = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=30),
+    min_size=2,
+    max_size=8,
+)
+
+
+def _substring_spans_py(docs: list[list[str]], k: int):
+    """Sequential reference of the whole ExactSubstr pipeline: k-gram
+    windows (exact tuples stand in for the collision-free hash), ≥2-doc
+    survivors, per-doc gaps-and-islands merge with the pos > prev + k
+    split rule, maximal-span length sum."""
+    win_docs: dict[tuple, set[int]] = {}
+    positions: dict[int, list[int]] = {}
+    for did, toks in enumerate(docs):
+        for i in range(len(toks) - k + 1):
+            win_docs.setdefault(tuple(toks[i : i + k]), set()).add(did)
+    for did, toks in enumerate(docs):
+        pos = [
+            i + 1  # 1-based like the SQL sequence
+            for i in range(len(toks) - k + 1)
+            if len(win_docs[tuple(toks[i : i + k])]) >= 2
+        ]
+        if pos:
+            positions[did] = pos
+    out = {}
+    for did, pos in positions.items():
+        spans = []
+        start = prev = pos[0]
+        for p in pos[1:]:
+            if p > prev + k:
+                spans.append((start, prev + k - 1))
+                start = p
+            prev = p
+        spans.append((start, prev + k - 1))
+        dup = sum(e - s + 1 for s, e in spans)
+        n = len(docs[did])
+        out[did] = (n, len(spans), dup, dup / n)
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(docs=_span_docs)
+def test_substring_spans_equals_sequential_reference(spark, docs, tmp_path_factory):
+    """The distributed ExactSubstr re-expression (rolling fingerprints →
+    ≥2-doc survivor shuffle → gaps-and-islands window merge) must equal
+    a direct sequential computation for ANY token corpus — including
+    overlap/adjacency edges the fixture corpus never hits (islands
+    merging across gaps of exactly k, whole-doc spans, docs below k)."""
+    from cooler_mapreduce_spark.operators.dedup import _SPAN_K, dedup_substring_spans
+
+    sf_dir = str(tmp_path_factory.mktemp("span_corpus"))
+    spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)], "doc_id bigint, text string"
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_dup_spans, r.dup_tokens, r.dup_fraction)
+        for r in dedup_substring_spans(spark, sf_dir).collect()
+    }
+    assert got == _substring_spans_py(docs, _SPAN_K)
