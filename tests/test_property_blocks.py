@@ -384,3 +384,94 @@ def test_substring_spans_equals_sequential_reference(spark, docs, tmp_path_facto
         for r in dedup_substring_spans(spark, sf_dir).collect()
     }
     assert got == _substring_spans_py(docs, _SPAN_K)
+
+
+# ----------------------------------------------------- skyline / medians ----
+
+_sky_rows = st.lists(
+    st.tuples(st.sampled_from([1.0, 2.0, 3.0]), st.integers(0, 2)),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _skyline_py(rows):
+    """Quadratic NOT-EXISTS dominance reference: maximize price,
+    minimize date; ties on both dims are mutually non-dominating."""
+    out = set()
+    for k, (p, d) in enumerate(rows):
+        dominated = any(
+            (p2 >= p and d2 <= d and (p2 > p or d2 < d))
+            for k2, (p2, d2) in enumerate(rows)
+            if k2 != k
+        )
+        if not dominated:
+            out.add(k)
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(rows=_sky_rows)
+def test_skyline_equals_quadratic_dominance(spark, rows, tmp_path_factory):
+    """The two-stage distributed skyline (64-bucket local prune + exact
+    level window) must equal the quadratic dominance definition on ANY
+    point set — tie-heavy distributions (duplicate price levels,
+    duplicate full points) are exactly where a prune bug would silently
+    drop frontier rows."""
+    import datetime as _dt
+
+    from cooler_mapreduce_spark.operators.windows import skyline_pareto_orders
+
+    sf_dir = str(tmp_path_factory.mktemp("sky"))
+    base = _dt.date(1995, 1, 1)
+    spark.createDataFrame(
+        [(k, p, base + _dt.timedelta(days=d)) for k, (p, d) in enumerate(rows)],
+        "o_orderkey bigint, o_totalprice double, o_orderdate date",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/orders.parquet")
+    got = {r.o_orderkey for r in skyline_pareto_orders(spark, sf_dir).collect()}
+    assert got == _skyline_py(rows)
+
+
+_wm_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "N"]),
+        st.sampled_from([100.0, 500.0, 999.0, 1000.0, 1500.0, 2500.0]),
+        st.integers(1, 5),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _weighted_median_py(rows):
+    out = {}
+    for flag in {r[0] for r in rows}:
+        grp = sorted((p, q) for f, p, q in rows if f == flag)
+        tot = sum(q for _, q in grp)
+        cum = 0
+        for p, q in grp:
+            cum += q
+            if 2 * cum >= tot:
+                out[flag] = (tot, p)
+                break
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(rows=_wm_rows)
+def test_weighted_median_equals_sequential_reference(spark, rows, tmp_path_factory):
+    """The two-phase binned weighted median (histogram crossing-bin +
+    surgical in-bin RANGE window) must equal the direct sorted-cumsum
+    definition for ANY weights — prices straddling the 1000-unit bin
+    boundary and exact price ties (RANGE peers) are the hazard cases."""
+    from cooler_mapreduce_spark.operators.aggregates import weighted_median_price_by_flag
+
+    sf_dir = str(tmp_path_factory.mktemp("wm"))
+    spark.createDataFrame(
+        rows, "l_returnflag string, l_extendedprice double, l_quantity bigint"
+    ).write.mode("overwrite").parquet(f"{sf_dir}/lineitem.parquet")
+    got = {
+        r.l_returnflag: (r.total_qty, r.weighted_median_price)
+        for r in weighted_median_price_by_flag(spark, sf_dir).collect()
+    }
+    assert got == _weighted_median_py(rows)
