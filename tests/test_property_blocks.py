@@ -475,3 +475,23 @@ def test_weighted_median_equals_sequential_reference(spark, rows, tmp_path_facto
         for r in weighted_median_price_by_flag(spark, sf_dir).collect()
     }
     assert got == _weighted_median_py(rows)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    vals=st.lists(st.integers(-50, 50), min_size=1, max_size=40, unique=True),
+    parts=st.integers(1, 7),
+)
+def test_exact_global_rank_equals_sorted_position(spark, vals, parts):
+    """The range-partitioned parallel rank (the engine's scalable
+    replacement for a single-task ORDER BY window) must equal the
+    sorted position for ANY unique key set at ANY partition count —
+    including partitions the range sampler leaves empty, whose offsets
+    must still chain correctly."""
+    from cooler_mapreduce_spark.operators.windows import exact_global_rank
+
+    df = spark.createDataFrame([(v,) for v in vals], "v int")
+    ranked, total = exact_global_rank(df, [F.asc("v")], num_partitions=parts)
+    got = {r.v: r._rank0 for r in ranked.collect()}
+    assert total == len(vals)
+    assert got == {v: i for i, v in enumerate(sorted(vals))}
