@@ -495,3 +495,108 @@ def test_exact_global_rank_equals_sorted_position(spark, vals, parts):
     got = {r.v: r._rank0 for r in ranked.collect()}
     assert total == len(vals)
     assert got == {v: i for i, v in enumerate(sorted(vals))}
+
+
+# -------------------------------------------------- sessions / robust fit ----
+
+_session_events = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 200)),  # (user, minutes offset)
+    min_size=1,
+    max_size=25,
+)
+
+
+def _sessions_py(events):
+    """Sequential 30-minute-gap sessionization over (user, ts, event_id)."""
+    out = {}
+    by_user: dict[int, list[tuple]] = {}
+    for eid, (u, m) in enumerate(events):
+        by_user.setdefault(u, []).append((m, eid))
+    for u, rows in by_user.items():
+        rows.sort()
+        seq = 0
+        prev = None
+        for m, eid in rows:
+            if prev is None or (m - prev) * 60_000_000 > 30 * 60 * 1_000_000:
+                seq += 1
+                out[(u, seq)] = [0, m, m]
+            grp = out[(u, seq)]
+            grp[0] += 1
+            grp[2] = m
+            prev = m
+    return {k: tuple(v) for k, v in out.items()}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(events=_session_events)
+def test_sessionize_equals_sequential_gap_walk(spark, events, tmp_path_factory):
+    """The lag + cumulative-start-marker sessionization must equal a
+    sequential gap walk for ANY event layout — gaps of exactly 30
+    minutes (boundary: NOT a new session under the strict > rule) and
+    duplicate timestamps within a user are the hazard cases."""
+    import datetime as _dt
+
+    from cooler_mapreduce_spark.operators.windows import sessionize_events
+
+    sf_dir = str(tmp_path_factory.mktemp("sess"))
+    base = _dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(eid, u, base + _dt.timedelta(minutes=m))
+         for eid, (u, m) in enumerate(events)],
+        "event_id bigint, user_id bigint, ts timestamp_ntz",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+    got = {
+        (r.user_id, r.session_seq): (
+            r.n_events,
+            int((r.session_start - base).total_seconds() // 60),
+            int((r.session_end - base).total_seconds() // 60),
+        )
+        for r in sessionize_events(spark, sf_dir).collect()
+    }
+    assert got == _sessions_py(events)
+
+
+_ts_days = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(1, 500)),  # (day offset, price)
+    min_size=2,
+    max_size=15,
+).filter(lambda rows: len({d for d, _ in rows}) >= 2)
+
+
+def _theilsen_py(rows):
+    daily: dict[int, int] = {}
+    for d, p in rows:
+        daily[d] = daily.get(d, 0) + p
+    pts = sorted(daily.items())
+    slopes = sorted(
+        (y2 - y1) / (x2 - x1)
+        for i, (x1, y1) in enumerate(pts)
+        for x2, y2 in pts[i + 1 :]
+    )
+    n = len(slopes)
+    lo, hi = slopes[(n + 1) // 2 - 1], slopes[n // 2]
+    return n, (lo + hi) / 2.0
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(rows=_ts_days)
+def test_theilsen_equals_pairwise_median_reference(spark, rows, tmp_path_factory):
+    """The distributed Theil–Sen (calendar-bounded pairwise theta join +
+    lower/upper median midpoint) must equal the direct all-pairs slope
+    median for ANY daily series — even/odd pair counts and duplicate
+    slope values both exercise the two-rank midpoint rule."""
+    import datetime as _dt
+
+    from cooler_mapreduce_spark.operators.timeseries import theilsen_trend_revenue
+
+    sf_dir = str(tmp_path_factory.mktemp("ts"))
+    base = _dt.date(1995, 1, 1)
+    spark.createDataFrame(
+        [(k, base + _dt.timedelta(days=d), float(p))
+         for k, (d, p) in enumerate(rows)],
+        "o_orderkey bigint, o_orderdate date, o_totalprice double",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/orders.parquet")
+    r = theilsen_trend_revenue(spark, sf_dir).collect()[0]
+    n, slope = _theilsen_py(rows)
+    assert r.n_pairs == n
+    assert abs(r.theil_sen_slope - slope) < 1e-9
