@@ -1099,3 +1099,120 @@ def seasonal_decompose_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+# ------------------------------------------------- 1-D Kalman filter ----
+
+#: Local-level (random-walk) model constants, in units of y (weekly
+#: revenue scaled to millions): process noise Q, observation noise R,
+#: initial state variance P0. Literals, not fitted — this is the
+#: smoothing primitive, not a fitted model.
+_KAL_Q = "0.01"
+_KAL_R = "1.0"
+_KAL_P0 = "1.0"
+#: One spelling of the predict/update recurrence, shared by the Spark
+#: HOF fold and the DuckDB recursive CTE so every intermediate double is
+#: produced by the identical IEEE op sequence (the holt convention).
+#: predict: pp = p + Q;  gain: k = pp / (pp + R);
+#: update:  x' = x + k (y − x);  p' = (1 − k) pp.
+_KAL_K = f"(({{p}} + {_KAL_Q}) / (({{p}} + {_KAL_Q}) + {_KAL_R}))"
+_KAL_X = f"({{x}} + {_KAL_K} * ({{y}} - {{x}}))"
+_KAL_P = f"((1.0 - {_KAL_K}) * ({{p}} + {_KAL_Q}))"
+
+
+def _kalman_oracle() -> str:
+    k = _KAL_K.format(p="f.p")
+    nx = _KAL_X.format(x="f.x", y="w.y", p="f.p")
+    np_ = _KAL_P.format(p="f.p")
+    return f"""
+    WITH RECURSIVE weekly AS (
+        SELECT date_trunc('week', o_orderdate) AS bucket_week,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY bucket_week) AS i,
+               bucket_week, CAST(revenue AS DOUBLE) / 1000000.0 AS y
+        FROM weekly
+    ),
+    filt AS (
+        SELECT i, bucket_week, y,
+               y AS x, CAST({_KAL_P0} AS DOUBLE) AS p,
+               CAST(NULL AS DOUBLE) AS gain
+        FROM idx WHERE i = 1
+        UNION ALL
+        SELECT w.i, w.bucket_week, w.y,
+               {nx} AS x, {np_} AS p, {k} AS gain
+        FROM filt f JOIN idx w ON w.i = f.i + 1
+    )
+    SELECT bucket_week, y, x AS level, p AS variance, gain FROM filt
+    """
+
+
+@query(
+    "kalman_smooth_weekly_revenue",
+    oracle=_kalman_oracle(),
+    tags=("timeseries", "forecasting", "iterative", "hof", "kalman"),
+)
+def kalman_smooth_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Kalman filter (local-level / random-walk model) over the
+    weekly revenue series: per week the filtered level, its posterior
+    variance, and the Kalman gain actually applied — the probabilistic
+    sibling of :func:`holt_linear_smoothing` (holt tracks level+trend
+    with fixed gains; Kalman's gain adapts to the accumulated variance,
+    converging toward the steady-state value as evidence accrues).
+
+    The recurrence (predict pp = p + Q, gain k = pp/(pp+R), update
+    x' = x + k(y − x), p' = (1 − k)pp) is inherently sequential — each
+    output feeds the next input — so the scale answer is the module's
+    calendar-bounded-series invariant: the fact table collapses to
+    O(weeks) rows in one partial-aggregated shuffle, and only THEN does
+    the fold run, a single ``aggregate`` higher-order pass over a ~350-
+    element array in one task. Sequential cost is fixed by the calendar,
+    not by the 100 TB below it. Init: x₁ = y₁, p₁ = P0, gain NULL (no
+    prior to mix). y is scaled to millions so the literal Q/R are on
+    sensible units. The DuckDB oracle is the same recurrence as a
+    recursive CTE, both engines parsing ONE spelling of the
+    predict/update expressions — identical IEEE op order, bit-equal
+    doubles (the holt convention; no rounding anywhere).
+
+    Reference parity: beyond the reference — its single-round MapReduce
+    cannot chain state across records (SURVEY.md §2.4).
+    """
+    o = table(spark, sf_dir, "orders", fan_out=False)
+    weekly = o.groupBy(
+        F.trunc(F.to_date("o_orderdate"), "week").cast("timestamp_ntz").alias("bucket_week")
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    series = weekly.select(
+        F.struct(
+            "bucket_week",
+            (F.col("revenue").cast("double") / F.lit(1_000_000.0)).alias("y"),
+        ).alias("s")
+    ).agg(F.array_sort(F.collect_list("s")).alias("ser"))
+    k = _KAL_K.format(p="acc.p")
+    nx = _KAL_X.format(x="acc.x", y="w.y", p="acc.p")
+    np_ = _KAL_P.format(p="acc.p")
+    fold = f"""
+        aggregate(
+            slice(ser, 2, greatest(size(ser) - 1, 0)),
+            struct(
+                element_at(ser, 1).y AS x,
+                CAST({_KAL_P0} AS DOUBLE) AS p,
+                array(struct(
+                    element_at(ser, 1).bucket_week AS bucket_week,
+                    element_at(ser, 1).y AS y,
+                    element_at(ser, 1).y AS level,
+                    CAST({_KAL_P0} AS DOUBLE) AS variance,
+                    CAST(NULL AS DOUBLE) AS gain)) AS out),
+            (acc, w) -> struct(
+                {nx} AS x,
+                {np_} AS p,
+                array_append(acc.out, struct(
+                    w.bucket_week AS bucket_week,
+                    w.y AS y,
+                    {nx} AS level,
+                    {np_} AS variance,
+                    {k} AS gain)) AS out),
+            acc -> acc.out)
+    """
+    return series.select(F.explode(F.expr(fold)).alias("r")).select("r.*")
