@@ -718,3 +718,116 @@ def label_propagation_communities(
         .agg(F.count("*").alias("n_members"), F.min("node").alias("min_member"))
         .select(F.col("label").alias("community"), "n_members", "min_member")
     )
+
+
+# ------------------------------------------- weighted SSSP (bounded) ----
+
+#: cost horizon: paths costlier than this are outside the query's radius
+#: (the weighted sibling of the BFS hop cap — a mirrored bipartite trade
+#: graph is small-world, so the horizon bounds rounds, rows, AND the
+#: oracle's recursive enumeration at |V| x (horizon+1) states).
+_SSSP_MAX_COST = 8
+#: tie-strength -> edge weight: stronger trading relationships are
+#: "closer" (more distinct orders => lower traversal cost). Integer
+#: weights in {1,2,3} keep all arithmetic exact and the state space
+#: bounded; the CASE is one spelling shared by both engines.
+_SSSP_W = "CASE WHEN n >= 4 THEN 1 WHEN n >= 2 THEN 2 ELSE 3 END"
+
+
+@query(
+    "sssp_weighted_from_hub",
+    oracle=f"""
+    WITH RECURSIVE fwd AS (
+        SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst,
+               COUNT(DISTINCT l_orderkey) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    ),
+    wedges AS (SELECT src, dst, {_SSSP_W} AS w FROM fwd),
+    edges AS (
+        SELECT src, dst, w FROM wedges
+        UNION ALL SELECT dst, src, w FROM wedges
+    ),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    hub AS (SELECT src AS node FROM deg ORDER BY outdeg DESC, src LIMIT 1),
+    reach(node, cost) AS (
+        SELECT node, 0 FROM hub
+        UNION
+        SELECT e.dst, r.cost + e.w
+        FROM reach r JOIN edges e ON r.node = e.src
+        WHERE r.cost + e.w <= {_SSSP_MAX_COST}
+    )
+    SELECT node, CAST(MIN(cost) AS BIGINT) AS cost
+    FROM reach GROUP BY node
+    """,
+    tags=("graph", "iterative", "sssp", "shortest-path"),
+)
+def sssp_weighted_from_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest path from the hub of the
+    supplier<->customer trade graph (same node encoding and hub choice as
+    :func:`bfs_hops_from_hub`), where edge weight is the tie-strength
+    cost {1,2,3} (more distinct shared orders = cheaper hop) and the
+    search is bounded by a cost horizon instead of a hop cap — "who is
+    within trading distance d of the busiest actor when relationship
+    strength sets the metric".
+
+    The Spark side is frontier Bellman-Ford: per round, relax only the
+    FRONTIER (nodes whose cost improved last round) against the edge
+    list — one keyed shuffle per round, O(|edges touched|) — take the
+    per-node MIN of (old dist ∪ candidates), and the new frontier is the
+    improved rows (an anti-join on the exact (node, cost) pair). With
+    integer weights >= 1 the horizon also bounds the round count (a
+    cost-8 path has <= 8 edges), and the loop exits early on an empty
+    frontier; each round's state is localCheckpoint'ed so round k+1's
+    plan does not replay rounds 1..k (the BFS convention). The oracle
+    spells the same search as a recursive CTE whose UNION dedups
+    (node, cost) states — bounded by |V| x (horizon+1), exponential path
+    enumeration excluded. All values exact integers; no float
+    determinism risk anywhere.
+
+    100 TB shape: dist/frontier are O(|V|) rows keyed by node; every
+    relaxation shuffles only frontier-adjacent edges; nothing is ever
+    collected or broadcast (the hub row rides the plan as a 1-row
+    cross join, same as BFS).
+    """
+    li = table(spark, sf_dir, "lineitem", fan_out=False).select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders", fan_out=False).select("o_orderkey", "o_custkey")
+    fwd = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("o_custkey") * 2 + 1).alias("dst"),
+        )
+        .agg(F.count_distinct("l_orderkey").alias("n"))
+        .select("src", "dst", F.expr(_SSSP_W).alias("w"))
+    )
+    edges = fwd.unionAll(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    hub = (
+        deg.orderBy(F.desc("outdeg"), F.asc("src"))
+        .limit(1)
+        .select(F.col("src").alias("node"))
+    )
+    dist = hub.withColumn("cost", F.lit(0)).localCheckpoint(eager=True)
+    frontier = dist
+    for _ in range(_SSSP_MAX_COST):
+        cand = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"), (frontier.cost + edges.w).alias("cost"))
+            .filter(F.col("cost") <= _SSSP_MAX_COST)
+        )
+        new_dist = (
+            dist.unionAll(cand)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = new_dist.join(dist, ["node", "cost"], "left_anti").localCheckpoint(
+            eager=True
+        )
+        dist = new_dist
+        if frontier.limit(1).count() == 0:
+            break
+    return dist.select("node", F.col("cost").cast("bigint").alias("cost"))
