@@ -147,3 +147,103 @@ def dp_noisy_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(_DP_EPS).alias("epsilon"),
     ).orderBy("segment")
+
+
+# ----------------------------------------- ε-DP quantiles (histogram) ----
+
+#: fixed equi-width price grid (the quantile-histogram convention of
+#: aggregates._QBIN_W): 10 k wide, ids 0..63, top-clamped. A FIXED grid is
+#: what makes the release valid ε-DP — data-dependent bin edges would
+#: themselves leak.
+_DPQ_W = 10_000.0
+_DPQ_CAP = 63
+_DPQ_SEED = "dp-quantiles-r8"
+_DPQ_PS = (0.25, 0.5, 0.75, 0.9)
+
+
+@query(
+    "dp_noisy_quantiles_price",
+    oracle=f"""
+    WITH counts AS (
+        SELECT least(CAST(floor(o_totalprice / {_DPQ_W}) AS BIGINT), {_DPQ_CAP}) AS bin,
+               COUNT(*) AS n
+        FROM orders GROUP BY 1
+    ),
+    noisy AS (
+        SELECT bin,
+               CAST(n AS DOUBLE) + {_DP_NOISE} AS nn
+        FROM (SELECT bin, n,
+                     {md5int_duckdb(f"'{_DPQ_SEED}:' || CAST(bin AS VARCHAR)")} AS h
+              FROM counts)
+    ),
+    cums AS (
+        SELECT bin, nn, SUM(nn) OVER (ORDER BY bin) AS cum FROM noisy
+    ),
+    tot AS (SELECT max_by(cum, bin) AS total FROM cums),
+    ps AS (SELECT unnest(ARRAY[{", ".join(f"CAST({p} AS DOUBLE)" for p in _DPQ_PS)}]) AS p)
+    SELECT p,
+           MIN(CASE WHEN cum >= p * total THEN bin END) AS qbin,
+           CAST(MIN(CASE WHEN cum >= p * total THEN bin END) AS DOUBLE) * {_DPQ_W}
+               AS q_value,
+           {_DP_EPS} AS epsilon
+    FROM cums, tot, ps
+    GROUP BY p, total
+    """,
+    tags=("governance", "privacy", "differential-privacy", "quantile", "llm-pipeline"),
+)
+def dp_noisy_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP quantile release via the NOISY-HISTOGRAM mechanism: publish
+    Laplace(1/ε)-noised counts over a FIXED equi-width price grid
+    (disjoint bins → parallel composition, total cost ε; sensitivity 1 —
+    one order moves one bin count by one), then read each requested
+    quantile off the noisy CDF as the first bin whose cumulative noisy
+    count crosses p·N̂. The quantile extraction is post-processing of an
+    already-private release, so it costs no additional budget — the
+    textbook-valid route to DP quantiles, unlike naively Laplace-noising
+    an empirical quantile (whose local sensitivity is unbounded). Noise
+    is the module's seeded inverse-CDF Laplace draw keyed by bin id —
+    deterministic (a stored noise draw, the re-release discipline
+    ``dp_noisy_segment_counts`` documents) and therefore hash-checkable.
+
+    Scale shape: ONE partial-aggregable groupBy onto the 64-bin grid,
+    then all remaining work (noise, running CDF, 4 quantile picks) runs
+    over exactly 64 rows — the unpartitioned window is over the
+    HISTOGRAM, never the data (the qbin-rollup convention). The noisy
+    total N̂ is read as max_by(cum, bin) — the ORDERED running sum's last
+    element — rather than an unordered SUM over signed noise, so both
+    engines accumulate the identical left-to-right double sequence.
+    """
+    o = table(spark, sf_dir, "orders", fan_out=False)
+    from pyspark.sql import Window
+
+    counts = o.groupBy(
+        F.least(
+            F.floor(F.col("o_totalprice") / F.lit(_DPQ_W)).cast("bigint"),
+            F.lit(_DPQ_CAP),
+        ).alias("bin")
+    ).agg(F.count("*").alias("n"))
+    noisy = counts.withColumn(
+        "h", F.expr(md5int_spark(f"'{_DPQ_SEED}:' || CAST(bin AS STRING)"))
+    ).select("bin", (F.col("n").cast("double") + F.expr(_DP_NOISE)).alias("nn"))
+    cums = noisy.select(
+        "bin", "nn", F.sum("nn").over(Window.orderBy("bin")).alias("cum")
+    )
+    tot = cums.agg(F.max_by("cum", "bin").alias("total"))
+    ps = spark.range(1).select(
+        F.explode(F.array(*[F.lit(float(p)) for p in _DPQ_PS])).alias("p")
+    )
+    return (
+        cums.crossJoin(tot)
+        .crossJoin(ps)
+        .groupBy("p", "total")
+        .agg(
+            F.min(F.when(F.col("cum") >= F.col("p") * F.col("total"), F.col("bin"))).alias("qbin"),
+            F.lit(_DP_EPS).alias("epsilon"),
+        )
+        .select(
+            "p",
+            "qbin",
+            (F.col("qbin").cast("double") * F.lit(_DPQ_W)).alias("q_value"),
+            "epsilon",
+        )
+    )

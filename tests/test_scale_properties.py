@@ -50,6 +50,7 @@ _NL_ALLOWED = {
     "rrf_hybrid_search",       # bm25's scalar broadcast + the 1-row query-vector cross join
     "hard_negative_mining",    # same 1-row query-vector cross join + bm25's scalar broadcast
     "embedding_jl_projection_fidelity",  # theta pair join of the literal-bounded 50-row audit set
+    "dp_noisy_quantiles_price",  # 64-bin noisy CDF × 1-row total × 4 literal ps — all sides grid-bounded
 }
 
 
@@ -803,6 +804,9 @@ _ORDER_ONLY_WINDOW_ALLOWED = {
     # 163,840-bin space (1e-4-nat bins capped at 163,839; nonempty
     # bins <= distinct rounded NLL values), independent of doc count
     "ccnet_perplexity_buckets",
+    # noisy-CDF window over the literal 64-bin DP price grid — the
+    # histogram is the release, never the data (governance._DPQ_CAP)
+    "dp_noisy_quantiles_price",
 }
 
 
