@@ -416,3 +416,63 @@ def sql_create_function_udfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY b.band
         """
     )
+
+
+# ------------------------------------------------- TABLESAMPLE faces ----
+
+from ..functions.hashing import md5int_duckdb, md5int_spark  # noqa: E402
+
+#: deterministic 1% gate — the hash-sampling tier's convention
+#: (sampling.py): a seeded md5 bucket, identical in both engines.
+_TS_GATE_SPARK = f"({md5int_spark(chr(39) + 'ts:' + chr(39) + ' || CAST(o_orderkey AS STRING)')} % 100)"
+_TS_GATE_DUCK = f"({md5int_duckdb(chr(39) + 'ts:' + chr(39) + ' || CAST(o_orderkey AS VARCHAR)')} % 100)"
+_TS_ROWS = 100
+
+
+@query(
+    "sql_tablesample_faces",
+    oracle=f"""
+    SELECT 'rows' AS face, o_orderkey, o_totalprice
+    FROM (SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT {_TS_ROWS}) t
+    UNION ALL
+    SELECT 'pct_hash' AS face, o_orderkey, o_totalprice
+    FROM orders WHERE {_TS_GATE_DUCK} < 1
+    """,
+    tags=("sql", "sampling", "tablesample"),
+)
+def sql_tablesample_faces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``TABLESAMPLE`` SQL surface, in its two reproducible faces:
+
+    - ``TABLESAMPLE (n ROWS)`` over an ordered subquery — Spark compiles
+      the ROWS clause to a limit, and limit-over-sort plans as
+      ``TakeOrderedAndProject`` (parallel per-partition top-k + k-row
+      merge, never a global sort), so the face is deterministic AND
+      scale-safe; the oracle spells the same thing as ORDER BY + LIMIT.
+    - the deterministic 1 %-gate twin of ``TABLESAMPLE (1 PERCENT)`` —
+      a seeded md5 bucket on the key (the hash-sampling tier's
+      convention, sampling.py): reproducible across engines, partition
+      layouts, and reruns, which Bernoulli sampling is not.
+
+    Spark's native ``TABLESAMPLE (x PERCENT) [REPEATABLE (seed)]`` stays
+    out of the registered face ON PURPOSE: its Bernoulli gate draws from
+    a per-partition-seeded RNG stream, so the selected row SET changes
+    with the split layout — it would fail this engine's partition-count
+    invariance bar (tests/test_invariance.py), never mind the oracle.
+    The hash gate is the production shape for resumable pipelines
+    anyway: membership is a pure function of the row key.
+
+    100 TB shape: the ROWS face is one TakeOrderedAndProject (O(n·k)
+    work, k-row result); the gate face is a pushdown-friendly filter
+    scan — no shuffle in either branch, UNION ALL is partition
+    concatenation.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT 'rows' AS face, o_orderkey, o_totalprice
+        FROM (SELECT * FROM orders ORDER BY o_orderkey) TABLESAMPLE ({_TS_ROWS} ROWS)
+        UNION ALL
+        SELECT 'pct_hash' AS face, o_orderkey, o_totalprice
+        FROM orders WHERE {_TS_GATE_SPARK} < 1
+        """
+    )
