@@ -1,0 +1,186 @@
+"""Entity resolution: blocking → in-block pair scoring → survivorship.
+
+The record-linkage pipeline every warehouse consolidation runs (Fellegi–
+Sunter framing; Christen, "Data Matching", 2012): candidate pairs come
+from BLOCKING KEYS (never all-pairs — the capped-LSH discipline of the
+dedup tier applied to records), pairs are scored with field-level
+comparators (edit distance + agreement checks), each incoming record is
+resolved to its best surviving match, and a survivorship rule composes
+the golden record.
+
+The incoming "dirty" source is synthesized deterministically from the
+customer table (the ``merge_cdc_orders`` convention — a real deployment
+reads a second source): a slice with a typo'd name tail + drifted
+balance, and a slice of exact re-registrations. Fuzzy-match semantics
+beyond this pipeline's scope live in ``fuzzy_match_parts`` (matching
+only); this query is the full block→score→resolve→survive chain.
+
+The reference engine has no record-linkage surface (SURVEY.md §2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..registry import query
+from ..sources.catalog import table
+
+#: blocking key: the first 8 of the 9 digits in the synthetic customer
+#: name — each block holds exactly the <=10 customers sharing
+#: floor(custkey / 10), so block size is bounded by the KEY FORMAT (a
+#: constant), not the corpus; the typo model perturbs only the name's
+#: last character, so dirty records stay in their true block. (Real
+#: deployments block on soundex/zip/prefix composites and, like the LSH
+#: tiers, CAP pathological blocks; the bound here is structural.)
+_ER_BLOCK = "substr(c_name, 10, 8)"
+#: match rule: name edit distance <= 1 AND same nation AND balance drift
+#: inside the tolerance — one spelling, both engines.
+_ER_MAX_LEV = 1
+_ER_BAL_TOL = 1.0
+
+
+@query(
+    "entity_resolution_customers",
+    oracle=f"""
+    WITH dirty AS (
+        SELECT c_custkey + 10000000 AS rec_id,
+               substr(c_name, 1, length(c_name) - 1) || 'X' AS name,
+               c_nationkey AS nation, c_acctbal + 0.5 AS bal
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey + 20000000, c_name, c_nationkey, c_acctbal
+        FROM customer WHERE c_custkey % 3 <> 0 AND c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey + 30000000,
+               'Customer#' || lpad(CAST(c_custkey + 500000 AS VARCHAR), 9, '0'),
+               c_nationkey, c_acctbal
+        FROM customer WHERE c_custkey % 11 = 0
+    ),
+    cand AS (
+        SELECT d.rec_id, a.c_custkey,
+               levenshtein(d.name, a.c_name) AS name_lev,
+               abs(d.bal - a.c_acctbal) AS bal_diff,
+               a.c_acctbal AS a_bal, d.bal AS d_bal
+        FROM dirty d JOIN customer a
+          ON substr(d.name, 10, 8) = {_ER_BLOCK}
+         AND d.nation = a.c_nationkey
+        WHERE levenshtein(d.name, a.c_name) <= {_ER_MAX_LEV}
+          AND abs(d.bal - a.c_acctbal) <= {_ER_BAL_TOL}
+    ),
+    best AS (
+        SELECT rec_id, c_custkey, name_lev, a_bal, d_bal,
+               ROW_NUMBER() OVER (PARTITION BY rec_id
+                   ORDER BY name_lev, bal_diff, c_custkey) AS rk
+        FROM cand
+    )
+    SELECT d.rec_id,
+           b.c_custkey AS matched_custkey,
+           b.name_lev,
+           CASE WHEN b.rec_id IS NULL THEN 'new'
+                WHEN b.name_lev = 0 THEN 'exact' ELSE 'fuzzy' END AS match_kind,
+           CASE WHEN b.rec_id IS NULL THEN d.bal
+                ELSE greatest(b.a_bal, b.d_bal) END AS survivor_bal
+    FROM dirty d LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+      ON d.rec_id = b.rec_id
+    """,
+    tags=("entity-resolution", "dedup", "join", "llm-pipeline"),
+)
+def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve an incoming dirty record batch against the customer
+    master: BLOCK on the bounded name-prefix key, SCORE in-block pairs
+    (levenshtein on the name + nation agreement + balance tolerance),
+    pick each record's BEST match (rank by edit distance, then balance
+    drift, then key — a total order, so ties are deterministic), and
+    emit the survivorship decision: ``exact`` re-registrations, ``fuzzy``
+    typo matches (golden balance = greatest of the two), and ``new``
+    entities that matched nothing.
+
+    The dirty batch is synthesized from the master deterministically
+    (typo slice: every 3rd key, last name char X'd, balance drifted
+    +0.5; exact slice: every 7th; unmatched slice: every 11th key with a
+    name pointing outside the master's key range — these must resolve
+    'new').
+
+    100 TB shape: candidate generation is an equi-join on the BLOCK key
+    (one keyed shuffle of each side; never all-pairs), and block size is
+    bounded by the key format, so pair count is O(|dirty| × block_cap).
+    Scoring is per-pair scalar work inside the join; best-match is a
+    window keyed by rec_id (keyed shuffle, no global sort); no
+    broadcasts, no collects. All comparators are exact (integer edit
+    distance; +0.5 and greatest() on binary-exact doubles), so the
+    DuckDB oracle matches bit-for-bit.
+    """
+    c = table(spark, sf_dir, "customer", fan_out=False)
+    dirty = (
+        c.filter(F.col("c_custkey") % 3 == 0)
+        .select(
+            (F.col("c_custkey") + 10_000_000).alias("rec_id"),
+            F.concat(
+                F.expr("substr(c_name, 1, length(c_name) - 1)"), F.lit("X")
+            ).alias("name"),
+            F.col("c_nationkey").alias("nation"),
+            (F.col("c_acctbal") + 0.5).alias("bal"),
+        )
+        .unionAll(
+            c.filter((F.col("c_custkey") % 3 != 0) & (F.col("c_custkey") % 7 == 0)).select(
+                (F.col("c_custkey") + 20_000_000).alias("rec_id"),
+                F.col("c_name").alias("name"),
+                F.col("c_nationkey").alias("nation"),
+                F.col("c_acctbal").alias("bal"),
+            )
+        )
+        .unionAll(
+            c.filter(F.col("c_custkey") % 11 == 0).select(
+                (F.col("c_custkey") + 30_000_000).alias("rec_id"),
+                F.concat(
+                    F.lit("Customer#"),
+                    F.lpad((F.col("c_custkey") + 500_000).cast("string"), 9, "0"),
+                ).alias("name"),
+                F.col("c_nationkey").alias("nation"),
+                F.col("c_acctbal").alias("bal"),
+            )
+        )
+    )
+    master = c.select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    cand = (
+        dirty.join(
+            master,
+            (F.expr("substr(name, 10, 8)") == F.expr(_ER_BLOCK))
+            & (F.col("nation") == F.col("c_nationkey")),
+        )
+        .withColumn("name_lev", F.levenshtein("name", "c_name"))
+        .withColumn("bal_diff", F.abs(F.col("bal") - F.col("c_acctbal")))
+        .filter(
+            (F.col("name_lev") <= _ER_MAX_LEV) & (F.col("bal_diff") <= _ER_BAL_TOL)
+        )
+        .select(
+            "rec_id",
+            "c_custkey",
+            "name_lev",
+            "bal_diff",
+            F.col("c_acctbal").alias("a_bal"),
+            F.col("bal").alias("d_bal"),
+        )
+    )
+    rk = Window.partitionBy("rec_id").orderBy("name_lev", "bal_diff", "c_custkey")
+    best = (
+        cand.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select("rec_id", "c_custkey", "name_lev", "a_bal", "d_bal")
+    )
+    return (
+        dirty.join(best.withColumnRenamed("rec_id", "b_rec_id"),
+                   dirty.rec_id == F.col("b_rec_id"), "left")
+        .select(
+            "rec_id",
+            F.col("c_custkey").alias("matched_custkey"),
+            "name_lev",
+            F.when(F.col("b_rec_id").isNull(), F.lit("new"))
+            .when(F.col("name_lev") == 0, F.lit("exact"))
+            .otherwise(F.lit("fuzzy"))
+            .alias("match_kind"),
+            F.when(F.col("b_rec_id").isNull(), F.col("bal"))
+            .otherwise(F.greatest("a_bal", "d_bal"))
+            .alias("survivor_bal"),
+        )
+    )

@@ -47,6 +47,7 @@ _QUERY_MODULES = (
     "cooler_mapreduce_spark.operators.setops",
     "cooler_mapreduce_spark.operators.scalars",
     "cooler_mapreduce_spark.operators.dedup",
+    "cooler_mapreduce_spark.operators.entity",
     "cooler_mapreduce_spark.operators.graph",
     "cooler_mapreduce_spark.operators.similarity",
     "cooler_mapreduce_spark.operators.textstats",
