@@ -1710,3 +1710,136 @@ def incremental_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_mktsegment").alias("segment"), "n_orders", "revenue", "max_order"
         )
     )
+
+
+# ------------------------------------------------- t-digest quantiles ----
+
+#: compression parameter δ: the digest holds O(δ) centroids; rank error
+#: at quantile q is bounded by ~4·q(1−q)/δ — tightest at the TAILS,
+#: which is exactly where the GK sketch (approx_quantiles_price) is
+#: weakest. Tests pin the contract (tests/test_llm_ops.py).
+_TD_DELTA = 100
+_TD_PS = (0.25, 0.5, 0.75, 0.95, 0.99)
+
+
+def _td_compress(means, weights, delta=_TD_DELTA):
+    """Merge sorted (mean, weight) centroid streams into <=O(delta)
+    centroids under the k1-scale weight bound 4·n·q(1−q)/δ (Dunning &
+    Ertl 2019, the 'merging digest' variant). Pure numpy; runs inside
+    Arrow workers."""
+    import numpy as np
+
+    order = np.argsort(means, kind="stable")
+    means, weights = means[order], weights[order]
+    total = float(weights.sum())
+    out_m: list[float] = []
+    out_w: list[float] = []
+    cum = 0.0
+    cur_m, cur_w = float(means[0]), float(weights[0])
+    for m, w in zip(means[1:], weights[1:]):
+        m, w = float(m), float(w)
+        q = (cum + cur_w + w / 2.0) / total
+        if cur_w + w <= 4.0 * total * q * (1.0 - q) / delta:
+            cur_w += w
+            cur_m += (m - cur_m) * (w / cur_w)
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            cum += cur_w
+            cur_m, cur_w = m, w
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    import numpy as _np
+
+    return _np.asarray(out_m), _np.asarray(out_w)
+
+
+def _td_quantile(means, weights, p):
+    """Standard t-digest quantile read: linear interpolation between
+    centroid means at the cumulative mid-weights."""
+    total = float(weights.sum())
+    target = p * total
+    cum = 0.0
+    prev_mid, prev_mean = None, None
+    for m, w in zip(means, weights):
+        mid = cum + float(w) / 2.0
+        if mid >= target:
+            if prev_mid is None:
+                return float(m)
+            frac = (target - prev_mid) / (mid - prev_mid)
+            return float(prev_mean + (m - prev_mean) * frac)
+        prev_mid, prev_mean = mid, float(m)
+        cum += float(w)
+    return float(means[-1])
+
+
+@query(
+    "tdigest_quantiles_price",
+    oracle=None,  # sketch centroids are partition-layout-dependent by
+    # design (same taxonomy as the GK sketch: mergeable within an error
+    # BOUND, not to identical cut points); tests pin rank error <= 1%
+    # at every probed quantile and the merge identity's error bound.
+    tags=("aggregation", "approx", "sketch", "mergeable", "percentile"),
+)
+def tdigest_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-price quantiles from a T-DIGEST (Dunning & Ertl 2019) built
+    distributively: each partition folds its values into O(δ) centroids
+    inside an Arrow ``mapInPandas`` worker, and the per-partition
+    centroid sets — O(partitions × δ) tiny rows — merge in one final
+    compression pass. The digest complements the registered GK tier
+    (``approx_quantiles_price``): GK bounds RANK error uniformly;
+    t-digest's k1 scale spends its centroid budget on the TAILS
+    (error ∝ q(1−q)/δ), making it the sketch of choice for p99-style
+    questions, and its centroids are mergeable state a 100 TB deployment
+    materializes per day/partition and rolls up without re-scans (the
+    HLL-tile pattern, hll_sketch_rollup_users).
+
+    Output: one row per probed quantile (p, est, n_centroids) — the
+    post-merge centroid count rides along to expose the O(δ) bound.
+
+    100 TB shape: one narrow Arrow pass over the data (no shuffle), then
+    a single-task merge of O(partitions × δ) centroid rows (the
+    mergeable-sketch funnel every sketch tier uses). Like the GK sketch,
+    the returned doubles depend on the scan partitioning (centroid
+    choice is order-sensitive; the ERROR BOUND is not) — hence rows-only
+    at the driver, with the accuracy pin as the contract.
+    """
+    import pandas as pd
+
+    o = table(spark, sf_dir, "orders", fan_out=False).select(
+        F.col("o_totalprice").alias("v")
+    )
+
+    def partial(batches):
+        import numpy as np
+
+        vals: list = []
+        for b in batches:
+            vals.append(b["v"].to_numpy(dtype="float64"))
+        if vals:
+            v = np.concatenate(vals)
+            if v.size:
+                m, w = _td_compress(v, np.ones_like(v))
+                yield pd.DataFrame({"mean": m, "weight": w})
+
+    centroids = o.mapInPandas(partial, schema="mean double, weight double")
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        m, w = _td_compress(
+            pdf["mean"].to_numpy(dtype="float64"),
+            pdf["weight"].to_numpy(dtype="float64"),
+        )
+        return pd.DataFrame(
+            {
+                "p": list(_TD_PS),
+                "est": [_td_quantile(m, w, p) for p in _TD_PS],
+                "n_centroids": [int(m.size)] * len(_TD_PS),
+            }
+        )
+
+    return (
+        centroids.groupBy(F.lit(1).alias("g"))
+        .applyInPandas(merge, schema="p double, est double, n_centroids int")
+    )

@@ -119,6 +119,49 @@ def test_approx_quantiles_close_to_exact(spark, oracle_sf_dir):
         assert abs(rank_g - q) < 0.01, (q, g, e, rank_g)
 
 
+def test_tdigest_quantiles_close_to_exact(spark, oracle_sf_dir):
+    """t-digest quantiles must land within 1% rank error of exact at
+    every probed p (tail error bound ~4·q(1−q)/δ is far tighter than
+    the pin at p95/p99 — the sketch's selling point), the centroid
+    count must respect the O(δ) budget, and the pure-Python kernel must
+    satisfy the merge-identity error bound (digest of halves, merged,
+    answers within the same rank tolerance as one-shot)."""
+    import bisect
+
+    import duckdb
+    import numpy as np
+
+    from cooler_mapreduce_spark.operators.aggregates import (
+        _TD_DELTA,
+        _td_compress,
+        _td_quantile,
+    )
+
+    rows = SPECS["tdigest_quantiles_price"].fn(spark, oracle_sf_dir).collect()
+    con = duckdb.connect()
+    vals = con.execute(
+        f"SELECT o_totalprice FROM '{oracle_sf_dir}/orders.parquet' ORDER BY o_totalprice"
+    ).df()["o_totalprice"].tolist()
+    n = len(vals)
+    for r in rows:
+        rank = bisect.bisect_left(vals, r["est"]) / n
+        assert abs(rank - r["p"]) < 0.01, (r["p"], r["est"], rank)
+        # the 4q(1−q) merge criterion admits ~4δ centroids in a single
+        # pass (Dunning & Ertl §2.2 bound is O(δ) with a small constant)
+        assert r["n_centroids"] <= 5 * _TD_DELTA, r["n_centroids"]
+
+    # merge identity on the kernel: two half-digests merged ≈ one-shot
+    rng = np.array(vals)
+    a, b = rng[: n // 2], rng[n // 2 :]
+    ma, wa = _td_compress(a, np.ones_like(a))
+    mb, wb = _td_compress(b, np.ones_like(b))
+    mm, wm = _td_compress(np.concatenate([ma, mb]), np.concatenate([wa, wb]))
+    for p in (0.25, 0.5, 0.75, 0.95, 0.99):
+        est = _td_quantile(mm, wm, p)
+        rank = bisect.bisect_left(vals, est) / n
+        assert abs(rank - p) < 0.01, (p, est, rank)
+
+
 def test_pagerank_mass_conservation_and_concentration(spark, sf_dir):
     """PageRank invariants on the mirrored (dangling-free) trade graph:
     total rank mass stays 1 after every iteration (teleport + damped
