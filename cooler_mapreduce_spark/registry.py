@@ -66,6 +66,7 @@ _QUERY_MODULES = (
     "cooler_mapreduce_spark.streaming.tiles",
     "cooler_mapreduce_spark.streaming.stateful",
     "cooler_mapreduce_spark.streaming.transform_state",
+    "cooler_mapreduce_spark.streaming.observe",
     "cooler_mapreduce_spark.sources.sinks",
     "cooler_mapreduce_spark.sources.bucketing",
 )

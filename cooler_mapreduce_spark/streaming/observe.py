@@ -1,0 +1,121 @@
+"""Streaming observability: per-micro-batch ``observe`` metrics.
+
+Production streaming jobs need COUNTERS — rows ingested, rows failing a
+quality gate, value mass processed — surfaced per micro-batch without a
+second pass over the data. Spark's ``Dataset.observe`` attaches
+aggregate expressions that ride the existing plan (computed by an
+accumulator during the pass the query already makes — zero extra scans,
+zero shuffles) and reports them on each ``StreamingQueryProgress``.
+This module is the streaming face of the batch ``Observation`` tier
+(observability.py): same expressions, delivered per-batch.
+
+Scale note: observed metrics cost O(metrics) per task — they piggyback
+on whatever the query already computes; the progress feed is O(batches)
+driver-side rows. The registered query folds per-batch counters into
+run totals, which is exactly how a 100 TB deployment wires them into a
+metrics store (one row per (query, batch) — bounded by trigger rate,
+not data size).
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import query
+from ..sources.catalog import table
+from ..sources.sinks import remove_scratch, scratch_dir
+
+#: micro-batch replay width: the scratch copy is written as this many
+#: files and streamed with maxFilesPerTrigger=1, so the run is a genuine
+#: multi-batch stream (the stream_scd2 replay convention).
+_OBS_FILES = 4
+
+
+@query(
+    "stream_observed_metrics",
+    oracle=f"""
+    SELECT CAST({_OBS_FILES} AS BIGINT) AS n_batches,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_purchases,
+           CAST(SUM(CASE WHEN value <= 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_quality_fail,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM events
+    """,
+    tags=("streaming", "observability", "metrics"),
+)
+def stream_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run a REAL multi-batch stream over the events table with
+    ``observe`` counters attached (rows ingested, purchases seen,
+    quality-gate failures, decimal-staged value mass), harvest each
+    micro-batch's ``observedMetrics`` from the progress feed, and fold
+    them into run totals. The oracle computes the same totals in one
+    SQL pass — counters that are SUMS are micro-batch-partition
+    invariant, which is precisely why production metrics pipelines
+    emit sums/counts and never batch-local extrema.
+
+    The value mass is summed as DECIMAL(30,6) inside each batch and the
+    per-batch decimals are added EXACTLY driver-side (Python Decimal),
+    so the fold is order-independent and the final double equals the
+    oracle's one-pass decimal sum bit-for-bit (the dsum convention,
+    extended across the batch dimension).
+
+    n_batches pins the replay width itself: the scratch copy is
+    round-robin repartitioned into ``_OBS_FILES`` files and streamed
+    with maxFilesPerTrigger=1 under AvailableNow, so exactly that many
+    non-empty batches must report metrics.
+    """
+    ev = table(spark, sf_dir, "events", fan_out=False)
+    src_dir = scratch_dir(spark, "obs_src_")
+    try:
+        ev.repartition(_OBS_FILES).write.mode("overwrite").parquet(src_dir)
+        schema = spark.read.parquet(src_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .observe(
+                "metrics",
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                ).alias("n_purchases"),
+                F.sum(F.when(F.col("value") <= 0.0, 1).otherwise(0)).alias(
+                    "n_quality_fail"
+                ),
+                F.sum(F.col("value").cast("decimal(30,6)")).alias("sum_value"),
+            )
+        )
+        q = (
+            stream.writeStream.format("noop")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        batches = []
+        for prog in q.recentProgress:
+            om = (prog.get("observedMetrics") or {}).get("metrics")
+            if om is None:
+                continue
+            if prog.get("numInputRows", 0) == 0:
+                continue
+            batches.append(om)
+    finally:
+        remove_scratch(spark, src_dir)
+    n_rows = sum(int(b["n_rows"]) for b in batches)
+    n_purchases = sum(int(b["n_purchases"]) for b in batches)
+    n_quality_fail = sum(int(b["n_quality_fail"]) for b in batches)
+    sum_value = float(
+        sum((Decimal(str(b["sum_value"])) for b in batches), Decimal(0))
+    )
+    return spark.createDataFrame(
+        [(len(batches), n_rows, n_purchases, n_quality_fail, sum_value)],
+        schema="n_batches bigint, n_rows bigint, n_purchases bigint, "
+        "n_quality_fail bigint, sum_value double",
+    )
