@@ -1726,10 +1726,12 @@ def _td_compress(means, weights, delta=_TD_DELTA):
     """Merge sorted (mean, weight) centroid streams into <=O(delta)
     centroids under the k1-scale weight bound 4·n·q(1−q)/δ (Dunning &
     Ertl 2019, the 'merging digest' variant). Pure numpy; runs inside
-    Arrow workers."""
+    Arrow workers. Sorting is lexicographic on (mean, weight) so the
+    result is a pure function of the centroid MULTISET — arrival order
+    (e.g. shuffle layout feeding the merge group) can never leak."""
     import numpy as np
 
-    order = np.argsort(means, kind="stable")
+    order = np.lexsort((weights, means))
     means, weights = means[order], weights[order]
     total = float(weights.sum())
     out_m: list[float] = []

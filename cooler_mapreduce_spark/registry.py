@@ -387,16 +387,29 @@ PRIORITY_QUERIES: tuple[str, ...] = (
     # --- oldest-row re-anchors (r1 greens, family-balanced) ---
     "top_supplier_by_revenue_q15",    # + r7 hint-deletion re-proof
     "join_interval_overlap",          # + r7 bench-regression suspect
-    "yoy_revenue_by_month",
-    "window_range_frame_stats",
-    "ntile_order_deciles",
-    "rollup_region_nation_customers",
-    "join_full_outer_hourly",
-    "join_null_safe_props",
     "debounce_events",
-    "distinct_values",
     "fuzzy_match_parts",
     "value_histogram",
+    # --- mid-r8 sanctioned growth: the round-9 handoff's gap-checked
+    # candidates, built this round at the full bar (oracle or documented
+    # rows-only contract, scale-shape docstring, audit membership, local
+    # hash-green at sf0.01 AND sf0.1). They take the window slots of
+    # seven r1-green re-anchors whose FAMILIES remain anchored elsewhere
+    # in this window (displacing re-anchors, never first-timers — the
+    # registry-discipline rule): yoy_revenue_by_month +
+    # window_range_frame_stats + ntile_order_deciles (windows/timeseries
+    # — window_top_orders_per_customer anchors the family; kalman joins
+    # it), rollup_region_nation_customers (cube_sales is in-window),
+    # join_full_outer_hourly + join_null_safe_props (join family holds
+    # asof + interval + bucketed slots), distinct_values (set-ops family
+    # holds union_all; dedup anchors the distinct tier).
+    "kalman_smooth_weekly_revenue",   # sequential-state HOF family
+    "sssp_weighted_from_hub",         # weighted frontier relaxation
+    "dp_noisy_quantiles_price",       # governance: DP histogram→quantile
+    "sql_tablesample_faces",          # SQL sampling surface
+    "entity_resolution_customers",    # block→score→survive linkage
+    "stream_observed_metrics",        # per-batch observe counters
+    "tdigest_quantiles_price",        # rows-only tail-accuracy sketch
 )
 
 

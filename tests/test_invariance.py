@@ -157,6 +157,22 @@ CASES = [
     "clustering_coefficient_topk",
     "event_cooccurrence_lift",
     "basket_association_rules",
+    # mid-r8 growth entries, pre-driver-row protection (the r7 rule —
+    # every window entry runs here before its first CORRECTNESS row):
+    # the Kalman HOF fold's array_sort input, the SSSP integer-min
+    # relaxation, the DP noisy-CDF's ordered running sum, TakeOrdered's
+    # top-k + the md5 gate, the ER best-match total order, the observe
+    # counters' exact decimal fold, and the t-digest merge (a pure
+    # function of the centroid multiset after the lexsort fix —
+    # shuffle layout must not reach the merge order; the SCAN-split
+    # sensitivity documented in its docstring is a different axis)
+    "kalman_smooth_weekly_revenue",
+    "sssp_weighted_from_hub",
+    "dp_noisy_quantiles_price",
+    "sql_tablesample_faces",
+    "entity_resolution_customers",
+    "stream_observed_metrics",
+    "tdigest_quantiles_price",
 ]
 
 
@@ -220,6 +236,8 @@ _TZ_CASES = [
     "rolling_corr_revenue_orders",
     "downsample_lttb_daily",
     "incremental_join_view_delta",
+    # mid-r8 growth: weekly NTZ buckets over o_orderdate (holt's shape)
+    "kalman_smooth_weekly_revenue",
 ]
 
 
