@@ -735,6 +735,55 @@ CASES = {
             ("no cartesian product", lambda p: "CartesianProduct" not in p),
         ],
     ),
+    "kalman_smooth_weekly_revenue": (
+        "sequential HOF fold over a calendar-bounded series: ONE partial-aggregated shuffle collapses the fact table to O(weeks) rows before the single-task fold",
+        [
+            ("weekly collapse partial-aggregates", lambda p: "partial_sum" in p),
+            ("no join anywhere", lambda p: "Join" not in p),
+            ("no global sort of the fact table", lambda p: "rangepartitioning" not in p),
+        ],
+    ),
+    "sssp_weighted_from_hub": (
+        "frontier relaxation: each round (executed eagerly during construction) is a keyed equi-join + partial-aggregated min; the registered face reads the final localCheckpoint'ed state, so its plan is a checkpoint scan — no join, no shuffle after the loop",
+        [
+            ("no cartesian product", lambda p: "CartesianProduct" not in p),
+            ("checkpointed state feeds the plan", lambda p: "Scan ExistingRDD" in p),
+            ("no post-loop shuffle", lambda p: "Exchange hashpartitioning" not in p),
+        ],
+    ),
+    "entity_resolution_customers": (
+        "record linkage: candidates from a shuffled equi-join on the bounded block key (never all-pairs), best-match via a rec_id-keyed window",
+        [
+            ("no cartesian/NL join", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
+            ("best-match window keyed by rec_id (never single-task)", lambda p:
+                all("rec_id" in ln for ln in p.splitlines()
+                    if ln.strip().lstrip("+-*: ").startswith("Window "))),
+        ],
+    ),
+    "sql_tablesample_faces": (
+        "TABLESAMPLE (n ROWS) over sorted input compiles to TakeOrderedAndProject (parallel top-k, never a global sort); the percent twin is a pushdown-friendly filter scan",
+        [
+            ("TakeOrdered, not Sort+Limit", lambda p: "TakeOrderedAndProject" in p),
+            ("no global range sort", lambda p: "rangepartitioning" not in p),
+            ("no shuffle in either branch", lambda p: "Exchange hashpartitioning" not in p),
+        ],
+    ),
+    "dp_noisy_quantiles_price": (
+        "DP histogram release: ONE partial-aggregated shuffle onto the literal 64-bin grid; the noisy-CDF window and quantile picks run over grid rows only",
+        [
+            ("grid count partial-aggregates", lambda p: "partial_count" in p),
+            ("one data shuffle, diamond reused", lambda p: p.count("Exchange hashpartitioning") == 1 and "ReusedExchange" in p),
+            ("no cartesian over data (1-row/4-row literals only)", lambda p: "CartesianProduct" not in p),
+        ],
+    ),
+    "tdigest_quantiles_price": (
+        "mergeable sketch funnel: per-partition Arrow digests (no shuffle before compression), one O(partitions x delta) centroid merge group",
+        [
+            ("Arrow-batched partial digests", lambda p: "MapInPandas" in p),
+            ("single-group Arrow merge", lambda p: "FlatMapGroupsInPandas" in p),
+            ("no join anywhere", lambda p: "Join" not in p),
+        ],
+    ),
 }
 
 #: cases whose scan/reuse claims are only *printable* with AQE disabled:
@@ -743,7 +792,7 @@ CASES = {
 #: can't show the ReusedExchange nodes. Disabling AQE for the plan print
 #: applies the classic ReuseExchange rule and makes the sharing visible;
 #: execution behavior with AQE on is the same stages, reused.
-AQE_OFF_CASES = {"doc_unigram_nll", "vocab_coverage_topk"}
+AQE_OFF_CASES = {"doc_unigram_nll", "vocab_coverage_topk", "dp_noisy_quantiles_price"}
 
 #: cases whose broadcast joins are chosen by AQE at RUNTIME rather than by
 #: static size estimation: after the round-5 removal of F.broadcast() hints
