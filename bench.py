@@ -72,6 +72,9 @@ HEADLINE = [
     # round-6 fourth wave:
     "embedding_pq_fidelity",        # map-side PQ encode: heavy literal-codebook projection, zero shuffles
     "stream_quantile_tiles",        # real stream: foreachBatch tile deltas + dynamic overwrite + tile read-back
+    # round-8 growth additions:
+    "entity_resolution_customers",  # record linkage: block equi-join + levenshtein scoring + keyed best-match window
+    "tdigest_quantiles_price",      # sketch tier's Arrow profile: per-partition numpy compression + single-group centroid funnel
 ]
 # Excluded by design: ann_recall_lsh/ann_recall_ivf re-run two already-
 # benched ANN tiers plus a join — benching them would double-count the
@@ -171,6 +174,24 @@ HEADLINE = [
 # benched as-of exchange with a second per-user sort;
 # seasonal_decompose_weekly shares autocorr's day-rollup scan with an
 # O(days) window tail.
+# Of the round-8 growth additions, entity_resolution_customers is
+# benched (new cost profile: the blocked linkage join — levenshtein
+# scoring inside a shuffled equi-join plus the rec_id-keyed best-match
+# window; no other entry runs string-distance kernels in a join) and
+# tdigest_quantiles_price is benched (the sketch tier's Arrow profile:
+# per-partition numpy stream compression + the single-group centroid
+# funnel — multimodal_resize_stats times Arrow over 500 blobs, this
+# times it over the full fact table). The rest re-exercise benched
+# shapes: sssp_weighted_from_hub is a ≤8-round frontier loop over the
+# SAME checkpointed edge derivation as the excluded BFS — iterative
+# scheduling overhead, represented by pagerank;
+# kalman_smooth_weekly_revenue shares holt's weekly-collapse scan and
+# differs only in the O(weeks) fold arithmetic; dp_noisy_quantiles_price
+# is pricing_summary's exchange shape collapsed onto 64 grid rows;
+# sql_tablesample_faces is a TakeOrdered + a gate-filter scan
+# (shipping_priority_topk and forecast_revenue_change cover both);
+# stream_observed_metrics' drain cost is the benched real-stream
+# tumbling drain minus its state store (observe riding a noop sink).
 
 #: REAL-STREAM surfaces (not batch twins): each starts an actual
 #: StreamingQuery over the sf dir and times a full bounded-replay drain —
