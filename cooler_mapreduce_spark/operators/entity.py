@@ -142,6 +142,16 @@ def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     master = c.select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    return resolve_records(dirty, master)
+
+
+def resolve_records(dirty: DataFrame, master: DataFrame) -> DataFrame:
+    """Resolve a ``(rec_id, name, nation, bal)`` batch against a
+    ``(c_custkey, c_name, c_nationkey, c_acctbal)`` master — the
+    block→score→best-match→survive kernel of
+    :func:`entity_resolution_customers`, factored out so the property
+    suite can pin it against a brute-force sequential matcher on
+    arbitrary record sets (tests/test_property_blocks.py)."""
     cand = (
         dirty.join(
             master,

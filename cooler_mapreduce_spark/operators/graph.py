@@ -810,13 +810,23 @@ def sssp_weighted_from_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .select(F.col("src").alias("node"))
     )
-    dist = hub.withColumn("cost", F.lit(0)).localCheckpoint(eager=True)
+    return sssp_frame(edges, hub, _SSSP_MAX_COST)
+
+
+def sssp_frame(edges: DataFrame, sources: DataFrame, max_cost: int) -> DataFrame:
+    """Bounded-cost frontier Bellman-Ford over an ``(src, dst, w)`` edge
+    frame from a ``(node)`` source frame — the relaxation kernel of
+    :func:`sssp_weighted_from_hub`, factored out so the property suite
+    can pin it against a sequential Dijkstra on arbitrary graphs
+    (tests/test_property_blocks.py). Integer weights >= 1 required (the
+    horizon then bounds the round count)."""
+    dist = sources.withColumn("cost", F.lit(0)).localCheckpoint(eager=True)
     frontier = dist
-    for _ in range(_SSSP_MAX_COST):
+    for _ in range(max_cost):
         cand = (
             frontier.join(edges, frontier.node == edges.src)
             .select(F.col("dst").alias("node"), (frontier.cost + edges.w).alias("cost"))
-            .filter(F.col("cost") <= _SSSP_MAX_COST)
+            .filter(F.col("cost") <= max_cost)
         )
         new_dist = (
             dist.unionAll(cand)

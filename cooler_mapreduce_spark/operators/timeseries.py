@@ -1184,10 +1184,19 @@ def kalman_smooth_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trunc(F.to_date("o_orderdate"), "week").cast("timestamp_ntz").alias("bucket_week")
     ).agg(dsum("o_totalprice").alias("revenue"))
     series = weekly.select(
-        F.struct(
-            "bucket_week",
-            (F.col("revenue").cast("double") / F.lit(1_000_000.0)).alias("y"),
-        ).alias("s")
+        "bucket_week", (F.col("revenue").cast("double") / F.lit(1_000_000.0)).alias("y")
+    )
+    return kalman_fold(series)
+
+
+def kalman_fold(series: DataFrame) -> DataFrame:
+    """Run the local-level Kalman recurrence over a ``(bucket_week, y)``
+    frame — the fold kernel of :func:`kalman_smooth_weekly_revenue`,
+    factored out so the property suite can pin it against a sequential
+    pure-Python recurrence on arbitrary series
+    (tests/test_property_blocks.py)."""
+    series = series.select(
+        F.struct("bucket_week", "y").alias("s")
     ).agg(F.array_sort(F.collect_list("s")).alias("ser"))
     k = _KAL_K.format(p="acc.p")
     nx = _KAL_X.format(x="acc.x", y="w.y", p="acc.p")

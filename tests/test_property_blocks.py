@@ -600,3 +600,208 @@ def test_theilsen_equals_pairwise_median_reference(spark, rows, tmp_path_factory
     n, slope = _theilsen_py(rows)
     assert r.n_pairs == n
     assert abs(r.theil_sen_slope - slope) < 1e-9
+
+
+# ---------------------------------------------- round-8 growth kernels ----
+
+_wedges = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15), st.integers(1, 3)).filter(
+        lambda e: e[0] != e[1]
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _dijkstra_bounded(edges, source, max_cost):
+    import heapq
+
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for s, d, w in edges:
+        adj.setdefault(s, []).append((d, w))
+    dist = {source: 0}
+    heap = [(0, source)]
+    while heap:
+        c, n = heapq.heappop(heap)
+        if c > dist.get(n, max_cost + 1):
+            continue
+        for d, w in adj.get(n, ()):
+            nc = c + w
+            if nc <= max_cost and nc < dist.get(d, max_cost + 1):
+                dist[d] = nc
+                heapq.heappush(heap, (nc, d))
+    return dist
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(edges=_wedges, cap=st.integers(1, 6))
+def test_sssp_frame_equals_bounded_dijkstra(spark, edges, cap):
+    """The frontier Bellman-Ford relaxation must equal a sequential
+    bounded Dijkstra for ANY weighted digraph, horizon, multi-edge set —
+    including graphs where a cheaper many-hop path must beat an
+    expensive few-hop one (the case a hop-capped BFS would get wrong)."""
+    from cooler_mapreduce_spark.operators.graph import sssp_frame
+
+    e = spark.createDataFrame(edges, "src int, dst int, w int")
+    src = spark.createDataFrame([(0,)], "node int")
+    got = {r.node: r.cost for r in sssp_frame(e, src, cap).collect()}
+    assert got == _dijkstra_bounded(edges, 0, cap)
+
+
+_series = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _kalman_py(ys):
+    # the SAME op order the shared SQL spelling pins: pp = p + Q;
+    # k = pp / (pp + R); x' = x + k*(y - x); p' = (1 - k) * pp
+    out = [(ys[0], ys[0], 1.0, None)]
+    x, p = ys[0], 1.0
+    for y in ys[1:]:
+        k = (p + 0.01) / ((p + 0.01) + 1.0)
+        nx = x + k * (y - x)
+        np_ = (1.0 - k) * (p + 0.01)
+        out.append((y, nx, np_, k))
+        x, p = nx, np_
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(ys=_series)
+def test_kalman_fold_equals_sequential_recurrence(spark, ys):
+    """The HOF Kalman fold must be BIT-IDENTICAL to the sequential
+    pure-Python recurrence written in the same op order, for ANY series
+    — the shared-spelling discipline means there is no tolerance here."""
+    import datetime as _dt
+
+    from cooler_mapreduce_spark.operators.timeseries import kalman_fold
+
+    base = _dt.datetime(2020, 1, 6)
+    series = spark.createDataFrame(
+        [(base + _dt.timedelta(weeks=i), float(y)) for i, y in enumerate(ys)],
+        "bucket_week timestamp_ntz, y double",
+    )
+    rows = sorted(kalman_fold(series).collect(), key=lambda r: r.bucket_week)
+    ref = _kalman_py([float(y) for y in ys])
+    assert len(rows) == len(ref)
+    for r, (y, x, p, k) in zip(rows, ref):
+        assert (r.y, r.level, r.variance, r.gain) == (y, x, p, k)
+
+
+def _lev_py(a, b):
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _resolve_py(dirty, master):
+    out = []
+    for rec_id, name, nation, bal in dirty:
+        cands = []
+        for ck, cn, cnat, cbal in master:
+            if name[9:17] != cn[9:17] or nation != cnat:
+                continue
+            lev = _lev_py(name, cn)
+            diff = abs(bal - cbal)
+            if lev <= 1 and diff <= 1.0:
+                cands.append((lev, diff, ck, cbal))
+        if not cands:
+            out.append((rec_id, None, None, "new", bal))
+        else:
+            lev, _diff, ck, cbal = min(cands)
+            kind = "exact" if lev == 0 else "fuzzy"
+            out.append((rec_id, ck, lev, kind, max(cbal, bal)))
+    return sorted(out, key=lambda t: t[0])
+
+
+_er_case = st.lists(
+    st.tuples(
+        st.integers(0, 29),              # master key the record derives from
+        st.sampled_from(["exact", "typo", "alien"]),
+        st.sampled_from([0.0, 0.5, 2.0]),  # balance drift (2.0 breaks tolerance)
+        st.booleans(),                   # nation agreement
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(case=_er_case)
+def test_resolve_records_equals_bruteforce(spark, case):
+    """The blocked+windowed linkage must equal a brute-force sequential
+    matcher for ANY dirty batch — exact dupes, tail typos, out-of-range
+    aliens, tolerance-breaking drifts, nation disagreements, and records
+    tying on edit distance (the total-order tiebreak)."""
+    from cooler_mapreduce_spark.operators.entity import resolve_records
+
+    master = [
+        (k, f"Customer#{k:09d}", k % 3, float(k) + 0.25) for k in range(30)
+    ]
+    dirty = []
+    for i, (k, mode, drift, same_nation) in enumerate(case):
+        name = f"Customer#{k:09d}"
+        if mode == "typo":
+            name = name[:-1] + "X"
+        elif mode == "alien":
+            name = f"Customer#{k + 500000:09d}"
+        nation = (k % 3) if same_nation else ((k + 1) % 3)
+        dirty.append((10_000 + i, name, nation, float(k) + 0.25 + drift))
+    got = sorted(
+        (
+            (r.rec_id, r.matched_custkey, r.name_lev, r.match_kind, r.survivor_bal)
+            for r in resolve_records(
+                spark.createDataFrame(dirty, "rec_id bigint, name string, nation int, bal double"),
+                spark.createDataFrame(master, "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double"),
+            ).collect()
+        ),
+        key=lambda t: t[0],
+    )
+    assert got == _resolve_py(dirty, master)
+
+
+_td_vals = st.lists(
+    st.floats(min_value=0.0, max_value=1e6, allow_nan=False, allow_infinity=False),
+    min_size=1,
+    max_size=400,
+)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(vals=_td_vals)
+def test_tdigest_kernel_rank_bound_and_multiset_purity(vals):
+    """For ANY value multiset: (1) the compression is a pure function of
+    the multiset — feeding the centroids in a different order changes
+    nothing (the lexsort guarantee the shuffle-invariance sweep relies
+    on); (2) every probed quantile's estimate has interval rank error
+    within the k1 bound plus discretization (duplicates handled by
+    measuring distance to the [bisect_left, bisect_right] rank band)."""
+    import bisect
+
+    import numpy as np
+
+    from cooler_mapreduce_spark.operators.aggregates import (
+        _td_compress,
+        _td_quantile,
+    )
+
+    v = np.asarray(vals, dtype="float64")
+    m1, w1 = _td_compress(v, np.ones_like(v))
+    m2, w2 = _td_compress(v[::-1].copy(), np.ones_like(v))
+    assert m1.tolist() == m2.tolist() and w1.tolist() == w2.tolist()
+
+    svals = sorted(vals)
+    n = len(svals)
+    for p in (0.25, 0.5, 0.75, 0.95, 0.99):
+        est = _td_quantile(m1, w1, p)
+        lo = bisect.bisect_left(svals, est) / n
+        hi = bisect.bisect_right(svals, est) / n
+        err = 0.0 if lo <= p <= hi else min(abs(p - lo), abs(p - hi))
+        assert err <= 0.02 + 1.0 / n, (p, est, lo, hi, n)
