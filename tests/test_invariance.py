@@ -350,6 +350,10 @@ _AQE_CASES = [
     "market_share_q8",
     "pagerank_supplier_customer",
     "triangle_count_copurchase",
+    # r8 growth: the SSSP loop's per-round join planning and the ER
+    # block join must not let AQE coalescing/promotion move results
+    "sssp_weighted_from_hub",
+    "entity_resolution_customers",
 ]
 
 
@@ -371,6 +375,10 @@ _CODEGEN_CASES = [
     "autocorr_daily_revenue",
     "dedup_minhash_lsh",
     "theilsen_trend_revenue",
+    # r8 growth: the Kalman HOF fold (holt's interpreted-path sibling)
+    # and the DP release's ln()/division noise math
+    "kalman_smooth_weekly_revenue",
+    "dp_noisy_quantiles_price",
 ]
 
 
@@ -391,6 +399,10 @@ _ENGINE_CONF_CASES = [
     ("spark.sql.ansi.enabled", "multiple_ols_price_by_flag"),
     ("spark.sql.ansi.enabled", "string_functions"),
     ("spark.sql.ansi.enabled", "ccnet_perplexity_buckets"),
+    # r8 growth: the TABLESAMPLE SQL text must not lean on ANSI-only
+    # semantics; the digest's parquet feed must not depend on the reader
+    ("spark.sql.ansi.enabled", "sql_tablesample_faces"),
+    ("spark.sql.parquet.enableVectorizedReader", "tdigest_quantiles_price"),
 ]
 
 
@@ -419,6 +431,11 @@ _SPLIT_CASES = [
 _ARROW_BATCH_CASES = [
     "multimodal_resize_stats",
     "multimodal_audio_stats",
+    # r8 growth: the t-digest partial concatenates a partition's batches
+    # BEFORE compressing, so Arrow batch boundaries must not leak into
+    # the centroids (the scan-SPLIT axis, by contrast, legitimately
+    # moves them — the GK taxonomy, documented in its docstring)
+    "tdigest_quantiles_price",
 ]
 
 
