@@ -194,3 +194,35 @@ def resolve_records(dirty: DataFrame, master: DataFrame) -> DataFrame:
             .alias("survivor_bal"),
         )
     )
+
+
+def cluster_matches(resolved: DataFrame) -> DataFrame:
+    """Survivorship CLUSTERING over a resolution result: feed the
+    (rec_id, matched_custkey) match pairs through the alternating-star
+    connected-components kernel, so records that matched the same
+    master — or chains of records bridging masters — collapse into one
+    entity cluster labeled by its minimum id (the golden-record key).
+    Unmatched ('new') records become singleton clusters of their own
+    rec_id.
+
+    STAGED round-9 kernel (not yet a registered query — the round-8
+    window is full per the registry discipline; r9 registers the
+    composed block→score→resolve→CLUSTER face with an oracle over the
+    deterministic dirty batch). Scale shape: the pair set is O(matched
+    records); components converge in O(log n) star rounds regardless
+    of chain length (dedup.connected_components, r3); the singleton
+    union is one anti-join projection.
+    """
+    from .dedup import connected_components
+
+    pairs = resolved.filter(F.col("matched_custkey").isNotNull()).select(
+        F.col("rec_id").alias("doc_a"), F.col("matched_custkey").alias("doc_b")
+    )
+    clustered = connected_components(pairs).select(
+        F.col("doc_id").alias("entity_id"), "cluster_id"
+    )
+    singletons = (
+        resolved.filter(F.col("matched_custkey").isNull())
+        .select(F.col("rec_id").alias("entity_id"), F.col("rec_id").alias("cluster_id"))
+    )
+    return clustered.unionByName(singletons)

@@ -841,3 +841,60 @@ def sssp_frame(edges: DataFrame, sources: DataFrame, max_cost: int) -> DataFrame
         if frontier.limit(1).count() == 0:
             break
     return dist.select("node", F.col("cost").cast("bigint").alias("cost"))
+
+
+def weighted_pagerank_frame(
+    edges: DataFrame, iterations: int = _PR_ITERATIONS, damping: float = _DAMPING
+) -> DataFrame:
+    """Weight-proportional PageRank over an ``(src, dst, w)`` edge frame
+    (w integer > 0): each node's rank flows to its neighbors pro rata to
+    edge weight instead of uniformly — the natural ranking for the
+    tie-strength edges :func:`sssp_weighted_from_hub` introduced.
+
+    STAGED round-9 kernel (not yet a registered query — the round-8
+    window is full per the registry discipline; registration lands with
+    the r9 rotation, oracled via the same recursive-CTE construction as
+    `pagerank_supplier_customer`). Same determinism discipline as the
+    uniform kernel: contributions are floor-quantized to 1e-15 and
+    summed as exact decimals, so per-iteration sums are order-free;
+    same scale shape: one O(|edges|) keyed shuffle per iteration with
+    map-side partial sums, state O(|nodes|), nothing collected. Nodes
+    are the distinct sources; a mirrored (symmetric) edge set has no
+    dangling mass by construction — callers with directed edges own
+    that accounting, as with the uniform kernel.
+
+    Property-pinned against a same-op-order sequential replica on
+    arbitrary weighted graphs (tests/test_property_blocks.py).
+    """
+    edges = edges.repartition("src").localCheckpoint(eager=True)
+    outw = edges.groupBy("src").agg(F.sum("w").alias("outw")).localCheckpoint(eager=True)
+    n = outw.agg(F.count("*").alias("n_nodes"))
+    ranks = outw.crossJoin(F.broadcast(n)).select(
+        F.col("src").alias("node"),
+        "outw",
+        (F.lit(1.0) / F.col("n_nodes")).alias("rank"),
+    )
+    q = F.lit(float(_Q))
+    for _ in range(iterations):
+        contribs = ranks.hint("shuffle_hash").join(
+            edges, F.col("node") == F.col("src")
+        ).select(
+            F.col("dst").alias("to"),
+            F.floor(F.col("rank") * F.col("w") / F.col("outw") * q)
+            .cast("decimal(38,0)")
+            .alias("c"),
+        )
+        sums = contribs.groupBy("to").agg(F.sum("c").alias("s"))
+        ranks = (
+            sums.join(outw.hint("shuffle_hash"), F.col("to") == F.col("src"))
+            .crossJoin(F.broadcast(n))
+            .select(
+                F.col("to").alias("node"),
+                "outw",
+                (
+                    F.lit(1.0 - damping) / F.col("n_nodes")
+                    + F.lit(damping) * (F.col("s").cast("double") / q)
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", "rank")

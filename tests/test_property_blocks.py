@@ -805,3 +805,75 @@ def test_tdigest_kernel_rank_bound_and_multiset_purity(vals):
         hi = bisect.bisect_right(svals, est) / n
         err = 0.0 if lo <= p <= hi else min(abs(p - lo), abs(p - hi))
         assert err <= 0.02 + 1.0 / n, (p, est, lo, hi, n)
+
+
+_wgraph = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12), st.integers(1, 5)).filter(
+        lambda e: e[0] != e[1]
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _wpr_py(rows, iters, damping=0.85):
+    # mirrors weighted_pagerank_frame's exact op order, including the
+    # floor quantization and the inner sums⋈outw join per iteration
+    import math
+
+    q = 1_000_000_000_000_000.0
+    outw: dict[int, int] = {}
+    for s, _d, w in rows:
+        outw[s] = outw.get(s, 0) + w
+    n = len(outw)
+    rank = {v: 1.0 / n for v in outw}
+    for _ in range(iters):
+        sums: dict[int, int] = {}
+        for s, d, w in rows:
+            if s in rank:
+                sums[d] = sums.get(d, 0) + math.floor(rank[s] * w / outw[s] * q)
+        rank = {
+            d: (1.0 - damping) / n + damping * (float(c) / q)
+            for d, c in sums.items()
+            if d in outw
+        }
+    return rank
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(base=_wgraph, iters=st.integers(1, 3))
+def test_weighted_pagerank_equals_sequential_replica(spark, base, iters):
+    """The staged weighted-PageRank kernel must be BIT-IDENTICAL to a
+    sequential replica written in the same op order (floor-quantized
+    decimal contribution sums make the distributed adds order-free) for
+    ANY mirrored weighted multigraph and damping=0.85."""
+    from cooler_mapreduce_spark.operators.graph import weighted_pagerank_frame
+
+    rows = base + [(d, s, w) for s, d, w in base]  # mirror: no dangling mass
+    e = spark.createDataFrame(rows, "src int, dst int, w int")
+    got = {r.node: r.rank for r in weighted_pagerank_frame(e, iterations=iters).collect()}
+    assert got == _wpr_py(rows, iters)
+
+
+def test_cluster_matches_composes_resolution_into_entities(spark):
+    """Staged ER clustering: records matched to one master collapse into
+    a min-id cluster with it; records bridging two masters (a rec_id
+    edge to each) pull both into ONE cluster; 'new' records stay
+    singletons."""
+    from cooler_mapreduce_spark.operators.entity import cluster_matches
+
+    resolved = spark.createDataFrame(
+        [
+            (10_000_001, 5, 1, "fuzzy", 1.0),
+            (10_000_002, 5, 0, "exact", 2.0),
+            (10_000_003, 7, 1, "fuzzy", 3.0),
+            (10_000_004, None, None, "new", 4.0),
+        ],
+        "rec_id bigint, matched_custkey bigint, name_lev int, match_kind string, survivor_bal double",
+    )
+    got = {(r.entity_id, r.cluster_id) for r in cluster_matches(resolved).collect()}
+    assert got == {
+        (10_000_001, 5), (10_000_002, 5), (5, 5),
+        (10_000_003, 7), (7, 7),
+        (10_000_004, 10_000_004),
+    }
