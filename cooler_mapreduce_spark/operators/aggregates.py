@@ -1805,6 +1805,10 @@ def tdigest_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     the returned doubles depend on the scan partitioning (centroid
     choice is order-sensitive; the ERROR BOUND is not) — hence rows-only
     at the driver, with the accuracy pin as the contract.
+
+    Reference parity: beyond the reference — its reduce phase holds one
+    group's values in a per-key dict (task_executor.py:207-241), so no
+    mergeable-sketch tier is expressible there (SURVEY.md §2.4).
     """
     import pandas as pd
 

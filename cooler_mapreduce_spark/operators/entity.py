@@ -109,6 +109,10 @@ def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts, no collects. All comparators are exact (integer edit
     distance; +0.5 and greatest() on binary-exact doubles), so the
     DuckDB oracle matches bit-for-bit.
+
+    Reference parity: beyond the reference — no record-linkage surface
+    exists there (SURVEY.md §2); ``fuzzy_match_parts`` covers the
+    matching comparator alone.
     """
     c = table(spark, sf_dir, "customer", fan_out=False)
     dirty = (

@@ -212,6 +212,10 @@ def dp_noisy_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     total N̂ is read as max_by(cum, bin) — the ORDERED running sum's last
     element — rather than an unordered SUM over signed noise, so both
     engines accumulate the identical left-to-right double sequence.
+
+    Reference parity: beyond the reference — no governance surface
+    exists there (SURVEY.md §2); this deepens the tier
+    ``dp_noisy_segment_counts`` opened.
     """
     o = table(spark, sf_dir, "orders", fan_out=False)
     from pyspark.sql import Window

@@ -789,6 +789,10 @@ def sssp_weighted_from_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
     relaxation shuffles only frontier-adjacent edges; nothing is ever
     collected or broadcast (the hub row rides the plan as a 1-row
     cross join, same as BFS).
+
+    Reference parity: beyond the reference — its single-round MapReduce
+    cannot chain relaxation state across rounds (SURVEY.md §2.2: no job
+    chaining exists).
     """
     li = table(spark, sf_dir, "lineitem", fan_out=False).select("l_orderkey", "l_suppkey")
     o = table(spark, sf_dir, "orders", fan_out=False).select("o_orderkey", "o_custkey")

@@ -465,6 +465,10 @@ def sql_tablesample_faces(spark: SparkSession, sf_dir: str) -> DataFrame:
     work, k-row result); the gate face is a pushdown-friendly filter
     scan — no shuffle in either branch, UNION ALL is partition
     concatenation.
+
+    Reference parity: beyond the reference — it has no sampling surface
+    and no SQL surface at all (SURVEY.md §2.4; its only user API is the
+    map_fn/reduce_fn job file, task_executor.py:80-97).
     """
     register_views(spark, sf_dir)
     return spark.sql(

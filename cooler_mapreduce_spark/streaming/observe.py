@@ -67,6 +67,10 @@ def stream_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-robin repartitioned into ``_OBS_FILES`` files and streamed
     with maxFilesPerTrigger=1 under AvailableNow, so exactly that many
     non-empty batches must report metrics.
+
+    Reference parity: beyond the reference — its only observability is
+    the coordinator's job-status poll (benchmark.py:246-284, SURVEY.md
+    §3.2); per-batch data-quality counters have no counterpart.
     """
     ev = table(spark, sf_dir, "events", fan_out=False)
     src_dir = scratch_dir(spark, "obs_src_")
