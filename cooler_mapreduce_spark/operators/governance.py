@@ -89,11 +89,20 @@ _DP_SEED = "dp-release-r6"
 #: 60-bit hash to 1e6 buckets and center — the +0.5 half-bucket offset
 #: keeps u strictly inside the open interval, so ln(1 - 2|u|) is finite.
 _DP_U = "((CAST(h % 1000000 AS DOUBLE) + 0.5) / 1000000.0 - 0.5)"
-#: inverse-CDF Laplace(b = 1/eps) sample: -b * sgn(u) * ln(1 - 2|u|).
-_DP_NOISE = (
-    f"(-(1.0 / {_DP_EPS}) * (CASE WHEN {_DP_U} >= 0.0 THEN 1.0 ELSE -1.0 END)"
-    f" * ln(1.0 - 2.0 * abs({_DP_U})))"
-)
+
+
+def _dp_noise_expr(eps: float) -> str:
+    """Inverse-CDF Laplace(b = 1/eps) sample over the seeded uniform:
+    -b * sgn(u) * ln(1 - 2|u|) — ONE spelling for any engine that parses
+    ANSI SQL, parameterized by ε (the queries below pin ε = _DP_EPS; the
+    staged :func:`dp_noisy_grid` kernel takes it as an argument)."""
+    return (
+        f"(-(1.0 / {eps}) * (CASE WHEN {_DP_U} >= 0.0 THEN 1.0 ELSE -1.0 END)"
+        f" * ln(1.0 - 2.0 * abs({_DP_U})))"
+    )
+
+
+_DP_NOISE = _dp_noise_expr(_DP_EPS)
 
 
 @query(
@@ -250,4 +259,40 @@ def dp_noisy_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("qbin").cast("double") * F.lit(_DPQ_W)).alias("q_value"),
             "epsilon",
         )
+    )
+
+
+def dp_noisy_grid(
+    df: DataFrame, keys: list[str], eps: float, seed: str
+) -> DataFrame:
+    """Generic seeded ε-DP count release over an arbitrary key tuple:
+    one partial-aggregable count per cell plus a Laplace(1/ε) draw keyed
+    by the seeded hash of the cell's key string — the reusable core
+    behind ``dp_noisy_segment_counts`` (1 key) and the 2-D
+    quasi-identifier grids a k-anonymity remediation publishes
+    (nation × segment), with ε and the stored-noise seed as arguments.
+
+    STAGED round-9 kernel (not yet a registered query — the round-8
+    window is full per the registry discipline; r9 registers the 2-D QI
+    grid face with an oracle via the same shared noise spelling).
+    Privacy accounting: cells are disjoint → parallel composition at
+    sensitivity 1, total cost ε; the seeded draw is the stored-noise
+    re-release discipline the 1-D query documents. Returns UNROUNDED
+    noisy counts — the registered face owns the round-to-6 ULP absorber
+    (both engines' libm ln() can differ in the last bit).
+
+    Scale shape: one groupBy shuffle onto the cell grid, O(cells) scalar
+    math after; nothing collected or broadcast.
+    """
+    key_str = " || ':' || ".join(f"CAST({k} AS STRING)" for k in keys)
+    counts = df.groupBy(*keys).agg(F.count("*").alias("n"))
+    return counts.withColumn(
+        "h", F.expr(md5int_spark(f"'{seed}:' || {key_str}"))
+    ).select(
+        *keys,
+        "n",
+        (F.col("n").cast("double") + F.expr(_dp_noise_expr(eps))).alias(
+            "noisy_count"
+        ),
+        F.lit(eps).alias("epsilon"),
     )

@@ -877,3 +877,40 @@ def test_cluster_matches_composes_resolution_into_entities(spark):
         (10_000_003, 7), (7, 7),
         (10_000_004, 10_000_004),
     }
+
+
+_grid_rows = st.lists(
+    st.tuples(st.integers(0, 4), st.sampled_from(["A", "B", "C"])),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(rows=_grid_rows, eps=st.sampled_from([0.25, 0.5, 1.0]))
+def test_dp_noisy_grid_equals_python_mirror(spark, rows, eps):
+    """The staged generic DP grid release must equal a Python mirror of
+    the identical seeded-Laplace op sequence for ANY 2-D cell population
+    and ε — compared after the registered faces' round-to-6 HALF_UP
+    absorber (libm ln() may differ in the last bit across runtimes)."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from cooler_mapreduce_spark.operators.governance import dp_noisy_grid
+
+    def r6(x):
+        return Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+
+    df = spark.createDataFrame(rows, "nation int, seg string")
+    got = {
+        (r.nation, r.seg): (r.n, r6(r.noisy_count))
+        for r in dp_noisy_grid(df, ["nation", "seg"], eps, "t-seed").collect()
+    }
+    want = {}
+    for (nation, seg), n in Counter(rows).items():
+        h = _md5int_py(f"t-seed:{nation}:{seg}")
+        u = ((h % 1_000_000) + 0.5) / 1_000_000.0 - 0.5
+        noise = -(1.0 / eps) * (1.0 if u >= 0.0 else -1.0) * math.log(1.0 - 2.0 * abs(u))
+        want[(nation, seg)] = (n, r6(float(n) + noise))
+    assert got == want
