@@ -25,11 +25,23 @@ x1 = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 x10 = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1_inflated"
 out = sys.argv[3] if len(sys.argv) > 3 else "/tmp/scale_sweep.json"
 
+#: x10 is SKIPPED for the two allowlisted all-pairs AUDIT tiers: their
+#: OUTPUT is quadratic in per-key duplicate density BY DESIGN (oracle
+#: ground truth at test scale — each docstring says to use the bucketed
+#: path at 100 TB), and the inflation method multiplies that density
+#: 10x, so their x10 run measures ~100x the pair OUTPUT, not the plan
+#: (the r6 interpretation rule; at r8 the LSH twin's x10 additionally
+#: exhausted the sweep JVM and killed every query after it).
+X10_SKIP = {"embedding_cosine_dups", "embedding_cosine_dups_lsh"}
+
 spark = get_session()
 res = {}
 for name, spec in registry.load_all().items():
     row = {}
     for sfd, label in ((x1, "x1"), (x10, "x10")):
+        if label == "x10" and name in X10_SKIP:
+            row[label] = "SKIP:pair-output-blowup-by-design"
+            continue
         try:
             t0 = time.time()
             spec.fn(spark, sfd).count()
@@ -42,6 +54,15 @@ for name, spec in registry.load_all().items():
             break
     res[name] = row
     print(json.dumps({name: row}), flush=True)
+    # a long-lived sweep JVM accumulates localCheckpoint blocks across
+    # hundreds of queries; dropping the Python refs and clearing the
+    # cache between queries keeps the block manager bounded
+    import gc
+    gc.collect()
+    try:
+        spark.catalog.clearCache()
+    except Exception:
+        pass
 with open(out, "w") as fh:
     json.dump(res, fh, indent=1)
 spark.stop()
