@@ -329,12 +329,18 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: decontaminate pair's bench-slice hints the inverted allowlist audit
 #: caught) get re-proof rows showing the plan change kept results
 #: identical (the r5/r7 precedent); the 9 §2.1-critical anchors hold
-#: their permanent slots; and the remaining 12 slots re-anchor the
-#: OLDEST rows in the book (r1 greens untouched since round 1 —
-#: windows, outer/null-safe/interval joins, rollup, histogram, fuzzy
-#: match, debounce — including top_supplier_by_revenue_q15, whose r7
-#: hint deletion never got a re-proof row, and join_interval_overlap,
-#: one of the r7 bench-regression suspects).
+#: their permanent slots; and the remaining 12 slots were planned as
+#: OLDEST-row re-anchors (r1 greens untouched since round 1).
+#: MID-ROUND AMENDMENT: the round-9 handoff's gap-checked growth
+#: candidates were built THIS round at the full bar (SURVEY.md
+#: "Mid-round-8 growth"), and seven of those twelve re-anchor slots now
+#: carry the new queries' FIRST driver rows instead — the
+#: registry-discipline rule (displace re-anchors, never first-timers;
+#: per-displacement rationale inline below). The five re-anchor slots
+#: kept are the two load-bearing ones (top_supplier_by_revenue_q15,
+#: whose r7 hint deletion never got a re-proof row, and
+#: join_interval_overlap, an r7 bench-regression suspect) plus
+#: debounce/fuzzy/histogram for r1-era family breadth.
 PRIORITY_QUERIES: tuple[str, ...] = (
     # --- ROUND-8 QUEUE: the 18 remaining first-timers ---
     # deferred timeseries shapes
