@@ -46,3 +46,32 @@ def test_mr_tier_equals_dataframe_tier_word_count(spark, corpus):
     )
     want = {r["w"]: r["count"] for r in df.collect()}
     assert mr == want
+
+
+def test_er_resolution_composes_with_cluster_step(spark, sf_dir):
+    """Cross-tier: the registered resolution query's output feeds the
+    staged clustering kernel coherently on the REAL corpus — every
+    matched record clusters WITH its matched master (cluster id = the
+    master key, the min of the id spaces by construction), every 'new'
+    record is a singleton of its own rec_id, and nothing is lost or
+    invented (entity set = rec_ids ∪ matched masters)."""
+    from cooler_mapreduce_spark.operators.entity import (
+        cluster_matches,
+        entity_resolution_customers,
+    )
+
+    resolved = entity_resolution_customers(spark, sf_dir).localCheckpoint()
+    clusters = {r.entity_id: r.cluster_id for r in cluster_matches(resolved).collect()}
+    rows = resolved.collect()
+    assert rows, "resolution produced no records"
+    expected_entities = {r.rec_id for r in rows} | {
+        r.matched_custkey for r in rows if r.matched_custkey is not None
+    }
+    assert set(clusters) == expected_entities
+    for r in rows:
+        if r.matched_custkey is None:
+            assert clusters[r.rec_id] == r.rec_id  # singleton
+        else:
+            # rec and its master share a cluster labeled by the master
+            # key (masters are the minimum ids by the offset construction)
+            assert clusters[r.rec_id] == clusters[r.matched_custkey] == r.matched_custkey
