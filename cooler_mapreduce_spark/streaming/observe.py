@@ -57,11 +57,13 @@ def stream_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant, which is precisely why production metrics pipelines
     emit sums/counts and never batch-local extrema.
 
-    The value mass is summed as DECIMAL(30,6) inside each batch and the
+    The value mass is summed as DECIMAL(30,6) inside each batch,
+    shipped through the progress feed as a STRING (the feed is JSON —
+    a bare decimal would round through a double above 2^53), and the
     per-batch decimals are added EXACTLY driver-side (Python Decimal),
     so the fold is order-independent and the final double equals the
-    oracle's one-pass decimal sum bit-for-bit (the dsum convention,
-    extended across the batch dimension).
+    oracle's one-pass decimal sum bit-for-bit at ANY scale (the dsum
+    convention, extended across the batch dimension).
 
     n_batches pins the replay width itself: the scratch copy is
     round-robin repartitioned into ``_OBS_FILES`` files and streamed
@@ -90,7 +92,14 @@ def stream_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.when(F.col("value") <= 0.0, 1).otherwise(0)).alias(
                     "n_quality_fail"
                 ),
-                F.sum(F.col("value").cast("decimal(30,6)")).alias("sum_value"),
+                # cast the decimal sum to STRING: the progress feed is
+                # JSON, and a bare decimal would be rounded through a
+                # double there — exact only below 2^53 (≈ sf30 for this
+                # column). The string survives the feed bit-exact at any
+                # SF and Decimal() parses it back.
+                F.sum(F.col("value").cast("decimal(30,6)"))
+                .cast("string")
+                .alias("sum_value"),
             )
         )
         q = (
