@@ -178,12 +178,17 @@ _DPQ_PS = (0.25, 0.5, 0.75, 0.9)
                COUNT(*) AS n
         FROM orders GROUP BY 1
     ),
+    spine AS (SELECT CAST(range AS BIGINT) AS bin FROM range(0, {_DPQ_CAP + 1})),
+    full_grid AS (
+        SELECT s.bin, COALESCE(c.n, 0) AS n
+        FROM spine s LEFT JOIN counts c ON s.bin = c.bin
+    ),
     noisy AS (
         SELECT bin,
-               CAST(n AS DOUBLE) + {_DP_NOISE} AS nn
+               round(CAST(n AS DOUBLE) + {_DP_NOISE}, 6) AS nn
         FROM (SELECT bin, n,
                      {md5int_duckdb(f"'{_DPQ_SEED}:' || CAST(bin AS VARCHAR)")} AS h
-              FROM counts)
+              FROM full_grid)
     ),
     cums AS (
         SELECT bin, nn, SUM(nn) OVER (ORDER BY bin) AS cum FROM noisy
@@ -214,6 +219,16 @@ def dp_noisy_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (a stored noise draw, the re-release discipline
     ``dp_noisy_segment_counts`` documents) and therefore hash-checkable.
 
+    EVERY grid bin gets a draw, not just populated ones: counts are
+    left-joined onto the full literal 0..63 spine (COALESCE 0) before
+    noise, because releasing only non-empty bins reveals empty-bin
+    membership noiselessly — an add/remove neighbor that empties a bin
+    would be distinguishable with probability 1, breaking the ε-DP claim
+    (round-8 ADVICE). The noisy per-bin count is rounded to 6 decimals
+    BEFORE the running CDF (the module's ULP absorber — both engines'
+    libm ln() can differ in the last bit, and an unrounded knife-edge
+    crossing of p·N̂ could flip qbin between engines).
+
     Scale shape: ONE partial-aggregable groupBy onto the 64-bin grid,
     then all remaining work (noise, running CDF, 4 quantile picks) runs
     over exactly 64 rows — the unpartitioned window is over the
@@ -235,9 +250,16 @@ def dp_noisy_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_DPQ_CAP),
         ).alias("bin")
     ).agg(F.count("*").alias("n"))
-    noisy = counts.withColumn(
+    spine = spark.range(_DPQ_CAP + 1).select(F.col("id").cast("bigint").alias("bin"))
+    full_grid = spine.join(counts, "bin", "left").select(
+        "bin", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    noisy = full_grid.withColumn(
         "h", F.expr(md5int_spark(f"'{_DPQ_SEED}:' || CAST(bin AS STRING)"))
-    ).select("bin", (F.col("n").cast("double") + F.expr(_DP_NOISE)).alias("nn"))
+    ).select(
+        "bin",
+        F.round(F.col("n").cast("double") + F.expr(_DP_NOISE), 6).alias("nn"),
+    )
     cums = noisy.select(
         "bin", "nn", F.sum("nn").over(Window.orderBy("bin")).alias("cum")
     )
@@ -263,7 +285,11 @@ def dp_noisy_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dp_noisy_grid(
-    df: DataFrame, keys: list[str], eps: float, seed: str
+    df: DataFrame,
+    keys: list[str],
+    eps: float,
+    seed: str,
+    domain: DataFrame | None = None,
 ) -> DataFrame:
     """Generic seeded ε-DP count release over an arbitrary key tuple:
     one partial-aggregable count per cell plus a Laplace(1/ε) draw keyed
@@ -272,9 +298,15 @@ def dp_noisy_grid(
     quasi-identifier grids a k-anonymity remediation publishes
     (nation × segment), with ε and the stored-noise seed as arguments.
 
-    STAGED round-9 kernel (not yet a registered query — the round-8
-    window is full per the registry discipline; r9 registers the 2-D QI
-    grid face with an oracle via the same shared noise spelling).
+    ``domain`` is the explicit cell universe (a DataFrame carrying the
+    ``keys`` columns): counts are left-joined onto it (COALESCE 0) so
+    EVERY cell in the universe gets a noise draw — the empty-cell
+    discipline the quantile release documents (an empty cell silently
+    omitted from the release reveals its emptiness noiselessly). With
+    ``domain=None`` only the POPULATED support is released, which is
+    valid ε-DP only when the support itself is public knowledge — the
+    caller owns that judgement (round-8 ADVICE).
+
     Privacy accounting: cells are disjoint → parallel composition at
     sensitivity 1, total cost ε; the seeded draw is the stored-noise
     re-release discipline the 1-D query documents. Returns UNROUNDED
@@ -282,10 +314,15 @@ def dp_noisy_grid(
     (both engines' libm ln() can differ in the last bit).
 
     Scale shape: one groupBy shuffle onto the cell grid, O(cells) scalar
-    math after; nothing collected or broadcast.
+    math after (the domain join is O(cells) on both sides); nothing
+    collected or broadcast.
     """
     key_str = " || ':' || ".join(f"CAST({k} AS STRING)" for k in keys)
     counts = df.groupBy(*keys).agg(F.count("*").alias("n"))
+    if domain is not None:
+        counts = domain.join(counts, keys, "left").select(
+            *keys, F.coalesce("n", F.lit(0)).alias("n")
+        )
     return counts.withColumn(
         "h", F.expr(md5int_spark(f"'{seed}:' || {key_str}"))
     ).select(
@@ -296,3 +333,85 @@ def dp_noisy_grid(
         ),
         F.lit(eps).alias("epsilon"),
     )
+
+
+# ------------------------------------ registered 2-D QI grid release ----
+
+_DPG_SEED = "dp-grid-r9"
+_DPG_EPS = 0.5
+#: the TPC-H spec's five market segments — a PUBLIC constant of the data
+#: model (like the 25 nations), so using it as the release domain leaks
+#: nothing about individuals.
+_SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+
+@query(
+    "dp_noisy_qi_grid_release",
+    oracle=f"""
+    WITH counts AS (
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+        FROM customer GROUP BY 1, 2
+    ),
+    segs AS (SELECT unnest(ARRAY[{", ".join(f"'{s}'" for s in _SEGMENTS)}])
+                 AS c_mktsegment),
+    grid AS (
+        SELECT n_nationkey AS c_nationkey, c_mktsegment FROM nation, segs
+    ),
+    full_grid AS (
+        SELECT g.c_nationkey, g.c_mktsegment, COALESCE(c.n, 0) AS n
+        FROM grid g LEFT JOIN counts c
+          ON g.c_nationkey = c.c_nationkey
+         AND g.c_mktsegment = c.c_mktsegment
+    ),
+    seeded AS (
+        SELECT c_nationkey, c_mktsegment, n,
+               {md5int_duckdb(f"'{_DPG_SEED}:' || CAST(c_nationkey AS VARCHAR) || ':' || CAST(c_mktsegment AS VARCHAR)")} AS h
+        FROM full_grid
+    )
+    SELECT c_nationkey, c_mktsegment,
+           round(CAST(n AS DOUBLE) + {_dp_noise_expr(_DPG_EPS)}, 6) AS noisy_count,
+           {_DPG_EPS} AS epsilon
+    FROM seeded
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+    tags=("governance", "privacy", "differential-privacy", "llm-pipeline"),
+)
+def dp_noisy_qi_grid_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP release of the 2-D quasi-identifier grid
+    (nation × market segment) over customers — the remediation artifact
+    a ``kanonymity_census`` consumer publishes instead of raw class
+    sizes. The cell DOMAIN is explicit and public: the 25-nation
+    dimension × the spec's five literal segments (125 cells), so every
+    cell — populated or not — carries a seeded Laplace(1/ε) draw; the
+    round-to-6 absorber runs on the released column only (the
+    :func:`dp_noisy_grid` kernel stays unrounded).
+
+    Scale shape: one partial-aggregable groupBy onto ≤125 cells, an
+    O(cells) join against the literal grid (the 25×5 cross join is a
+    bounded literal grid, the allowed crossJoin class), O(cells) scalar
+    math after — the same cost envelope as any small-group rollup at
+    any SF.
+
+    Reference parity: beyond the reference — no governance surface
+    exists there (SURVEY.md §2); completes the tier's staged r9 kernel
+    (round-8 verdict next-round #1).
+    """
+    c = table(spark, sf_dir, "customer", fan_out=False)
+    n = table(spark, sf_dir, "nation")
+    segs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(s) for s in _SEGMENTS])).alias("c_mktsegment")
+    )
+    grid = n.select(F.col("n_nationkey").alias("c_nationkey")).crossJoin(segs)
+    released = dp_noisy_grid(
+        c.select("c_nationkey", "c_mktsegment"),
+        ["c_nationkey", "c_mktsegment"],
+        _DPG_EPS,
+        _DPG_SEED,
+        domain=grid,
+    )
+    return released.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.round("noisy_count", 6).alias("noisy_count"),
+        "epsilon",
+    ).orderBy("c_nationkey", "c_mktsegment")

@@ -794,6 +794,24 @@ def sssp_weighted_from_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot chain relaxation state across rounds (SURVEY.md §2.2: no job
     chaining exists).
     """
+    edges = _weighted_trade_edges(spark, sf_dir).localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    hub = (
+        deg.orderBy(F.desc("outdeg"), F.asc("src"))
+        .limit(1)
+        .select(F.col("src").alias("node"))
+    )
+    return sssp_frame(edges, hub, _SSSP_MAX_COST)
+
+
+def _weighted_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mirrored tie-strength trade graph shared by
+    :func:`sssp_weighted_from_hub` and :func:`weighted_pagerank_trade`:
+    supplier↔customer edges weighted by the {1,2,3} cost bands of
+    ``_SSSP_W`` (more distinct shared orders = stronger tie). Returned
+    UNCHECKPOINTED — each caller owns its own materialization point
+    (sssp checkpoints before the relaxation loop; the PageRank kernel
+    repartitions by src first so the checkpoint lands pre-partitioned)."""
     li = table(spark, sf_dir, "lineitem", fan_out=False).select("l_orderkey", "l_suppkey")
     o = table(spark, sf_dir, "orders", fan_out=False).select("o_orderkey", "o_custkey")
     fwd = (
@@ -805,16 +823,9 @@ def sssp_weighted_from_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("l_orderkey").alias("n"))
         .select("src", "dst", F.expr(_SSSP_W).alias("w"))
     )
-    edges = fwd.unionAll(
+    return fwd.unionAll(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    ).localCheckpoint(eager=True)
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    hub = (
-        deg.orderBy(F.desc("outdeg"), F.asc("src"))
-        .limit(1)
-        .select(F.col("src").alias("node"))
     )
-    return sssp_frame(edges, hub, _SSSP_MAX_COST)
 
 
 def sssp_frame(edges: DataFrame, sources: DataFrame, max_cost: int) -> DataFrame:
@@ -855,10 +866,9 @@ def weighted_pagerank_frame(
     edge weight instead of uniformly — the natural ranking for the
     tie-strength edges :func:`sssp_weighted_from_hub` introduced.
 
-    STAGED round-9 kernel (not yet a registered query — the round-8
-    window is full per the registry discipline; registration lands with
-    the r9 rotation, oracled via the same recursive-CTE construction as
-    `pagerank_supplier_customer`). Same determinism discipline as the
+    Registered (round-9) through :func:`weighted_pagerank_trade`,
+    oracled via the same unrolled-CTE construction as
+    `pagerank_supplier_customer`. Same determinism discipline as the
     uniform kernel: contributions are floor-quantized to 1e-15 and
     summed as exact decimals, so per-iteration sums are order-free;
     same scale shape: one O(|edges|) keyed shuffle per iteration with
@@ -902,3 +912,100 @@ def weighted_pagerank_frame(
             )
         )
     return ranks.select("node", "rank")
+
+
+def _weighted_pagerank_oracle(iterations: int = _PR_ITERATIONS) -> str:
+    """Unrolled-iteration DuckDB oracle for the weighted kernel — the
+    `_pagerank_oracle` construction with SUM(w) out-weights and
+    weight-proportional contributions. The teleport term spells
+    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) so both engines
+    compute the IDENTICAL IEEE subtraction the kernel's
+    ``F.lit(1.0 - damping)`` does (a bare 0.15 decimal literal would
+    cast to the neighboring double and could flip a floor-quantized
+    contribution at a knife edge)."""
+    tele = "(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))"
+    parts = [
+        f"""
+    WITH fwd AS (
+        SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst,
+               COUNT(DISTINCT l_orderkey) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    ),
+    wedges AS (SELECT src, dst, {_SSSP_W} AS w FROM fwd),
+    edges AS (
+        SELECT src, dst, w FROM wedges
+        UNION ALL SELECT dst, src, w FROM wedges
+    ),
+    ow AS (SELECT src, SUM(w) AS outw FROM edges GROUP BY src),
+    n AS (SELECT COUNT(*) AS n_nodes FROM ow),
+    pr0 AS (
+        SELECT src AS node, outw,
+               CAST(1.0 AS DOUBLE) / (SELECT n_nodes FROM n) AS rank
+        FROM ow
+    )"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+    pr{i} AS (
+        SELECT e.dst AS node, d2.outw,
+               {tele} / (SELECT n_nodes FROM n)
+               + {_DAMPING} * (CAST(SUM(CAST(FLOOR(p.rank * e.w / p.outw * {_Q}.0)
+                                             AS DECIMAL(38,0))) AS DOUBLE) / {_Q}.0)
+                   AS rank
+        FROM pr{i - 1} p
+        JOIN edges e ON p.node = e.src
+        JOIN ow d2 ON e.dst = d2.src
+        GROUP BY e.dst, d2.outw
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node, round(rank, 12) AS rank
+    FROM pr{iterations}
+    ORDER BY rank DESC, node
+    LIMIT 20
+    """
+    )
+    return "".join(parts)
+
+
+@query(
+    "weighted_pagerank_trade",
+    oracle=_weighted_pagerank_oracle(),
+    tags=("graph", "iterative", "join", "aggregation", "weighted"),
+)
+def weighted_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional PageRank (k=5, damping 0.85) over the
+    tie-strength trade graph: the supplier↔customer edges of
+    ``pagerank_supplier_customer`` but weighted by the {1,2,3} cost
+    bands ``sssp_weighted_from_hub`` introduced, so rank flows pro rata
+    to relationship strength — "who is influential when strong trading
+    ties count more", the weighted sibling completing the ranking tier.
+
+    Per iteration: ranks ⋈ edges on the source key (contribution =
+    rank·w/outw, floor-quantized to 1e-15 and summed as exact decimals
+    — order-free, bit-identical across engines), then a
+    destination-keyed partial+final aggregate; the edge frame is
+    repartitioned by the join key BEFORE its one checkpoint so all five
+    iterations join co-located (the uniform kernel's discipline). The
+    oracle unrolls the same five iterations as chained CTEs. Top-20 is
+    TakeOrdered with a node-id tiebreak.
+
+    100 TB shape: identical to the uniform tier — O(|edges|) shuffled
+    bytes per iteration with map-side partial sums, O(|nodes|) state,
+    node count rides the plan as a broadcast single-row aggregate,
+    nothing collected.
+
+    Reference parity: the canonical iterative-MapReduce workload the
+    reference cannot chain (SURVEY.md §2.2); closes the round-8
+    verdict's staged-kernel item (next-round #1).
+    """
+    edges = _weighted_trade_edges(spark, sf_dir)
+    ranks = weighted_pagerank_frame(edges)
+    return (
+        ranks.orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
+        .select("node", F.round("rank", 12).alias("rank"))
+    )

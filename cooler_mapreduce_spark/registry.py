@@ -341,7 +341,97 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: whose r7 hint deletion never got a re-proof row, and
 #: join_interval_overlap, an r7 bench-regression suspect) plus
 #: debounce/fuzzy/histogram for r1-era family breadth.
+#: Round-9 rotation — the first post-drain growth window, run by the
+#: discipline the round-8 verdict prescribed (next-round #1/#3/#5): every
+#: NEW registration gets a first-row slot, every query whose SEMANTICS
+#: changed this round gets a re-proof row, the 9 §2.1-critical anchors
+#: hold their permanent slots, and every remaining slot goes to the
+#: OLDEST re-anchors (the r1 greens untouched since round 1, then the
+#: oldest r2 greens alphabetically — 19 of 33; the remaining 14 r2 rows
+#: head the r10 re-anchor queue).
+#:
+#: First-timers (5): the three staged r8 kernels now registered with
+#: oracles — weighted_pagerank_trade (unrolled-CTE oracle like the
+#: uniform tier), entity_clusters_customers (the composed block→score→
+#: resolve→CLUSTER face; the oracle exploits the star-shape theorem
+#: while the engine runs the general CC fixpoint), dp_noisy_qi_grid_release
+#: (2-D nation×segment grid over an explicit 125-cell public domain) —
+#: plus the two named growth directions: stream_observed_metrics_by_type
+#: (per-source observe counter breakdown, exact decimal folds) and
+#: sql_tablesample_bucket_twin (deterministic BUCKET x OUT OF y twin +
+#: the bucket-pruned read over the bucketed layout, SelectedBucketsCount
+#: plan-asserted).
+#:
+#: Re-proofs (2): dp_noisy_quantiles_price (round-8 ADVICE — counts now
+#: left-joined onto the full 0..63 spine so empty bins carry noise, and
+#: the noisy count rounds to 6 before the CDF) and
+#: entity_resolution_customers (round-8 ADVICE + verdict What's-wrong
+#: #2 — slice offsets/alien displacement now derive from MAX(c_custkey),
+#: and the _ER_BLOCK_CAP oversized-block drop landed). Both changed
+#: answers by design; their r9 rows re-prove the new spelling green.
 PRIORITY_QUERIES: tuple[str, ...] = (
+    # --- round-9 first-timers: the registered staged kernels ---
+    "weighted_pagerank_trade",
+    "entity_clusters_customers",
+    "dp_noisy_qi_grid_release",
+    # --- round-9 first-timers: named growth directions ---
+    "stream_observed_metrics_by_type",
+    "sql_tablesample_bucket_twin",
+    # --- re-proof rows for this round's two semantic changes ---
+    "dp_noisy_quantiles_price",
+    "entity_resolution_customers",
+    # --- anchors: the 9 §2.1-critical category representatives ---
+    "word_count",                     # parity / scan / flatMap
+    "pricing_summary",                # hash + partial agg (TPC-H Q1)
+    "join_asof_last_click",           # join family
+    "window_top_orders_per_customer", # window functions
+    "dedup_minhash_lsh",              # LLM dedup
+    "ann_topk_bruteforce",            # LLM similarity
+    "multimodal_catalog",             # multimodal
+    "mr_word_count",                  # MR-compat / UDF surface
+    "stream_tumbling_counts",         # streaming batch-twin
+    # --- oldest re-anchors: all 15 rows last checked in round 1 ---
+    "distinct_values",
+    "forecast_revenue_change",
+    "join_full_outer_hourly",
+    "join_null_safe_props",
+    "ntile_order_deciles",
+    "order_priority_counts",
+    "priority_line_counts",
+    "rollup_region_nation_customers",
+    "top_k_orders",
+    "window_lag_lead_events",
+    "window_max_quantity_with_ties",
+    "window_moving_sum",
+    "window_range_frame_stats",
+    "window_rank_dense_rank",
+    "yoy_revenue_by_month",
+    # --- oldest re-anchors: 19 of the 33 round-2 rows (alphabetical;
+    # the remaining 14 head the round-10 queue) ---
+    "argmax_customer_by_nation",
+    "array_functions",
+    "count_distinct_customers",
+    "date_functions",
+    "dedup_exact",
+    "dedup_keep_latest",
+    "embedding_cosine_dups",
+    "exact_median_quantity",
+    "except_churned_customers",
+    "global_sort_orders",
+    "grep",
+    "grouping_sets_orders",
+    "intersect_repeat_customers",
+    "inverted_index",
+    "join_anti_inactive_customers",
+    "join_left_outer_order_counts",
+    "join_range_price_bands",
+    "json_functions",
+    "large_orders_q18",
+)
+
+#: The superseded round-8 window, kept for the registry's rotation
+#: history (every name below has its r8 CORRECTNESS row):
+_ROUND8_WINDOW: tuple[str, ...] = (
     # --- ROUND-8 QUEUE: the 18 remaining first-timers ---
     # deferred timeseries shapes
     "cusum_changepoint_revenue",

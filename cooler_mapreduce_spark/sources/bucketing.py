@@ -116,3 +116,104 @@ if _query is not None:
             .cast("double")
             .alias("revenue"),
         )
+
+
+if _query is not None:
+    from ..functions.hashing import md5int_duckdb, md5int_spark
+
+    #: Hive-style deterministic bucket sample: BUCKET 4 OUT OF 8 ON key =
+    #: rows whose portable key hash lands in residue 3 mod 8 — the
+    #: engine's md5int convention, identical in both engines (Spark's
+    #: native TABLESAMPLE (BUCKET x OUT OF y) is Bernoulli row sampling
+    #: whose selected set depends on the partition layout; it fails the
+    #: partition-invariance bar for the same reason the PERCENT face
+    #: does — see sql_tablesample_faces).
+    _TSB_Y = 8
+    _TSB_X = 4  # residue x-1 = 3
+    _TSB_GATE_SPARK = f"({md5int_spark(chr(39) + 'tsb:' + chr(39) + ' || CAST(o_orderkey AS STRING)')} % {_TSB_Y})"
+    _TSB_GATE_DUCK = f"({md5int_duckdb(chr(39) + 'tsb:' + chr(39) + ' || CAST(o_orderkey AS VARCHAR)')} % {_TSB_Y})"
+    #: literal probe keys for the bucket-PRUNED leg: an IN-list on the
+    #: bucket column lets the bucketed reader skip every file whose
+    #: bucket none of the keys hash into (SelectedBucketsCount in the
+    #: scan — asserted structurally in tests/test_sinks_cli.py).
+    _TSB_KEYS = tuple(97 * k for k in range(1, 21))
+
+    @_query(
+        "sql_tablesample_bucket_twin",
+        oracle=f"""
+        SELECT 'bucket_hash' AS face, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+        FROM orders WHERE {_TSB_GATE_DUCK} = {_TSB_X - 1}
+        UNION ALL
+        SELECT 'bucket_pruned' AS face, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+        FROM orders WHERE o_orderkey IN ({", ".join(map(str, _TSB_KEYS))})
+        """,
+        tags=("sql", "sampling", "tablesample", "bucketing", "source"),
+    )
+    def sql_tablesample_bucket_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """``TABLESAMPLE (BUCKET x OUT OF y)`` over the bucketed layout,
+        in its two production-faithful faces:
+
+        - ``bucket_hash`` — the Hive-clustered-table semantic twin:
+          rows whose KEY hashes into bucket x of y, spelled with the
+          engine's portable seeded md5 gate so membership is a pure
+          function of the key — reproducible across engines, partition
+          layouts, and reruns. (Spark's native BUCKET sampler is
+          Bernoulli row sampling — layout-dependent selection, excluded
+          by design exactly like the PERCENT face,
+          sql_tablesample_faces.)
+        - ``bucket_pruned`` — the read path that makes the bucketed
+          layout pay: an IN-list on the bucket column prunes the scan
+          to only the files whose bucket some probe key hashes into
+          (``SelectedBucketsCount ≤ |keys| of 16`` in the scan node —
+          plan-asserted in tests/test_sinks_cli.py), the
+          shuffle-free point-lookup sibling of the co-located join.
+          The leg aggregates BY the bucket column first — Spark keeps a
+          bucketed scan only for plans that exploit its partitioning
+          (a bare filter gets "Bucketed: false (disabled by query
+          planner)") — so the per-key rollup runs exchange-free off the
+          pruned buckets and only the ≤|keys| partials hit the final
+          single-group fold.
+
+        Both legs read the ``bucketBy(16, o_orderkey)`` warehouse table
+        (the ``bucketed_join_colocated`` fixture — the ingest-time
+        shuffle is paid once and shared); the oracle reads the plain
+        parquet, proving the bucketed layout changes the PLAN, never
+        the answer.
+
+        100 TB shape: the hash leg is a pushdown-friendly filter scan +
+        one partial-aggregated count/sum; the pruned leg touches
+        O(|keys|) buckets of the table regardless of SF. No shuffles
+        beyond the final single-group aggregate; no windows, no joins.
+        """
+        from pyspark.sql import functions as F
+
+        t_o, _ = _bucketed_fixture(spark, sf_dir)
+
+        def leg(face: str, frame: DataFrame) -> DataFrame:
+            return frame.agg(
+                F.count("*").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+                .cast("double")
+                .alias("sum_price"),
+            ).select(F.lit(face).alias("face"), "n_orders", "sum_price")
+
+        hash_leg = leg(
+            "bucket_hash",
+            spark.table(t_o).filter(F.expr(f"{_TSB_GATE_SPARK} = {_TSB_X - 1}")),
+        )
+        per_key = (
+            spark.table(t_o)
+            .filter(F.col("o_orderkey").isin(*_TSB_KEYS))
+            .groupBy("o_orderkey")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("s"),
+            )
+        )
+        pruned_leg = per_key.agg(
+            F.sum("cnt").alias("n_orders"),
+            F.sum("s").cast("double").alias("sum_price"),
+        ).select(F.lit("bucket_pruned").alias("face"), "n_orders", "sum_price")
+        return hash_leg.unionAll(pruned_leg)

@@ -132,3 +132,93 @@ def stream_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="n_batches bigint, n_rows bigint, n_purchases bigint, "
         "n_quality_fail bigint, sum_value double",
     )
+
+
+#: the events table's five-value event_type enum (a fixed dimension of
+#: the data model — the `_BOUNDED_KEYS` convention), spelled as literals
+#: because observe() expressions must be closed-form: the per-type
+#: breakdown is a fixed family of conditional sums riding ONE pass, not
+#: a groupBy (observe cannot aggregate by key).
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "stream_observed_metrics_by_type",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("streaming", "observability", "metrics"),
+)
+def stream_observed_metrics_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE observe counters — the breakdown a production ingest
+    job actually publishes (rows and value mass per event type per
+    micro-batch), delivered as a fixed family of conditional sums on
+    ONE ``observe`` pass: ``observe`` cannot run a keyed groupBy, so
+    the enum's five members each get a (count, decimal-sum-as-string)
+    expression pair — O(|enum|·batches) counter cells, zero extra scans
+    or shuffles, the shape a per-language or per-tenant counter board
+    uses at 100 TB (the enum must be bounded, which is exactly the
+    ``_BOUNDED_KEYS`` discipline).
+
+    Per-batch decimal sums ship through the JSON progress feed as
+    strings and fold EXACTLY driver-side (the ``stream_observed_metrics``
+    convention), then the run totals pivot to long form — one row per
+    event type — matching the oracle's one-pass GROUP BY bit-for-bit.
+
+    Reference parity: beyond the reference — its only observability is
+    the coordinator's job-status poll (benchmark.py:246-284, SURVEY.md
+    §3.2).
+    """
+    ev = table(spark, sf_dir, "events", fan_out=False)
+    src_dir = scratch_dir(spark, "obs_type_src_")
+    try:
+        ev.repartition(_OBS_FILES).write.mode("overwrite").parquet(src_dir)
+        schema = spark.read.parquet(src_dir).schema
+        exprs = []
+        for t in _EVENT_TYPES:
+            exprs.append(
+                F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(
+                    f"n_{t}"
+                )
+            )
+            exprs.append(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == t, F.col("value")
+                    ).otherwise(0.0).cast("decimal(30,6)")
+                )
+                .cast("string")
+                .alias(f"v_{t}")
+            )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .observe("metrics", *exprs)
+        )
+        q = stream.writeStream.format("noop").trigger(availableNow=True).start()
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        batches = []
+        for prog in q.recentProgress:
+            om = (prog.get("observedMetrics") or {}).get("metrics")
+            if om is None or prog.get("numInputRows", 0) == 0:
+                continue
+            batches.append(om)
+    finally:
+        remove_scratch(spark, src_dir)
+    rows = []
+    for t in _EVENT_TYPES:
+        n = sum(int(b[f"n_{t}"]) for b in batches)
+        v = float(sum((Decimal(str(b[f"v_{t}"])) for b in batches), Decimal(0)))
+        rows.append((t, n, v))
+    return spark.createDataFrame(
+        rows, schema="event_type string, n_rows bigint, sum_value double"
+    )

@@ -755,9 +755,13 @@ CASES = {
         "record linkage: candidates from a shuffled equi-join on the bounded block key (never all-pairs), best-match via a rec_id-keyed window",
         [
             ("no cartesian/NL join", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
+            # any(...) guards the all(...) against vacuous truth: with no
+            # Window node at all the claim must FAIL, not pass (r8 ADVICE)
             ("best-match window keyed by rec_id (never single-task)", lambda p:
-                all("rec_id" in ln for ln in p.splitlines()
-                    if ln.strip().lstrip("+-*: ").startswith("Window "))),
+                any(ln.strip().lstrip("+-*: ").startswith("Window ")
+                    for ln in p.splitlines())
+                and all("rec_id" in ln for ln in p.splitlines()
+                        if ln.strip().lstrip("+-*: ").startswith("Window "))),
         ],
     ),
     "sql_tablesample_faces": (

@@ -173,6 +173,16 @@ CASES = [
     "entity_resolution_customers",
     "stream_observed_metrics",
     "tdigest_quantiles_price",
+    # round-9 growth entries, pre-driver-row protection (same rule):
+    # the weighted-PageRank floor-quantized decimal sums, the composed
+    # ER clustering's CC fixpoint + min-id labels, the full-spine DP
+    # grid's seeded draws, the per-type observe decimal folds, and the
+    # bucket twin's md5 gate + IN-list over the bucketed layout
+    "weighted_pagerank_trade",
+    "entity_clusters_customers",
+    "dp_noisy_qi_grid_release",
+    "stream_observed_metrics_by_type",
+    "sql_tablesample_bucket_twin",
 ]
 
 

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 import subprocess
 import sys
 
@@ -1029,6 +1030,32 @@ def test_bucketed_join_query_plans_zero_pre_agg_exchanges(spark, oracle_sf_dir):
         assert "Exchange" not in p, p  # the write paid the only shuffle
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+
+
+def test_tablesample_bucket_twin_prunes_buckets(spark, oracle_sf_dir):
+    """The bucket-pruned leg must read ONLY the buckets the literal
+    probe keys hash into: the bucketed scan reports SelectedBucketsCount
+    strictly below the table's 16 buckets (the layout's point-lookup
+    payoff), and the hash-gate leg plans as a plain filter scan with no
+    shuffle before its single-group aggregate."""
+    from cooler_mapreduce_spark.sources.bucketing import (
+        _TSB_KEYS,
+        _bucketed_fixture,
+    )
+
+    t_o, _ = _bucketed_fixture(spark, oracle_sf_dir)
+    per_key = (
+        spark.table(t_o)
+        .filter(F.col("o_orderkey").isin(*_TSB_KEYS))
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    p = per_key._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", p)
+    assert m, f"bucketed scan did not report bucket pruning:\n{p}"
+    assert int(m.group(1)) < int(m.group(2)), m.group(0)
+    # the per-key rollup rides the bucket layout: no exchange anywhere
+    assert "Exchange hashpartitioning" not in p, p
 
 
 def test_cow_rewrite_leaves_untouched_partitions_byte_identical(spark, tmp_path):
