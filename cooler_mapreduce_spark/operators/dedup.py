@@ -445,6 +445,98 @@ def dedup_ngram_jaccard(
     )
 
 
+#: containment threshold: the smaller document must share >= this
+#: fraction of its shingles with the larger (Broder 1997's containment
+#: coefficient c(A,B) = |A∩B| / |A| — the ASYMMETRIC near-dup measure).
+_CONTAINMENT_T = 0.6
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({shingles_duckdb("string_split(text, ' ')")}) AS shingle
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(i AS DOUBLE) / least(sa.n, sb.n) AS containment,
+           CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / least(sa.n, sb.n) >= {_CONTAINMENT_T}
+    """,
+    tags=("dedup", "containment", "decontamination", "llm-pipeline"),
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT pairs (Broder, SEQUENCES'97): the asymmetric
+    near-duplicate measure c = |A∩B| / min(|A|,|B|) — 1.0 whenever the
+    smaller document's shingles are a subset of the larger's, no matter
+    how much larger the larger is. This is the QUOTE/SUBSET detector
+    Jaccard structurally cannot be: a 100-word document wholly embedded
+    in a 10 000-word page has Jaccard ≈ 0.01 but containment 1.0 — the
+    shape that matters for benchmark decontamination (a test item quoted
+    inside a crawl page) and boilerplate-envelope detection. Reported
+    next to the pair's Jaccard so consumers see the asymmetry directly.
+
+    Physical plan: the ``dedup_ngram_jaccard`` single-scan posting-list
+    spine verbatim (shingle once, carry per-doc sizes through the
+    explode, count intersections out of the bucket pair emission) with
+    the containment ratio replacing the union ratio — one corpus scan,
+    pairs only where a shingle is shared, never all-pairs. Both ratios
+    are a single integer-division-to-double op, so DuckDB matches
+    bit-for-bit.
+
+    100 TB shape: same as the Jaccard tier — worst-case quadratic in
+    per-shingle duplicate density; production sets ``max_posting``
+    (stop-shingle removal, one-sided: capping only LOWERS measured
+    intersections, so capped output ⊆ exact output) or moves to the
+    prefix-filter/minhash tiers for candidate generation and keeps this
+    as the verify stage.
+
+    Reference parity: beyond the reference — no text-similarity surface
+    exists there (SURVEY.md §2); extends the exact-pair family
+    (jaccard/simhash/prefix-filter) with the asymmetric member.
+    """
+    d = table(spark, sf_dir, "documents")
+    sh_arr = d.select(
+        "doc_id", F.expr(shingles_spark("split(text, ' ')")).alias("shingles")
+    )
+    sh = sh_arr.select(
+        "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("shingle")
+    )
+    buckets = (
+        sh.groupBy("shingle")
+        .agg(F.collect_list(F.struct("doc_id", "n")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) ->"
+                " transform(filter(ds, y -> y.doc_id > x.doc_id),"
+                " y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,"
+                " x.n AS n_a, y.n AS n_b))))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    inter = pairs.groupBy("doc_a", "doc_b", "n_a", "n_b").agg(F.count("*").alias("i"))
+    cont = F.col("i").cast("double") / F.least("n_a", "n_b")
+    jac = F.col("i").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("i"))
+    return (
+        inter.select(
+            "doc_a", "doc_b", cont.alias("containment"), jac.alias("jaccard")
+        )
+        .filter(F.col("containment") >= _CONTAINMENT_T)
+    )
+
+
 @query(
     "dedup_prefix_filter_jaccard",
     oracle=_NGRAM_JACCARD_ORACLE,

@@ -83,6 +83,90 @@ def kanonymity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KA_MIN = 5
+
+
+@query(
+    "kanonymity_generalize_release",
+    oracle=f"""
+    WITH classes AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_band,
+               COUNT(*) AS k
+        FROM customer
+        GROUP BY 1, 2, 3
+    ),
+    lvl0 AS (SELECT k FROM classes WHERE k >= {_KA_MIN}),
+    rest AS (
+        SELECT c_nationkey, c_mktsegment, SUM(k) AS k
+        FROM classes WHERE k < {_KA_MIN}
+        GROUP BY 1, 2
+    ),
+    lvl1 AS (SELECT k FROM rest WHERE k >= {_KA_MIN}),
+    supp AS (SELECT k FROM rest WHERE k < {_KA_MIN})
+    SELECT 'level0_full_qi' AS tier, COUNT(*) AS n_classes,
+           CAST(COALESCE(SUM(k), 0) AS BIGINT) AS n_rows
+    FROM lvl0
+    UNION ALL
+    SELECT 'level1_generalized', COUNT(*), CAST(COALESCE(SUM(k), 0) AS BIGINT)
+    FROM lvl1
+    UNION ALL
+    SELECT 'level2_suppressed', COUNT(*), CAST(COALESCE(SUM(k), 0) AS BIGINT)
+    FROM supp
+    """,
+    tags=("governance", "privacy", "aggregation", "llm-pipeline"),
+)
+def kanonymity_generalize_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity ENFORCEMENT by one generalization step (Sweeney,
+    2002 — the remediation ``kanonymity_census`` measures the need
+    for): equivalence classes already meeting k ≥ 5 on the full
+    quasi-identifier tuple (nation, segment, balance band) release
+    as-is (level 0); the remaining rows re-group at the COARSER QI
+    (nation, segment — the balance band generalized away) and release
+    at level 1 where the merged class now meets k; rows still below k
+    after generalization are suppressed (level 2) — the classic
+    generalize-then-suppress ladder, reported as the release manifest
+    (classes and rows per tier) a compliance review signs off on.
+
+    Scale shape: ONE partial-aggregable groupBy onto the full QI grid,
+    then every subsequent step runs on CLASS rows (O(distinct QI
+    tuples), bounded far below the table at any SF: the bands are a
+    fixed grid and nation x segment is 125 cells); the three tier
+    aggregates are O(classes) each. All values exact integers.
+
+    Reference parity: beyond the reference — no governance surface
+    exists there (SURVEY.md §2); completes the tier's
+    measure (census) → remediate (this) → private release (DP grid)
+    loop.
+    """
+    c = table(spark, sf_dir, "customer", fan_out=False)
+    classes = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(2000.0)).cast("bigint").alias("bal_band"),
+    ).agg(F.count("*").alias("k"))
+    lvl0 = classes.filter(F.col("k") >= _KA_MIN)
+    rest = (
+        classes.filter(F.col("k") < _KA_MIN)
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.sum("k").alias("k"))
+    )
+    lvl1 = rest.filter(F.col("k") >= _KA_MIN)
+    supp = rest.filter(F.col("k") < _KA_MIN)
+
+    def tier(name: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(
+            F.count("*").alias("n_classes"),
+            F.coalesce(F.sum("k"), F.lit(0)).cast("bigint").alias("n_rows"),
+        ).select(F.lit(name).alias("tier"), "n_classes", "n_rows")
+
+    return (
+        tier("level0_full_qi", lvl0)
+        .unionAll(tier("level1_generalized", lvl1))
+        .unionAll(tier("level2_suppressed", supp))
+    )
+
+
 _DP_EPS = 0.5
 _DP_SEED = "dp-release-r6"
 #: uniform in (-0.5, 0.5) from the seeded group-key hash: bucket the

@@ -117,11 +117,12 @@ def pagerank_supplier_customer(
     )
 
 
-def pagerank_frame(
-    spark: SparkSession, sf_dir: str, iterations: int = _PR_ITERATIONS
-) -> DataFrame:
-    """Full (node, outdeg, rank) frame after ``iterations`` rounds —
-    the registered query's top-20 is a TakeOrdered over this."""
+def _uniform_trade_graph(spark: SparkSession, sf_dir: str):
+    """(edges, deg) of the unweighted mirrored trade graph, both
+    src-partitioned and checkpointed — the shared static sides of the
+    uniform and personalized PageRank loops (identical ops to the
+    pre-refactor ``pagerank_frame`` body, so the uniform tier's plan is
+    unchanged)."""
     li = table(spark, sf_dir, "lineitem", fan_out=False)
     o = table(spark, sf_dir, "orders", fan_out=False)
     fwd = (
@@ -153,6 +154,15 @@ def pagerank_frame(
     # crosses the network once, at materialization.
     edges = edges.repartition("src").localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).localCheckpoint(eager=True)
+    return edges, deg
+
+
+def pagerank_frame(
+    spark: SparkSession, sf_dir: str, iterations: int = _PR_ITERATIONS
+) -> DataFrame:
+    """Full (node, outdeg, rank) frame after ``iterations`` rounds —
+    the registered query's top-20 is a TakeOrdered over this."""
+    edges, deg = _uniform_trade_graph(spark, sf_dir)
     n = deg.agg(F.count("*").alias("n_nodes"))
     ranks = deg.crossJoin(F.broadcast(n)).select(
         F.col("src").alias("node"),
@@ -1008,4 +1018,134 @@ def weighted_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks.orderBy(F.desc("rank"), F.asc("node"))
         .limit(20)
         .select("node", F.round("rank", 12).alias("rank"))
+    )
+
+
+#: personalization seed set: the first eight SUPPLIER nodes (ids 2s —
+#: present at every SF; a real deployment passes any cohort). |S| is a
+#: literal so the teleport constant is closed-form in both engines.
+_PPR_SEEDS = tuple(2 * s for s in range(1, 9))
+
+
+def _personalized_pagerank_oracle(iterations: int = _PR_ITERATIONS) -> str:
+    """Unrolled-iteration DuckDB oracle for the personalized kernel: the
+    uniform construction with the teleport mass concentrated on the
+    literal seed set — CASE WHEN node IN seeds THEN (1-d)/|S| ELSE 0 —
+    and rank initialized to the seed indicator /|S|. The (1-d) term
+    spells (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) for the same
+    IEEE-identity reason as the weighted oracle."""
+    seeds = ", ".join(str(s) for s in _PPR_SEEDS)
+    ns = float(len(_PPR_SEEDS))
+    tele = (
+        f"CASE WHEN e.dst IN ({seeds})"
+        f" THEN (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / {ns}"
+        f" ELSE CAST(0.0 AS DOUBLE) END"
+    )
+    parts = [
+        f"""
+    WITH fwd AS (
+        SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    pr0 AS (
+        SELECT src AS node, outdeg,
+               CASE WHEN src IN ({seeds}) THEN CAST(1.0 AS DOUBLE) / {ns}
+                    ELSE CAST(0.0 AS DOUBLE) END AS rank
+        FROM deg
+    )"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+    pr{i} AS (
+        SELECT e.dst AS node, d2.outdeg,
+               {tele}
+               + {_DAMPING} * (CAST(SUM(CAST(FLOOR(p.rank / p.outdeg * {_Q}.0)
+                                             AS DECIMAL(38,0))) AS DOUBLE) / {_Q}.0)
+                   AS rank
+        FROM pr{i - 1} p
+        JOIN edges e ON p.node = e.src
+        JOIN deg d2 ON e.dst = d2.src
+        GROUP BY e.dst, d2.outdeg
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node, round(rank, 12) AS rank
+    FROM pr{iterations}
+    WHERE round(rank, 12) > 0.0
+    ORDER BY rank DESC, node
+    LIMIT 20
+    """
+    )
+    return "".join(parts)
+
+
+@query(
+    "personalized_pagerank_suppliers",
+    oracle=_personalized_pagerank_oracle(),
+    tags=("graph", "iterative", "join", "aggregation", "personalized"),
+)
+def personalized_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank / random-walk-with-restart (Haveliwala,
+    WWW'02) from an eight-supplier seed cohort over the trade graph:
+    the teleport mass lands ONLY on the seeds ((1-d)/|S| each, rank
+    initialized to the seed indicator), so the stationary mass measures
+    proximity TO THE COHORT — "which customers and suppliers are in
+    this cohort's trading orbit", the graph-similarity primitive behind
+    related-entity recommendation, influence cohorts, and seed-expanded
+    audience building. Top-20 positive-rank nodes (rank-desc, node-id
+    tiebreak); zero-rank nodes outside the walk's reach are excluded in
+    BOTH engines by the same round-12 gate.
+
+    Same per-iteration shape and determinism discipline as the uniform
+    tier (shared `_uniform_trade_graph` static sides — one checkpointed
+    src-partitioned edge list feeds all three ranking queries'
+    iteration loops): contributions floor-quantized at 1e-15 and summed
+    as exact decimals; the teleport constant is the IDENTICAL IEEE
+    expression in both engines; per-iteration cost O(|edges|) shuffled
+    bytes with map-side partial sums, state O(|nodes|), nothing
+    collected (the seed gate is a literal isin, not a join).
+
+    Reference parity: the canonical iterative-MapReduce workload the
+    reference cannot chain (SURVEY.md §2.2); completes the ranking
+    family's third member (uniform / weighted / personalized).
+    """
+    edges, deg = _uniform_trade_graph(spark, sf_dir)
+    ns = float(len(_PPR_SEEDS))
+    seed_col = F.col("src").isin(*_PPR_SEEDS)
+    ranks = deg.select(
+        F.col("src").alias("node"),
+        "outdeg",
+        F.when(seed_col, F.lit(1.0 / ns)).otherwise(F.lit(0.0)).alias("rank"),
+    )
+    q = F.lit(float(_Q))
+    tele = (
+        lambda col: F.when(
+            col.isin(*_PPR_SEEDS), F.lit((1.0 - _DAMPING) / ns)
+        ).otherwise(F.lit(0.0))
+    )
+    for _ in range(_PR_ITERATIONS):
+        contribs = ranks.hint("shuffle_hash").join(
+            edges, F.col("node") == F.col("src")
+        ).select(
+            F.col("dst").alias("to"),
+            F.floor(F.col("rank") / F.col("outdeg") * q).cast("decimal(38,0)").alias("c"),
+        )
+        sums = contribs.groupBy("to").agg(F.sum("c").alias("s"))
+        ranks = sums.join(deg.hint("shuffle_hash"), F.col("to") == F.col("src")).select(
+            F.col("to").alias("node"),
+            "outdeg",
+            (
+                tele(F.col("to"))
+                + F.lit(_DAMPING) * (F.col("s").cast("double") / q)
+            ).alias("rank"),
+        )
+    return (
+        ranks.select("node", F.round("rank", 12).alias("rank"))
+        .filter(F.col("rank") > 0.0)
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
     )

@@ -424,9 +424,18 @@ PRIORITY_QUERIES: tuple[str, ...] = (
     "inverted_index",
     "join_anti_inactive_customers",
     "join_left_outer_order_counts",
-    "join_range_price_bands",
-    "json_functions",
-    "large_orders_q18",
+    # --- mid-r9 sanctioned growth: built this round at the full bar
+    # (oracle, invariance membership, scale-shape docstring, local
+    # hash-green at sf0.01 AND sf0.1). They take the slots of the three
+    # LAST-alphabetical r2 re-anchors (join_range_price_bands,
+    # json_functions, large_orders_q18 — displacing re-anchors, never
+    # first-timers; the join family keeps asof + anti + left-outer slots
+    # in this window, the scalar family keeps array/date/string
+    # representatives, and q18's TPC-H family holds the pricing_summary
+    # anchor; all three displaced rows join the r10 re-anchor queue):
+    "dedup_containment_pairs",        # asymmetric containment (quote/subset)
+    "kanonymity_generalize_release",  # generalize-then-suppress enforcement
+    "personalized_pagerank_suppliers",  # seed-cohort RWR ranking
 )
 
 #: The superseded round-8 window, kept for the registry's rotation

@@ -819,6 +819,31 @@ CASES = {
             ("no cartesian beyond 1-row scalar broadcasts", lambda p: "CartesianProduct" not in p),
         ],
     ),
+    "personalized_pagerank_suppliers": (
+        "seed-cohort RWR: the same 5 checkpointed join + partial-agg rounds as the uniform tier with a literal isin teleport gate (no seed join, no broadcast); top-20 is TakeOrdered",
+        [
+            ("TakeOrdered, not Sort+Limit", lambda p: "TakeOrderedAndProject" in p),
+            ("partial contribution sums", lambda p: "partial_sum" in p),
+            ("checkpointed edge state", lambda p: "Scan ExistingRDD" in p),
+            ("seed gate is a literal predicate, not a join", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
+        ],
+    ),
+    "dedup_containment_pairs": (
+        "asymmetric containment: the single-scan posting-list spine (pairs only where a shingle is shared — never all-pairs), sizes carried through the explode",
+        [
+            ("no cartesian/NL join", lambda p: "Cartesian" not in p and "BroadcastNestedLoop" not in p),
+            ("bucket agg present", lambda p: "collect_list" in p),
+            ("corpus scanned once", lambda p: _scan_count(p, "documents") == 1),
+        ],
+    ),
+    "kanonymity_generalize_release": (
+        "generalize-then-suppress ladder: ONE partial-aggregated shuffle onto the full QI grid; every later step (coarser regroup, tier folds) runs on class rows only",
+        [
+            ("QI census partial-aggregates", lambda p: "partial_count" in p),
+            ("class-level steps reuse the census diamond", lambda p: "ReusedExchange" in p),
+            ("no join anywhere", lambda p: "Join" not in p),
+        ],
+    ),
     "tdigest_quantiles_price": (
         "mergeable sketch funnel: per-partition Arrow digests (no shuffle before compression), one O(partitions x delta) centroid merge group",
         [
@@ -835,7 +860,8 @@ CASES = {
 #: can't show the ReusedExchange nodes. Disabling AQE for the plan print
 #: applies the classic ReuseExchange rule and makes the sharing visible;
 #: execution behavior with AQE on is the same stages, reused.
-AQE_OFF_CASES = {"doc_unigram_nll", "vocab_coverage_topk", "dp_noisy_quantiles_price"}
+AQE_OFF_CASES = {"doc_unigram_nll", "vocab_coverage_topk", "dp_noisy_quantiles_price",
+                 "kanonymity_generalize_release"}
 
 #: cases whose broadcast joins are chosen by AQE at RUNTIME rather than by
 #: static size estimation: after the round-5 removal of F.broadcast() hints
@@ -847,6 +873,15 @@ AQE_OFF_CASES = {"doc_unigram_nll", "vocab_coverage_topk", "dp_noisy_quantiles_p
 #: ran. This is the desired 100 TB behavior: size-based everywhere, AQE
 #: upgrading to broadcast exactly when the runtime side is small.
 EXECUTED_CASES = {"small_quantity_revenue_q17"}
+
+
+def _scan_count(plan: str, table: str) -> int:
+    """Number of FileScan nodes over the named testdata table."""
+    return sum(
+        1
+        for line in plan.splitlines()
+        if ("FileScan" in line or "Scan parquet" in line) and f"{table}.parquet" in line
+    )
 
 
 def _scan_line(plan: str) -> str:

@@ -183,6 +183,13 @@ CASES = [
     "dp_noisy_qi_grid_release",
     "stream_observed_metrics_by_type",
     "sql_tablesample_bucket_twin",
+    # mid-r9 growth wave (same pre-driver-row rule): the containment
+    # posting-list collect + pair explode, the two-level generalization
+    # ladder's class rollups, and the seed-gated rank loop's quantized
+    # decimal sums
+    "dedup_containment_pairs",
+    "kanonymity_generalize_release",
+    "personalized_pagerank_suppliers",
 ]
 
 
