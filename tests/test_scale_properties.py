@@ -51,6 +51,10 @@ _NL_ALLOWED = {
     "hard_negative_mining",    # same 1-row query-vector cross join + bm25's scalar broadcast
     "embedding_jl_projection_fidelity",  # theta pair join of the literal-bounded 50-row audit set
     "dp_noisy_quantiles_price",  # 64-bin noisy CDF × 1-row total × 4 literal ps — all sides grid-bounded
+    "dp_noisy_qi_grid_release",  # 25-nation dim × 5 literal segments — the bounded literal domain grid
+    "entity_resolution_customers",  # single-row MAX(c_custkey) scalar broadcast to each dirty slice (r9 derived offsets)
+    "entity_clusters_customers",    # composes the resolution above — same single-row scalar
+    "weighted_pagerank_trade",   # single-row node-count scalar broadcast per iteration (the pagerank convention)
 }
 
 
