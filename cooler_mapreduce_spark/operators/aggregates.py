@@ -1849,3 +1849,136 @@ def tdigest_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids.groupBy(F.lit(1).alias("g"))
         .applyInPandas(merge, schema="p double, est double, n_centroids int")
     )
+
+
+# ---------------------------------------- KMV / theta sketch set ops ----
+#
+# STAGED round-10 kernels (tested library code, not yet registered — the
+# r9 window is full per the registry discipline; the r10 registration is
+# a thin oracled face over these, the kernel → property-pin → face →
+# window-slot template the r8→r9 staged kernels followed).
+#
+# WHY: the HLL tier answers per-group distinct counts and UNIONS
+# (mergeable registers) but structurally cannot INTERSECT — HLL carries
+# no sample of the underlying set. The K-Minimum-Values / theta sketch
+# (Bar-Yossef et al., RANDOM'02; Dasgupta et al., "Theta sketches") keeps
+# the k smallest uniformized hash values, which IS a bounded uniform
+# sample of the distinct set, so unions, intersections, and A-not-B all
+# follow from set algebra on the retained values at bounded memory.
+
+from ..functions.hashing import md5int_spark  # noqa: E402  (section-local, like sqlapi's)
+
+#: retained minima per sketch — rel. error ≈ 1/sqrt(k-2) ≈ 6.3 % at 256.
+_KMV_K = 256
+_KMV_SEED = "kmv-r9"
+#: 60-bit md5int → uniform in (0, 1): bucket-center offset keeps u
+#: strictly positive so 1/u and /theta never divide by zero.
+_KMV_SCALE = float(1 << 60)
+
+
+def kmv_sketch(df: DataFrame, keys: list[str], value: str, k: int = _KMV_K) -> DataFrame:
+    """Per-``keys`` KMV sketch of ``COUNT(DISTINCT value)``: uniformize
+    the value through the seeded md5int hash, dedup (keys, u) — exact
+    distinct hashes, one keyed exchange — then keep each group's k
+    smallest via a rank window ON THE SAME KEYS (the exchange is
+    reused) and pack them into an ascending array. Output:
+    ``keys..., ks array<double>, n_retained int``.
+
+    Scale shape: the dedup shuffles O(distinct) rows (their PAYLOAD is
+    one double each — this is the sketch BUILD, analogous to the HLL
+    tier's register build) and the window keeps state O(k) per group;
+    the packed sketch rows are O(groups × k) doubles. No collects, no
+    broadcasts, no UDFs — pure built-in hash/window/array ops inside
+    codegen.
+    """
+    u = (
+        (F.expr(md5int_spark(f"'{_KMV_SEED}:' || CAST({value} AS STRING)")).cast("double")
+         + F.lit(0.5))
+        / F.lit(_KMV_SCALE)
+    )
+    distinct = df.select(*keys, u.alias("u")).distinct()
+    w = Window.partitionBy(*keys).orderBy("u")
+    kept = distinct.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    return kept.groupBy(*keys).agg(
+        F.array_sort(F.collect_list("u")).alias("ks"),
+        F.count("*").cast("int").alias("n_retained"),
+    )
+
+
+def _kmv_theta(ks: str, k: int = _KMV_K) -> F.Column:
+    """Sampling threshold theta of a packed sketch: the k-th minimum if
+    the sketch is full, else 1.0 (the group's distinct set is exact)."""
+    return F.when(
+        F.size(ks) >= k, F.element_at(F.col(ks), k)
+    ).otherwise(F.lit(1.0))
+
+
+def kmv_estimate(sk: DataFrame, k: int = _KMV_K) -> F.Column:
+    """Distinct-count estimator over a packed sketch column ``ks``:
+    (k-1)/theta for full sketches (the classic KMV unbiased form),
+    exact retained size otherwise."""
+    return F.when(
+        F.size("ks") >= k,
+        (F.lit(float(k - 1)) / F.element_at(F.col("ks"), k)),
+    ).otherwise(F.size("ks").cast("double"))
+
+
+def kmv_union(a: DataFrame, b: DataFrame, keys: list[str], k: int = _KMV_K) -> DataFrame:
+    """Union sketch per matched key tuple: merge the retained minima and
+    keep the k smallest — EXACTLY the sketch of the unioned set (the k
+    smallest of A∪B are a subset of A's k smallest ∪ B's k smallest),
+    so union composes losslessly; groups present on one side pass
+    through. O(groups) join, O(k log k) per-row array work."""
+    an = a.select(*keys, F.col("ks").alias("ks_a"))
+    bn = b.select(*keys, F.col("ks").alias("ks_b"))
+    merged = an.join(bn, keys, "full_outer").select(
+        *keys,
+        F.slice(
+            F.array_sort(
+                F.array_distinct(
+                    F.concat(
+                        F.coalesce("ks_a", F.array().cast("array<double>")),
+                        F.coalesce("ks_b", F.array().cast("array<double>")),
+                    )
+                )
+            ),
+            1,
+            k,
+        ).alias("ks"),
+    )
+    return merged.withColumn("n_retained", F.size("ks"))
+
+
+def kmv_set_estimates(
+    a: DataFrame, b: DataFrame, keys: list[str], k: int = _KMV_K
+) -> DataFrame:
+    """Per matched key tuple: distinct estimates for A, B, A∪B, A∩B and
+    the Jaccard — the theta-sketch intersection the HLL tier cannot
+    express. theta = min(theta_A, theta_B); both retained sets filtered
+    below theta are uniform samples of their sets at rate theta, so
+    |matches| / theta estimates the intersection. All array ops are
+    O(k) per group row; the only join is O(groups) on the key tuple."""
+    an = a.select(*keys, F.col("ks").alias("ks_a"))
+    bn = b.select(*keys, F.col("ks").alias("ks_b"))
+    j = an.join(bn, keys)
+    theta = F.least(
+        F.when(F.size("ks_a") >= k, F.element_at("ks_a", k)).otherwise(F.lit(1.0)),
+        F.when(F.size("ks_b") >= k, F.element_at("ks_b", k)).otherwise(F.lit(1.0)),
+    )
+    j = j.withColumn("theta", theta)
+    below_a = F.filter("ks_a", lambda x: x < F.col("theta"))
+    below_b = F.filter("ks_b", lambda x: x < F.col("theta"))
+    inter_n = F.size(F.array_intersect(below_a, below_b))
+    union_n = F.size(F.array_distinct(F.concat(below_a, below_b)))
+    est_a = F.when(F.size("ks_a") >= k, F.lit(float(k - 1)) / F.element_at("ks_a", k)).otherwise(F.size("ks_a").cast("double"))
+    est_b = F.when(F.size("ks_b") >= k, F.lit(float(k - 1)) / F.element_at("ks_b", k)).otherwise(F.size("ks_b").cast("double"))
+    return j.select(
+        *keys,
+        est_a.alias("est_a"),
+        est_b.alias("est_b"),
+        (inter_n.cast("double") / F.col("theta")).alias("est_intersect"),
+        (union_n.cast("double") / F.col("theta")).alias("est_union"),
+        F.when(union_n > 0, inter_n.cast("double") / union_n.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("jaccard"),
+    )

@@ -959,3 +959,67 @@ def test_dp_noisy_grid_equals_python_mirror(spark, rows, eps):
         noise = -(1.0 / eps) * (1.0 if u >= 0.0 else -1.0) * math.log(1.0 - 2.0 * abs(u))
         want[(nation, seg)] = (n, r6(float(n) + noise))
     assert got == want
+
+
+def _kmv_u_py(seed, v):
+    h = _md5int_py(f"{seed}:{v}")
+    return (float(h) + 0.5) / float(1 << 60)
+
+
+_kmv_sets = st.tuples(
+    st.sets(st.integers(0, 5000), min_size=1, max_size=600),
+    st.sets(st.integers(0, 5000), min_size=1, max_size=600),
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(ab=_kmv_sets)
+def test_kmv_sketch_build_union_and_set_estimates(spark, ab):
+    """Staged KMV/theta kernels, pinned on ANY pair of integer sets:
+    (1) the packed sketch is EXACTLY the k smallest seeded hash values
+    (bit-equal to a Python mirror); (2) union composes losslessly —
+    kmv_union(sketch(A), sketch(B)) equals sketch(A∪B) bit-for-bit
+    (the k-smallest-of-union identity); (3) the distinct/intersection/
+    union estimators are exact whenever both sketches are un-full, and
+    within the 4-sigma KMV band (4/sqrt(k-2)) when sampling engages."""
+    import math
+
+    from cooler_mapreduce_spark.operators.aggregates import (
+        _KMV_K,
+        _KMV_SEED,
+        kmv_set_estimates,
+        kmv_sketch,
+        kmv_union,
+    )
+
+    a_vals, b_vals = ab
+    k = _KMV_K
+
+    def mirror(vals):
+        return sorted(_kmv_u_py(_KMV_SEED, v) for v in set(vals))[:k]
+
+    fa = spark.createDataFrame([("g", v) for v in a_vals], "grp string, v long")
+    fb = spark.createDataFrame([("g", v) for v in b_vals], "grp string, v long")
+    sa = kmv_sketch(fa, ["grp"], "v")
+    sb = kmv_sketch(fb, ["grp"], "v")
+    got_a = sa.collect()[0].ks
+    assert got_a == mirror(a_vals)                       # (1) bit-equal build
+
+    un = kmv_union(sa, sb, ["grp"]).collect()[0].ks
+    assert un == mirror(a_vals | b_vals)                 # (2) lossless union
+
+    est = kmv_set_estimates(sa, sb, ["grp"]).collect()[0]
+    exact_i = len(a_vals & b_vals)
+    exact_u = len(a_vals | b_vals)
+    if len(a_vals) < k and len(b_vals) < k:
+        # theta = 1.0 on both sides: the sketch IS the set — exact
+        assert est.est_a == float(len(a_vals))
+        assert est.est_b == float(len(b_vals))
+        assert est.est_intersect == float(exact_i)
+        assert est.est_union == float(exact_u)
+    else:
+        band = 4.0 / math.sqrt(k - 2)
+        assert abs(est.est_a - len(a_vals)) <= band * len(a_vals) + 1
+        assert abs(est.est_b - len(b_vals)) <= band * len(b_vals) + 1
+        assert abs(est.est_union - exact_u) <= band * exact_u + 1
+        assert abs(est.est_intersect - exact_i) <= band * exact_u + 1
