@@ -1866,7 +1866,7 @@ def tdigest_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sample of the distinct set, so unions, intersections, and A-not-B all
 # follow from set algebra on the retained values at bounded memory.
 
-from ..functions.hashing import md5int_spark  # noqa: E402  (section-local, like sqlapi's)
+from ..functions.hashing import md5int_duckdb, md5int_spark  # noqa: E402  (section-local, like sqlapi's)
 
 #: retained minima per sketch — rel. error ≈ 1/sqrt(k-2) ≈ 6.3 % at 256.
 _KMV_K = 256
@@ -1982,3 +1982,117 @@ def kmv_set_estimates(
         .otherwise(F.lit(0.0))
         .alias("jaccard"),
     )
+
+
+_KMV_CUT = "1998-05-01"
+
+
+@query(
+    "kmv_repeat_buyers_by_nation",
+    oracle=f"""
+    WITH halves AS (
+        SELECT c_nationkey AS nation,
+               CASE WHEN o_orderdate < TIMESTAMP '{_KMV_CUT} 00:00:00'
+                    THEN 'h1' ELSE 'h2' END AS half,
+               (CAST({md5int_duckdb(f"'{_KMV_SEED}:' || CAST(o_custkey AS VARCHAR)")} AS DOUBLE) + 0.5)
+                   / {float(1 << 60)!r} AS u
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    du AS (SELECT DISTINCT nation, half, u FROM halves),
+    ranked AS (
+        SELECT nation, half, u,
+               ROW_NUMBER() OVER (PARTITION BY nation, half ORDER BY u) AS rk
+        FROM du
+    ),
+    ks AS (
+        SELECT nation, half, list_sort(list(u)) AS ks
+        FROM ranked WHERE rk <= {_KMV_K} GROUP BY 1, 2
+    ),
+    ab AS (
+        SELECT a.nation, a.ks AS ks_a, b.ks AS ks_b
+        FROM ks a JOIN ks b ON a.nation = b.nation
+        WHERE a.half = 'h1' AND b.half = 'h2'
+    ),
+    th AS (
+        SELECT nation, ks_a, ks_b,
+               least(CASE WHEN len(ks_a) >= {_KMV_K} THEN ks_a[{_KMV_K}]
+                          ELSE CAST(1.0 AS DOUBLE) END,
+                     CASE WHEN len(ks_b) >= {_KMV_K} THEN ks_b[{_KMV_K}]
+                          ELSE CAST(1.0 AS DOUBLE) END) AS theta,
+               list_filter(ks_a, x -> x < least(
+                   CASE WHEN len(ks_a) >= {_KMV_K} THEN ks_a[{_KMV_K}] ELSE CAST(1.0 AS DOUBLE) END,
+                   CASE WHEN len(ks_b) >= {_KMV_K} THEN ks_b[{_KMV_K}] ELSE CAST(1.0 AS DOUBLE) END)) AS ba,
+               list_filter(ks_b, x -> x < least(
+                   CASE WHEN len(ks_a) >= {_KMV_K} THEN ks_a[{_KMV_K}] ELSE CAST(1.0 AS DOUBLE) END,
+                   CASE WHEN len(ks_b) >= {_KMV_K} THEN ks_b[{_KMV_K}] ELSE CAST(1.0 AS DOUBLE) END)) AS bb
+        FROM ab
+    )
+    SELECT nation,
+           CASE WHEN len(ks_a) >= {_KMV_K}
+                THEN CAST({float(_KMV_K - 1)!r} AS DOUBLE) / ks_a[{_KMV_K}]
+                ELSE CAST(len(ks_a) AS DOUBLE) END AS est_h1,
+           CASE WHEN len(ks_b) >= {_KMV_K}
+                THEN CAST({float(_KMV_K - 1)!r} AS DOUBLE) / ks_b[{_KMV_K}]
+                ELSE CAST(len(ks_b) AS DOUBLE) END AS est_h2,
+           CAST(len(list_intersect(ba, bb)) AS DOUBLE) / theta AS est_repeat,
+           CAST(len(list_distinct(ba || bb)) AS DOUBLE) / theta AS est_any,
+           CASE WHEN len(list_distinct(ba || bb)) > 0
+                THEN CAST(len(list_intersect(ba, bb)) AS DOUBLE)
+                     / CAST(len(list_distinct(ba || bb)) AS DOUBLE)
+                ELSE CAST(0.0 AS DOUBLE) END AS jaccard
+    FROM th
+    ORDER BY nation
+    """,
+    tags=("aggregation", "sketch", "kmv", "distinct", "set-operation", "llm-pipeline"),
+)
+def kmv_repeat_buyers_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET ALGEBRA over distinct-customer sketches: per
+    nation, sketch the distinct buyers of each calendar half of the
+    order history (cut at {_KMV_CUT}) with k=256 K-minimum-values
+    sketches, then estimate H1∩H2 (repeat buyers), H1∪H2 (any buyer)
+    and the Jaccard between the halves FROM THE SKETCHES ALONE — the
+    intersection the HLL tier structurally cannot express (registers
+    carry no sample; the k minima ARE a uniform sample at rate theta).
+
+    Determinism/oracle: the seeded md5 uniformization, the k-minima
+    selection, and every estimator op ((k-1)/theta, |matches|/theta)
+    are identical IEEE sequences in both engines, so the whole release
+    hash-matches DuckDB, whose oracle replays the same sketch algebra
+    with list functions. At sf0.01 every (nation, half) set is un-full
+    (theta = 1) and the estimates are EXACT counts; at sf0.1 the
+    sampler engages and both engines agree on the sampled estimates
+    bit-for-bit — the same two-regime coverage the property suite pins
+    on arbitrary sets (tests/test_property_blocks.py).
+
+    100 TB shape: one orders⋈customer keyed join, one (nation, half,
+    hash)-dedup exchange, one rank window on the SAME keys (exchange
+    reused), then all set algebra runs on O(nations × k) array rows.
+    Sketch state is O(k) per group by construction — the reason to use
+    a sketch instead of exact COUNT(DISTINCT ...) at corpus scale; no
+    hints, no collects, no UDFs.
+
+    Reference parity: beyond the reference — no sketch surface exists
+    there (SURVEY.md §2); completes the mergeable-sketch family (HLL
+    distinct / CMS heavy hitters / GK + t-digest quantiles) with the
+    set-operation member.
+    """
+    o = table(spark, sf_dir, "orders", fan_out=False).select("o_custkey", "o_orderdate")
+    c = table(spark, sf_dir, "customer", fan_out=False).select("c_custkey", "c_nationkey")
+    halves = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_nationkey").alias("nation"),
+        F.when(F.col("o_orderdate") < _KMV_CUT, F.lit("h1"))
+        .otherwise(F.lit("h2"))
+        .alias("half"),
+        "o_custkey",
+    )
+    sa = kmv_sketch(halves.filter(F.col("half") == "h1"), ["nation"], "o_custkey")
+    sb = kmv_sketch(halves.filter(F.col("half") == "h2"), ["nation"], "o_custkey")
+    est = kmv_set_estimates(sa, sb, ["nation"])
+    return est.select(
+        "nation",
+        F.col("est_a").alias("est_h1"),
+        F.col("est_b").alias("est_h2"),
+        F.col("est_intersect").alias("est_repeat"),
+        F.col("est_union").alias("est_any"),
+        "jaccard",
+    ).orderBy("nation")

@@ -420,7 +420,6 @@ PRIORITY_QUERIES: tuple[str, ...] = (
     "global_sort_orders",
     "grep",
     "grouping_sets_orders",
-    "intersect_repeat_customers",
     "inverted_index",
     "join_anti_inactive_customers",
     "join_left_outer_order_counts",
@@ -436,6 +435,11 @@ PRIORITY_QUERIES: tuple[str, ...] = (
     "dedup_containment_pairs",        # asymmetric containment (quote/subset)
     "kanonymity_generalize_release",  # generalize-then-suppress enforcement
     "personalized_pagerank_suppliers",  # seed-cohort RWR ranking
+    # (fourth displacement: intersect_repeat_customers — the set-op
+    # family keeps distinct_values + except_churned_customers in this
+    # window, and the KMV face below answers the same repeat-buyer
+    # question through the sketch tier)
+    "kmv_repeat_buyers_by_nation",    # theta-sketch set algebra (∩/∪/J)
 )
 
 #: The superseded round-8 window, kept for the registry's rotation

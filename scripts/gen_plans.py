@@ -836,6 +836,17 @@ CASES = {
             ("corpus scanned once", lambda p: _scan_count(p, "documents") == 1),
         ],
     ),
+    "kmv_repeat_buyers_by_nation": (
+        "theta-sketch set algebra: one orders-customer keyed join per half, one dedup + rank-window pair per sketch (window keyed by nation, never single-task), then O(nations x k) array algebra; no cartesian, no NL join, no hint",
+        [
+            ("sketch windows keyed by nation (never single-task)", lambda p:
+                any(ln.strip().lstrip("+-*: ").startswith("Window ")
+                    for ln in p.splitlines())
+                and all("nation" in ln for ln in p.splitlines()
+                        if ln.strip().lstrip("+-*: ").startswith("Window "))),
+            ("no cartesian/NL join", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
+        ],
+    ),
     "kanonymity_generalize_release": (
         "generalize-then-suppress ladder: ONE partial-aggregated shuffle onto the full QI grid; every later step (coarser regroup, tier folds) runs on class rows only",
         [
