@@ -375,6 +375,14 @@ _AQE_CASES = [
     # block join must not let AQE coalescing/promotion move results
     "sssp_weighted_from_hub",
     "entity_resolution_customers",
+    # r9 growth: the weighted/personalized rank loops' shuffle_hash
+    # hints + checkpointed edge joins, the composed ER clustering's CC
+    # rounds, and the KMV build's dedup+window pair must all survive
+    # AQE re-planning bit-identically
+    "weighted_pagerank_trade",
+    "personalized_pagerank_suppliers",
+    "entity_clusters_customers",
+    "kmv_repeat_buyers_by_nation",
 ]
 
 
@@ -400,6 +408,12 @@ _CODEGEN_CASES = [
     # and the DP release's ln()/division noise math
     "kalman_smooth_weekly_revenue",
     "dp_noisy_quantiles_price",
+    # r9 growth: the DP grid's ln() noise + the KMV estimator's
+    # division chain and the containment ratio run interpreted when
+    # codegen falls back — both paths must emit identical bits
+    "dp_noisy_qi_grid_release",
+    "kmv_repeat_buyers_by_nation",
+    "dedup_containment_pairs",
 ]
 
 
@@ -424,6 +438,11 @@ _ENGINE_CONF_CASES = [
     # semantics; the digest's parquet feed must not depend on the reader
     ("spark.sql.ansi.enabled", "sql_tablesample_faces"),
     ("spark.sql.parquet.enableVectorizedReader", "tdigest_quantiles_price"),
+    # r9 growth: the bucket twin's TABLESAMPLE-twin SQL text and the
+    # generalization ladder's integer arithmetic must not lean on
+    # ANSI-only semantics
+    ("spark.sql.ansi.enabled", "sql_tablesample_bucket_twin"),
+    ("spark.sql.ansi.enabled", "kanonymity_generalize_release"),
 ]
 
 
