@@ -499,3 +499,75 @@ def dp_noisy_qi_grid_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("noisy_count", 6).alias("noisy_count"),
         "epsilon",
     ).orderBy("c_nationkey", "c_mktsegment")
+
+
+def kanonymity_lattice_census(
+    df: DataFrame, attrs: list[str], k_min: int = _KA_MIN
+) -> DataFrame:
+    """Generalization-LATTICE census (the evaluation step of the
+    Incognito search, LeFevre et al., SIGMOD'05): for EVERY subset of
+    the quasi-identifier attributes — each lattice node generalizes the
+    dropped attributes to '*' — report the equivalence-class count, the
+    minimum class size, and whether the node satisfies k-anonymity at
+    ``k_min``. The whole lattice evaluates in ONE declarative pass: a
+    GROUPING SETS aggregate computes every node's class sizes from a
+    single scan + shuffle (GROUPING_ID identifies the node), then the
+    per-node rollup runs on class rows only.
+
+    STAGED round-10 kernel (tested library code — the r9 window is
+    full; the r10 face registers the 3-attribute QI lattice with a
+    GROUPING SETS oracle DuckDB shares verbatim). The registered
+    ``kanonymity_generalize_release`` fixes ONE hierarchy step; this
+    evaluates every node so a remediation can pick the MINIMAL
+    generalization that is fully anonymous.
+
+    Scale shape: grouping sets expand each row into 2^|attrs| grouping
+    tuples inside one partial-aggregable shuffle (|attrs| is the QI
+    tuple, 2-4 in practice, never the schema); everything after is
+    O(total classes). Output: one row per lattice node — ``node``
+    (comma-joined kept attributes; '*' for the all-generalized root),
+    ``n_attrs_kept``, ``n_classes``, ``min_k``, ``n_rows``,
+    ``anonymous``.
+    """
+    sets_sql = ", ".join(
+        "(" + ", ".join(c for i, c in enumerate(attrs) if (mask >> i) & 1) + ")"
+        for mask in range(1 << len(attrs))
+    )
+    view = "_ka_lattice_in"
+    df.selectExpr(*attrs).createOrReplaceTempView(view)
+    node_rows = df.sparkSession.sql(
+        f"""
+        SELECT {", ".join(attrs)}, GROUPING_ID({", ".join(attrs)}) AS gid,
+               COUNT(*) AS k
+        FROM {view}
+        GROUP BY GROUPING SETS ({sets_sql})
+        """
+    )
+    # GROUPING_ID bit i (MSB-first over attrs) = 1 when the attribute is
+    # generalized away at this node; kept attributes name the node.
+    kept = F.concat_ws(
+        ",",
+        *[
+            F.when(
+                F.col("gid").bitwiseAND(F.lit(1 << (len(attrs) - 1 - i))) == 0,
+                F.lit(c),
+            )
+            for i, c in enumerate(attrs)
+        ],
+    )
+    return (
+        node_rows.groupBy("gid")
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.min("k").alias("min_k"),
+            F.sum("k").cast("bigint").alias("n_rows"),
+        )
+        .select(
+            F.when(kept == "", F.lit("*")).otherwise(kept).alias("node"),
+            (F.lit(len(attrs)) - F.bit_count("gid")).cast("int").alias("n_attrs_kept"),
+            "n_classes",
+            "min_k",
+            "n_rows",
+            (F.col("min_k") >= k_min).alias("anonymous"),
+        )
+    )

@@ -1023,3 +1023,40 @@ def test_kmv_sketch_build_union_and_set_estimates(spark, ab):
         assert abs(est.est_b - len(b_vals)) <= band * len(b_vals) + 1
         assert abs(est.est_union - exact_u) <= band * exact_u + 1
         assert abs(est.est_intersect - exact_i) <= band * exact_u + 1
+
+
+_lattice_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.sampled_from(["A", "B"]), st.integers(0, 2)),
+    min_size=1,
+    max_size=50,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(rows=_lattice_rows, k_min=st.sampled_from([2, 5]))
+def test_kanonymity_lattice_census_equals_itertools_mirror(spark, rows, k_min):
+    """Staged Incognito lattice census: for ANY row multiset and k, the
+    one-pass GROUPING SETS evaluation must equal a direct Python
+    enumeration of every attribute subset (class counts, min class
+    size, row coverage, anonymity verdict at every lattice node)."""
+    from collections import Counter
+    from itertools import combinations
+
+    from cooler_mapreduce_spark.operators.governance import (
+        kanonymity_lattice_census,
+    )
+
+    attrs = ["nation", "seg", "band"]
+    df = spark.createDataFrame(rows, "nation int, seg string, band int")
+    got = {
+        r.node: (r.n_attrs_kept, r.n_classes, r.min_k, r.n_rows, r.anonymous)
+        for r in kanonymity_lattice_census(df, attrs, k_min).collect()
+    }
+    want = {}
+    for n_keep in range(len(attrs) + 1):
+        for kept in combinations(range(len(attrs)), n_keep):
+            sizes = Counter(tuple(row[i] for i in kept) for row in rows)
+            node = ",".join(attrs[i] for i in kept) or "*"
+            mk = min(sizes.values())
+            want[node] = (n_keep, len(sizes), mk, len(rows), mk >= k_min)
+    assert got == want
