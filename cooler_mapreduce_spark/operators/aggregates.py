@@ -1879,17 +1879,17 @@ _KMV_SCALE = float(1 << 60)
 def kmv_sketch(df: DataFrame, keys: list[str], value: str, k: int = _KMV_K) -> DataFrame:
     """Per-``keys`` KMV sketch of ``COUNT(DISTINCT value)``: uniformize
     the value through the seeded md5int hash, dedup (keys, u) — exact
-    distinct hashes, one keyed exchange — then keep each group's k
-    smallest via a rank window ON THE SAME KEYS (the exchange is
-    reused) and pack them into an ascending array. Output:
-    ``keys..., ks array<double>, n_retained int``.
+    distinct hashes — then keep each group's k smallest via a rank
+    window partitioned on the keys and pack them into an ascending
+    array. Output: ``keys..., ks array<double>, n_retained int``.
 
-    Scale shape: the dedup shuffles O(distinct) rows (their PAYLOAD is
-    one double each — this is the sketch BUILD, analogous to the HLL
-    tier's register build) and the window keeps state O(k) per group;
-    the packed sketch rows are O(groups × k) doubles. No collects, no
-    broadcasts, no UDFs — pure built-in hash/window/array ops inside
-    codegen.
+    Scale shape: TWO keyed exchanges, both O(distinct) payload — the
+    dedup hashes on (keys, u) with map-side partial dedup (one double
+    per row — this is the sketch BUILD, analogous to the HLL tier's
+    register build), then the window re-hashes the survivors on keys
+    alone with O(k) state per group; the packed sketch rows are
+    O(groups × k) doubles. No collects, no broadcasts, no UDFs — pure
+    built-in hash/window/array ops inside codegen.
     """
     u = (
         (F.expr(md5int_spark(f"'{_KMV_SEED}:' || CAST({value} AS STRING)")).cast("double")
@@ -1897,6 +1897,12 @@ def kmv_sketch(df: DataFrame, keys: list[str], value: str, k: int = _KMV_K) -> D
         / F.lit(_KMV_SCALE)
     )
     distinct = df.select(*keys, u.alias("u")).distinct()
+    # Two keyed exchanges by design: the distinct() exchange hashes on
+    # (keys, u) — its map-side partial dedup means it carries only
+    # O(distinct) one-double payloads — then the rank window re-hashes
+    # the O(distinct) survivors on keys alone. Pre-partitioning the RAW
+    # rows by keys would collapse it to one exchange but shuffle
+    # O(raw) >> O(distinct) bytes; two cheap exchanges win at scale.
     w = Window.partitionBy(*keys).orderBy("u")
     kept = distinct.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
     return kept.groupBy(*keys).agg(
@@ -1913,14 +1919,14 @@ def _kmv_theta(ks: str, k: int = _KMV_K) -> F.Column:
     ).otherwise(F.lit(1.0))
 
 
-def kmv_estimate(sk: DataFrame, k: int = _KMV_K) -> F.Column:
-    """Distinct-count estimator over a packed sketch column ``ks``:
-    (k-1)/theta for full sketches (the classic KMV unbiased form),
-    exact retained size otherwise."""
+def kmv_estimate(ks: str, k: int = _KMV_K) -> F.Column:
+    """Distinct-count estimator over the packed sketch column named
+    ``ks``: (k-1)/theta for full sketches (the classic KMV unbiased
+    form), exact retained size otherwise."""
     return F.when(
-        F.size("ks") >= k,
-        (F.lit(float(k - 1)) / F.element_at(F.col("ks"), k)),
-    ).otherwise(F.size("ks").cast("double"))
+        F.size(ks) >= k,
+        (F.lit(float(k - 1)) / F.element_at(F.col(ks), k)),
+    ).otherwise(F.size(ks).cast("double"))
 
 
 def kmv_union(a: DataFrame, b: DataFrame, keys: list[str], k: int = _KMV_K) -> DataFrame:
@@ -1970,12 +1976,10 @@ def kmv_set_estimates(
     below_b = F.filter("ks_b", lambda x: x < F.col("theta"))
     inter_n = F.size(F.array_intersect(below_a, below_b))
     union_n = F.size(F.array_distinct(F.concat(below_a, below_b)))
-    est_a = F.when(F.size("ks_a") >= k, F.lit(float(k - 1)) / F.element_at("ks_a", k)).otherwise(F.size("ks_a").cast("double"))
-    est_b = F.when(F.size("ks_b") >= k, F.lit(float(k - 1)) / F.element_at("ks_b", k)).otherwise(F.size("ks_b").cast("double"))
     return j.select(
         *keys,
-        est_a.alias("est_a"),
-        est_b.alias("est_b"),
+        kmv_estimate("ks_a", k).alias("est_a"),
+        kmv_estimate("ks_b", k).alias("est_b"),
         (inter_n.cast("double") / F.col("theta")).alias("est_intersect"),
         (union_n.cast("double") / F.col("theta")).alias("est_union"),
         F.when(union_n > 0, inter_n.cast("double") / union_n.cast("double"))

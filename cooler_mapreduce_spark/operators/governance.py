@@ -514,9 +514,9 @@ def kanonymity_lattice_census(
     single scan + shuffle (GROUPING_ID identifies the node), then the
     per-node rollup runs on class rows only.
 
-    STAGED round-10 kernel (tested library code — the r9 window is
-    full; the r10 face registers the 3-attribute QI lattice with a
-    GROUPING SETS oracle DuckDB shares verbatim). The registered
+    Registered (round-10) through :func:`kanonymity_lattice_customers`
+    — the 3-attribute QI lattice over customers with a GROUPING SETS
+    oracle DuckDB shares verbatim. The registered
     ``kanonymity_generalize_release`` fixes ONE hierarchy step; this
     evaluates every node so a remediation can pick the MINIMAL
     generalization that is fully anonymous.
@@ -529,19 +529,20 @@ def kanonymity_lattice_census(
     ``n_attrs_kept``, ``n_classes``, ``min_k``, ``n_rows``,
     ``anonymous``.
     """
-    sets_sql = ", ".join(
-        "(" + ", ".join(c for i, c in enumerate(attrs) if (mask >> i) & 1) + ")"
+    # DataFrame groupingSets API (Spark 4.x) — no named temp view, so
+    # concurrent/nested calls in one session cannot clobber each other's
+    # input and nothing leaks after the call.
+    gsets = [
+        [F.col(c) for i, c in enumerate(attrs) if (mask >> i) & 1]
         for mask in range(1 << len(attrs))
-    )
-    view = "_ka_lattice_in"
-    df.selectExpr(*attrs).createOrReplaceTempView(view)
-    node_rows = df.sparkSession.sql(
-        f"""
-        SELECT {", ".join(attrs)}, GROUPING_ID({", ".join(attrs)}) AS gid,
-               COUNT(*) AS k
-        FROM {view}
-        GROUP BY GROUPING SETS ({sets_sql})
-        """
+    ]
+    node_rows = (
+        df.selectExpr(*attrs)
+        .groupingSets(gsets, *[F.col(c) for c in attrs])
+        .agg(
+            F.grouping_id(*[F.col(c) for c in attrs]).alias("gid"),
+            F.count("*").alias("k"),
+        )
     )
     # GROUPING_ID bit i (MSB-first over attrs) = 1 when the attribute is
     # generalized away at this node; kept attributes name the node.
@@ -571,3 +572,66 @@ def kanonymity_lattice_census(
             (F.col("min_k") >= k_min).alias("anonymous"),
         )
     )
+
+
+@query(
+    "kanonymity_lattice_customers",
+    oracle=f"""
+    WITH base AS (
+        SELECT c_nationkey AS nation, c_mktsegment AS segment,
+               CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_band
+        FROM customer
+    ),
+    nodes AS (
+        SELECT GROUPING(nation) AS g0, GROUPING(segment) AS g1,
+               GROUPING(bal_band) AS g2, COUNT(*) AS k
+        FROM base
+        GROUP BY GROUPING SETS ((), (nation), (segment), (bal_band),
+                                (nation, segment), (nation, bal_band),
+                                (segment, bal_band),
+                                (nation, segment, bal_band))
+    )
+    SELECT CASE WHEN g0 + g1 + g2 = 3 THEN '*'
+                ELSE concat_ws(',',
+                    CASE WHEN g0 = 0 THEN 'nation' END,
+                    CASE WHEN g1 = 0 THEN 'segment' END,
+                    CASE WHEN g2 = 0 THEN 'bal_band' END) END AS node,
+           CAST(3 - g0 - g1 - g2 AS INTEGER) AS n_attrs_kept,
+           COUNT(*) AS n_classes,
+           MIN(k) AS min_k,
+           CAST(SUM(k) AS BIGINT) AS n_rows,
+           (MIN(k) >= {_KA_MIN}) AS anonymous
+    FROM nodes GROUP BY g0, g1, g2
+    ORDER BY node
+    """,
+    tags=("governance", "privacy", "grouping-sets", "aggregation", "llm-pipeline"),
+)
+def kanonymity_lattice_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Incognito lattice census registered on customers: every node
+    of the 3-attribute quasi-identifier lattice — (nation, market
+    segment, account-balance band), the same QI tuple as
+    ``kanonymity_census`` — evaluated for k-anonymity at k=5 in ONE
+    GROUPING SETS pass (:func:`kanonymity_lattice_census`). The output
+    is the remediation's decision table: which minimal generalization
+    (attribute drop-set) first satisfies k-anonymity, per node —
+    class count, min class size, row coverage, verdict.
+
+    Scale shape: the GROUPING SETS aggregate expands each row into
+    2^3 = 8 grouping tuples inside one partial-aggregable shuffle
+    (partial HashAggregate combines BEFORE the exchange, so shuffled
+    bytes are O(total classes), not O(8 × rows)); the per-node rollup
+    and verdict run on the O(classes) survivors. No joins, no windows,
+    no collects — the whole lattice is one scan + one shuffle at any SF.
+
+    Reference parity: beyond the reference — no governance surface
+    exists there (SURVEY.md §2); registers the staged round-10 kernel
+    (round-9 verdict next-round #1).
+    """
+    c = table(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / F.lit(2000.0)).cast("bigint").alias("bal_band"),
+    )
+    lattice = kanonymity_lattice_census(base, ["nation", "segment", "bal_band"])
+    return lattice.orderBy("node")

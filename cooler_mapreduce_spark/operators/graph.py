@@ -1014,10 +1014,13 @@ def weighted_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     edges = _weighted_trade_edges(spark, sf_dir)
     ranks = weighted_pagerank_frame(edges)
+    # Round BEFORE ordering so the top-20 gate binds to the same value
+    # the oracle's ORDER BY sees (the round-12 alias) — a round-12 tie
+    # between distinct unrounded ranks must not flip limit membership.
     return (
-        ranks.orderBy(F.desc("rank"), F.asc("node"))
+        ranks.select("node", F.round("rank", 12).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node"))
         .limit(20)
-        .select("node", F.round("rank", 12).alias("rank"))
     )
 
 

@@ -212,8 +212,12 @@ if _query is not None:
                 F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("s"),
             )
         )
+        # Coalesce the folded count to 0: at a dataset where every probe
+        # key is absent, the per-key rollup is empty and SUM(cnt) yields
+        # NULL, while the oracle's COUNT(*) over zero rows gives 0 (its
+        # SUM stays NULL — matched by leaving sum_price uncoalesced).
         pruned_leg = per_key.agg(
-            F.sum("cnt").alias("n_orders"),
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n_orders"),
             F.sum("s").cast("double").alias("sum_price"),
         ).select(F.lit("bucket_pruned").alias("face"), "n_orders", "sum_price")
         return hash_leg.unionAll(pruned_leg)
