@@ -292,6 +292,61 @@ def main() -> None:
     load_start = _loadavg()
     print(f"# loadavg at start: {load_start}", file=sys.stderr)
 
+    # PER-QUERY contention self-classification (round-9 verdict
+    # What's-wrong #1): loadavg alone can't separate "the bench is busy"
+    # from "someone else is busy" — our own local[32] run IS load. The
+    # separable signal is FOREIGN CPU: host busy jiffies (/proc/stat)
+    # minus the jiffies consumed by this process tree (python + the
+    # spark-submit JVM + pyspark workers), per query. foreign_frac is
+    # that remainder over total host capacity for the query's window;
+    # a query is flagged CONTENDED above 5% (≈1.6 of 32 cores taken by
+    # other tenants while it timed). The flags live in bench_runs.json
+    # so BENCH_r{N} reads as evidence, not dispute.
+    def _cpu_snapshot():
+        try:
+            with open("/proc/stat") as fh:
+                parts = fh.readline().split()[1:]
+            vals = [int(x) for x in parts]
+            total = sum(vals)
+            busy = total - vals[3] - (vals[4] if len(vals) > 4 else 0)
+            procs: dict[int, tuple[int, int]] = {}
+            for d in os.listdir("/proc"):
+                if not d.isdigit():
+                    continue
+                try:
+                    with open(f"/proc/{d}/stat") as fh:
+                        st = fh.read()
+                    rest = st[st.rindex(")") + 2:].split()
+                    procs[int(d)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+                except (OSError, ValueError, IndexError):
+                    continue
+            kids: dict[int, list[int]] = {}
+            for pid, (ppid, _) in procs.items():
+                kids.setdefault(ppid, []).append(pid)
+            tree, stack, seen = 0, [os.getpid()], set()
+            while stack:
+                p = stack.pop()
+                if p in seen:
+                    continue
+                seen.add(p)
+                tree += procs.get(p, (0, 0))[1]
+                stack.extend(kids.get(p, []))
+            return busy, tree, total
+        except OSError:
+            return None
+
+    def _foreign_frac(before, after):
+        if before is None or after is None:
+            return None
+        d_busy = after[0] - before[0]
+        d_tree = after[1] - before[1]
+        d_total = after[2] - before[2]
+        if d_total <= 0:
+            return None
+        # exited-and-reaped pyspark workers can make d_tree slightly
+        # undercount; clamp at 0 rather than report negative contention
+        return round(max(0.0, (d_busy - d_tree)) / d_total, 4)
+
     spark = get_session("bench", cpus=cpus)
     specs = load_all()
 
@@ -339,9 +394,12 @@ def main() -> None:
     # the "unexplained level shift" of BENCH_r2/r3 was exactly this.
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
+    foreign: dict[str, float | None] = {}
+    load1: dict[str, float] = {}
     for name in HEADLINE:
         spec = specs[name]
         raw: list[float] = []
+        snap0 = _cpu_snapshot()
         for i in range(8):
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
@@ -378,7 +436,14 @@ def main() -> None:
                     break
         runs[name] = raw
         timings[name] = min(raw)
-        print(f"# {name}: {timings[name]:.3f}s  runs={raw}", file=sys.stderr)
+        foreign[name] = _foreign_frac(snap0, _cpu_snapshot())
+        la = _loadavg()
+        load1[name] = la[0] if la else -1.0
+        print(
+            f"# {name}: {timings[name]:.3f}s  runs={raw}"
+            f"  foreign_cpu={foreign[name]}  load1={load1[name]}",
+            file=sys.stderr,
+        )
 
     # real-stream bounded-replay entries (see _stream_cases): 3-5 runs
     # each — streaming drains are dominated by micro-batch scheduling,
@@ -389,6 +454,7 @@ def main() -> None:
     # dropping by more than 5 %.
     for name, drive in _stream_cases(spark, sf_dir).items():
         raw = []
+        snap0 = _cpu_snapshot()
         for i in range(5):
             t0 = time.perf_counter()
             drive(i)
@@ -402,7 +468,14 @@ def main() -> None:
                     break
         runs[name] = raw
         timings[name] = min(raw)
-        print(f"# {name}: {timings[name]:.3f}s  runs={raw}", file=sys.stderr)
+        foreign[name] = _foreign_frac(snap0, _cpu_snapshot())
+        la = _loadavg()
+        load1[name] = la[0] if la else -1.0
+        print(
+            f"# {name}: {timings[name]:.3f}s  runs={raw}"
+            f"  foreign_cpu={foreign[name]}  load1={load1[name]}",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     # The raw per-run spread makes a regression in the min diagnosable
@@ -412,13 +485,20 @@ def main() -> None:
     # and a runs-inflated line overflows it unparsed (BENCH_r4/r5 both
     # recorded "parsed": null for exactly this reason).
     load_end = _loadavg()
+    contended = sorted(
+        n for n, f in foreign.items() if f is not None and f > 0.05
+    )
     print(f"# runs: {json.dumps(runs)}", file=sys.stderr)
     print(f"# loadavg at end: {load_end}", file=sys.stderr)
+    print(f"# contended (foreign_cpu > 5%): {contended}", file=sys.stderr)
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "bench_runs.json"), "w") as fh:
             json.dump({"sf": sf, "loadavg_start": load_start,
-                       "loadavg_end": load_end, "runs": runs}, fh, indent=1)
+                       "loadavg_end": load_end, "runs": runs,
+                       "foreign_cpu_frac": foreign,
+                       "loadavg_per_query": load1,
+                       "contended": contended}, fh, indent=1)
     except OSError:
         pass  # read-only checkout: the stderr line still has the spread
     print(

@@ -474,7 +474,9 @@ _CONTAINMENT_T = 0.6
     """,
     tags=("dedup", "containment", "decontamination", "llm-pipeline"),
 )
-def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_containment_pairs(
+    spark: SparkSession, sf_dir: str, max_posting: int | None = None
+) -> DataFrame:
     """Shingle CONTAINMENT pairs (Broder, SEQUENCES'97): the asymmetric
     near-duplicate measure c = |A∩B| / min(|A|,|B|) — 1.0 whenever the
     smaller document's shingles are a subset of the larger's, no matter
@@ -496,9 +498,12 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: same as the Jaccard tier — worst-case quadratic in
     per-shingle duplicate density; production sets ``max_posting``
     (stop-shingle removal, one-sided: capping only LOWERS measured
-    intersections, so capped output ⊆ exact output) or moves to the
-    prefix-filter/minhash tiers for candidate generation and keeps this
-    as the verify stage.
+    intersections, so capped output ⊆ exact output — property-pinned
+    against a Python posting-list mirror on arbitrary corpora AND as a
+    subset/monotonicity law in tests/test_property_blocks.py) or moves
+    to the prefix-filter/minhash tiers for candidate generation and
+    keeps this as the verify stage. The registered oracle-checked face
+    runs uncapped (``None``).
 
     Reference parity: beyond the reference — no text-similarity surface
     exists there (SURVEY.md §2); extends the exact-pair family
@@ -516,6 +521,8 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_list(F.struct("doc_id", "n")).alias("ds"))
         .filter(F.size("ds") > 1)
     )
+    if max_posting is not None:
+        buckets = buckets.filter(F.size("ds") <= max_posting)
     pairs = buckets.select(
         F.explode(
             F.expr(

@@ -627,7 +627,7 @@ def kanonymity_lattice_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists there (SURVEY.md §2); registers the staged round-10 kernel
     (round-9 verdict next-round #1).
     """
-    c = table(spark, sf_dir, "customer")
+    c = table(spark, sf_dir, "customer", fan_out=False)
     base = c.select(
         F.col("c_nationkey").alias("nation"),
         F.col("c_mktsegment").alias("segment"),

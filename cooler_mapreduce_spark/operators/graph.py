@@ -1152,3 +1152,227 @@ def personalized_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFra
         .orderBy(F.desc("rank"), F.asc("node"))
         .limit(20)
     )
+
+
+# ------------------------------------------------ windowed RWR (events) --
+
+#: RWR seed event type for the windowed face: the funnel entry point.
+_RWR_SEED = "signup"
+
+
+def _weekly_transition_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-WEEK behavioral transition graph over events: within each
+    tumbling calendar week (Monday-truncated ``ts`` date), each user's
+    consecutive events (ts order, event_id tiebreak) contribute one
+    ``src event_type → dst event_type`` edge; pairs straddling a week
+    boundary are excluded so every week's graph is self-contained.
+    Edge weight = transition count. Output: ``(week, src, dst, w)``.
+
+    Scale shape: ONE user-keyed exchange for the lead window (the
+    sessionize/as-of family's shape), then a partial-aggregable groupBy
+    onto O(weeks × |types|²) edge rows — the graph is bounded by the
+    event-type vocabulary per week, not by the event count.
+    """
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events", fan_out=False).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    # Monday-truncated week as TIMESTAMP_NTZ (the wall_trunc convention:
+    # tz-free DATE truncation, then NTZ — pandas renders DuckDB DATEs as
+    # midnight Timestamps, so both engines emit the identical instant).
+    week = F.trunc(F.to_date("ts"), "week").cast("timestamp_ntz")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.select(
+        week.alias("week"),
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+        F.lead(week).over(w).alias("dst_week"),
+    )
+    return (
+        nxt.filter(F.col("dst").isNotNull() & (F.col("dst_week") == F.col("week")))
+        .groupBy("week", "src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+
+
+def rwr_grouped_frame(
+    edges: DataFrame,
+    seed,
+    iterations: int = _PR_ITERATIONS,
+    damping: float = _DAMPING,
+) -> DataFrame:
+    """GROUPED random-walk-with-restart: one independent weighted RWR
+    per ``week`` over a ``(week, src, dst, w)`` edge frame, seeded at
+    the single node ``seed`` (teleport mass (1-d) lands only there;
+    rank initialized to the seed indicator). The per-week loops run in
+    the SAME five joins — the group key simply widens every join and
+    aggregation key, so adding windows adds rows, never stages.
+
+    Same determinism discipline as :func:`weighted_pagerank_frame`:
+    contributions floor-quantized to 1e-15 and summed as exact
+    decimals; the teleport constant is a fixed IEEE expression spelled
+    identically in the oracle. Nodes are each week's distinct SOURCES
+    (outdeg ≥ 1 by construction); a dst that is never a src receives no
+    row — the oracle's inner join to the out-weight table drops it the
+    same way.
+
+    Scale shape: per iteration O(|edges|) shuffled bytes keyed by
+    (week, dst) with map-side partial sums, state O(weeks × nodes);
+    the edge frame is repartitioned by the join key (week, src) BEFORE
+    its one checkpoint so all iterations join co-located. Nothing is
+    collected or broadcast — the seed gate is a literal predicate.
+    """
+    edges = edges.repartition("week", "src").localCheckpoint(eager=True)
+    e = edges.select(
+        F.col("week").alias("e_week"),
+        F.col("src").alias("e_src"),
+        F.col("dst").alias("e_dst"),
+        F.col("w").alias("e_w"),
+    )
+    outw = (
+        edges.groupBy("week", "src")
+        .agg(F.sum("w").alias("outw"))
+        .localCheckpoint(eager=True)
+    )
+    ow = outw.select(
+        F.col("week").alias("o_week"), F.col("src").alias("o_src"), "outw"
+    )
+    ranks = outw.select(
+        "week",
+        F.col("src").alias("node"),
+        "outw",
+        F.when(F.col("src") == seed, F.lit(1.0)).otherwise(F.lit(0.0)).alias("rank"),
+    )
+    q = F.lit(float(_Q))
+    for _ in range(iterations):
+        contribs = ranks.hint("shuffle_hash").join(
+            e, (F.col("week") == F.col("e_week")) & (F.col("node") == F.col("e_src"))
+        ).select(
+            F.col("e_week").alias("cweek"),
+            F.col("e_dst").alias("to"),
+            F.floor(F.col("rank") * F.col("e_w") / F.col("outw") * q)
+            .cast("decimal(38,0)")
+            .alias("c"),
+        )
+        sums = contribs.groupBy("cweek", "to").agg(F.sum("c").alias("s"))
+        ranks = sums.join(
+            ow.hint("shuffle_hash"),
+            (F.col("cweek") == F.col("o_week")) & (F.col("to") == F.col("o_src")),
+        ).select(
+            F.col("o_week").alias("week"),
+            F.col("to").alias("node"),
+            "outw",
+            (
+                F.when(F.col("to") == seed, F.lit(1.0 - damping)).otherwise(F.lit(0.0))
+                + F.lit(damping) * (F.col("s").cast("double") / q)
+            ).alias("rank"),
+        )
+    return ranks.select("week", "node", "rank")
+
+
+def _rwr_weekly_oracle(iterations: int = _PR_ITERATIONS) -> str:
+    """Unrolled-iteration DuckDB oracle for the windowed RWR: the
+    personalized construction with ``week`` widening every group and
+    join key, the seed gate a literal equality on the event type, and
+    the teleport constant spelled (CAST(1.0 AS DOUBLE) - CAST(0.85 AS
+    DOUBLE)) for IEEE identity with the engine's Python-computed
+    ``1.0 - damping``."""
+    tele = (
+        f"CASE WHEN e.dst = '{_RWR_SEED}'"
+        f" THEN (CAST(1.0 AS DOUBLE) - CAST({_DAMPING} AS DOUBLE))"
+        f" ELSE CAST(0.0 AS DOUBLE) END"
+    )
+    parts = [
+        f"""
+    WITH ev AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(date_trunc('week', CAST(ts AS DATE)) AS TIMESTAMP) AS week
+        FROM events
+    ),
+    nxt AS (
+        SELECT week, event_type AS src,
+               LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst,
+               LEAD(week) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst_week
+        FROM ev
+    ),
+    edges AS (
+        SELECT week, src, dst, COUNT(*) AS w
+        FROM nxt WHERE dst IS NOT NULL AND dst_week = week
+        GROUP BY 1, 2, 3
+    ),
+    ow AS (SELECT week, src, SUM(w) AS outw FROM edges GROUP BY 1, 2),
+    pr0 AS (
+        SELECT week, src AS node, outw,
+               CASE WHEN src = '{_RWR_SEED}' THEN CAST(1.0 AS DOUBLE)
+                    ELSE CAST(0.0 AS DOUBLE) END AS rank
+        FROM ow
+    )"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+    pr{i} AS (
+        SELECT e.week, e.dst AS node, d2.outw,
+               {tele}
+               + {_DAMPING} * (CAST(SUM(CAST(FLOOR(p.rank * e.w / p.outw * {_Q}.0)
+                                             AS DECIMAL(38,0))) AS DOUBLE) / {_Q}.0)
+                   AS rank
+        FROM pr{i - 1} p
+        JOIN edges e ON p.week = e.week AND p.node = e.src
+        JOIN ow d2 ON e.week = d2.week AND e.dst = d2.src
+        GROUP BY e.week, e.dst, d2.outw
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT week, node, round(rank, 12) AS rank
+    FROM pr{iterations}
+    WHERE round(rank, 12) > 0.0
+    ORDER BY week, rank DESC, node
+    """
+    )
+    return "".join(parts)
+
+
+@query(
+    "rwr_weekly_event_types",
+    oracle=_rwr_weekly_oracle(),
+    tags=("graph", "iterative", "window", "aggregation", "events", "personalized"),
+)
+def rwr_weekly_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINDOWED random-walk-with-restart over the events graph: each
+    tumbling calendar week's behavioral transition graph (consecutive
+    same-user events → ``event_type`` edges weighted by count,
+    :func:`_weekly_transition_edges`) is ranked by an independent RWR
+    seeded at 'signup' — "which behaviors sit in the signup funnel's
+    orbit, week by week". The per-week rank trajectories are the drift
+    detector behind funnel-health dashboards: a week whose 'purchase'
+    proximity drops signals a broken funnel even when raw counts hold.
+
+    The grouped kernel (:func:`rwr_grouped_frame`) runs EVERY week's
+    walk in the same five join+aggregate rounds — the week key widens
+    each shuffle instead of multiplying stages, so 5 weeks or 5,000
+    cost the same plan depth. The oracle unrolls the identical five
+    iterations as chained CTEs with week in every key.
+
+    100 TB shape: the transition derivation is one user-keyed window
+    exchange over events (the sessionize family's shape) folding into
+    O(weeks × |types|²) edge rows; each RWR iteration shuffles
+    O(|edges|) quantized-decimal contributions keyed by (week, dst)
+    with map-side partial sums. The seed gate is a literal predicate —
+    nothing collected, nothing broadcast, no caps needed because the
+    graph is vocabulary-bounded per week.
+
+    Reference parity: iterative MapReduce the reference cannot chain
+    (SURVEY.md §2.2); extends the ranking family's global→weighted→
+    personalized ladder with the TEMPORAL axis (round-9 handoff's
+    gap-checked direction, built at the full bar).
+    """
+    edges = _weekly_transition_edges(spark, sf_dir)
+    ranks = rwr_grouped_frame(edges, F.lit(_RWR_SEED))
+    return (
+        ranks.select("week", "node", F.round("rank", 12).alias("rank"))
+        .filter(F.col("rank") > 0.0)
+        .orderBy("week", F.desc("rank"), F.asc("node"))
+    )

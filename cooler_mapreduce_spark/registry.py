@@ -369,7 +369,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
 #: #2 — slice offsets/alien displacement now derive from MAX(c_custkey),
 #: and the _ER_BLOCK_CAP oversized-block drop landed). Both changed
 #: answers by design; their r9 rows re-prove the new spelling green.
-PRIORITY_QUERIES: tuple[str, ...] = (
+_ROUND9_WINDOW: tuple[str, ...] = (
     # --- round-9 first-timers: the registered staged kernels ---
     "weighted_pagerank_trade",
     "entity_clusters_customers",
@@ -440,6 +440,92 @@ PRIORITY_QUERIES: tuple[str, ...] = (
     # window, and the KMV face below answers the same repeat-buyer
     # question through the sketch tier)
     "kmv_repeat_buyers_by_nation",    # theta-sketch set algebra (∩/∪/J)
+)
+
+#: Round-10 rotation — the round-9 verdict's prescriptions, item by
+#: item: the staged lattice kernel registered (next-round #1), the
+#: gap-checked windowed-RWR direction built at the full bar (#5), the
+#: re-anchor queue continued (#3 — the 18 remaining r2 rows incl. the
+#: four r9-displaced, then the 18 oldest r3 rows alphabetically; the
+#: remaining 16 r3 rows head the r11 queue), and re-proof rows for the
+#: three queries whose spellings changed under this round's ADVICE
+#: fixes.
+#:
+#: First-timers (2): kanonymity_lattice_customers (the staged Incognito
+#: lattice census — every QI-subset node evaluated in ONE GROUPING SETS
+#: pass, oracle shared verbatim with DuckDB) and rwr_weekly_event_types
+#: (windowed random-walk-with-restart over the per-week event-type
+#: transition graph — the grouped RWR kernel runs every week's walk in
+#: the same five join+agg rounds; unrolled-CTE oracle with week in
+#: every key).
+#:
+#: Re-proofs (3): weighted_pagerank_trade (round-9 ADVICE — top-20 now
+#: rounds to 12 BEFORE the order/limit so round-12 ties cannot flip
+#: membership vs the oracle's alias binding; a semantic change on tie
+#: inputs), sql_tablesample_bucket_twin (round-9 ADVICE — the pruned
+#: leg's folded count coalesces to 0 so the empty-probe edge matches
+#: the oracle's COUNT(*) spelling), and kmv_repeat_buyers_by_nation
+#: (the kmv_estimate refactor now feeds the registered face's est_a/
+#: est_b columns — plan-identical by design; the row proves it).
+PRIORITY_QUERIES: tuple[str, ...] = (
+    # --- round-10 first-timers ---
+    "kanonymity_lattice_customers",   # Incognito lattice: 1 GROUPING SETS pass
+    "rwr_weekly_event_types",         # windowed RWR over event transitions
+    # --- re-proof rows for this round's three ADVICE-driven changes ---
+    "weighted_pagerank_trade",
+    "sql_tablesample_bucket_twin",
+    "kmv_repeat_buyers_by_nation",
+    # --- anchors: the 9 §2.1-critical category representatives ---
+    "word_count",                     # parity / scan / flatMap
+    "pricing_summary",                # hash + partial agg (TPC-H Q1)
+    "join_asof_last_click",           # join family
+    "window_top_orders_per_customer", # window functions
+    "dedup_minhash_lsh",              # LLM dedup
+    "ann_topk_bruteforce",            # LLM similarity
+    "multimodal_catalog",             # multimodal
+    "mr_word_count",                  # MR-compat / UDF surface
+    "stream_tumbling_counts",         # streaming batch-twin
+    # --- oldest re-anchors: the 18 remaining round-2 rows (the four
+    # r9-displaced join_range/json/q18/intersect rows + the 14 r2
+    # stragglers, alphabetical) ---
+    "intersect_repeat_customers",
+    "join_range_price_bands",
+    "json_functions",
+    "large_orders_q18",
+    "math_functions",
+    "mr_quantity_stats",
+    "orders_above_customer_avg",
+    "pipeline_training_corpus",
+    "pivot_event_counts",
+    "positional_index_top_terms",
+    "pysource_event_mix",
+    "sessionize_events",
+    "skew_salted_event_stats",
+    "stat_corr_qty_price",
+    "text_quality_score",
+    "udtf_word_count",
+    "weather_stats",
+    "window_running_total",
+    # --- oldest re-anchors: the 18 oldest round-3 rows (alphabetical;
+    # the remaining 16 r3 rows head the round-11 queue) ---
+    "ansi_safety_functions",
+    "bigram_counts",
+    "boilerplate_ngrams",
+    "corpus_shuffle_shards",
+    "csv_functions",
+    "dedup_clusters",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "event_cooccurrence_lift",
+    "event_transition_matrix",
+    "except_all_multiset",
+    "funnel_signup_click_purchase",
+    "higher_order_array_functions",
+    "intersect_all_multiset",
+    "longest_daily_streak",
+    "map_functions",
+    "mixing_rates_by_lang",
 )
 
 #: The superseded round-8 window, kept for the registry's rotation

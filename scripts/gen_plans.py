@@ -863,6 +863,24 @@ CASES = {
             ("no join anywhere", lambda p: "Join" not in p),
         ],
     ),
+    "kanonymity_lattice_customers": (
+        "Incognito lattice census: the whole 2^3-node lattice in ONE Expand + partial-aggregated shuffle (grouping sets), then the per-node rollup on class rows only; no joins, no fan-out shuffle of the scan",
+        [
+            ("grouping-sets Expand feeds a partial aggregate", lambda p: "Expand" in p and "partial_count" in p),
+            ("two keyed exchanges only (classes, then gid nodes)", lambda p: p.count("Exchange hashpartitioning") == 2),
+            ("no join anywhere", lambda p: "Join" not in p),
+            ("no fan-out shuffle of the scan", lambda p: "RoundRobinPartitioning" not in p),
+        ],
+    ),
+    "rwr_weekly_event_types": (
+        "windowed RWR: 5 grouped join + partial-agg rounds off the (week, src)-partitioned checkpointed edge list (the week key widens each shuffle, never the stage count); the seed gate is a literal predicate",
+        [
+            ("partial contribution sums", lambda p: "partial_sum" in p),
+            ("checkpointed edge state", lambda p: "Scan ExistingRDD" in p),
+            ("no cartesian / NL join (seed gate is a literal)", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
+            ("iteration joins are shuffled-hash on (week, key)", lambda p: "ShuffledHashJoin" in p),
+        ],
+    ),
 }
 
 #: cases whose scan/reuse claims are only *printable* with AQE disabled:

@@ -194,6 +194,12 @@ CASES = [
     # window over a dedup), so partition layout must not reach the
     # retained minima or any set estimate
     "kmv_repeat_buyers_by_nation",
+    # round-10 growth entries, pre-driver-row protection (same rule):
+    # the lattice's single GROUPING SETS pass + per-node rollup, and the
+    # windowed RWR's lead-window transition derivation + per-week
+    # quantized decimal rank sums
+    "kanonymity_lattice_customers",
+    "rwr_weekly_event_types",
 ]
 
 
@@ -259,6 +265,9 @@ _TZ_CASES = [
     "incremental_join_view_delta",
     # mid-r8 growth: weekly NTZ buckets over o_orderdate (holt's shape)
     "kalman_smooth_weekly_revenue",
+    # r10 growth: Monday week truncation over events.ts must not see the
+    # session timezone (wall_trunc convention — to_date then NTZ)
+    "rwr_weekly_event_types",
 ]
 
 
@@ -289,6 +298,9 @@ _FLAVOR_CASES = [
     # round-8 queue: LTTB's day buckets + triangle arithmetic read
     # events.ts microseconds directly
     "downsample_lttb_daily",
+    # r10 growth: the week buckets + lead-window transition order read
+    # events.ts; results must not depend on the lake's annotation
+    "rwr_weekly_event_types",
 ]
 
 
@@ -383,6 +395,9 @@ _AQE_CASES = [
     "personalized_pagerank_suppliers",
     "entity_clusters_customers",
     "kmv_repeat_buyers_by_nation",
+    # r10 growth: the grouped RWR's per-week shuffle_hash rank loop and
+    # checkpointed edge joins must survive AQE re-planning bit-identically
+    "rwr_weekly_event_types",
 ]
 
 
@@ -414,6 +429,9 @@ _CODEGEN_CASES = [
     "dp_noisy_qi_grid_release",
     "kmv_repeat_buyers_by_nation",
     "dedup_containment_pairs",
+    # r10 growth: the RWR's floor-quantized decimal contributions and
+    # teleport/damping double chain run interpreted on codegen fallback
+    "rwr_weekly_event_types",
 ]
 
 
@@ -443,6 +461,9 @@ _ENGINE_CONF_CASES = [
     # ANSI-only semantics
     ("spark.sql.ansi.enabled", "sql_tablesample_bucket_twin"),
     ("spark.sql.ansi.enabled", "kanonymity_generalize_release"),
+    # r10 growth: the lattice's GROUPING_ID bit arithmetic and the
+    # grouping-sets expansion must not lean on ANSI-only semantics
+    ("spark.sql.ansi.enabled", "kanonymity_lattice_customers"),
 ]
 
 
