@@ -309,6 +309,11 @@ def main() -> None:
             vals = [int(x) for x in parts]
             total = sum(vals)
             busy = total - vals[3] - (vals[4] if len(vals) > 4 else 0)
+            # steal (field 8) is time the HYPERVISOR ran another tenant
+            # on this vCPU — contention loadavg cannot see. Split it out
+            # so the artifact distinguishes same-host tenants (other
+            # processes) from co-tenant VMs (steal).
+            steal = vals[7] if len(vals) > 7 else 0
             procs: dict[int, tuple[int, int]] = {}
             for d in os.listdir("/proc"):
                 if not d.isdigit():
@@ -331,21 +336,26 @@ def main() -> None:
                 seen.add(p)
                 tree += procs.get(p, (0, 0))[1]
                 stack.extend(kids.get(p, []))
-            return busy, tree, total
+            return busy, tree, total, steal
         except OSError:
             return None
 
     def _foreign_frac(before, after):
+        """(same-host foreign frac, hypervisor steal frac) for the window."""
         if before is None or after is None:
-            return None
+            return None, None
         d_busy = after[0] - before[0]
         d_tree = after[1] - before[1]
         d_total = after[2] - before[2]
+        d_steal = after[3] - before[3]
         if d_total <= 0:
-            return None
+            return None, None
         # exited-and-reaped pyspark workers can make d_tree slightly
         # undercount; clamp at 0 rather than report negative contention
-        return round(max(0.0, (d_busy - d_tree)) / d_total, 4)
+        return (
+            round(max(0.0, (d_busy - d_steal - d_tree)) / d_total, 4),
+            round(d_steal / d_total, 4),
+        )
 
     spark = get_session("bench", cpus=cpus)
     specs = load_all()
@@ -395,6 +405,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     foreign: dict[str, float | None] = {}
+    steal: dict[str, float | None] = {}
     load1: dict[str, float] = {}
     for name in HEADLINE:
         spec = specs[name]
@@ -436,12 +447,12 @@ def main() -> None:
                     break
         runs[name] = raw
         timings[name] = min(raw)
-        foreign[name] = _foreign_frac(snap0, _cpu_snapshot())
+        foreign[name], steal[name] = _foreign_frac(snap0, _cpu_snapshot())
         la = _loadavg()
         load1[name] = la[0] if la else -1.0
         print(
             f"# {name}: {timings[name]:.3f}s  runs={raw}"
-            f"  foreign_cpu={foreign[name]}  load1={load1[name]}",
+            f"  foreign_cpu={foreign[name]}  steal={steal[name]}  load1={load1[name]}",
             file=sys.stderr,
         )
 
@@ -468,12 +479,12 @@ def main() -> None:
                     break
         runs[name] = raw
         timings[name] = min(raw)
-        foreign[name] = _foreign_frac(snap0, _cpu_snapshot())
+        foreign[name], steal[name] = _foreign_frac(snap0, _cpu_snapshot())
         la = _loadavg()
         load1[name] = la[0] if la else -1.0
         print(
             f"# {name}: {timings[name]:.3f}s  runs={raw}"
-            f"  foreign_cpu={foreign[name]}  load1={load1[name]}",
+            f"  foreign_cpu={foreign[name]}  steal={steal[name]}  load1={load1[name]}",
             file=sys.stderr,
         )
 
@@ -486,17 +497,21 @@ def main() -> None:
     # recorded "parsed": null for exactly this reason).
     load_end = _loadavg()
     contended = sorted(
-        n for n, f in foreign.items() if f is not None and f > 0.05
+        n
+        for n in foreign
+        if (foreign[n] is not None and foreign[n] > 0.05)
+        or (steal[n] is not None and steal[n] > 0.05)
     )
     print(f"# runs: {json.dumps(runs)}", file=sys.stderr)
     print(f"# loadavg at end: {load_end}", file=sys.stderr)
-    print(f"# contended (foreign_cpu > 5%): {contended}", file=sys.stderr)
+    print(f"# contended (foreign or steal > 5%): {contended}", file=sys.stderr)
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "bench_runs.json"), "w") as fh:
             json.dump({"sf": sf, "loadavg_start": load_start,
                        "loadavg_end": load_end, "runs": runs,
                        "foreign_cpu_frac": foreign,
+                       "steal_frac": steal,
                        "loadavg_per_query": load1,
                        "contended": contended}, fh, indent=1)
     except OSError:

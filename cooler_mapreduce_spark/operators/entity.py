@@ -339,3 +339,250 @@ def entity_clusters_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("entity_id").cast("bigint").alias("entity_id"),
         F.col("cluster_id").cast("bigint").alias("cluster_id"),
     )
+
+
+# ------------------------------------------ Fellegi–Sunter weights ----
+
+#: decision thresholds on the summed log-likelihood weight (the classic
+#: two-threshold rule: link / possible (clerical review) / non-link).
+_FS_UPPER = 4.0
+_FS_LOWER = -4.0
+
+
+@query(
+    "fellegi_sunter_weights",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
+    dirty AS (
+        SELECT c_custkey + m AS rec_id, m,
+               substr(c_name, 1, length(c_name) - 1) || 'X' AS name,
+               c_nationkey AS nation, c_acctbal + 0.5 AS bal
+        FROM customer, mx WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey + 2 * m, m, c_name, c_nationkey, c_acctbal
+        FROM customer, mx WHERE c_custkey % 3 <> 0 AND c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey + 3 * m, m,
+               'Customer#' || lpad(CAST(c_custkey + m AS VARCHAR), 9, '0'),
+               c_nationkey, c_acctbal
+        FROM customer, mx WHERE c_custkey % 11 = 0
+    ),
+    blocks AS (
+        SELECT {_ER_BLOCK} AS blk, COUNT(*) AS blk_n
+        FROM customer GROUP BY 1
+    ),
+    bounded AS (
+        SELECT a.* FROM customer a
+        JOIN blocks b ON substr(a.c_name, 10, 8) = b.blk
+        WHERE b.blk_n <= {_ER_BLOCK_CAP}
+    ),
+    cand AS (
+        SELECT d.rec_id,
+               CASE WHEN levenshtein(d.name, a.c_name) <= {_ER_MAX_LEV}
+                    THEN 1 ELSE 0 END AS ag_name,
+               CASE WHEN d.nation = a.c_nationkey THEN 1 ELSE 0 END AS ag_nation,
+               CASE WHEN abs(d.bal - a.c_acctbal) <= {_ER_BAL_TOL}
+                    THEN 1 ELSE 0 END AS ag_bal,
+               CASE WHEN d.rec_id < 2 * d.m
+                         AND a.c_custkey = d.rec_id - d.m THEN 1
+                    WHEN d.rec_id >= 2 * d.m AND d.rec_id < 3 * d.m
+                         AND a.c_custkey = d.rec_id - 2 * d.m THEN 1
+                    ELSE 0 END AS is_match
+        FROM dirty d JOIN bounded a ON substr(d.name, 10, 8) = {_ER_BLOCK}
+    ),
+    params AS (
+        SELECT
+          (CAST(SUM(CASE WHEN is_match = 1 THEN ag_name ELSE 0 END) AS DOUBLE) + 0.5)
+              / (CAST(SUM(is_match) AS DOUBLE) + 1.0) AS m_name,
+          (CAST(SUM(CASE WHEN is_match = 0 THEN ag_name ELSE 0 END) AS DOUBLE) + 0.5)
+              / (CAST(SUM(1 - is_match) AS DOUBLE) + 1.0) AS u_name,
+          (CAST(SUM(CASE WHEN is_match = 1 THEN ag_nation ELSE 0 END) AS DOUBLE) + 0.5)
+              / (CAST(SUM(is_match) AS DOUBLE) + 1.0) AS m_nation,
+          (CAST(SUM(CASE WHEN is_match = 0 THEN ag_nation ELSE 0 END) AS DOUBLE) + 0.5)
+              / (CAST(SUM(1 - is_match) AS DOUBLE) + 1.0) AS u_nation,
+          (CAST(SUM(CASE WHEN is_match = 1 THEN ag_bal ELSE 0 END) AS DOUBLE) + 0.5)
+              / (CAST(SUM(is_match) AS DOUBLE) + 1.0) AS m_bal,
+          (CAST(SUM(CASE WHEN is_match = 0 THEN ag_bal ELSE 0 END) AS DOUBLE) + 0.5)
+              / (CAST(SUM(1 - is_match) AS DOUBLE) + 1.0) AS u_bal
+        FROM cand
+    ),
+    scored AS (
+        SELECT c.is_match,
+               (CASE WHEN c.ag_name = 1 THEN ln(p.m_name / p.u_name)
+                     ELSE ln((1.0 - p.m_name) / (1.0 - p.u_name)) END
+                + CASE WHEN c.ag_nation = 1 THEN ln(p.m_nation / p.u_nation)
+                       ELSE ln((1.0 - p.m_nation) / (1.0 - p.u_nation)) END
+                + CASE WHEN c.ag_bal = 1 THEN ln(p.m_bal / p.u_bal)
+                       ELSE ln((1.0 - p.m_bal) / (1.0 - p.u_bal)) END) AS w
+        FROM cand c, params p
+    )
+    SELECT CASE WHEN w >= {_FS_UPPER} THEN 'link'
+                WHEN w <= {_FS_LOWER} THEN 'non_link'
+                ELSE 'possible' END AS decision,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(is_match) AS BIGINT) AS n_true_matches,
+           round(MIN(w), 9) AS min_weight,
+           round(MAX(w), 9) AS max_weight
+    FROM scored
+    GROUP BY 1
+    ORDER BY decision
+    """,
+    tags=("entity-resolution", "statistics", "join", "llm-pipeline"),
+)
+def fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROBABILISTIC record linkage (Fellegi & Sunter, JASA 1969): the
+    statistical layer the rule-based ``entity_resolution_customers``
+    face hard-codes. Candidate pairs come from the SAME capped
+    name-prefix blocking, but instead of a hard match rule each pair
+    gets an AGREEMENT VECTOR over three field comparators (name edit
+    distance <= 1, nation equality, balance within tolerance); per-field
+    m/u probabilities — P(agree | match) and P(agree | unmatch) — are
+    estimated from the labeled candidate set (the synthetic batch knows
+    its truth: each rec_id's SLICE RANGE names its true master —
+    rec_id - m on [m, 2m), rec_id - 2m on [2m, 3m), never for the
+    alien slice; production estimates the same parameters by EM or a
+    clerical sample), Laplace-smoothed (+0.5 / +1) so no weight is
+    ever infinite; each pair's summed log-likelihood weight
+    sum_k ln(m_k/u_k) (agree) / ln((1-m_k)/(1-u_k)) (disagree) is
+    classified by the classic two-threshold rule into
+    link / possible / non-link. Output: the decision manifest — pair
+    count, true-match count (the classifier's confusion surface), and
+    the weight range per decision band.
+
+    Inside a block every master differs from its neighbors only in the
+    final name digit, so the name comparator AGREES on most unmatched
+    in-block pairs (u_name is high) — the textbook demonstration of why
+    blocking keys make weak comparators and the discriminating power
+    shifts to nation/balance. All arithmetic is a fixed scalar sequence
+    (integer sums -> double divisions -> ln -> three-term sum), spelled
+    identically in both engines; ln parity is already proven by the
+    hash-green DP noise tier.
+
+    100 TB shape: ONE capped blocked equi-join (pair count
+    O(|dirty| x cap), the ER discipline), one O(1)-row parameter
+    aggregate broadcast back over the pairs (the allowed single-row
+    crossJoin class), one O(pairs) -> 3-row decision rollup. No
+    windows, no collects, no corpus broadcasts.
+
+    Reference parity: beyond the reference — no record-linkage surface
+    exists there (SURVEY.md §2); adds the PROBABILISTIC member to the
+    block->score->resolve family (round-10 growth).
+    """
+    c = table(spark, sf_dir, "customer", fan_out=False)
+    mx = c.agg(F.max("c_custkey").alias("m"))
+    cm = c.crossJoin(F.broadcast(mx))
+    dirty = (
+        cm.filter(F.col("c_custkey") % 3 == 0)
+        .select(
+            (F.col("c_custkey") + F.col("m")).alias("rec_id"),
+            "m",
+            F.concat(
+                F.expr("substr(c_name, 1, length(c_name) - 1)"), F.lit("X")
+            ).alias("name"),
+            F.col("c_nationkey").alias("nation"),
+            (F.col("c_acctbal") + 0.5).alias("bal"),
+        )
+        .unionAll(
+            cm.filter(
+                (F.col("c_custkey") % 3 != 0) & (F.col("c_custkey") % 7 == 0)
+            ).select(
+                (F.col("c_custkey") + 2 * F.col("m")).alias("rec_id"),
+                "m",
+                F.col("c_name").alias("name"),
+                F.col("c_nationkey").alias("nation"),
+                F.col("c_acctbal").alias("bal"),
+            )
+        )
+        .unionAll(
+            cm.filter(F.col("c_custkey") % 11 == 0).select(
+                (F.col("c_custkey") + 3 * F.col("m")).alias("rec_id"),
+                "m",
+                F.concat(
+                    F.lit("Customer#"),
+                    F.lpad((F.col("c_custkey") + F.col("m")).cast("string"), 9, "0"),
+                ).alias("name"),
+                F.col("c_nationkey").alias("nation"),
+                F.col("c_acctbal").alias("bal"),
+            )
+        )
+    )
+    blk_sizes = c.groupBy(F.expr(_ER_BLOCK).alias("blk")).agg(
+        F.count("*").alias("blk_n")
+    )
+    bounded = (
+        c.withColumn("blk", F.expr(_ER_BLOCK))
+        .join(blk_sizes.filter(F.col("blk_n") <= _ER_BLOCK_CAP), "blk")
+        .drop("blk", "blk_n")
+    )
+    ag = lambda cond: F.when(cond, F.lit(1)).otherwise(F.lit(0))  # noqa: E731
+    cand = dirty.join(
+        bounded, F.expr("substr(name, 10, 8)") == F.expr(_ER_BLOCK)
+    ).select(
+        "rec_id",
+        ag(F.levenshtein("name", "c_name") <= _ER_MAX_LEV).alias("ag_name"),
+        ag(F.col("nation") == F.col("c_nationkey")).alias("ag_nation"),
+        ag(F.abs(F.col("bal") - F.col("c_acctbal")) <= _ER_BAL_TOL).alias("ag_bal"),
+        # truth label by SLICE RANGE, not bare arithmetic: rec_ids are
+        # custkey + k*m with keys 0-BASED, so the alien slice's
+        # custkey=0 record gets rec_id = 3m and rec_id - 2m = m would
+        # falsely label its (coincidentally name-identical) pair with
+        # master m as a match; the range gates pin each rec_id to its
+        # generating slice (typo [m, 2m), exact [2m, 3m), alien >= 3m).
+        ag(
+            (
+                (F.col("rec_id") < 2 * F.col("m"))
+                & (F.col("c_custkey") == F.col("rec_id") - F.col("m"))
+            )
+            | (
+                (F.col("rec_id") >= 2 * F.col("m"))
+                & (F.col("rec_id") < 3 * F.col("m"))
+                & (F.col("c_custkey") == F.col("rec_id") - 2 * F.col("m"))
+            )
+        ).alias("is_match"),
+    )
+
+    def mu(agree: str, matched: bool) -> F.Column:
+        gate = F.col("is_match") == (1 if matched else 0)
+        n = F.sum(F.when(gate, F.col(agree)).otherwise(F.lit(0)))
+        d = F.sum(F.col("is_match") if matched else (1 - F.col("is_match")))
+        return (n.cast("double") + F.lit(0.5)) / (d.cast("double") + F.lit(1.0))
+
+    params = cand.agg(
+        mu("ag_name", True).alias("m_name"),
+        mu("ag_name", False).alias("u_name"),
+        mu("ag_nation", True).alias("m_nation"),
+        mu("ag_nation", False).alias("u_nation"),
+        mu("ag_bal", True).alias("m_bal"),
+        mu("ag_bal", False).alias("u_bal"),
+    )
+
+    def term(agree: str, mcol: str, ucol: str) -> F.Column:
+        return F.when(
+            F.col(agree) == 1, F.log(F.col(mcol) / F.col(ucol))
+        ).otherwise(
+            F.log((F.lit(1.0) - F.col(mcol)) / (F.lit(1.0) - F.col(ucol)))
+        )
+
+    scored = cand.crossJoin(F.broadcast(params)).select(
+        "is_match",
+        (
+            term("ag_name", "m_name", "u_name")
+            + term("ag_nation", "m_nation", "u_nation")
+            + term("ag_bal", "m_bal", "u_bal")
+        ).alias("w"),
+    )
+    decision = (
+        F.when(F.col("w") >= _FS_UPPER, F.lit("link"))
+        .when(F.col("w") <= _FS_LOWER, F.lit("non_link"))
+        .otherwise(F.lit("possible"))
+    )
+    return (
+        scored.groupBy(decision.alias("decision"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("is_match").cast("bigint").alias("n_true_matches"),
+            F.round(F.min("w"), 9).alias("min_weight"),
+            F.round(F.max("w"), 9).alias("max_weight"),
+        )
+        .orderBy("decision")
+    )

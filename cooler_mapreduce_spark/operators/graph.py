@@ -1376,3 +1376,124 @@ def rwr_weekly_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") > 0.0)
         .orderBy("week", F.desc("rank"), F.asc("node"))
     )
+
+
+# ------------------------------------- multi-source harmonic centrality --
+
+#: hub cohort size and hop horizon for the harmonic face: 4 sources,
+#: 3 hops — at horizon H the per-hop reach terms 1/d are {1, 1/2, 1/3},
+#: summed EXACTLY as integer sixths (6/d in {6, 3, 2}) and divided by
+#: 6.0 once at the end, so the score is order-free in both engines.
+_HC_SOURCES = 4
+_HC_HOPS = 3
+
+
+def _harmonic_oracle() -> str:
+    """Unrolled-hop DuckDB oracle: the uniform trade-graph CTEs, the
+    top-|S| degree cohort (outdeg DESC, node ASC — a total order), one
+    DISTINCT reach set per hop, MIN(d) over the level union, and the
+    exact integer-sixths harmonic sum."""
+    return f"""
+    WITH fwd AS (
+        SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    seeds AS (SELECT src AS seed FROM deg
+              ORDER BY outdeg DESC, src LIMIT {_HC_SOURCES}),
+    r1 AS (SELECT DISTINCT s.seed, e.dst AS node
+           FROM seeds s JOIN edges e ON s.seed = e.src),
+    r2 AS (SELECT DISTINCT r.seed, e.dst AS node
+           FROM r1 r JOIN edges e ON r.node = e.src),
+    r3 AS (SELECT DISTINCT r.seed, e.dst AS node
+           FROM r2 r JOIN edges e ON r.node = e.src),
+    dist AS (
+        SELECT seed, node, MIN(d) AS d FROM (
+            SELECT seed, node, 1 AS d FROM r1
+            UNION ALL SELECT seed, node, 2 FROM r2
+            UNION ALL SELECT seed, node, 3 FROM r3
+        ) lv
+        WHERE node <> seed
+        GROUP BY seed, node
+    )
+    SELECT node,
+           CAST(SUM(CASE WHEN d = 1 THEN 6 WHEN d = 2 THEN 3 ELSE 2 END)
+                AS DOUBLE) / 6.0 AS harmonic,
+           COUNT(*) AS n_reached
+    FROM dist
+    GROUP BY node
+    ORDER BY harmonic DESC, node
+    LIMIT 20
+    """
+
+
+@query(
+    "harmonic_centrality_hubs",
+    oracle=_harmonic_oracle(),
+    tags=("graph", "iterative", "join", "aggregation"),
+)
+def harmonic_centrality_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-SOURCE bounded-horizon harmonic centrality (Boldi & Vigna,
+    "Axioms for Centrality", 2014) over the trade graph: from the
+    top-4-degree hub cohort, run ALL four BFS frontiers simultaneously —
+    the frontier carries (seed, node) pairs, so one join per hop
+    advances every source at once instead of looping per source (the
+    single-source ``bfs_hops_from_hub`` shape multiplied by a seed
+    dimension, not by stages). Each node's score sums 1/d(seed, node)
+    over the cohort within 3 hops — "how tightly is this entity held by
+    the hub cohort" — the proximity ranking behind influence cohorts
+    and account-coverage dashboards. Top-20 (score desc, node asc).
+
+    Determinism: at horizon 3 the only 1/d terms are {{1, 1/2, 1/3}};
+    they are summed as exact integer SIXTHS (6, 3, 2) and divided by
+    6.0 once, so the score never depends on double addition order —
+    the same exactness trick as the quantized-decimal rank sums.
+
+    100 TB shape: the frontier state is O(|S| x |nodes|) rows (|S| = 4
+    literal) and each hop is ONE join against the shared checkpointed
+    src-partitioned edge list (reused from the PageRank family's
+    `_uniform_trade_graph`) plus a distinct — per-hop shuffled bytes
+    O(|S| x |edges|) worst case, horizon fixed at 3. Seeds come from a
+    TakeOrdered over the degree frame (O(1) rows), never a collect.
+
+    Reference parity: iterative multi-round MapReduce the reference
+    cannot chain (SURVEY.md §2.2); extends the graph family with the
+    multi-source/centrality member (round-10 growth).
+    """
+    edges, deg = _uniform_trade_graph(spark, sf_dir)
+    seeds = (
+        deg.orderBy(F.desc("outdeg"), F.asc("src"))
+        .limit(_HC_SOURCES)
+        .select(F.col("src").alias("seed"))
+    )
+    e = edges.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
+    levels = []
+    frontier = seeds.select("seed", F.col("seed").alias("node"))
+    for d in range(1, _HC_HOPS + 1):
+        frontier = (
+            frontier.join(e, frontier.node == F.col("e_src"))
+            .select("seed", F.col("e_dst").alias("node"))
+            .distinct()
+        )
+        levels.append(frontier.withColumn("d", F.lit(d)))
+    lv = levels[0]
+    for nxt in levels[1:]:
+        lv = lv.unionAll(nxt)
+    dist = (
+        lv.filter(F.col("node") != F.col("seed"))
+        .groupBy("seed", "node")
+        .agg(F.min("d").alias("d"))
+    )
+    sixths = (
+        F.when(F.col("d") == 1, F.lit(6)).when(F.col("d") == 2, F.lit(3)).otherwise(F.lit(2))
+    )
+    return (
+        dist.groupBy("node")
+        .agg(
+            (F.sum(sixths).cast("double") / F.lit(6.0)).alias("harmonic"),
+            F.count("*").alias("n_reached"),
+        )
+        .orderBy(F.desc("harmonic"), F.asc("node"))
+        .limit(20)
+    )

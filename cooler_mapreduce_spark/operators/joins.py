@@ -495,3 +495,147 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carried.filter(F.col("event_type") == "view").select(
         "event_id", "user_id", "ts", nearest.alias("nearest_purchase_ts")
     )
+
+
+# --------------------------------------------- bloom-prefiltered join --
+
+#: hot-customer predicate + bloom sizing for the prefilter face. The
+#: bloom parameters are LITERALS (2^17 bits = a 16 KB broadcast, 4
+#: hashes: fpp ~ 2% even at 15k hot keys) — a production job derives
+#: them from table stats, the mechanics are identical.
+_BLOOM_HOT_BAL = 9900.0
+_BLOOM_BITS = 131072
+_BLOOM_WORDS = _BLOOM_BITS // 64
+_BLOOM_HASHES = 4
+
+
+def _bloom_positions(key: str) -> list[F.Column]:
+    """k independent bit positions for a key: xxhash64 of (key, salt_i)
+    — mixing a literal salt column varies the hash — folded into
+    [0, bits) by pmod (non-negative, unlike %)."""
+    return [
+        F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(_BLOOM_BITS))
+        for i in range(_BLOOM_HASHES)
+    ]
+
+
+def bloom_build(keys: DataFrame, key: str) -> DataFrame:
+    """ONE-row bloom filter over a key column, composed from public
+    DataFrame ops (Spark's own ``BloomFilterAggregate`` is
+    optimizer-internal — injected by the runtime-filter rule, not
+    SQL-invocable — so the engine exposes the operator as a
+    composition): explode each key's k bit positions, fold positions
+    into per-word masks with a partial-aggregable ``bit_or``, and pack
+    the words into ONE dense ``array<long>`` ordered by word index
+    (array_sort over (index, mask) structs — order-free, so the bits
+    never depend on partition layout). Output: 1 row, ``bf
+    array<long>`` of 2048 longs (131072 bits, 16 KB).
+
+    Scale shape: O(keys x k) exploded positions -> O(2048) masks -> one
+    16 KB row, independent of the key count — the property that makes
+    the prefilter broadcastable when the key SET is not.
+    """
+    pos = keys.select(
+        F.explode(F.array(*_bloom_positions(key))).alias("pos")
+    )
+    words = pos.select(
+        (F.col("pos") / 64).cast("int").alias("w"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("m"),
+    ).groupBy("w").agg(F.bit_or("m").alias("mask"))
+    spine = (
+        keys.sparkSession.range(_BLOOM_WORDS)
+        .select(F.col("id").cast("int").alias("w"))
+        .join(words, "w", "left")
+        .select("w", F.coalesce("mask", F.lit(0).cast("long")).alias("mask"))
+    )
+    return spine.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("w", "mask"))), lambda s: s.mask
+        ).alias("bf")
+    )
+
+
+def bloom_might_contain(bf: str, key: str) -> F.Column:
+    """Membership probe against a packed ``array<long>`` bloom: every
+    one of the key's k bit positions must be set. element_at is
+    1-based; all ops stay inside whole-stage codegen."""
+    def pos_sql(i: int) -> str:
+        return f"pmod(xxhash64({key}, {i}), {_BLOOM_BITS})"
+
+    tests = " AND ".join(
+        f"(element_at({bf}, CAST({pos_sql(i)} / 64 AS INT) + 1)"
+        f" & shiftleft(CAST(1 AS BIGINT), CAST({pos_sql(i)} % 64 AS INT))) != 0"
+        for i in range(_BLOOM_HASHES)
+    )
+    return F.expr(tests)
+
+
+@query(
+    "bloom_prefilter_hot_orders",
+    oracle=f"""
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n_orders,
+           {sql_dsum("o_totalprice")} AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_acctbal > {_BLOOM_HOT_BAL}
+    GROUP BY 1
+    ORDER BY segment
+    """,
+    tags=("join", "filter", "bloom", "aggregation", "scan"),
+)
+def bloom_prefilter_hot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-PREFILTERED dimension join — the semi-join reduction
+    pattern (Bloom, CACM 1970; the mechanism behind Spark's own
+    runtime row-level filters): the selective side (customers with
+    c_acctbal > {_BLOOM_HOT_BAL}, ~1% of the dimension) folds its join
+    keys into ONE 16 KB bloom filter (:func:`bloom_build` — order-free
+    bit_or merge of seeded xxhash64 positions, composed from PUBLIC
+    DataFrame ops because Spark's own BloomFilterAggregate is
+    optimizer-internal), the fact scan drops non-member rows via the
+    packed-bitmap probe BEFORE any exchange, and the survivors flow
+    into the exact verify join (false positives die there, so the
+    bloom changes the PLAN, never the answer — the oracle is the plain
+    join). Output: per-segment order count + exact decimal revenue of
+    the hot cohort.
+
+    Why this matters at 100 TB: the fact side never shuffles its cold
+    99% — the bloom rides a 1-row broadcast onto the scan, which is the
+    ONLY way to prune a fact join whose selective predicate lives on
+    the other table (partition pruning can't see it; Spark's runtime
+    bloom-filter rule does exactly this automatically when its size
+    thresholds align — this face pins the mechanics explicitly, at any
+    threshold, and plan-asserts the prefilter so the pattern is
+    testable).
+
+    Scale shape: the bloom build is O(hot x k) exploded positions
+    folding into O(2048) word masks -> ONE 16 KB row (independent of
+    key count — the property that makes it broadcastable when the key
+    SET is not); the probe is 4 hash+bit ops per fact row inside
+    whole-stage codegen; then the exact verify join (hot side ~1% of
+    the dimension) and an O(segments) rollup. No fact-side shuffle of
+    unmatched rows, no collects.
+
+    Reference parity: beyond the reference — no join surface exists
+    there at all (SURVEY.md §2.4); extends the join family with the
+    semi-join-reduction member (round-10 growth).
+    """
+    c = (
+        table(spark, sf_dir, "customer", fan_out=False)
+        .filter(F.col("c_acctbal") > _BLOOM_HOT_BAL)
+        .select("c_custkey", "c_mktsegment")
+    )
+    bf = bloom_build(c.select("c_custkey"), "c_custkey")
+    o = table(spark, sf_dir, "orders", fan_out=False).select(
+        "o_custkey", "o_totalprice"
+    )
+    pruned = (
+        o.crossJoin(F.broadcast(bf))
+        .filter(bloom_might_contain("bf", "o_custkey"))
+        .drop("bf")
+    )
+    return (
+        pruned.join(c, pruned.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+        .orderBy("segment")
+    )

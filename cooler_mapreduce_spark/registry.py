@@ -506,8 +506,8 @@ PRIORITY_QUERIES: tuple[str, ...] = (
     "udtf_word_count",
     "weather_stats",
     "window_running_total",
-    # --- oldest re-anchors: the 18 oldest round-3 rows (alphabetical;
-    # the remaining 16 r3 rows head the round-11 queue) ---
+    # --- oldest re-anchors: the 15 oldest round-3 rows (alphabetical;
+    # the remaining 19 r3 rows head the round-11 queue) ---
     "ansi_safety_functions",
     "bigram_counts",
     "boilerplate_ngrams",
@@ -523,9 +523,20 @@ PRIORITY_QUERIES: tuple[str, ...] = (
     "funnel_signup_click_purchase",
     "higher_order_array_functions",
     "intersect_all_multiset",
-    "longest_daily_streak",
-    "map_functions",
-    "mixing_rates_by_lang",
+    # --- mid-r10 sanctioned growth: built this round at the full bar
+    # (oracle, invariance membership, scale-shape docstring, local
+    # hash-green at sf0.01 AND sf0.1). They take the slots of the three
+    # LAST-alphabetical r3 re-anchors (longest_daily_streak,
+    # map_functions, mixing_rates_by_lang — displacing re-anchors,
+    # never first-timers; the window family keeps five representatives
+    # in this window incl. the window_top anchor and
+    # window_running_total, the scalar family keeps
+    # json/math/csv/array/ansi representatives, and textstats keeps
+    # text_quality_score + bigram_counts + boilerplate_ngrams; all
+    # three displaced rows head the r11 re-anchor queue):
+    "fellegi_sunter_weights",         # probabilistic linkage (FS 1969)
+    "harmonic_centrality_hubs",       # multi-source bounded-hop BFS
+    "bloom_prefilter_hot_orders",     # semi-join reduction (bloom prefilter)
 )
 
 #: The superseded round-8 window, kept for the registry's rotation

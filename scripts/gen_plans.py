@@ -881,6 +881,35 @@ CASES = {
             ("iteration joins are shuffled-hash on (week, key)", lambda p: "ShuffledHashJoin" in p),
         ],
     ),
+    "fellegi_sunter_weights": (
+        "probabilistic linkage: ONE capped blocked equi-join generates the scored pair set (never all-pairs); the m/u parameters are a single-row partial aggregate broadcast back over the pairs; the decision rollup is O(pairs) -> 3 rows",
+        [
+            ("no cartesian product (1-row broadcasts only)", lambda p: "CartesianProduct" not in p),
+            ("m/u estimation partial-aggregates", lambda p: "partial_sum" in p),
+            ("pair generation is an equi-join, not NL over data", lambda p: any(j in p for j in ("ShuffledHashJoin", "SortMergeJoin", "BroadcastHashJoin"))),
+        ],
+    ),
+    "harmonic_centrality_hubs": (
+        "multi-source bounded BFS: 3 hop joins against the shared checkpointed src-partitioned edge list advance all 4 frontiers at once; per-(seed,node) min over the level union; top-20 is TakeOrdered",
+        [
+            ("TakeOrdered, not Sort+Limit", lambda p: "TakeOrderedAndProject" in p),
+            ("checkpointed edge state", lambda p: "Scan ExistingRDD" in p),
+            ("level min partial-aggregates", lambda p: "partial_min" in p),
+            ("no cartesian / NL join", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
+        ],
+    ),
+    "bloom_prefilter_hot_orders": (
+        "semi-join reduction: the selective side folds into ONE 16 KB bloom (public-op composition: xxhash64 positions -> partial bit_or word masks -> packed array) broadcast onto the fact scan as a bit-test prefilter BEFORE any exchange; false positives die in the exact verify join, so the bloom changes the plan, never the answer",
+        [
+            ("bloom words fold with a partial bit_or", lambda p: "partial_bit_or" in p),
+            # the optimizer pushes the probe into the broadcast join's
+            # condition — still evaluated directly above the fact scan,
+            # BEFORE any exchange, which is the claim
+            ("fact side prefiltered by the packed-bitmap probe", lambda p: any("element_at(bf" in ln and "xxhash64(o_custkey" in ln for ln in p.splitlines())),
+            ("exact verify join present", lambda p: any(j in p for j in ("ShuffledHashJoin", "SortMergeJoin", "BroadcastHashJoin"))),
+            ("rollup partial-aggregates", lambda p: "partial_sum" in p),
+        ],
+    ),
 }
 
 #: cases whose scan/reuse claims are only *printable* with AQE disabled:

@@ -200,6 +200,13 @@ CASES = [
     # quantized decimal rank sums
     "kanonymity_lattice_customers",
     "rwr_weekly_event_types",
+    # mid-r10 growth wave (same rule): the FS m/u estimation's blocked
+    # pair set + single-row parameter broadcast, the multi-source BFS
+    # level unions + integer-sixths harmonic sum, and the bloom build's
+    # OR-merge (one filter regardless of which partition saw which key)
+    "fellegi_sunter_weights",
+    "harmonic_centrality_hubs",
+    "bloom_prefilter_hot_orders",
 ]
 
 
@@ -398,6 +405,11 @@ _AQE_CASES = [
     # r10 growth: the grouped RWR's per-week shuffle_hash rank loop and
     # checkpointed edge joins must survive AQE re-planning bit-identically
     "rwr_weekly_event_types",
+    # mid-r10 growth: AQE coalescing/broadcast-promotion must not move
+    # the FS blocked pair set or the bloom prefilter + verify join
+    "fellegi_sunter_weights",
+    "bloom_prefilter_hot_orders",
+    "harmonic_centrality_hubs",
 ]
 
 
@@ -432,6 +444,9 @@ _CODEGEN_CASES = [
     # r10 growth: the RWR's floor-quantized decimal contributions and
     # teleport/damping double chain run interpreted on codegen fallback
     "rwr_weekly_event_types",
+    # mid-r10 growth: the FS ln-quotient weight chain must emit the
+    # same bits compiled and interpreted (the DP noise's ln discipline)
+    "fellegi_sunter_weights",
 ]
 
 

@@ -55,6 +55,8 @@ _NL_ALLOWED = {
     "entity_resolution_customers",  # single-row MAX(c_custkey) scalar broadcast to each dirty slice (r9 derived offsets)
     "entity_clusters_customers",    # composes the resolution above — same single-row scalar
     "weighted_pagerank_trade",   # single-row node-count scalar broadcast per iteration (the pagerank convention)
+    "fellegi_sunter_weights",    # single-row MAX(c_custkey) scalar per dirty slice (the ER convention) + the single-row m/u parameter aggregate broadcast over the pairs
+    "bloom_prefilter_hot_orders",  # the ONE-row 16 KB packed bloom broadcast onto the fact scan — fixed size by construction regardless of key count
 }
 
 
