@@ -586,3 +586,104 @@ def fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decision")
     )
+
+
+# ------------------------------------ Fellegi–Sunter EM (staged r11) ----
+
+#: EM iteration count and parameter init (literals — both engines and
+#: the property mirror share them).
+_FSEM_ITERATIONS = 5
+_FSEM_INIT = (0.1, 0.9, 0.1)  # (p_match, m_k, u_k)
+#: posterior quantum: floor(w * 1e15) — the rank loops' convention, so
+#: per-iteration weighted sums are order-free exact decimals.
+_FSEM_Q = 1_000_000_000_000_000
+
+
+def fellegi_sunter_em(
+    pairs: DataFrame, comparators: list[str], iterations: int = _FSEM_ITERATIONS
+) -> DataFrame:
+    """UNSUPERVISED Fellegi–Sunter parameter estimation by EM (Winkler,
+    1988 — the twin of :func:`fellegi_sunter_weights`' labeled m/u
+    estimation, for the production case where no truth labels exist):
+    ``pairs`` carries one 0/1 agreement column per comparator;
+    conditional-independence EM alternates the pair posterior
+    P(match | agreement vector) under current (p, m_k, u_k) with
+    re-estimation of those parameters from posterior-weighted counts.
+    Returns ONE row: ``p_match, m_<k>..., u_<k>..., n_pairs``.
+
+    STAGED round-10 kernel (tested library code — the r10 window is
+    full; the r11 face composes it with the FS blocking spine and
+    registers an unrolled-iteration oracle or a replica-pinned
+    rows-only contract, per the staged→register template).
+
+    Determinism discipline: every posterior is floor-quantized to 1e-15
+    and summed as an exact decimal (the rank loops' convention), so the
+    M-step's weighted sums never depend on row order or partition
+    layout; the E-step posterior itself is a fixed scalar expression
+    sequence. Property-pinned against a sequential Python mirror with
+    the identical quantized arithmetic on arbitrary agreement multisets
+    (tests/test_property_blocks.py).
+
+    Scale shape: the pairs frame is checkpointed ONCE; each iteration
+    is one partial-aggregable O(pairs)->1-row aggregate plus a 1-row
+    broadcast back (the allowed crossJoin class). Parameter state is
+    O(comparators); nothing is collected.
+    """
+    p0, m0, u0 = _FSEM_INIT
+    pairs = pairs.localCheckpoint(eager=True)
+    params = pairs.sparkSession.range(1).select(
+        F.lit(float(p0)).alias("p"),
+        *[F.lit(float(m0)).alias(f"m_{c}") for c in comparators],
+        *[F.lit(float(u0)).alias(f"u_{c}") for c in comparators],
+    )
+    q = F.lit(float(_FSEM_Q))
+    for _ in range(iterations):
+        j = pairs.crossJoin(F.broadcast(params))
+        like_m = F.col("p")
+        like_u = F.lit(1.0) - F.col("p")
+        for c in comparators:
+            like_m = like_m * F.when(
+                F.col(c) == 1, F.col(f"m_{c}")
+            ).otherwise(F.lit(1.0) - F.col(f"m_{c}"))
+            like_u = like_u * F.when(
+                F.col(c) == 1, F.col(f"u_{c}")
+            ).otherwise(F.lit(1.0) - F.col(f"u_{c}"))
+        w = like_m / (like_m + like_u)
+        wq = F.floor(w * q).cast("decimal(38,0)")
+        scored = j.select(
+            wq.alias("wq"),
+            *[F.col(c) for c in comparators],
+        )
+        aggs = [
+            F.sum("wq").alias("sw"),
+            F.count("*").alias("n"),
+        ]
+        for c in comparators:
+            aggs.append(
+                F.sum(F.when(F.col(c) == 1, F.col("wq")).otherwise(F.lit(0).cast("decimal(38,0)"))).alias(f"swa_{c}")
+            )
+            aggs.append(F.sum(c).alias(f"na_{c}"))
+        s = scored.agg(*aggs)
+        # M-step in ONE fixed scalar sequence: sums leave the decimal
+        # domain only here, as sum/quantum doubles (exactly the mirror's
+        # spelling). Laplace-free: the posteriors are strictly inside
+        # (0, 1) under the init, so denominators never vanish.
+        sw = F.col("sw").cast("double") / q
+        n = F.col("n").cast("double")
+        params = s.select(
+            (sw / n).alias("p"),
+            *[
+                ((F.col(f"swa_{c}").cast("double") / q) / sw).alias(f"m_{c}")
+                for c in comparators
+            ],
+            *[
+                (
+                    (F.col(f"na_{c}").cast("double") - F.col(f"swa_{c}").cast("double") / q)
+                    / (n - sw)
+                ).alias(f"u_{c}")
+                for c in comparators
+            ],
+        ).localCheckpoint(eager=True)
+    return params.crossJoin(
+        F.broadcast(pairs.agg(F.count("*").alias("n_pairs")))
+    )

@@ -1142,3 +1142,78 @@ def test_containment_cap_equals_posting_mirror_and_is_one_sided(
     assert set(capped) <= set(exact)
     for pair, (c_capped, _) in capped.items():
         assert c_capped <= exact[pair][0]
+
+
+# --------------------------------------------- Fellegi–Sunter EM ----
+
+_fsem_vectors = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(0, 1), st.integers(0, 1)),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _fsem_py(vectors, iterations):
+    """Sequential mirror of ``fellegi_sunter_em`` with the IDENTICAL
+    quantized arithmetic: posterior under conditional independence,
+    floor(w * 1e15) exact-integer sums, and the M-step's exact double
+    op sequence — bit-equality is the assertion, not closeness."""
+    import math
+
+    p, m0, u0 = 0.1, 0.9, 0.1
+    K = 3
+    m, u = [m0] * K, [u0] * K
+    Q = 1_000_000_000_000_000
+    n = len(vectors)
+    for _ in range(iterations):
+        sw, swa, na = 0, [0] * K, [0] * K
+        for g in vectors:
+            lm, lu = p, 1.0 - p
+            for k in range(K):
+                lm = lm * (m[k] if g[k] == 1 else 1.0 - m[k])
+                lu = lu * (u[k] if g[k] == 1 else 1.0 - u[k])
+            w = lm / (lm + lu)
+            wq = math.floor(w * float(Q))
+            sw += wq
+            for k in range(K):
+                if g[k] == 1:
+                    swa[k] += wq
+                    na[k] += 1
+        swd = float(sw) / float(Q)
+        p = swd / float(n)
+        m = [(float(swa[k]) / float(Q)) / swd for k in range(K)]
+        u = [
+            (float(na[k]) - float(swa[k]) / float(Q)) / (float(n) - swd)
+            for k in range(K)
+        ]
+    out = {"p": p, "n_pairs": n}
+    for k, c in enumerate(("a", "b", "c")):
+        out[f"m_{c}"] = m[k]
+        out[f"u_{c}"] = u[k]
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(vectors=_fsem_vectors)
+def test_fellegi_sunter_em_equals_sequential_mirror(spark, vectors):
+    """The staged EM kernel (unsupervised m/u estimation) must equal a
+    direct sequential EM BIT-FOR-BIT on arbitrary agreement-vector
+    multisets: the floor-quantized posterior sums make each M-step a
+    pure function of the multiset (never of row order or partition
+    layout), so the distributed loop and the sequential loop walk the
+    identical parameter trajectory."""
+    from cooler_mapreduce_spark.operators.entity import (
+        _FSEM_ITERATIONS,
+        fellegi_sunter_em,
+    )
+
+    df = spark.createDataFrame(list(vectors), "a int, b int, c int")
+    row = fellegi_sunter_em(df, ["a", "b", "c"]).collect()[0]
+    exp = _fsem_py([list(v) for v in vectors], _FSEM_ITERATIONS)
+    assert row.n_pairs == exp["n_pairs"]
+    for key in ("p", "m_a", "m_b", "m_c", "u_a", "u_b", "u_c"):
+        assert getattr(row, key) == exp[key], (
+            key,
+            getattr(row, key),
+            exp[key],
+        )
