@@ -207,6 +207,17 @@ HEADLINE = [
 # cost outside the one-time bucketed-fixture write is two partial-agg
 # scans (the pruned-scan benefit is asserted structurally via
 # SelectedBucketsCount in tests, the catalog_partitioned_scan rule).
+# The round-10 registrations likewise re-exercise benched shapes and
+# stay out of the common set: kanonymity_lattice_customers is one
+# Expand + partial-agg shuffle (cube_sales times the grouping-sets
+# Expand); rwr_weekly_event_types and harmonic_centrality_hubs are
+# iterative join+agg rounds over checkpointed edge state (pagerank
+# times that loop shape; the week/seed key widens rows, not stages);
+# fellegi_sunter_weights re-runs entity_resolution's blocked
+# levenshtein join plus two O(1)-row aggregates;
+# bloom_prefilter_hot_orders is a filter scan + small broadcast join
+# (forecast_revenue_change and join_orders_customers time both) — its
+# 16 KB bloom build is O(hot) work below the scheduling floor.
 
 #: REAL-STREAM surfaces (not batch twins): each starts an actual
 #: StreamingQuery over the sf dir and times a full bounded-replay drain —
