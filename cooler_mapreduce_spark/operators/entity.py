@@ -611,7 +611,7 @@ def fellegi_sunter_em(
     re-estimation of those parameters from posterior-weighted counts.
     Returns ONE row: ``p_match, m_<k>..., u_<k>..., n_pairs``.
 
-    STAGED round-10 kernel (tested library code — the r10 window is
+    STAGED round-11 kernel (tested library code — the r10 window is
     full; the r11 face composes it with the FS blocking spine and
     registers an unrolled-iteration oracle or a replica-pinned
     rows-only contract, per the staged→register template).

@@ -614,3 +614,76 @@ def run_cms_stream(
         .queryName(query_name)
         .start()
     )
+
+
+def run_bloom_gated_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "10 minutes",
+    query_name: str = "bloom_gated_out",
+    output_mode: str = "complete",
+):
+    """BLOOM-PRUNED stream-static enrichment — STAGED round-11 kernel
+    (tested library code, memory-sink-pinned against its batch
+    expression in tests/test_streaming.py; the r11 face registers a
+    batch twin with a plain-join oracle, per the staged→register
+    template).
+
+    The hot-customer dimension folds its join keys into ONE 16 KB bloom
+    (:func:`~cooler_mapreduce_spark.operators.joins.bloom_build` — the
+    public-op composition) on the STATIC side; the bloom attaches to
+    the stream through a literal-key equi-join (stream-static CROSS
+    joins are unsupported — an inner equi-join on a lit(1) key is the
+    supported 1-row-broadcast spelling) and every micro-batch probes
+    the packed bitmap BEFORE the enrichment join, so the cold ~99% of
+    events never reaches the join at all. False positives die in the
+    exact stream-static inner join downstream — the bloom changes the
+    per-batch plan, never the answer (the memory-sink test pins the
+    drained result against the plain batch join).
+
+    100 TB shape: the static side re-plans per micro-batch (picking up
+    slowly-changing dims), but its payload on the stream path is the
+    FIXED 16 KB row regardless of dimension size; per-batch stream work
+    is 4 hash+bit ops per event plus the join on survivors only. This
+    is the streaming twin of ``bloom_prefilter_hot_orders`` and the
+    composed production shape for high-selectivity streaming
+    enrichment (gate first, join second).
+    """
+    from ..operators.joins import _BLOOM_HOT_BAL, bloom_build, bloom_might_contain
+
+    ev = _event_stream(spark, sf_dir)
+    hot = (
+        table(spark, sf_dir, "customer", fan_out=False)
+        .filter(F.col("c_acctbal") > _BLOOM_HOT_BAL)
+        .select("c_custkey", "c_mktsegment")
+    )
+    bf = bloom_build(hot.select("c_custkey"), "c_custkey").withColumn(
+        "k", F.lit(1)
+    )
+    gated = (
+        ev.withColumn("k", F.lit(1))
+        .join(bf, "k")
+        .filter(bloom_might_contain("bf", "user_id"))
+        .drop("k", "bf")
+    )
+    agg = (
+        gated.withWatermark("ts", watermark)
+        .join(hot, gated.user_id == hot.c_custkey)
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.count("*").alias("n_events"), dsum("value", 6).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "segment",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

@@ -870,3 +870,39 @@ def test_tile_compaction_crash_recovery(spark, sf_dir, tmp_path):
     assert folded >= 2
     after = [tuple(r) for r in read_tile_quantiles(spark, sf_dir, tiles_dir).collect()]
     assert before == after
+
+
+def test_bloom_gated_stream_equals_batch(spark, oracle_sf_dir):
+    sf_dir = oracle_sf_dir  # sf0.001 has ZERO hot-customer events; the
+    # positive path needs the oracle SF's density (117 matches)
+    """STAGED r11 kernel: the bloom-pruned stream-static enrichment
+    (gate first, join second) must drain to EXACTLY the plain batch
+    join of hot events — the 16 KB bloom prefilter admits false
+    positives by design and the downstream inner join must kill every
+    one of them, so the gate can never change the answer, only the
+    per-batch work."""
+    from cooler_mapreduce_spark.operators.joins import _BLOOM_HOT_BAL
+    from cooler_mapreduce_spark.sources.catalog import table
+    from cooler_mapreduce_spark.streaming.windows import run_bloom_gated_stream
+    from cooler_mapreduce_spark.functions.numeric import dsum
+
+    q = run_bloom_gated_stream(spark, sf_dir, query_name="t_bloom_gated")
+    _drain(q)
+    got = _rows(spark.sql("SELECT * FROM t_bloom_gated"))
+    ev = table(spark, sf_dir, "events")
+    hot = (
+        table(spark, sf_dir, "customer", fan_out=False)
+        .filter(F.col("c_acctbal") > _BLOOM_HOT_BAL)
+        .select("c_custkey", "c_mktsegment")
+    )
+    want = _rows(
+        ev.join(hot, ev.user_id == hot.c_custkey)
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.count("*").alias("n_events"), dsum("value", 6).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "segment", "n_events", "sum_value")
+    )
+    assert len(got) > 0  # positive path: hot customers do have events
+    assert got == want
