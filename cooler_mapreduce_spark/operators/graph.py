@@ -1497,3 +1497,31 @@ def harmonic_centrality_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("harmonic"), F.asc("node"))
         .limit(20)
     )
+
+
+def rwr_weekly_deltas_frame(ranks: DataFrame) -> DataFrame:
+    """Week-over-week RWR DRIFT — STAGED round-11 kernel (tested
+    library code; the r11 face composes it over
+    :func:`rwr_weekly_event_types`' kernel output and registers an
+    oracle that appends one lag window to the unrolled-iteration CTE
+    chain): for each node, the rank trajectory across consecutive
+    weeks becomes (rank, prev_rank, delta) via ONE node-keyed lag
+    window — the funnel-drift alarm surface ("purchase fell 0.04 in
+    signup-proximity this week") that turns the windowed RWR from a
+    dashboard into a detector.
+
+    Weeks with no prior observation carry NULL prev/delta (a node can
+    enter or leave a week's graph); the delta is a plain IEEE double
+    subtraction of the two round-12 ranks, so both engines agree
+    bit-for-bit. Scale shape: one exchange keyed by node over the
+    O(weeks × |types|) rank rows — strictly cheaper than the RWR that
+    produced them.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("node").orderBy("week")
+    return (
+        ranks.withColumn("prev_rank", F.lag("rank").over(w))
+        .withColumn("delta", F.col("rank") - F.col("prev_rank"))
+        .select("week", "node", "rank", "prev_rank", "delta")
+    )

@@ -1217,3 +1217,31 @@ def test_fellegi_sunter_em_equals_sequential_mirror(spark, vectors):
             getattr(row, key),
             exp[key],
         )
+
+
+def test_rwr_weekly_deltas_equals_pandas_lag(spark, oracle_sf_dir):
+    """STAGED r11 kernel: the node-keyed lag window over the windowed
+    RWR output must equal a direct pandas groupby-shift of the SAME
+    rank rows — first week per node carries NULL prev/delta, and the
+    delta is the plain IEEE subtraction of the two round-12 ranks."""
+    from cooler_mapreduce_spark.operators.graph import (
+        rwr_weekly_deltas_frame,
+        rwr_weekly_event_types,
+    )
+
+    ranks = rwr_weekly_event_types(spark, oracle_sf_dir)
+    got = {
+        (str(r.week), r.node): (r.rank, r.prev_rank, r.delta)
+        for r in rwr_weekly_deltas_frame(ranks).collect()
+    }
+    pdf = ranks.toPandas().sort_values(["node", "week"])
+    pdf["prev_rank"] = pdf.groupby("node")["rank"].shift(1)
+    want = {}
+    for t in pdf.itertuples(index=False):
+        prev = None if t.prev_rank != t.prev_rank else t.prev_rank  # NaN -> None
+        want[(str(t.week), t.node)] = (
+            t.rank,
+            prev,
+            None if prev is None else t.rank - prev,
+        )
+    assert got == want and len(got) > 0
