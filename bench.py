@@ -209,8 +209,10 @@ HEADLINE = [
 # SelectedBucketsCount in tests, the catalog_partitioned_scan rule).
 # The round-10 registrations likewise re-exercise benched shapes and
 # stay out of the common set: kanonymity_lattice_customers is one
-# Expand + partial-agg shuffle (cube_sales times the grouping-sets
-# Expand); rwr_weekly_event_types and harmonic_centrality_hubs are
+# partial-agg shuffle over the DIMENSION table (pricing_summary times
+# that exchange class on the fact table; the 8-tuple grouping-sets
+# Expand collapses map-side, leaving O(classes) shuffled rows);
+# rwr_weekly_event_types and harmonic_centrality_hubs are
 # iterative join+agg rounds over checkpointed edge state (pagerank
 # times that loop shape; the week/seed key widens rows, not stages);
 # fellegi_sunter_weights re-runs entity_resolution's blocked

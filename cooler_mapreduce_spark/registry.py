@@ -446,10 +446,10 @@ _ROUND9_WINDOW: tuple[str, ...] = (
 #: item: the staged lattice kernel registered (next-round #1), the
 #: gap-checked windowed-RWR direction built at the full bar (#5), the
 #: re-anchor queue continued (#3 — the 18 remaining r2 rows incl. the
-#: four r9-displaced, then the 18 oldest r3 rows alphabetically; the
-#: remaining 16 r3 rows head the r11 queue), and re-proof rows for the
-#: three queries whose spellings changed under this round's ADVICE
-#: fixes.
+#: four r9-displaced, then the 15 oldest r3 rows alphabetically after
+#: the mid-round growth wave took the last three slots; the remaining
+#: 19 r3 rows head the r11 queue), and re-proof rows for the three
+#: queries whose spellings changed under this round's ADVICE fixes.
 #:
 #: First-timers (2): kanonymity_lattice_customers (the staged Incognito
 #: lattice census — every QI-subset node evaluated in ONE GROUPING SETS
