@@ -635,3 +635,107 @@ def kanonymity_lattice_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lattice = kanonymity_lattice_census(base, ["nation", "segment", "bal_band"])
     return lattice.orderBy("node")
+
+
+#: takedown predicate for the staged cascade-audit kernel: every 97th
+#: customer key files an erasure request (deterministic at any SF).
+_TAKEDOWN_MOD = 97
+
+#: DuckDB oracle for the staged kernel below — kept beside it so the
+#: r11 registration is a one-line @query move.
+TAKEDOWN_ORACLE = f"""
+    WITH req AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % {_TAKEDOWN_MOD} = 0
+    ),
+    del_o AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM req)
+    )
+    SELECT 'customer' AS entity,
+           (SELECT COUNT(*) FROM req) AS n_deleted,
+           (SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM req) AS n_retained,
+           0 AS n_leaked
+    UNION ALL
+    SELECT 'orders',
+           (SELECT COUNT(*) FROM del_o),
+           (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM del_o),
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del_o)
+              AND o_custkey IN (SELECT c_custkey FROM req))
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM del_o)),
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM del_o)),
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM del_o)
+              AND l_orderkey IN (SELECT o_orderkey FROM del_o))
+    ORDER BY entity
+"""
+
+
+def takedown_cascade_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure CASCADE AUDIT (GDPR Art. 17 shape) — STAGED
+    round-11 kernel (tested against :data:`TAKEDOWN_ORACLE` in
+    tests/test_llm_ops.py; the r11 face is a one-line @query move):
+    a deterministic deletion-request set (every {mod}th customer)
+    cascades through the foreign-key graph — the customer's orders,
+    those orders' lineitems — and the output is the compliance
+    manifest per entity: rows deleted, rows retained, and the LEAK
+    COUNT (retained rows still referencing a deleted parent — must be
+    0; the auditor computes it rather than assuming the delete job got
+    it right, which is the entire point of the artifact).
+
+    100 TB shape: the cascade is two keyed SEMI joins (requests ->
+    orders, deleted orders -> lineitem) and the audits are ANTI-join +
+    semi-join counts — every join partial-aggregable on its key, no
+    broadcast hints (size-based planning broadcasts the request set
+    when it is small, degrades to shuffle joins when it is not), no
+    collects. The manifest is 3 rows regardless of SF.
+
+    Reference parity: beyond the reference — no governance surface
+    exists there (SURVEY.md §2); extends the tier's census/release
+    loop with the ERASURE leg (measure -> remediate -> release ->
+    erase).
+    """
+    c = table(spark, sf_dir, "customer", fan_out=False)
+    o = table(spark, sf_dir, "orders", fan_out=False)
+    li = table(spark, sf_dir, "lineitem", fan_out=False).select("l_orderkey")
+    req = c.filter(F.col("c_custkey") % _TAKEDOWN_MOD == 0).select("c_custkey")
+    del_o = o.join(
+        req, o.o_custkey == req.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    kept_o = o.join(req, o.o_custkey == req.c_custkey, "left_anti")
+    del_l = li.join(del_o, li.l_orderkey == del_o.o_orderkey, "left_semi")
+    kept_l = li.join(del_o, li.l_orderkey == del_o.o_orderkey, "left_anti")
+
+    def row(entity: str, deleted: DataFrame, retained: DataFrame, leaked: DataFrame) -> DataFrame:
+        return (
+            deleted.agg(F.count("*").alias("n_deleted"))
+            .crossJoin(F.broadcast(retained.agg(F.count("*").alias("n_retained"))))
+            .crossJoin(F.broadcast(leaked.agg(F.count("*").alias("n_leaked"))))
+            .select(F.lit(entity).alias("entity"), "n_deleted", "n_retained", "n_leaked")
+        )
+
+    empty = li.limit(0)
+    return (
+        row("customer", req, c.join(req, "c_custkey", "left_anti"), empty)
+        .unionAll(
+            row(
+                "orders",
+                del_o,
+                kept_o,
+                kept_o.join(req, kept_o.o_custkey == req.c_custkey, "left_semi"),
+            )
+        )
+        .unionAll(
+            row(
+                "lineitem",
+                del_l,
+                kept_l,
+                kept_l.join(del_o, kept_l.l_orderkey == del_o.o_orderkey, "left_semi"),
+            )
+        )
+        .orderBy("entity")
+    )

@@ -1013,3 +1013,23 @@ def test_ccnet_buckets_partition_and_order(spark, oracle_sf_dir):
     for r in rows.values():
         assert abs(r.n_docs - n / 3) <= max(5, 0.05 * n), (r.bucket, r.n_docs, n)
     assert rows["head"].mean_nll < rows["middle"].mean_nll < rows["tail"].mean_nll
+
+
+def test_takedown_cascade_manifest_matches_oracle(spark, oracle_sf_dir):
+    """STAGED r11 kernel: the right-to-erasure cascade audit must
+    hash-match its DuckDB oracle at the oracle SF — deleted/retained/
+    leaked counts per entity, with the leak counts provably 0 (the
+    cascade is closed under the foreign-key graph by construction, and
+    the auditor COMPUTES that instead of assuming it)."""
+    from cooler_mapreduce_spark.operators.governance import (
+        TAKEDOWN_ORACLE,
+        takedown_cascade_manifest,
+    )
+    from tests.oracle import assert_matches_oracle
+
+    df = takedown_cascade_manifest(spark, oracle_sf_dir)
+    assert_matches_oracle(df, TAKEDOWN_ORACLE, oracle_sf_dir, "takedown_cascade")
+    rows = {r.entity: r for r in df.collect()}
+    assert set(rows) == {"customer", "orders", "lineitem"}
+    assert all(r.n_leaked == 0 for r in rows.values())
+    assert rows["customer"].n_deleted > 0  # positive path at oracle SF

@@ -1305,3 +1305,72 @@ def test_bloom_false_positive_dies_in_verify_join(spark):
     assert joined.count() == 0  # every admitted non-member dies in the join
     if fps:
         assert all(r.o_custkey > 100 for r in fps)
+
+
+# ------------------------------------------------ grouped RWR ----
+
+_grwr_edges = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # group (week)
+        st.integers(0, 4),  # src
+        st.integers(0, 4),  # dst
+        st.integers(1, 5),  # weight
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _grouped_rwr_py(edges, seed, iterations, damping):
+    """Same-op-order sequential replica of ``rwr_grouped_frame``: per
+    (group, src) out-weights, per-EDGE floor-quantized contributions
+    summed as exact ints, teleport only at the seed — the weighted
+    kernel's mirror with the group key widening every dict key."""
+    import collections
+    import math
+
+    Q = 1_000_000_000_000_000
+    outw: dict = collections.defaultdict(int)
+    for g, s, d, w in edges:
+        outw[(g, s)] += w
+    rank = {k: (1.0 if k[1] == seed else 0.0) for k in outw}
+    for _ in range(iterations):
+        sums: dict = collections.defaultdict(int)
+        for g, s, d, w in edges:
+            if (g, s) in rank:
+                c = math.floor(rank[(g, s)] * w / outw[(g, s)] * float(Q))
+                sums[(g, d)] += c
+        rank = {
+            (g, d): ((1.0 - damping) if d == seed else 0.0)
+            + damping * (float(sm) / float(Q))
+            for (g, d), sm in sums.items()
+            if (g, d) in outw
+        }
+    return rank
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(edges=_grwr_edges)
+def test_grouped_rwr_equals_sequential_replica(spark, edges):
+    """The grouped RWR kernel must walk the IDENTICAL per-group rank
+    trajectory as a sequential replica on ANY (group, src, dst, w)
+    multiset — including groups without the seed (all-zero ranks),
+    dst-only nodes (dropped by the out-weight join in both), self-loops
+    and duplicate edge rows. Bit-for-bit: the floor-quantized decimal
+    sums make each iteration a pure function of the edge multiset."""
+    from cooler_mapreduce_spark.operators.graph import (
+        _DAMPING,
+        _PR_ITERATIONS,
+        rwr_grouped_frame,
+    )
+    from pyspark.sql import functions as F2
+
+    df = spark.createDataFrame(
+        list(edges), "week int, src int, dst int, w int"
+    )
+    got = {
+        (r.week, r.node): r.rank
+        for r in rwr_grouped_frame(df, F2.lit(1)).collect()
+    }
+    want = _grouped_rwr_py(edges, 1, _PR_ITERATIONS, _DAMPING)
+    assert got == want
