@@ -1453,9 +1453,19 @@ def harmonic_centrality_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: the frontier state is O(|S| x |nodes|) rows (|S| = 4
     literal) and each hop is ONE join against the shared checkpointed
     src-partitioned edge list (reused from the PageRank family's
-    `_uniform_trade_graph`) plus a distinct — per-hop shuffled bytes
-    O(|S| x |edges|) worst case, horizon fixed at 3. Seeds come from a
-    TakeOrdered over the degree frame (O(1) rows), never a collect.
+    `_uniform_trade_graph`) plus a distinct plus one anti-join against
+    the accumulated (seed, node) level set — VISITED-SET PRUNING
+    (round-10 ADVICE): mirrored edges guarantee 2-step returns, so an
+    unpruned hop d would re-expand every node already reached at d-1
+    and the frontier would grow toward |S| x |nodes| before any MIN(d)
+    collapse; with the anti-join each (seed, node) pair expands exactly
+    once, at its first (= minimum) level — the standard BFS argument:
+    any path through a node at a later level yields neighbors at
+    levels >= those already produced from its first expansion, so
+    pruning cannot change a minimum. Per-hop shuffled bytes are
+    O(|S| x frontier-adjacent edges), horizon fixed at 3. Seeds come
+    from a TakeOrdered over the degree frame (O(1) rows), never a
+    collect.
 
     Reference parity: iterative multi-round MapReduce the reference
     cannot chain (SURVEY.md §2.2); extends the graph family with the
@@ -1468,23 +1478,22 @@ def harmonic_centrality_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("src").alias("seed"))
     )
     e = edges.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
-    levels = []
+    # visited-set pruning (round-10 ADVICE): seen accumulates each
+    # (seed, node) at its FIRST level (d=0 rows stop the seeds from
+    # re-expanding on the guaranteed 2-step mirror-edge returns); the
+    # next frontier anti-joins seen, so every pair expands exactly once
+    # and no MIN(d) collapse is needed — seen IS the distance table.
+    seen = seeds.select("seed", F.col("seed").alias("node"), F.lit(0).alias("d"))
     frontier = seeds.select("seed", F.col("seed").alias("node"))
     for d in range(1, _HC_HOPS + 1):
         frontier = (
             frontier.join(e, frontier.node == F.col("e_src"))
             .select("seed", F.col("e_dst").alias("node"))
             .distinct()
+            .join(seen.select("seed", "node"), ["seed", "node"], "left_anti")
         )
-        levels.append(frontier.withColumn("d", F.lit(d)))
-    lv = levels[0]
-    for nxt in levels[1:]:
-        lv = lv.unionAll(nxt)
-    dist = (
-        lv.filter(F.col("node") != F.col("seed"))
-        .groupBy("seed", "node")
-        .agg(F.min("d").alias("d"))
-    )
+        seen = seen.unionAll(frontier.withColumn("d", F.lit(d)))
+    dist = seen.filter(F.col("d") >= 1)
     sixths = (
         F.when(F.col("d") == 1, F.lit(6)).when(F.col("d") == 2, F.lit(3)).otherwise(F.lit(2))
     )

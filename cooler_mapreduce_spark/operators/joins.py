@@ -556,18 +556,31 @@ def bloom_build(keys: DataFrame, key: str) -> DataFrame:
 
 
 def bloom_might_contain(bf: str, key: str) -> F.Column:
-    """Membership probe against a packed ``array<long>`` bloom: every
-    one of the key's k bit positions must be set. element_at is
-    1-based; all ops stay inside whole-stage codegen."""
-    def pos_sql(i: int) -> str:
-        return f"pmod(xxhash64({key}, {i}), {_BLOOM_BITS})"
-
-    tests = " AND ".join(
-        f"(element_at({bf}, CAST({pos_sql(i)} / 64 AS INT) + 1)"
-        f" & shiftleft(CAST(1 AS BIGINT), CAST({pos_sql(i)} % 64 AS INT))) != 0"
-        for i in range(_BLOOM_HASHES)
+    """Membership probe against a packed ``array<long>`` bloom: the
+    key's k bit positions are materialized ONCE into a positions array
+    (the exact :func:`_bloom_positions` spelling the build uses, so
+    probe and build hash identically), then ``forall`` requires every
+    position's bit set — exactly k xxhash64 evaluations + k word/bit
+    tests per probed row (the previous spelling inlined each position
+    twice — word index and bit shift — paying 2k hash evaluations
+    unless the optimizer CSE'd them, which FilterExec codegen does
+    not). element_at is 1-based. The higher-order forall is a
+    CodegenFallback leaf — the surrounding scan+filter stage stays
+    whole-stage-codegen'd and evaluates the 4-element probe via the
+    interpreter, which the halved hash count more than pays for."""
+    return F.forall(
+        F.array(*_bloom_positions(key)),
+        lambda p: (
+            F.element_at(F.col(bf), (p / 64).cast("int") + 1).bitwiseAND(
+                # F.shiftleft's numBits param is int-only; the SQL
+                # function accepts a column — call it directly
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("bigint"), (p % 64).cast("int")
+                )
+            )
+            != 0
+        ),
     )
-    return F.expr(tests)
 
 
 @query(

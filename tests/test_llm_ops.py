@@ -1016,11 +1016,12 @@ def test_ccnet_buckets_partition_and_order(spark, oracle_sf_dir):
 
 
 def test_takedown_cascade_manifest_matches_oracle(spark, oracle_sf_dir):
-    """STAGED r11 kernel: the right-to-erasure cascade audit must
-    hash-match its DuckDB oracle at the oracle SF — deleted/retained/
-    leaked counts per entity, with the leak counts provably 0 (the
-    cascade is closed under the foreign-key graph by construction, and
-    the auditor COMPUTES that instead of assuming it)."""
+    """The right-to-erasure cascade audit must hash-match its DuckDB
+    oracle at the oracle SF — deleted/retained/leaked counts per
+    entity, with the leak counts 0 because the in-plan simulated
+    delete job IS correct (the kernel takes the retained snapshots as
+    inputs; the injection test below proves the same kernel goes
+    positive on a faulty one)."""
     from cooler_mapreduce_spark.operators.governance import (
         TAKEDOWN_ORACLE,
         takedown_cascade_manifest,
@@ -1033,3 +1034,66 @@ def test_takedown_cascade_manifest_matches_oracle(spark, oracle_sf_dir):
     assert set(rows) == {"customer", "orders", "lineitem"}
     assert all(r.n_leaked == 0 for r in rows.values())
     assert rows["customer"].n_deleted > 0  # positive path at oracle SF
+
+
+def test_takedown_audit_detects_leaky_delete_job(spark, oracle_sf_dir):
+    """FALSIFIABILITY of the leak legs (r10 verdict What's-wrong #1):
+    feed the audit kernel a delete job that MISSED rows — some
+    requested customers retained, some of their orders retained, some
+    lineitems of deleted orders retained — and every per-entity leak
+    count must equal the independently computed miss count. A kernel
+    whose leak expressions were tautologies of the request predicate
+    (or hard-coded 0) fails here."""
+    from cooler_mapreduce_spark.operators.governance import (
+        _TAKEDOWN_MOD,
+        takedown_audit_frame,
+    )
+    from cooler_mapreduce_spark.sources.catalog import table
+
+    c = table(spark, oracle_sf_dir, "customer", fan_out=False)
+    o = table(spark, oracle_sf_dir, "orders", fan_out=False)
+    li = table(spark, oracle_sf_dir, "lineitem", fan_out=False).select(
+        "l_orderkey", "l_linenumber"
+    )
+    req = c.filter(F.col("c_custkey") % _TAKEDOWN_MOD == 0).select("c_custkey")
+    del_o_keys = o.join(req, o.o_custkey == req.c_custkey, "left_semi").select(
+        "o_orderkey"
+    )
+    # the FAULTY delete job: every 3rd condemned row survives
+    missed_c = F.col("c_custkey") % (3 * _TAKEDOWN_MOD) == 0
+    post_c = c.filter((F.col("c_custkey") % _TAKEDOWN_MOD != 0) | missed_c)
+    post_o = o.join(req, o.o_custkey == req.c_custkey, "left_anti").unionAll(
+        o.join(req, o.o_custkey == req.c_custkey, "left_semi").filter(
+            F.col("o_orderkey") % 3 == 0
+        )
+    )
+    post_l = li.join(
+        del_o_keys, li.l_orderkey == del_o_keys.o_orderkey, "left_anti"
+    ).unionAll(
+        li.join(del_o_keys, li.l_orderkey == del_o_keys.o_orderkey, "left_semi")
+        .filter(F.col("l_orderkey") % 3 == 0)
+    )
+    rows = {
+        r.entity: r
+        for r in takedown_audit_frame(req, c, o, li, post_c, post_o, post_l).collect()
+    }
+    want_leak_c = c.filter(missed_c).count()
+    want_leak_o = (
+        o.join(req, o.o_custkey == req.c_custkey, "left_semi")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .count()
+    )
+    want_leak_l = (
+        li.join(del_o_keys, li.l_orderkey == del_o_keys.o_orderkey, "left_semi")
+        .filter(F.col("l_orderkey") % 3 == 0)
+        .count()
+    )
+    assert want_leak_c > 0 and want_leak_o > 0 and want_leak_l > 0
+    assert rows["customer"].n_leaked == want_leak_c
+    assert rows["orders"].n_leaked == want_leak_o
+    assert rows["lineitem"].n_leaked == want_leak_l
+    # deleted/retained stay consistent with the faulty snapshots
+    assert rows["customer"].n_deleted == req.count() - want_leak_c
+    assert rows["customer"].n_retained == post_c.count()
+    assert rows["orders"].n_retained == post_o.count()
+    assert rows["lineitem"].n_retained == post_l.count()

@@ -873,25 +873,24 @@ def test_tile_compaction_crash_recovery(spark, sf_dir, tmp_path):
 
 
 def test_bloom_gated_stream_equals_batch(spark, oracle_sf_dir):
-    sf_dir = oracle_sf_dir  # sf0.001 has ZERO hot-customer events; the
-    # positive path needs the oracle SF's density (117 matches)
-    """STAGED r11 kernel: the bloom-pruned stream-static enrichment
-    (gate first, join second) must drain to EXACTLY the plain batch
-    join of hot events — the 16 KB bloom prefilter admits false
-    positives by design and the downstream inner join must kill every
-    one of them, so the gate can never change the answer, only the
-    per-batch work."""
+    """The bloom-pruned stream-static enrichment (gate first, join
+    second) must drain to EXACTLY the plain batch join of hot events —
+    the 16 KB bloom prefilter admits false positives by design and the
+    downstream inner join must kill every one of them, so the gate can
+    never change the answer, only the per-batch work. Runs at the
+    oracle SF: sf0.001 has ZERO hot-customer events; the positive path
+    needs this density (117 matches)."""
     from cooler_mapreduce_spark.operators.joins import _BLOOM_HOT_BAL
     from cooler_mapreduce_spark.sources.catalog import table
     from cooler_mapreduce_spark.streaming.windows import run_bloom_gated_stream
     from cooler_mapreduce_spark.functions.numeric import dsum
 
-    q = run_bloom_gated_stream(spark, sf_dir, query_name="t_bloom_gated")
+    q = run_bloom_gated_stream(spark, oracle_sf_dir, query_name="t_bloom_gated")
     _drain(q)
     got = _rows(spark.sql("SELECT * FROM t_bloom_gated"))
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, oracle_sf_dir, "events")
     hot = (
-        table(spark, sf_dir, "customer", fan_out=False)
+        table(spark, oracle_sf_dir, "customer", fan_out=False)
         .filter(F.col("c_acctbal") > _BLOOM_HOT_BAL)
         .select("c_custkey", "c_mktsegment")
     )
