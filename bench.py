@@ -220,6 +220,19 @@ HEADLINE = [
 # bloom_prefilter_hot_orders is a filter scan + small broadcast join
 # (forecast_revenue_change and join_orders_customers time both) — its
 # 16 KB bloom build is O(hot) work below the scheduling floor.
+# The round-11 registrations likewise re-exercise benched shapes and
+# stay out of the common set: takedown_cascade_manifest is three
+# semi/anti keyed joins over orders/lineitem plus O(1)-row counts (the
+# keyed-join exchange class is benched via join_orders_customers/q18);
+# fellegi_sunter_em_customers re-runs the benched entity_resolution
+# blocked-join spine plus five 1-row iteration aggregates (iterative
+# small-job scheduling, represented by pagerank); rwr_weekly_deltas
+# re-runs the excluded rwr_weekly_event_types loop plus ONE node-keyed
+# lag window (the window family is benched via
+# window_top_orders_per_customer); stream_bloom_gated_segments is the
+# event scan + 16 KB bloom probe + hourly windowed agg —
+# stream_tumbling_counts times that exchange and the probe's per-row
+# cost is the benched prefilter's.
 
 #: REAL-STREAM surfaces (not batch twins): each starts an actual
 #: StreamingQuery over the sf dir and times a full bounded-replay drain —
@@ -420,15 +433,40 @@ def main() -> None:
     foreign: dict[str, float | None] = {}
     steal: dict[str, float | None] = {}
     load1: dict[str, float] = {}
+    # PER-RUN contention windows (round-10 verdict What's-wrong #3): the
+    # per-query fractions above cover the whole steady-state loop, so one
+    # contended run poisons the query's flag even when another run of the
+    # same plan was clean. Snapshotting per RUN lets the artifact derive a
+    # DE-CONTENDED FLOOR: per query, the min over runs whose own window
+    # was quiet (foreign and steal <= 5%); queries with no quiet run fall
+    # back to min(raw) and stay flagged. The floor total is published
+    # next to the raw total so future rounds compare floors, not weather.
+    run_foreign: dict[str, list[float | None]] = {}
+    run_steal: dict[str, list[float | None]] = {}
+    floors: dict[str, float] = {}
+
+    def _floor(raw: list[float], fs: list[float | None], ss: list[float | None]) -> float:
+        quiet = [
+            t for t, f, s in zip(raw, fs, ss)
+            if f is not None and s is not None and f <= 0.05 and s <= 0.05
+        ]
+        return min(quiet) if quiet else min(raw)
+
     for name in HEADLINE:
         spec = specs[name]
         raw: list[float] = []
+        rfs: list[float | None] = []
+        rss: list[float | None] = []
         snap0 = _cpu_snapshot()
         for i in range(8):
+            rsnap0 = _cpu_snapshot()
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             raw.append(round(time.perf_counter() - t0, 3))
+            rf, rs = _foreign_frac(rsnap0, _cpu_snapshot())
+            rfs.append(rf)
+            rss.append(rs)
             # Drop the frame and force a driver GC so the ContextCleaner
             # can release the run's localCheckpoint blocks before the
             # next run: queries that checkpoint multi-consumer statics
@@ -460,6 +498,8 @@ def main() -> None:
                     break
         runs[name] = raw
         timings[name] = min(raw)
+        run_foreign[name], run_steal[name] = rfs, rss
+        floors[name] = _floor(raw, rfs, rss)
         foreign[name], steal[name] = _foreign_frac(snap0, _cpu_snapshot())
         la = _loadavg()
         load1[name] = la[0] if la else -1.0
@@ -478,11 +518,16 @@ def main() -> None:
     # dropping by more than 5 %.
     for name, drive in _stream_cases(spark, sf_dir).items():
         raw = []
+        rfs, rss = [], []
         snap0 = _cpu_snapshot()
         for i in range(5):
+            rsnap0 = _cpu_snapshot()
             t0 = time.perf_counter()
             drive(i)
             raw.append(round(time.perf_counter() - t0, 3))
+            rf, rs = _foreign_frac(rsnap0, _cpu_snapshot())
+            rfs.append(rf)
+            rss.append(rs)
             if i >= 2:
                 lo, lo2 = sorted(raw)[:2]
                 # same two-fastest-agreement guard as the batch loop:
@@ -492,6 +537,8 @@ def main() -> None:
                     break
         runs[name] = raw
         timings[name] = min(raw)
+        run_foreign[name], run_steal[name] = rfs, rss
+        floors[name] = _floor(raw, rfs, rss)
         foreign[name], steal[name] = _foreign_frac(snap0, _cpu_snapshot())
         la = _loadavg()
         load1[name] = la[0] if la else -1.0
@@ -502,6 +549,7 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
+    floor_total = round(sum(floors.values()), 3)
     # The raw per-run spread makes a regression in the min diagnosable
     # (host variance vs real slowdown — this shared host has shown 7x
     # swings between identical runs). It goes to stderr + a sidecar file,
@@ -525,10 +573,15 @@ def main() -> None:
                        "loadavg_end": load_end, "runs": runs,
                        "foreign_cpu_frac": foreign,
                        "steal_frac": steal,
+                       "run_foreign_cpu_frac": run_foreign,
+                       "run_steal_frac": run_steal,
+                       "floor": floors,
+                       "floor_total_sec": floor_total,
                        "loadavg_per_query": load1,
                        "contended": contended}, fh, indent=1)
     except OSError:
         pass  # read-only checkout: the stderr line still has the spread
+    print(f"# de-contended floor total: {floor_total}s (raw {total}s)", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -537,6 +590,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # sum of per-query minima over runs whose own contention
+                # window was quiet (foreign+steal <= 5%) — compare floors
+                # across rounds, not weather (see bench_runs.json)
+                "floor_total_sec": floor_total,
             }
         )
     )

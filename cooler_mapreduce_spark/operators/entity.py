@@ -349,9 +349,11 @@ _FS_UPPER = 4.0
 _FS_LOWER = -4.0
 
 
-@query(
-    "fellegi_sunter_weights",
-    oracle=f"""
+#: shared Fellegi–Sunter candidate CTE chain (dirty slices -> capped
+#: blocks -> per-pair AGREEMENT VECTORS + slice-range truth labels) —
+#: used verbatim by BOTH the labeled m/u oracle and the unsupervised EM
+#: oracle, so the two faces score the identical pair multiset.
+_FS_CAND_SQL = f"""
     WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
     dirty AS (
         SELECT c_custkey + m AS rec_id, m,
@@ -389,7 +391,14 @@ _FS_LOWER = -4.0
                          AND a.c_custkey = d.rec_id - 2 * d.m THEN 1
                     ELSE 0 END AS is_match
         FROM dirty d JOIN bounded a ON substr(d.name, 10, 8) = {_ER_BLOCK}
-    ),
+    )
+"""
+
+
+@query(
+    "fellegi_sunter_weights",
+    oracle=_FS_CAND_SQL
+    + f""",
     params AS (
         SELECT
           (CAST(SUM(CASE WHEN is_match = 1 THEN ag_name ELSE 0 END) AS DOUBLE) + 0.5)
@@ -468,6 +477,62 @@ def fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists there (SURVEY.md §2); adds the PROBABILISTIC member to the
     block->score->resolve family (round-10 growth).
     """
+    cand = _fs_candidate_pairs(spark, sf_dir)
+
+    def mu(agree: str, matched: bool) -> F.Column:
+        gate = F.col("is_match") == (1 if matched else 0)
+        n = F.sum(F.when(gate, F.col(agree)).otherwise(F.lit(0)))
+        d = F.sum(F.col("is_match") if matched else (1 - F.col("is_match")))
+        return (n.cast("double") + F.lit(0.5)) / (d.cast("double") + F.lit(1.0))
+
+    params = cand.agg(
+        mu("ag_name", True).alias("m_name"),
+        mu("ag_name", False).alias("u_name"),
+        mu("ag_nation", True).alias("m_nation"),
+        mu("ag_nation", False).alias("u_nation"),
+        mu("ag_bal", True).alias("m_bal"),
+        mu("ag_bal", False).alias("u_bal"),
+    )
+
+    def term(agree: str, mcol: str, ucol: str) -> F.Column:
+        return F.when(
+            F.col(agree) == 1, F.log(F.col(mcol) / F.col(ucol))
+        ).otherwise(
+            F.log((F.lit(1.0) - F.col(mcol)) / (F.lit(1.0) - F.col(ucol)))
+        )
+
+    scored = cand.crossJoin(F.broadcast(params)).select(
+        "is_match",
+        (
+            term("ag_name", "m_name", "u_name")
+            + term("ag_nation", "m_nation", "u_nation")
+            + term("ag_bal", "m_bal", "u_bal")
+        ).alias("w"),
+    )
+    decision = (
+        F.when(F.col("w") >= _FS_UPPER, F.lit("link"))
+        .when(F.col("w") <= _FS_LOWER, F.lit("non_link"))
+        .otherwise(F.lit("possible"))
+    )
+    return (
+        scored.groupBy(decision.alias("decision"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("is_match").cast("bigint").alias("n_true_matches"),
+            F.round(F.min("w"), 9).alias("min_weight"),
+            F.round(F.max("w"), 9).alias("max_weight"),
+        )
+        .orderBy("decision")
+    )
+
+
+def _fs_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared Fellegi–Sunter candidate spine (the Python twin of
+    :data:`_FS_CAND_SQL`): dirty slices -> capped name-prefix blocking
+    -> one row per candidate pair carrying the 0/1 AGREEMENT VECTOR
+    (ag_name, ag_nation, ag_bal) and the slice-range truth label
+    (is_match) — the labeled m/u face consumes all four, the
+    unsupervised EM face drops the label."""
     c = table(spark, sf_dir, "customer", fan_out=False)
     mx = c.agg(F.max("c_custkey").alias("m"))
     cm = c.crossJoin(F.broadcast(mx))
@@ -540,55 +605,10 @@ def fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("is_match"),
     )
-
-    def mu(agree: str, matched: bool) -> F.Column:
-        gate = F.col("is_match") == (1 if matched else 0)
-        n = F.sum(F.when(gate, F.col(agree)).otherwise(F.lit(0)))
-        d = F.sum(F.col("is_match") if matched else (1 - F.col("is_match")))
-        return (n.cast("double") + F.lit(0.5)) / (d.cast("double") + F.lit(1.0))
-
-    params = cand.agg(
-        mu("ag_name", True).alias("m_name"),
-        mu("ag_name", False).alias("u_name"),
-        mu("ag_nation", True).alias("m_nation"),
-        mu("ag_nation", False).alias("u_nation"),
-        mu("ag_bal", True).alias("m_bal"),
-        mu("ag_bal", False).alias("u_bal"),
-    )
-
-    def term(agree: str, mcol: str, ucol: str) -> F.Column:
-        return F.when(
-            F.col(agree) == 1, F.log(F.col(mcol) / F.col(ucol))
-        ).otherwise(
-            F.log((F.lit(1.0) - F.col(mcol)) / (F.lit(1.0) - F.col(ucol)))
-        )
-
-    scored = cand.crossJoin(F.broadcast(params)).select(
-        "is_match",
-        (
-            term("ag_name", "m_name", "u_name")
-            + term("ag_nation", "m_nation", "u_nation")
-            + term("ag_bal", "m_bal", "u_bal")
-        ).alias("w"),
-    )
-    decision = (
-        F.when(F.col("w") >= _FS_UPPER, F.lit("link"))
-        .when(F.col("w") <= _FS_LOWER, F.lit("non_link"))
-        .otherwise(F.lit("possible"))
-    )
-    return (
-        scored.groupBy(decision.alias("decision"))
-        .agg(
-            F.count("*").alias("n_pairs"),
-            F.sum("is_match").cast("bigint").alias("n_true_matches"),
-            F.round(F.min("w"), 9).alias("min_weight"),
-            F.round(F.max("w"), 9).alias("max_weight"),
-        )
-        .orderBy("decision")
-    )
+    return cand
 
 
-# ------------------------------------ Fellegi–Sunter EM (staged r11) ----
+# ------------------------------------------- Fellegi–Sunter EM ----
 
 #: EM iteration count and parameter init (literals — both engines and
 #: the property mirror share them).
@@ -686,4 +706,139 @@ def fellegi_sunter_em(
         ).localCheckpoint(eager=True)
     return params.crossJoin(
         F.broadcast(pairs.agg(F.count("*").alias("n_pairs")))
+    )
+
+
+def _fsem_oracle(
+    comparators: tuple[str, ...] = ("ag_name", "ag_nation", "ag_bal"),
+    iterations: int = _FSEM_ITERATIONS,
+) -> str:
+    """Unrolled-iteration DuckDB oracle for the EM face (the rank-loop
+    template — every EM op is SQL-expressible): the shared
+    :data:`_FS_CAND_SQL` candidate chain, then one (E-step scored rows
+    -> quantized-decimal sums -> M-step parameter row) CTE pair per
+    iteration, spelling every double op identically to the engine
+    kernel (left-fold likelihood products in comparator order,
+    floor(w * 1e15) posteriors summed as DECIMAL(38,0), the same
+    division grouping in the M-step)."""
+    q = f"{_FSEM_Q}.0"
+    p0, m0, u0 = _FSEM_INIT
+    parts = [_FS_CAND_SQL]
+    init_cols = [f"CAST({p0} AS DOUBLE) AS p"]
+    init_cols += [f"CAST({m0} AS DOUBLE) AS m_{c}" for c in comparators]
+    init_cols += [f"CAST({u0} AS DOUBLE) AS u_{c}" for c in comparators]
+    parts.append(f""",
+    params0 AS (SELECT {", ".join(init_cols)})""")
+    for i in range(1, iterations + 1):
+        like_m = "p.p"
+        like_u = "(CAST(1.0 AS DOUBLE) - p.p)"
+        for c in comparators:
+            like_m = (
+                f"({like_m} * CASE WHEN c.{c} = 1 THEN p.m_{c}"
+                f" ELSE CAST(1.0 AS DOUBLE) - p.m_{c} END)"
+            )
+            like_u = (
+                f"({like_u} * CASE WHEN c.{c} = 1 THEN p.u_{c}"
+                f" ELSE CAST(1.0 AS DOUBLE) - p.u_{c} END)"
+            )
+        sums = [
+            "SUM(wq) AS sw",
+            "COUNT(*) AS n",
+        ]
+        for c in comparators:
+            sums.append(
+                f"SUM(CASE WHEN {c} = 1 THEN wq"
+                f" ELSE CAST(0 AS DECIMAL(38,0)) END) AS swa_{c}"
+            )
+            sums.append(f"SUM({c}) AS na_{c}")
+        msteps = [f"((CAST(sw AS DOUBLE) / {q}) / CAST(n AS DOUBLE)) AS p"]
+        for c in comparators:
+            msteps.append(
+                f"((CAST(swa_{c} AS DOUBLE) / {q})"
+                f" / (CAST(sw AS DOUBLE) / {q})) AS m_{c}"
+            )
+        for c in comparators:
+            msteps.append(
+                f"((CAST(na_{c} AS DOUBLE) - CAST(swa_{c} AS DOUBLE) / {q})"
+                f" / (CAST(n AS DOUBLE) - CAST(sw AS DOUBLE) / {q})) AS u_{c}"
+            )
+        parts.append(f""",
+    it{i} AS (
+        SELECT {", ".join(sums)}
+        FROM (
+            SELECT CAST(FLOOR((like_m / (like_m + like_u)) * {q})
+                        AS DECIMAL(38,0)) AS wq,
+                   {", ".join(comparators)}
+            FROM (
+                SELECT {like_m} AS like_m, {like_u} AS like_u,
+                       {", ".join(f"c.{c}" for c in comparators)}
+                FROM cand c, params{i - 1} p
+            )
+        )
+    ),
+    params{i} AS (SELECT {", ".join(msteps)} FROM it{i})""")
+    parts.append(f"""
+    SELECT round(p, 12) AS p_match,
+           round(m_ag_name, 12) AS m_name,
+           round(u_ag_name, 12) AS u_name,
+           round(m_ag_nation, 12) AS m_nation,
+           round(u_ag_nation, 12) AS u_nation,
+           round(m_ag_bal, 12) AS m_bal,
+           round(u_ag_bal, 12) AS u_bal,
+           (SELECT COUNT(*) FROM cand) AS n_pairs
+    FROM params{iterations}
+    """)
+    return "".join(parts)
+
+
+@query(
+    "fellegi_sunter_em_customers",
+    oracle=_fsem_oracle(),
+    tags=("entity-resolution", "statistics", "iterative", "llm-pipeline"),
+)
+def fellegi_sunter_em_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNSUPERVISED Fellegi–Sunter parameter estimation over the blocked
+    customer pairs (Winkler 1988 — the production twin of
+    :func:`fellegi_sunter_weights`, which needs truth labels this face
+    never reads): the shared candidate spine
+    (:func:`_fs_candidate_pairs`) supplies each pair's 0/1 agreement
+    vector, and five conditional-independence EM iterations
+    (:func:`fellegi_sunter_em`) estimate P(match), and per-comparator
+    m_k = P(agree | match) / u_k = P(agree | unmatch), from the pair
+    multiset ALONE. Output: ONE row — the estimated parameters
+    (round-12) plus the pair count.
+
+    Determinism: every posterior is floor-quantized to 1e-15 and
+    summed as an exact decimal (the rank loops' convention), so each
+    M-step is a pure function of the pair multiset — partition layout
+    and summation order can never reach the doubles. The oracle
+    unrolls the identical five iterations as CTE pairs sharing
+    :data:`_FS_CAND_SQL` with the labeled face; the kernel is
+    additionally property-pinned BIT-FOR-BIT against a sequential
+    Python EM on arbitrary agreement multisets
+    (tests/test_property_blocks.py).
+
+    100 TB shape: ONE capped blocked equi-join builds the pairs
+    (O(|dirty| x cap), the ER discipline), checkpointed once; each
+    iteration is one partial-aggregable O(pairs)->1-row aggregate plus
+    a 1-row parameter broadcast back (the allowed crossJoin class).
+    Parameter state is O(comparators); nothing is collected.
+
+    Reference parity: beyond the reference — no record-linkage surface
+    exists there (SURVEY.md §2); completes the probabilistic-linkage
+    pair (labeled m/u + unsupervised EM) staged in round 10.
+    """
+    cand = _fs_candidate_pairs(spark, sf_dir).select(
+        "ag_name", "ag_nation", "ag_bal"
+    )
+    params = fellegi_sunter_em(cand, ["ag_name", "ag_nation", "ag_bal"])
+    return params.select(
+        F.round("p", 12).alias("p_match"),
+        F.round("m_ag_name", 12).alias("m_name"),
+        F.round("u_ag_name", 12).alias("u_name"),
+        F.round("m_ag_nation", 12).alias("m_nation"),
+        F.round("u_ag_nation", 12).alias("u_nation"),
+        F.round("m_ag_bal", 12).alias("m_bal"),
+        F.round("u_ag_bal", 12).alias("u_bal"),
+        "n_pairs",
     )

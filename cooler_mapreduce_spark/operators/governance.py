@@ -765,6 +765,11 @@ def takedown_audit_frame(
     )
 
 
+@query(
+    "takedown_cascade_manifest",
+    oracle=TAKEDOWN_ORACLE,
+    tags=("governance", "join", "aggregation", "erasure"),
+)
 def takedown_cascade_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-erasure cascade audit over the TPC-H FK graph: a
     deterministic request set (every {mod}th customer) cascades

@@ -1271,13 +1271,16 @@ def rwr_grouped_frame(
     return ranks.select("week", "node", "rank")
 
 
-def _rwr_weekly_oracle(iterations: int = _PR_ITERATIONS) -> str:
+def _rwr_weekly_oracle(iterations: int = _PR_ITERATIONS, with_deltas: bool = False) -> str:
     """Unrolled-iteration DuckDB oracle for the windowed RWR: the
     personalized construction with ``week`` widening every group and
     join key, the seed gate a literal equality on the event type, and
     the teleport constant spelled (CAST(1.0 AS DOUBLE) - CAST(0.85 AS
     DOUBLE)) for IEEE identity with the engine's Python-computed
-    ``1.0 - damping``."""
+    ``1.0 - damping``. With ``with_deltas`` the final SELECT appends
+    one node-keyed LAG window over the same visible (round-12,
+    positive-rank) row set — the week-over-week drift face shares the
+    entire CTE chain."""
     tele = (
         f"CASE WHEN e.dst = '{_RWR_SEED}'"
         f" THEN (CAST(1.0 AS DOUBLE) - CAST({_DAMPING} AS DOUBLE))"
@@ -1324,14 +1327,31 @@ def _rwr_weekly_oracle(iterations: int = _PR_ITERATIONS) -> str:
         GROUP BY e.week, e.dst, d2.outw
     )"""
         )
-    parts.append(
-        f"""
+    if with_deltas:
+        parts.append(
+            f"""
+    SELECT week, node, rank, prev_rank, rank - prev_rank AS delta
+    FROM (
+        SELECT week, node, rank,
+               LAG(rank) OVER (PARTITION BY node ORDER BY week) AS prev_rank
+        FROM (
+            SELECT week, node, round(rank, 12) AS rank
+            FROM pr{iterations}
+            WHERE round(rank, 12) > 0.0
+        )
+    )
+    ORDER BY week, node
+    """
+        )
+    else:
+        parts.append(
+            f"""
     SELECT week, node, round(rank, 12) AS rank
     FROM pr{iterations}
     WHERE round(rank, 12) > 0.0
     ORDER BY week, rank DESC, node
     """
-    )
+        )
     return "".join(parts)
 
 
@@ -1509,22 +1529,19 @@ def harmonic_centrality_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def rwr_weekly_deltas_frame(ranks: DataFrame) -> DataFrame:
-    """Week-over-week RWR DRIFT — STAGED round-11 kernel (tested
-    library code; the r11 face composes it over
-    :func:`rwr_weekly_event_types`' kernel output and registers an
-    oracle that appends one lag window to the unrolled-iteration CTE
-    chain): for each node, the rank trajectory across consecutive
-    weeks becomes (rank, prev_rank, delta) via ONE node-keyed lag
-    window — the funnel-drift alarm surface ("purchase fell 0.04 in
-    signup-proximity this week") that turns the windowed RWR from a
-    dashboard into a detector.
+    """Week-over-week RWR DRIFT kernel: for each node, the rank
+    trajectory across consecutive weeks becomes (rank, prev_rank,
+    delta) via ONE node-keyed lag window — the funnel-drift alarm
+    surface ("purchase fell 0.04 in signup-proximity this week") that
+    turns the windowed RWR from a dashboard into a detector.
 
     Weeks with no prior observation carry NULL prev/delta (a node can
     enter or leave a week's graph); the delta is a plain IEEE double
     subtraction of the two round-12 ranks, so both engines agree
-    bit-for-bit. Scale shape: one exchange keyed by node over the
-    O(weeks × |types|) rank rows — strictly cheaper than the RWR that
-    produced them.
+    bit-for-bit (property-pinned against a pandas groupby-shift in
+    tests/test_property_blocks.py). Scale shape: one exchange keyed by
+    node over the O(weeks × |types|) rank rows — strictly cheaper than
+    the RWR that produced them.
     """
     from pyspark.sql import Window
 
@@ -1534,3 +1551,36 @@ def rwr_weekly_deltas_frame(ranks: DataFrame) -> DataFrame:
         .withColumn("delta", F.col("rank") - F.col("prev_rank"))
         .select("week", "node", "rank", "prev_rank", "delta")
     )
+
+
+@query(
+    "rwr_weekly_deltas",
+    oracle=_rwr_weekly_oracle(with_deltas=True),
+    tags=("graph", "iterative", "window", "events", "personalized", "drift"),
+)
+def rwr_weekly_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week RWR drift over the events graph: the windowed
+    RWR's visible rank rows (round-12, positive — exactly
+    :func:`rwr_weekly_event_types`' row set) composed with
+    :func:`rwr_weekly_deltas_frame`'s node-keyed lag window, so every
+    event type carries (rank, prev_rank, delta) per week — the drift
+    detector the dashboard face feeds. First observations carry NULL
+    prev/delta; the oracle shares the full unrolled-CTE chain and
+    appends the identical LAG window.
+
+    100 TB shape: the RWR's shape (one user-keyed window exchange +
+    five quantized-decimal join+agg rounds keyed by (week, dst)) plus
+    ONE node-keyed exchange over the O(weeks × |types|) rank rows —
+    the lag adds rows' worth of shuffle, never stages. Nothing
+    collected, nothing broadcast.
+
+    Reference parity: beyond the reference (iterative + windowed
+    analytics it cannot chain, SURVEY.md §2.2); completes the temporal
+    RWR pair prescribed by the round-10 handoff.
+    """
+    edges = _weekly_transition_edges(spark, sf_dir)
+    ranks = rwr_grouped_frame(edges, F.lit(_RWR_SEED))
+    visible = ranks.select(
+        "week", "node", F.round("rank", 12).alias("rank")
+    ).filter(F.col("rank") > 0.0)
+    return rwr_weekly_deltas_frame(visible).orderBy("week", "node")

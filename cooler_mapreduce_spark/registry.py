@@ -467,7 +467,7 @@ _ROUND9_WINDOW: tuple[str, ...] = (
 #: the oracle's COUNT(*) spelling), and kmv_repeat_buyers_by_nation
 #: (the kmv_estimate refactor now feeds the registered face's est_a/
 #: est_b columns — plan-identical by design; the row proves it).
-PRIORITY_QUERIES: tuple[str, ...] = (
+_ROUND10_WINDOW: tuple[str, ...] = (
     # --- round-10 first-timers ---
     "kanonymity_lattice_customers",   # Incognito lattice: 1 GROUPING SETS pass
     "rwr_weekly_event_types",         # windowed RWR over event transitions
@@ -537,6 +537,94 @@ PRIORITY_QUERIES: tuple[str, ...] = (
     "fellegi_sunter_weights",         # probabilistic linkage (FS 1969)
     "harmonic_centrality_hubs",       # multi-source bounded-hop BFS
     "bloom_prefilter_hot_orders",     # semi-join reduction (bloom prefilter)
+)
+
+#: Round-11 rotation — the round-10 verdict's prescriptions, item by
+#: item: the four staged kernels registered as oracled queries
+#: (next-round #1, with the takedown audit's leak legs made
+#: FALSIFIABLE first per #2 — the kernel now takes the post-delete
+#: snapshots as inputs and a leaky-snapshot injection test asserts
+#: positive leak counts), the re-anchor queue continued (#3 — all 19
+#: remaining r3 rows, then the 16 oldest r4 rows alphabetically), and
+#: re-proof rows for the two queries whose plans changed under this
+#: round's ADVICE fixes.
+#:
+#: First-timers (4): takedown_cascade_manifest (right-to-erasure
+#: cascade audit — post-delete snapshots audited by
+#: takedown_audit_frame, oracle spelled from explicit post-delete
+#: CTEs), fellegi_sunter_em_customers (unsupervised EM linkage over
+#: the shared FS candidate spine — unrolled-iteration oracle, the
+#: rank-loop template), rwr_weekly_deltas (week-over-week RWR drift —
+#: one node-keyed lag window over the windowed RWR's visible rows;
+#: oracle shares the full unrolled-CTE chain), and
+#: stream_bloom_gated_segments (the bloom-gated streaming enrichment's
+#: batch twin — gate first, join second; plain-join oracle).
+#:
+#: Re-proofs (2): bloom_prefilter_hot_orders (round-10 ADVICE — the
+#: probe now materializes its k positions once into an array and
+#: foralls over it, k hash evals instead of 2k; same bits, new plan)
+#: and harmonic_centrality_hubs (round-10 ADVICE — visited-set
+#: pruning: each (seed, node) pair expands exactly once at its minimum
+#: level; per-hop anti-join added, same distances).
+PRIORITY_QUERIES: tuple[str, ...] = (
+    # --- round-11 first-timers: the four registered staged kernels ---
+    "takedown_cascade_manifest",      # erasure cascade audit (falsifiable leaks)
+    "fellegi_sunter_em_customers",    # unsupervised EM linkage (Winkler 1988)
+    "rwr_weekly_deltas",              # week-over-week RWR drift (lag window)
+    "stream_bloom_gated_segments",    # bloom-gated enrichment batch twin
+    # --- re-proof rows for this round's two ADVICE-driven plan changes ---
+    "bloom_prefilter_hot_orders",
+    "harmonic_centrality_hubs",
+    # --- anchors: the 9 §2.1-critical category representatives ---
+    "word_count",                     # parity / scan / flatMap
+    "pricing_summary",                # hash + partial agg (TPC-H Q1)
+    "join_asof_last_click",           # join family
+    "window_top_orders_per_customer", # window functions
+    "dedup_minhash_lsh",              # LLM dedup
+    "ann_topk_bruteforce",            # LLM similarity
+    "multimodal_catalog",             # multimodal
+    "mr_word_count",                  # MR-compat / UDF surface
+    "stream_tumbling_counts",         # streaming batch-twin
+    # --- oldest re-anchors: the 19 remaining round-3 rows (the three
+    # r10-displaced longest_daily_streak/map_functions/mixing_rates
+    # rows + the 16 r3 stragglers, alphabetical) ---
+    "longest_daily_streak",
+    "map_functions",
+    "mixing_rates_by_lang",
+    "pii_redaction",
+    "pipeline_behavioral_sessions",
+    "quality_top_decile",
+    "repetition_filter",
+    "scd2_customer_history",
+    "seqlen_bucket_packing",
+    "sink_tsv_roundtrip",
+    "split_leakage_audit",
+    "stratified_sample_by_lang",
+    "stream_session_windows",
+    "stream_sliding_value_sum",
+    "stream_stream_click_purchase",
+    "text_language_id",
+    "token_count",
+    "train_test_split",
+    "url_functions",
+    # --- oldest re-anchors: the 16 oldest round-4 rows (alphabetical;
+    # the remaining 17 r4 rows head the round-12 queue) ---
+    "ann_recall_ivf",
+    "ann_recall_lsh",
+    "conditional_bitwise_functions",
+    "dedup_simhash_pairs",
+    "embedding_centroids_by_label",
+    "embedding_cluster_compactness",
+    "event_type_gini",
+    "gapfill_hourly_events",
+    "importance_sample_by_length",
+    "json_parse_quality",
+    "json_roundtrip",
+    "mad_order_price",
+    "mode_quantity_by_flag",
+    "mr_grep",
+    "mr_inverted_index",
+    "multimodal_features",
 )
 
 #: The superseded round-8 window, kept for the registry's rotation

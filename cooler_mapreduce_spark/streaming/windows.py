@@ -13,7 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.numeric import davg, dsum, sql_davg
+from ..functions.numeric import davg, dsum, sql_davg, sql_dsum
+from ..operators.joins import _BLOOM_HOT_BAL
 from ..registry import query
 from ..sources.catalog import table
 
@@ -616,6 +617,74 @@ def run_cms_stream(
     )
 
 
+@query(
+    "stream_bloom_gated_segments",
+    oracle=f"""
+    SELECT CAST(time_bucket(INTERVAL 1 HOUR, e.ts) AS TIMESTAMP) AS window_start,
+           c.c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           {sql_dsum('e.value', 6)} AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE c.c_acctbal > {_BLOOM_HOT_BAL}
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "join", "bloom", "filter", "enrichment"),
+)
+def stream_bloom_gated_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the bloom-pruned stream-static enrichment
+    (:func:`run_bloom_gated_stream` — memory-sink-pinned equal to this
+    expression in tests/test_streaming.py): the hot-customer dimension
+    (c_acctbal > 9900, ~1%) folds its keys into ONE 16 KB packed bloom,
+    every event probes the bitmap BEFORE the enrichment join (gate
+    first, join second), and the exact inner join kills the bloom's
+    false positives — so the gate changes the per-batch plan, never
+    the answer, and the oracle is the PLAIN hot join. Output: hourly
+    event count + exact decimal value sum per hot segment.
+
+    100 TB shape: the cold ~99% of the event volume dies at the probe
+    (4 hash+bit ops per row against a 1-row 16 KB broadcast) and never
+    reaches the join exchange; the bloom build is O(hot × k) exploded
+    positions folding into 2048 word masks. This is the composed
+    production shape for high-selectivity streaming enrichment — the
+    streaming runner re-plans the static side per micro-batch, but its
+    payload on the stream path stays the fixed 16 KB row regardless of
+    dimension size.
+
+    Reference parity: beyond the reference — no streaming or join
+    surface exists there (SURVEY.md §2.4); the semi-join-reduction
+    pattern's streaming member (round-10 staged kernel, registered
+    round-11).
+    """
+    from ..operators.joins import bloom_build, bloom_might_contain
+
+    ev = table(spark, sf_dir, "events", fan_out=False)
+    hot = (
+        table(spark, sf_dir, "customer", fan_out=False)
+        .filter(F.col("c_acctbal") > _BLOOM_HOT_BAL)
+        .select("c_custkey", "c_mktsegment")
+    )
+    bf = bloom_build(hot.select("c_custkey"), "c_custkey")
+    gated = (
+        ev.crossJoin(F.broadcast(bf))
+        .filter(bloom_might_contain("bf", "user_id"))
+        .drop("bf")
+    )
+    return (
+        gated.join(hot, gated.user_id == hot.c_custkey)
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.count("*").alias("n_events"), dsum("value", 6).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "segment",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def run_bloom_gated_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -623,11 +692,9 @@ def run_bloom_gated_stream(
     query_name: str = "bloom_gated_out",
     output_mode: str = "complete",
 ):
-    """BLOOM-PRUNED stream-static enrichment — STAGED round-11 kernel
-    (tested library code, memory-sink-pinned against its batch
-    expression in tests/test_streaming.py; the r11 face registers a
-    batch twin with a plain-join oracle, per the staged→register
-    template).
+    """BLOOM-PRUNED stream-static enrichment (registered batch twin:
+    :func:`stream_bloom_gated_segments`; memory-sink-pinned against the
+    plain batch join in tests/test_streaming.py).
 
     The hot-customer dimension folds its join keys into ONE 16 KB bloom
     (:func:`~cooler_mapreduce_spark.operators.joins.bloom_build` — the

@@ -890,12 +890,50 @@ CASES = {
         ],
     ),
     "harmonic_centrality_hubs": (
-        "multi-source bounded BFS: 3 hop joins against the shared checkpointed src-partitioned edge list advance all 4 frontiers at once; per-(seed,node) min over the level union; top-20 is TakeOrdered",
+        "multi-source bounded BFS: 3 hop joins against the shared checkpointed src-partitioned edge list advance all 4 frontiers at once, each new frontier anti-joined against the accumulated visited set so every (seed,node) expands exactly once at its minimum level; top-20 is TakeOrdered",
         [
             ("TakeOrdered, not Sort+Limit", lambda p: "TakeOrderedAndProject" in p),
             ("checkpointed edge state", lambda p: "Scan ExistingRDD" in p),
-            ("level min partial-aggregates", lambda p: "partial_min" in p),
+            ("visited-set pruning anti-joins present", lambda p: p.count("LeftAnti") >= 3),
+            ("harmonic sixths partial-aggregate", lambda p: "partial_sum" in p),
             ("no cartesian / NL join", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
+        ],
+    ),
+    "takedown_cascade_manifest": (
+        "erasure cascade audit: the request set cascades via keyed semi joins, post-delete snapshots are audited by keyed anti (deleted) + semi (leaked) joins, every count a single-row partial aggregate; 3 manifest rows at any SF",
+        [
+            ("anti-join deleted legs present", lambda p: "LeftAnti" in p),
+            ("semi-join leak legs present", lambda p: "LeftSemi" in p),
+            ("counts partial-aggregate", lambda p: "partial_count" in p),
+            ("no cartesian beyond 1-row count crosses", lambda p: "CartesianProduct" not in p),
+        ],
+    ),
+    "fellegi_sunter_em_customers": (
+        "unsupervised EM linkage: ONE capped blocked equi-join builds the pair set (checkpointed once); each EM iteration is one O(pairs)->1-row partial aggregate plus a 1-row parameter broadcast back, executed during construction via the eager checkpoints (the bpe/pca driver-loop class) — the registered plan shows the checkpointed 1-row parameter state crossed with the partial-aggregated O(pairs) count; iteration-plan shapes are pinned by the invariance axes, which rebuild the loop per config",
+        [
+            ("checkpointed pair + parameter state", lambda p: p.count("Scan ExistingRDD") >= 2),
+            ("pair-count partial-aggregate", lambda p: "partial_count" in p),
+            ("the only NL join is the 1-row x 1-row count cross", lambda p: "CartesianProduct" not in p),
+        ],
+    ),
+    "rwr_weekly_deltas": (
+        "RWR drift: the windowed RWR's 5 grouped join+agg rounds plus ONE node-keyed lag window over the O(weeks x types) rank rows — the lag adds one exchange, never a stage multiplier",
+        [
+            ("node-keyed lag window present", lambda p: any(
+                ln.strip().lstrip("+-*: ").startswith("Window ") and "node" in ln
+                for ln in p.splitlines())),
+            ("partial contribution sums", lambda p: "partial_sum" in p),
+            ("checkpointed edge state", lambda p: "Scan ExistingRDD" in p),
+            ("no cartesian / NL join", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
+        ],
+    ),
+    "stream_bloom_gated_segments": (
+        "bloom-gated enrichment twin: the event scan probes the 1-row 16 KB packed bloom BEFORE the join exchange (gate first, join second); false positives die in the exact verify join; windowed rollup partial-aggregates",
+        [
+            ("bloom words fold with a partial bit_or", lambda p: "partial_bit_or" in p),
+            ("event side prefiltered by the packed-bitmap probe", lambda p: any("element_at(bf" in ln and "xxhash64(user_id" in ln for ln in p.splitlines())),
+            ("exact verify join present", lambda p: any(j in p for j in ("ShuffledHashJoin", "SortMergeJoin", "BroadcastHashJoin"))),
+            ("windowed rollup partial-aggregates", lambda p: "partial_sum" in p),
         ],
     ),
     "bloom_prefilter_hot_orders": (

@@ -34,6 +34,60 @@ out = sys.argv[3] if len(sys.argv) > 3 else "/tmp/scale_sweep.json"
 #: exhausted the sweep JVM and killed every query after it).
 X10_SKIP = {"embedding_cosine_dups", "embedding_cosine_dups_lsh"}
 
+#: CONTENTION GATE (round-10 verdict What's-wrong #2: the r10 debut
+#: readings were published with a contention caveat because the sweep
+#: ran concurrently with another suite). Each label's timing window is
+#: checked for same-host foreign CPU and hypervisor steal (bench.py's
+#: thresholds); a contended reading is RE-RUN up to twice, and a
+#: reading that never gets a quiet window is marked, not silently
+#: published.
+def _cpu_snapshot():
+    try:
+        with open("/proc/stat") as fh:
+            vals = [int(x) for x in fh.readline().split()[1:]]
+        total = sum(vals)
+        busy = total - vals[3] - (vals[4] if len(vals) > 4 else 0)
+        steal = vals[7] if len(vals) > 7 else 0
+        procs = {}
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat") as fh:
+                    st = fh.read()
+                rest = st[st.rindex(")") + 2:].split()
+                procs[int(d)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+            except (OSError, ValueError, IndexError):
+                continue
+        kids = {}
+        for pid, (ppid, _) in procs.items():
+            kids.setdefault(ppid, []).append(pid)
+        tree, stack, seen = 0, [os.getpid()], set()
+        while stack:
+            p = stack.pop()
+            if p in seen:
+                continue
+            seen.add(p)
+            tree += procs.get(p, (0, 0))[1]
+            stack.extend(kids.get(p, []))
+        return busy, tree, total, steal
+    except OSError:
+        return None
+
+
+def _window_frac(before, after):
+    if before is None or after is None:
+        return None, None
+    d_busy, d_tree = after[0] - before[0], after[1] - before[1]
+    d_total, d_steal = after[2] - before[2], after[3] - before[3]
+    if d_total <= 0:
+        return None, None
+    return (
+        round(max(0.0, (d_busy - d_steal - d_tree)) / d_total, 4),
+        round(d_steal / d_total, 4),
+    )
+
+
 spark = get_session()
 res = {}
 for name, spec in registry.load_all().items():
@@ -43,12 +97,21 @@ for name, spec in registry.load_all().items():
             row[label] = "SKIP:pair-output-blowup-by-design"
             continue
         try:
-            t0 = time.time()
-            spec.fn(spark, sfd).count()
-            warm = time.time() - t0
-            t0 = time.time()
-            spec.fn(spark, sfd).count()
-            row[label] = round(min(warm, time.time() - t0), 2)
+            for attempt in range(3):
+                snap0 = _cpu_snapshot()
+                t0 = time.time()
+                spec.fn(spark, sfd).count()
+                warm = time.time() - t0
+                t0 = time.time()
+                spec.fn(spark, sfd).count()
+                best = round(min(warm, time.time() - t0), 2)
+                f, s = _window_frac(snap0, _cpu_snapshot())
+                quiet = f is None or (f <= 0.05 and (s is None or s <= 0.05))
+                if quiet:
+                    break
+            row[label] = best
+            if not quiet:
+                row[f"{label}_contended"] = {"foreign": f, "steal": s}
         except Exception as ex:  # keep sweeping; one bad query isn't the story
             row[label] = f"ERR:{type(ex).__name__}"
             break

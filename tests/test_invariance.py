@@ -207,6 +207,15 @@ CASES = [
     "fellegi_sunter_weights",
     "harmonic_centrality_hubs",
     "bloom_prefilter_hot_orders",
+    # round-11 growth entries, pre-driver-row protection (same rule):
+    # the takedown audit's anti/semi count chains over externally-shaped
+    # snapshots, the EM loop's floor-quantized posterior sums, the drift
+    # face's node-keyed lag over the quantized rank rows, and the
+    # bloom-gated twin's order-free bit_or bloom + windowed decimal sums
+    "takedown_cascade_manifest",
+    "fellegi_sunter_em_customers",
+    "rwr_weekly_deltas",
+    "stream_bloom_gated_segments",
 ]
 
 
@@ -410,6 +419,14 @@ _AQE_CASES = [
     "fellegi_sunter_weights",
     "bloom_prefilter_hot_orders",
     "harmonic_centrality_hubs",
+    # r11 growth: AQE promotion/coalescing must not move the takedown
+    # audit's semi/anti count joins, the EM face's blocked pair build +
+    # checkpointed iteration aggregates, the drift face's rank loop, or
+    # the bloom-gated twin's probe + verify join
+    "takedown_cascade_manifest",
+    "fellegi_sunter_em_customers",
+    "rwr_weekly_deltas",
+    "stream_bloom_gated_segments",
 ]
 
 
@@ -447,6 +464,11 @@ _CODEGEN_CASES = [
     # mid-r10 growth: the FS ln-quotient weight chain must emit the
     # same bits compiled and interpreted (the DP noise's ln discipline)
     "fellegi_sunter_weights",
+    # r11 growth: the EM posterior's likelihood-product/division chain
+    # and the drift face's rank subtraction run interpreted on codegen
+    # fallback — both paths must emit identical bits
+    "fellegi_sunter_em_customers",
+    "rwr_weekly_deltas",
 ]
 
 

@@ -57,6 +57,9 @@ _NL_ALLOWED = {
     "weighted_pagerank_trade",   # single-row node-count scalar broadcast per iteration (the pagerank convention)
     "fellegi_sunter_weights",    # single-row MAX(c_custkey) scalar per dirty slice (the ER convention) + the single-row m/u parameter aggregate broadcast over the pairs
     "bloom_prefilter_hot_orders",  # the ONE-row 16 KB packed bloom broadcast onto the fact scan — fixed size by construction regardless of key count
+    "stream_bloom_gated_segments",  # the same ONE-row 16 KB bloom broadcast, onto the event scan (the streaming twin's batch face)
+    "takedown_cascade_manifest",   # three single-row deleted/retained/leaked count aggregates cross-joined into each manifest row
+    "fellegi_sunter_em_customers",  # single-row MAX(c_custkey) scalar per dirty slice (the ER convention) + per-iteration 1-row EM parameter broadcast + the 1-row n_pairs count
 }
 
 
