@@ -232,7 +232,10 @@ HEADLINE = [
 # window_top_orders_per_customer); stream_bloom_gated_segments is the
 # event scan + 16 KB bloom probe + hourly windowed agg —
 # stream_tumbling_counts times that exchange and the probe's per-row
-# cost is the benched prefilter's.
+# cost is the benched prefilter's. Mid-r11: takedown_scd2_versions
+# re-runs the benched SCD2 window derivation's exchange class
+# (window_top_orders_per_customer) plus keyed anti/semi count joins
+# (the takedown class above) — nothing new to time.
 
 #: REAL-STREAM surfaces (not batch twins): each starts an actual
 #: StreamingQuery over the sf dir and times a full bounded-replay drain —

@@ -799,3 +799,143 @@ def takedown_cascade_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     post_o = o.join(req, o.o_custkey == req.c_custkey, "left_anti")
     post_l = li.join(del_o_keys, li.l_orderkey == del_o_keys.o_orderkey, "left_anti")
     return takedown_audit_frame(req, c, o, li, post_c, post_o, post_l)
+
+
+#: DuckDB oracle for the SCD2-erasure face: the versioned history CTE
+#: (the exact spelling of scd2_customer_history's oracle,
+#: operators/merge.py), the request set, the POST-delete history as an
+#: explicit CTE, and the per-version-class manifest computed FROM the
+#: post relation (the takedown discipline: deleted = pre minus post,
+#: leaked = post rows matching the erasure predicate).
+TAKEDOWN_SCD2_ORACLE = f"""
+    WITH versions AS (
+        SELECT o_custkey AS custkey, o_orderdate AS valid_from, o_totalprice AS attr,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS vn,
+               LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey) AS next_from
+        FROM orders
+    ),
+    hist AS (
+        SELECT custkey, vn AS version, (next_from IS NULL) AS is_current
+        FROM versions
+    ),
+    req AS (
+        SELECT c_custkey AS custkey FROM customer
+        WHERE c_custkey % {_TAKEDOWN_MOD} = 0
+    ),
+    post AS (
+        SELECT * FROM hist WHERE custkey NOT IN (SELECT custkey FROM req)
+    ),
+    h AS (
+        SELECT CASE WHEN is_current THEN 'current' ELSE 'historical' END
+                   AS version_class, COUNT(*) AS n_pre
+        FROM hist GROUP BY 1
+    ),
+    p AS (
+        SELECT CASE WHEN is_current THEN 'current' ELSE 'historical' END
+                   AS version_class, COUNT(*) AS n_retained
+        FROM post GROUP BY 1
+    ),
+    l AS (
+        SELECT CASE WHEN is_current THEN 'current' ELSE 'historical' END
+                   AS version_class, COUNT(*) AS n_leaked
+        FROM post WHERE custkey IN (SELECT custkey FROM req) GROUP BY 1
+    )
+    SELECT h.version_class,
+           h.n_pre - COALESCE(p.n_retained, 0) AS n_deleted,
+           COALESCE(p.n_retained, 0) AS n_retained,
+           COALESCE(l.n_leaked, 0) AS n_leaked
+    FROM h LEFT JOIN p USING (version_class) LEFT JOIN l USING (version_class)
+    ORDER BY version_class
+"""
+
+
+def takedown_versions_audit_frame(
+    req: DataFrame, hist_pre: DataFrame, hist_post: DataFrame
+) -> DataFrame:
+    """Erasure audit over a VERSIONED (SCD2) dimension: GDPR Art. 17
+    applied to history means deleting EVERY version of a requested key,
+    not just the current row — the classic faulty delete job filters
+    ``is_current`` and leaves the subject's historical versions behind.
+    This kernel takes the request set (``custkey`` rows), the
+    PRE-delete history, and the POST-delete history an independent
+    delete job left behind, and reports the manifest PER VERSION CLASS
+    (current / historical): versions deleted (pre anti-join post on the
+    (custkey, version) primary key), versions retained, and versions
+    LEAKED (retained versions of a requested key) — so a current-only
+    delete shows up as ``historical`` leaks while ``current`` reads
+    clean, exactly the split an auditor needs
+    (tests/test_llm_ops.py's current-only injection pins that).
+
+    100 TB shape: one keyed anti join (deleted) + one keyed semi join
+    (leaked) + three partial-aggregable class rollups folded onto the
+    2-row class spine (a bounded equi join, no broadcast hints, no
+    collects). Output is 2 rows at any SF.
+
+    Reference parity: beyond the reference — no governance or temporal
+    surface exists there (SURVEY.md §2); composes the erasure tier with
+    the SCD2 history tier (governance x temporal, the round-10
+    handoff's gap-checked direction).
+    """
+    vc = (
+        F.when(F.col("is_current"), F.lit("current"))
+        .otherwise(F.lit("historical"))
+        .alias("version_class")
+    )
+    rq = req.select("custkey")
+    deleted = hist_pre.join(
+        hist_post.select("custkey", "version"), ["custkey", "version"], "left_anti"
+    )
+    spine = hist_pre.groupBy(vc).agg(F.count("*").alias("n_pre"))
+    d = deleted.groupBy(vc).agg(F.count("*").alias("n_deleted"))
+    p = hist_post.groupBy(vc).agg(F.count("*").alias("n_retained"))
+    leaked = hist_post.join(rq, "custkey", "left_semi")
+    lk = leaked.groupBy(vc).agg(F.count("*").alias("n_leaked"))
+    return (
+        spine.join(d, "version_class", "left")
+        .join(p, "version_class", "left")
+        .join(lk, "version_class", "left")
+        .select(
+            "version_class",
+            F.coalesce("n_deleted", F.lit(0)).alias("n_deleted"),
+            F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+            F.coalesce("n_leaked", F.lit(0)).alias("n_leaked"),
+        )
+        .orderBy("version_class")
+    )
+
+
+@query(
+    "takedown_scd2_versions",
+    oracle=TAKEDOWN_SCD2_ORACLE,
+    tags=("governance", "scd2", "join", "aggregation", "erasure"),
+)
+def takedown_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure over the VERSIONED customer history: the SCD2
+    history (every customer's per-order version chain,
+    :func:`~cooler_mapreduce_spark.operators.merge.scd2_customer_history`'s
+    kernel) erased for the deterministic request set (every {mod}th
+    customer) — ALL versions, current and historical — and audited by
+    :func:`takedown_versions_audit_frame`. The post-delete history is
+    materialized in-plan by the CORRECT full-history cascade (one keyed
+    anti join), so both classes read zero leaks here; the kernel takes
+    the retained history as an INPUT, and the current-only injection
+    test proves it reports historical leaks for the faulty delete that
+    GDPR audits exist to catch.
+
+    100 TB shape: the history derivation is ONE key-partitioned window
+    exchange over orders (the SCD2 face's shape); the erasure and the
+    audit legs are keyed anti/semi joins with partial-aggregable class
+    rollups; 2 output rows at any SF.
+    """
+    from .merge import scd2_customer_history
+
+    hist = scd2_customer_history(spark, sf_dir).select(
+        "custkey", "version", "is_current"
+    )
+    c = table(spark, sf_dir, "customer", fan_out=False)
+    req = c.filter(F.col("c_custkey") % _TAKEDOWN_MOD == 0).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    post = hist.join(req, "custkey", "left_anti")
+    return takedown_versions_audit_frame(req, hist, post)

@@ -624,7 +624,14 @@ PRIORITY_QUERIES: tuple[str, ...] = (
     "mode_quantity_by_flag",
     "mr_grep",
     "mr_inverted_index",
-    "multimodal_features",
+    # --- mid-r11 sanctioned growth: built this round at the full bar
+    # (oracle, invariance membership, scale-shape docstring, local
+    # hash-green, gated debut sweep). It takes the slot of the LAST
+    # alphabetical r4 re-anchor (multimodal_features — displacing a
+    # re-anchor, never a first-timer; the multimodal family keeps its
+    # multimodal_catalog anchor in this window; multimodal_features
+    # heads the r12 queue):
+    "takedown_scd2_versions",         # erasure over the VERSIONED history
 )
 
 #: The superseded round-8 window, kept for the registry's rotation

@@ -927,6 +927,18 @@ CASES = {
             ("no cartesian / NL join", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
         ],
     ),
+    "takedown_scd2_versions": (
+        "erasure over the versioned history: ONE key-partitioned window derives the SCD2 version chain; the erasure and audit legs are keyed anti/semi joins with partial-aggregable per-class rollups folded onto the 2-row class spine",
+        [
+            ("version window keyed by custkey", lambda p: any(
+                ln.strip().lstrip("+-*: ").startswith("Window ") and "custkey" in ln
+                for ln in p.splitlines())),
+            ("anti-join deleted/erasure legs present", lambda p: "LeftAnti" in p),
+            ("semi-join leak leg present", lambda p: "LeftSemi" in p),
+            ("class rollups partial-aggregate", lambda p: "partial_count" in p),
+            ("no cartesian / NL join", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
+        ],
+    ),
     "stream_bloom_gated_segments": (
         "bloom-gated enrichment twin: the event scan probes the 1-row 16 KB packed bloom BEFORE the join exchange (gate first, join second); false positives die in the exact verify join; windowed rollup partial-aggregates",
         [

@@ -216,6 +216,9 @@ CASES = [
     "fellegi_sunter_em_customers",
     "rwr_weekly_deltas",
     "stream_bloom_gated_segments",
+    # mid-r11 growth (same rule): the SCD2 erasure's version-window
+    # derivation + per-class anti/semi count rollups
+    "takedown_scd2_versions",
 ]
 
 
@@ -427,6 +430,7 @@ _AQE_CASES = [
     "fellegi_sunter_em_customers",
     "rwr_weekly_deltas",
     "stream_bloom_gated_segments",
+    "takedown_scd2_versions",
 ]
 
 

@@ -1097,3 +1097,46 @@ def test_takedown_audit_detects_leaky_delete_job(spark, oracle_sf_dir):
     assert rows["customer"].n_retained == post_c.count()
     assert rows["orders"].n_retained == post_o.count()
     assert rows["lineitem"].n_retained == post_l.count()
+
+
+def test_takedown_scd2_detects_current_only_delete(spark, oracle_sf_dir):
+    """The SCD2-erasure trap, made falsifiable: a delete job that drops
+    only a requested key's CURRENT version leaves its historical
+    versions behind. Feed the version-class audit kernel that faulty
+    post-delete history and the 'historical' class must report exactly
+    the requested keys' historical version count as leaked while
+    'current' reads clean — the split a current-only filter produces
+    and a whole-history cascade never does."""
+    from cooler_mapreduce_spark.operators.governance import (
+        _TAKEDOWN_MOD,
+        takedown_versions_audit_frame,
+    )
+    from cooler_mapreduce_spark.operators.merge import scd2_customer_history
+    from cooler_mapreduce_spark.sources.catalog import table
+
+    hist = scd2_customer_history(spark, oracle_sf_dir).select(
+        "custkey", "version", "is_current"
+    )
+    c = table(spark, oracle_sf_dir, "customer", fan_out=False)
+    req = c.filter(F.col("c_custkey") % _TAKEDOWN_MOD == 0).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    # the FAULTY delete job: only requested keys' CURRENT rows removed
+    requested = hist.join(req, "custkey", "left_semi")
+    post = hist.join(
+        requested.filter(F.col("is_current")).select("custkey", "version"),
+        ["custkey", "version"],
+        "left_anti",
+    )
+    rows = {
+        r.version_class: r
+        for r in takedown_versions_audit_frame(req, hist, post).collect()
+    }
+    want_hist_leak = requested.filter(~F.col("is_current")).count()
+    want_cur_del = requested.filter(F.col("is_current")).count()
+    assert want_hist_leak > 0 and want_cur_del > 0  # positive path at oracle SF
+    assert rows["historical"].n_leaked == want_hist_leak
+    assert rows["historical"].n_deleted == 0
+    assert rows["current"].n_leaked == 0
+    assert rows["current"].n_deleted == want_cur_del
+    assert rows["historical"].n_retained == post.filter(~F.col("is_current")).count()
