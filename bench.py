@@ -235,7 +235,11 @@ HEADLINE = [
 # cost is the benched prefilter's. Mid-r11: takedown_scd2_versions
 # re-runs the benched SCD2 window derivation's exchange class
 # (window_top_orders_per_customer) plus keyed anti/semi count joins
-# (the takedown class above) — nothing new to time.
+# (the takedown class above) — nothing new to time;
+# dq_gate_event_batches is one conditional-agg groupBy over events
+# onto 8 manifest rows (stream_tumbling_counts times that exchange
+# class; the streaming gate's routing cost is a sink write, covered by
+# the ORC roundtrip's file I/O profile).
 
 #: REAL-STREAM surfaces (not batch twins): each starts an actual
 #: StreamingQuery over the sf dir and times a full bounded-replay drain —

@@ -623,15 +623,16 @@ PRIORITY_QUERIES: tuple[str, ...] = (
     "mad_order_price",
     "mode_quantity_by_flag",
     "mr_grep",
-    "mr_inverted_index",
     # --- mid-r11 sanctioned growth: built this round at the full bar
     # (oracle, invariance membership, scale-shape docstring, local
-    # hash-green, gated debut sweep). It takes the slot of the LAST
-    # alphabetical r4 re-anchor (multimodal_features — displacing a
-    # re-anchor, never a first-timer; the multimodal family keeps its
-    # multimodal_catalog anchor in this window; multimodal_features
-    # heads the r12 queue):
+    # hash-green, gated debut sweep). They take the slots of the two
+    # LAST alphabetical r4 re-anchors (multimodal_features,
+    # mr_inverted_index — displacing re-anchors, never first-timers;
+    # the multimodal family keeps its multimodal_catalog anchor and the
+    # MR family keeps mr_word_count + mr_grep in this window; both
+    # displaced rows head the r12 queue):
     "takedown_scd2_versions",         # erasure over the VERSIONED history
+    "dq_gate_event_batches",          # per-batch admission gating (DQ)
 )
 
 #: The superseded round-8 window, kept for the registry's rotation

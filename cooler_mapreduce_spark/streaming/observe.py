@@ -222,3 +222,192 @@ def stream_observed_metrics_by_type(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.createDataFrame(
         rows, schema="event_type string, n_rows bigint, sum_value double"
     )
+
+
+# ------------------------------------------- data-quality GATING ----
+
+#: gate parameters (literals — one spelling, both engines, and the
+#: streaming runner): the synthetic dirty feed corrupts every
+#: (batch_id + 2)th WITHIN-BATCH row (index = event_id div _DQ_BATCHES
+#: — the within-batch coordinate, deliberately independent of the
+#: event_id % _DQ_BATCHES shard residue: a predicate on event_id itself
+#: would interfere with the sharding modulus through gcd(8, b+2) and
+#: give rates 1.0 / 0 / 1/3 instead of 1/(b+2)), so batch b's violation
+#: rate is 1/(b+2) ± 1/|batch|: 0.50, 0.33, 0.25, 0.20, ... — batches
+#: 0..2 land above the 0.22 threshold and QUARANTINE, batches 3..7
+#: PROMOTE, at any SF (margins ≥ 0.02 against the deterministic rates;
+#: base value<=0 rate in events is ~0).
+_DQ_BATCHES = 8
+_DQ_THRESHOLD = 0.22
+
+
+def _dq_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic dirty feed (the merge_cdc synthesis
+    convention): events sharded into `_DQ_BATCHES` data-derived batches
+    by ``event_id``, with a batch-CORRELATED corruption (value negated
+    for every (batch_id + 2)th event_id) so the per-batch violation
+    rates differ and the gate's two decisions both occur."""
+    ev = table(spark, sf_dir, "events", fan_out=False)
+    batch = (F.col("event_id") % _DQ_BATCHES).alias("batch_id")
+    corrupt = F.expr(
+        f"(event_id div {_DQ_BATCHES}) % ((event_id % {_DQ_BATCHES}) + 2) = 0"
+    )
+    return ev.select(
+        batch,
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(corrupt, -F.col("value")).otherwise(F.col("value")).alias("value"),
+    )
+
+
+def dq_gate_manifest_frame(feed: DataFrame) -> DataFrame:
+    """Per-batch data-quality GATE manifest over a feed carrying
+    ``batch_id`` and ``value``: one partial-aggregable groupBy computes
+    each batch's row count and violation count (value <= 0 — the same
+    predicate the observe counters ride), the violation fraction is one
+    double division, and the decision is the threshold rule
+    (quarantine / promote). Used identically by the registered batch
+    twin and the streaming runner's foreachBatch body, so the stream's
+    manifest is definitionally the same expression over each
+    micro-batch's rows."""
+    frac = F.col("n_violations").cast("double") / F.col("n_rows").cast("double")
+    return (
+        feed.groupBy("batch_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col("value") <= 0.0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violations"),
+        )
+        .select(
+            "batch_id",
+            "n_rows",
+            "n_violations",
+            frac.alias("violation_frac"),
+            F.when(frac > _DQ_THRESHOLD, F.lit("quarantine"))
+            .otherwise(F.lit("promote"))
+            .alias("decision"),
+        )
+    )
+
+
+@query(
+    "dq_gate_event_batches",
+    oracle=f"""
+    WITH feed AS (
+        SELECT event_id % {_DQ_BATCHES} AS batch_id,
+               CASE WHEN (event_id // {_DQ_BATCHES})
+                         % ((event_id % {_DQ_BATCHES}) + 2) = 0
+                    THEN -value ELSE value END AS value
+        FROM events
+    ),
+    m AS (
+        SELECT batch_id, COUNT(*) AS n_rows,
+               SUM(CASE WHEN value <= 0.0 THEN 1 ELSE 0 END) AS n_violations
+        FROM feed GROUP BY 1
+    )
+    SELECT batch_id, n_rows,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           CAST(n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE) AS violation_frac,
+           CASE WHEN CAST(n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                     > {_DQ_THRESHOLD}
+                THEN 'quarantine' ELSE 'promote' END AS decision
+    FROM m ORDER BY batch_id
+    """,
+    tags=("streaming", "data-quality", "aggregation", "observability"),
+)
+def dq_gate_event_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH-gating data quality: a deterministic dirty feed (events
+    sharded into {n} data-derived batches, violation rate ~1/(b+2) per
+    batch) is scored per batch — rows, violations (value <= 0),
+    violation fraction — and the threshold gate decides
+    quarantine / promote PER BATCH: the admission-control manifest a
+    lakehouse ingestion run signs off on before promoting files into
+    the clean zone (dq_constraint_violations is the whole-snapshot
+    audit; this is its per-batch admission sibling, and the batch twin
+    of :func:`run_dq_gated_stream`, which applies the identical
+    expression to every micro-batch and physically routes rows).
+
+    Both decisions occur at any SF by construction (rates 1/2..1/9
+    against the 0.22 threshold), so the oracle pins the gate's flip
+    point, not just counters — and the streaming test injects a
+    fully-clean feed to prove the gate can promote everything (the
+    falsifiability discipline: the decision must be able to go both
+    ways).
+
+    100 TB shape: ONE partial-aggregable groupBy onto O(batches) rows,
+    one double division and a CASE per batch row. Nothing collected,
+    nothing broadcast.
+
+    Reference parity: beyond the reference — no data-quality or
+    admission surface exists there (SURVEY.md §2).
+    """
+    return dq_gate_manifest_frame(_dq_feed(spark, sf_dir)).orderBy("batch_id")
+
+
+def run_dq_gated_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    clean_dir: str,
+    quarantine_dir: str,
+    checkpoint_dir: str,
+):
+    """STREAM-side data-quality gating: the dirty feed staged as
+    `_DQ_BATCHES` parquet files hash-laid-out by ``batch_id`` and
+    replayed with maxFilesPerTrigger=1 — most micro-batches carry one
+    data-derived batch, but the gate never assumes it (hash layout can
+    co-locate two ids or leave a file empty): decisions are keyed by
+    the DATA's ``batch_id``, not the trigger. ``foreachBatch`` scores
+    each micro-batch with the SAME
+    :func:`dq_gate_manifest_frame` expression the batch twin registers,
+    then physically routes every row — promoted batches append to the
+    clean zone, failing batches to quarantine (never dropped: the
+    quarantine zone is what a human re-drives after the upstream fix).
+    The manifest parquet accrues one row per (batch, decision) — the
+    admission audit log.
+
+    100 TB shape: per micro-batch one partial-aggregable O(rows) ->
+    O(batch_ids) aggregate (a 2-row collect of batch-level decisions —
+    O(batches-per-trigger), never data), then one append write per
+    zone. State store: none (the gate is stateless per batch; dedup or
+    watermarking compose upstream). Crash safety: the checkpoint
+    replays the unprocessed files and the appends are directory-atomic
+    per task — the manifest is the idempotence audit trail.
+    """
+    feed = _dq_feed(spark, sf_dir)
+    # stage inside the caller's checkpoint tree so the whole run is one
+    # deletable directory family (no orphaned scratch)
+    src_dir = f"{checkpoint_dir}_src"
+    feed.repartition(_DQ_BATCHES, "batch_id").write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    def gate(batch_df, batch_id: int) -> None:
+        manifest = dq_gate_manifest_frame(batch_df)
+        decisions = {
+            r["batch_id"]: r["decision"] for r in manifest.collect()
+        }  # O(batch ids per trigger) rows, never data
+        quarantined = [b for b, d in decisions.items() if d == "quarantine"]
+        promoted = [b for b, d in decisions.items() if d == "promote"]
+        if promoted:
+            batch_df.filter(F.col("batch_id").isin(promoted)).write.mode(
+                "append"
+            ).parquet(clean_dir)
+        if quarantined:
+            batch_df.filter(F.col("batch_id").isin(quarantined)).write.mode(
+                "append"
+            ).parquet(quarantine_dir)
+        manifest.write.mode("append").parquet(f"{checkpoint_dir}_manifest")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

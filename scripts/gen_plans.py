@@ -939,6 +939,14 @@ CASES = {
             ("no cartesian / NL join", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
         ],
     ),
+    "dq_gate_event_batches": (
+        "per-batch admission gating: ONE partial-aggregable groupBy folds the feed onto O(batches) manifest rows; the threshold decision is a per-row CASE — no joins, no collects, no fan-out of the scan",
+        [
+            ("violation counts partial-aggregate", lambda p: "partial_count" in p or "partial_sum" in p),
+            ("single keyed exchange onto batch rows", lambda p: p.count("Exchange hashpartitioning") <= 2),
+            ("no join anywhere", lambda p: "Join" not in p),
+        ],
+    ),
     "stream_bloom_gated_segments": (
         "bloom-gated enrichment twin: the event scan probes the 1-row 16 KB packed bloom BEFORE the join exchange (gate first, join second); false positives die in the exact verify join; windowed rollup partial-aggregates",
         [

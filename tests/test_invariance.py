@@ -217,8 +217,10 @@ CASES = [
     "rwr_weekly_deltas",
     "stream_bloom_gated_segments",
     # mid-r11 growth (same rule): the SCD2 erasure's version-window
-    # derivation + per-class anti/semi count rollups
+    # derivation + per-class anti/semi count rollups, and the DQ gate's
+    # per-batch conditional-count rollup + threshold decision
     "takedown_scd2_versions",
+    "dq_gate_event_batches",
 ]
 
 
@@ -431,6 +433,7 @@ _AQE_CASES = [
     "rwr_weekly_deltas",
     "stream_bloom_gated_segments",
     "takedown_scd2_versions",
+    "dq_gate_event_batches",
 ]
 
 
