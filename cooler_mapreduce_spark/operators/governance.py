@@ -939,3 +939,51 @@ def takedown_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     post = hist.join(req, "custkey", "left_anti")
     return takedown_versions_audit_frame(req, hist, post)
+
+
+#: erasure-request predicate for the staged derived-artifact kernel:
+#: every 23rd doc_id (deterministic at any SF; ~4% of the corpus).
+_TAKEDOWN_DOC_MOD = 23
+
+
+def erasure_propagation_manifest(
+    req_docs: DataFrame,
+    entities: list[tuple[str, list[str], DataFrame, DataFrame]],
+) -> DataFrame:
+    """Erasure PROPAGATION audit over DERIVED artifacts — STAGED
+    round-12 kernel (tested library code; the r12 face composes it
+    over documents + the fingerprint artifact + the embedding corpus
+    and registers an oracle, per the staged→register template): a
+    document erasure request is not satisfied by deleting the source
+    row — every DERIVED artifact keyed by the document (fingerprint
+    sketches, embedding vectors, index rows) must cascade too, and
+    "the model artifacts still hold the erased data" is the compliance
+    hole GDPR audits exist to find. ``entities`` is a list of
+    ``(name, key_cols, pre, post)`` — the POST snapshots are what an
+    independent propagation job left behind (the takedown
+    falsifiability discipline) — and the manifest reports, per
+    artifact: rows deleted (pre anti-join post on the artifact's key),
+    rows retained, and rows LEAKED (retained rows whose key is in the
+    request set; ``req_docs`` carries one column named like each
+    artifact's key via rename before the call).
+
+    100 TB shape: per artifact one keyed anti join + one keyed semi
+    join + three 1-row count aggregates (the allowed single-row
+    crossJoin class); the manifest is O(artifacts) rows. Nothing
+    collected, no broadcast hints.
+    """
+    out = None
+    for name, keys, pre, post in entities:
+        condemned = req_docs.toDF(*keys) if len(keys) == 1 else req_docs
+        deleted = pre.join(post.select(*keys), keys, "left_anti")
+        leaked = post.join(condemned, keys, "left_semi")
+        row = (
+            deleted.agg(F.count("*").alias("n_deleted"))
+            .crossJoin(F.broadcast(post.agg(F.count("*").alias("n_retained"))))
+            .crossJoin(F.broadcast(leaked.agg(F.count("*").alias("n_leaked"))))
+            .select(
+                F.lit(name).alias("artifact"), "n_deleted", "n_retained", "n_leaked"
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("artifact")

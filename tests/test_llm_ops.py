@@ -1140,3 +1140,69 @@ def test_takedown_scd2_detects_current_only_delete(spark, oracle_sf_dir):
     assert rows["current"].n_leaked == 0
     assert rows["current"].n_deleted == want_cur_del
     assert rows["historical"].n_retained == post.filter(~F.col("is_current")).count()
+
+
+def test_erasure_propagation_detects_retained_embeddings(spark, oracle_sf_dir):
+    """STAGED r12 kernel: a document erasure propagated to the source
+    table and the fingerprint artifact but NOT to the embedding corpus
+    (the 'model artifacts still hold the erased data' compliance hole)
+    must report exactly the requested vectors as embedding leaks while
+    documents and fingerprints read clean; the fully-propagated run
+    must read zero leaks everywhere with the request-set delete count
+    on every artifact."""
+    from cooler_mapreduce_spark.operators.governance import (
+        _TAKEDOWN_DOC_MOD,
+        erasure_propagation_manifest,
+    )
+    from cooler_mapreduce_spark.operators.textstats import doc_fingerprint
+    from cooler_mapreduce_spark.sources.catalog import table
+
+    docs = table(spark, oracle_sf_dir, "documents", fan_out=False).select(
+        "doc_id", "n_chars"
+    )
+    emb = table(spark, oracle_sf_dir, "embeddings", fan_out=False).select(
+        "vec_id", "label"
+    )
+    fp = doc_fingerprint(spark, oracle_sf_dir).select("doc_id")
+    req = docs.filter(F.col("doc_id") % _TAKEDOWN_DOC_MOD == 0).select("doc_id")
+    n_req = req.count()
+    assert n_req > 0
+
+    docs_post = docs.join(req, "doc_id", "left_anti")
+    fp_post = fp.join(req, "doc_id", "left_anti")
+    emb_post_full = emb.join(
+        req.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_anti"
+    )
+
+    # fully propagated: every artifact clean, request-count deletes
+    rows = {
+        r.artifact: r
+        for r in erasure_propagation_manifest(
+            req,
+            [
+                ("documents", ["doc_id"], docs, docs_post),
+                ("doc_fingerprint", ["doc_id"], fp, fp_post),
+                ("embeddings", ["vec_id"], emb, emb_post_full),
+            ],
+        ).collect()
+    }
+    assert set(rows) == {"documents", "doc_fingerprint", "embeddings"}
+    assert all(r.n_leaked == 0 for r in rows.values())
+    assert all(r.n_deleted == n_req for r in rows.values())
+
+    # the compliance hole: embeddings never cascaded
+    rows = {
+        r.artifact: r
+        for r in erasure_propagation_manifest(
+            req,
+            [
+                ("documents", ["doc_id"], docs, docs_post),
+                ("doc_fingerprint", ["doc_id"], fp, fp_post),
+                ("embeddings", ["vec_id"], emb, emb),
+            ],
+        ).collect()
+    }
+    assert rows["embeddings"].n_leaked == n_req
+    assert rows["embeddings"].n_deleted == 0
+    assert rows["documents"].n_leaked == 0
+    assert rows["doc_fingerprint"].n_leaked == 0
