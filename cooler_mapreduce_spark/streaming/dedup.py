@@ -14,7 +14,7 @@ state store) — the streaming twin of the oracle-checked
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .windows import _event_stream
 
@@ -175,6 +175,7 @@ def run_streaming_upsert(
     checkpoint_dir: str,
     n_buckets: int = 8,
     max_files_per_trigger: int | None = None,
+    erased_custkeys: DataFrame | None = None,
 ):
     """Streaming SCD1 upsert WITHOUT a table format: per micro-batch,
     keep-latest-per-key compaction merged into a bucketed parquet table
@@ -209,6 +210,19 @@ def run_streaming_upsert(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(f"{sf_dir}/orders.parque*")
+    if erased_custkeys is not None:
+        # ERASURE GATE (staged r12 composition — see
+        # run_erasure_gated_upsert): a stream-static LEFT ANTI join
+        # against the takedown list drops erased subjects' rows from
+        # every micro-batch BEFORE the merge, so a replayed or late
+        # batch can never re-admit an erased key into the store. The
+        # static side re-plans per micro-batch (a growing takedown list
+        # is picked up between batches); no state is kept for it.
+        raw = raw.join(
+            erased_custkeys.select("c_custkey"),
+            raw.o_custkey == F.col("c_custkey"),
+            "left_anti",
+        )
 
     def merge_batch(batch_df, batch_id: int) -> None:
         sp = batch_df.sparkSession
@@ -372,4 +386,50 @@ def run_streaming_scd2(
         .foreachBatch(merge_batch)
         .option("checkpointLocation", checkpoint_dir)
         .start()
+    )
+
+
+def run_erasure_gated_upsert(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int = 8,
+    max_files_per_trigger: int | None = None,
+):
+    """ERASURE-GATED streaming upsert — STAGED round-12 kernel (tested
+    library code, pinned to the batch anti-join twin in
+    tests/test_streaming.py; the r12 face registers a batch twin with a
+    plain anti-join oracle, per the staged→register template): the SCD1
+    keep-latest upsert composed with the governance tier's takedown
+    list (every `_TAKEDOWN_MOD`th customer) as a stream-static LEFT
+    ANTI gate on every micro-batch — the streaming half of the
+    right-to-erasure story. Deleting from the store
+    (takedown_cascade_manifest's audit) is not enough when the ingest
+    path REPLAYS: a checkpoint recovery or late batch would re-admit
+    the erased subject's rows; gating the stream itself makes erasure
+    a standing invariant of the store, not a one-time cleanup.
+
+    100 TB shape: the gate is one stream-static anti join per
+    micro-batch (the static side re-plans per batch, so a growing
+    takedown list is honored without restarting the query; size-based
+    planning broadcasts it while small); everything downstream is the
+    upsert's documented O(touched buckets) merge. No extra state.
+    """
+    from ..operators.governance import _TAKEDOWN_MOD
+    from ..sources.catalog import table
+
+    req = (
+        table(spark, sf_dir, "customer", fan_out=False)
+        .filter(F.col("c_custkey") % _TAKEDOWN_MOD == 0)
+        .select("c_custkey")
+    )
+    return run_streaming_upsert(
+        spark,
+        sf_dir,
+        out_dir,
+        checkpoint_dir,
+        n_buckets=n_buckets,
+        max_files_per_trigger=max_files_per_trigger,
+        erased_custkeys=req,
     )

@@ -976,3 +976,54 @@ def test_dq_gate_promotes_a_clean_feed(spark, oracle_sf_dir):
     assert len(rows) == _DQ_BATCHES
     assert all(r["decision"] == "promote" for r in rows)
     assert all(r["n_violations"] == 0 for r in rows)
+
+
+def test_erasure_gated_upsert_never_admits_erased_keys(spark, oracle_sf_dir, tmp_path):
+    """STAGED r12 kernel: the erasure-gated SCD1 upsert must (a) end
+    with a store containing ZERO rows for any requested customer — the
+    standing-invariant half of right-to-erasure (the takedown audit is
+    the at-rest half) — and (b) equal the plain batch anti-join twin
+    exactly, across a MULTI-batch replay (maxFilesPerTrigger=1), where
+    an ungated replay would re-admit erased subjects."""
+    from cooler_mapreduce_spark.operators.governance import _TAKEDOWN_MOD
+    from cooler_mapreduce_spark.sources.catalog import table
+    from cooler_mapreduce_spark.streaming.dedup import run_erasure_gated_upsert
+
+    # multi-file staging so the drain is a genuine multi-batch replay;
+    # the runner also reads the customer table from sf_dir, so link it
+    import os
+
+    src = tmp_path / "orders_src"
+    o = table(spark, oracle_sf_dir, "orders", fan_out=False)
+    o.repartition(4).write.parquet(str(src / "orders.parquet"))
+    os.symlink(f"{oracle_sf_dir}/customer.parquet", src / "customer.parquet")
+
+    out = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_erasure_gated_upsert(
+        spark, str(src), out, ckpt, max_files_per_trigger=1
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    store = spark.read.parquet(out)
+    req = (
+        table(spark, oracle_sf_dir, "customer", fan_out=False)
+        .filter(F.col("c_custkey") % _TAKEDOWN_MOD == 0)
+        .select("c_custkey")
+    )
+    n_req_rows = o.join(req, o.o_custkey == req.c_custkey, "left_semi").count()
+    assert n_req_rows > 0  # positive path at oracle SF
+    assert store.join(req, store.o_custkey == req.c_custkey, "left_semi").count() == 0
+    want = o.join(req, o.o_custkey == req.c_custkey, "left_anti")
+    assert store.count() == want.count()
+    got = sorted(
+        (r["o_orderkey"], r["o_totalprice"])
+        for r in store.select("o_orderkey", "o_totalprice").collect()
+    )
+    exp = sorted(
+        (r["o_orderkey"], r["o_totalprice"])
+        for r in want.select("o_orderkey", "o_totalprice").collect()
+    )
+    assert got == exp
