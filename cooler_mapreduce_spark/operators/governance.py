@@ -964,17 +964,38 @@ def erasure_propagation_manifest(
     falsifiability discipline) — and the manifest reports, per
     artifact: rows deleted (pre anti-join post on the artifact's key),
     rows retained, and rows LEAKED (retained rows whose key is in the
-    request set; ``req_docs`` carries one column named like each
-    artifact's key via rename before the call).
+    request set). ``req_docs`` carries EXACTLY ONE column — the request
+    key — which the kernel renames to each single-key artifact's key
+    column; multi-key artifacts must receive a request frame whose
+    columns already match ``key_cols`` (enforced below — a silent
+    column mismatch would make every leak leg empty-join to zero, the
+    takedown tautology this tier exists to avoid).
 
     100 TB shape: per artifact one keyed anti join + one keyed semi
     join + three 1-row count aggregates (the allowed single-row
     crossJoin class); the manifest is O(artifacts) rows. Nothing
     collected, no broadcast hints.
     """
+    if not entities:
+        raise ValueError("erasure_propagation_manifest: no artifacts supplied")
     out = None
     for name, keys, pre, post in entities:
-        condemned = req_docs.toDF(*keys) if len(keys) == 1 else req_docs
+        if len(keys) == 1:
+            if len(req_docs.columns) != 1:
+                raise ValueError(
+                    "erasure_propagation_manifest: req_docs must carry exactly "
+                    f"one key column to audit single-key artifact {name!r}; "
+                    f"got {req_docs.columns}"
+                )
+            condemned = req_docs.toDF(keys[0])
+        else:
+            missing = [k for k in keys if k not in req_docs.columns]
+            if missing:
+                raise ValueError(
+                    f"erasure_propagation_manifest: req_docs lacks key "
+                    f"column(s) {missing} for artifact {name!r}"
+                )
+            condemned = req_docs.select(*keys)
         deleted = pre.join(post.select(*keys), keys, "left_anti")
         leaked = post.join(condemned, keys, "left_semi")
         row = (

@@ -215,9 +215,13 @@ def run_streaming_upsert(
         # run_erasure_gated_upsert): a stream-static LEFT ANTI join
         # against the takedown list drops erased subjects' rows from
         # every micro-batch BEFORE the merge, so a replayed or late
-        # batch can never re-admit an erased key into the store. The
-        # static side re-plans per micro-batch (a growing takedown list
-        # is picked up between batches); no state is kept for it.
+        # batch can never re-admit an erased key into the store. No
+        # state is kept for the static side; NOTE the honest re-plan
+        # bound — rows inside the ALREADY-LISTED files are re-read per
+        # micro-batch, but a plain parquet DataFrame's file listing is
+        # resolved once at creation, so NEW takedown files appended to
+        # the directory need a catalog-backed static side (Delta/
+        # Iceberg) or a query restart to take effect.
         raw = raw.join(
             erased_custkeys.select("c_custkey"),
             raw.o_custkey == F.col("c_custkey"),
@@ -411,10 +415,14 @@ def run_erasure_gated_upsert(
     a standing invariant of the store, not a one-time cleanup.
 
     100 TB shape: the gate is one stream-static anti join per
-    micro-batch (the static side re-plans per batch, so a growing
-    takedown list is honored without restarting the query; size-based
-    planning broadcasts it while small); everything downstream is the
-    upsert's documented O(touched buckets) merge. No extra state.
+    micro-batch (size-based planning broadcasts the takedown list
+    while small); rows inside the already-listed request files are
+    re-read each batch, but a plain parquet static side resolves its
+    FILE LISTING once — a takedown list that grows by new files needs
+    a catalog-backed table (Delta/Iceberg) or a query restart, which
+    is the honest bound of the format-free composition. Everything
+    downstream is the upsert's documented O(touched buckets) merge.
+    No extra state.
     """
     from ..operators.governance import _TAKEDOWN_MOD
     from ..sources.catalog import table

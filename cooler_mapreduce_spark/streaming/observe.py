@@ -372,33 +372,50 @@ def run_dq_gated_stream(
     O(batch_ids) aggregate (a 2-row collect of batch-level decisions —
     O(batches-per-trigger), never data), then one append write per
     zone. State store: none (the gate is stateless per batch; dedup or
-    watermarking compose upstream). Crash safety: the checkpoint
-    replays the unprocessed files and the appends are directory-atomic
-    per task — the manifest is the idempotence audit trail.
+    watermarking compose upstream). Crash safety: the staging write is
+    SKIPPED when the source dir already exists (re-staging would mint
+    new UUID part-file names, the checkpoint would see an all-new file
+    set, and every routed row would duplicate into the append sinks —
+    the re-invocation instead resumes the checkpoint over the original
+    files), so restarts replay only unprocessed files; the manifest is
+    the idempotence audit trail.
     """
-    feed = _dq_feed(spark, sf_dir)
     # stage inside the caller's checkpoint tree so the whole run is one
-    # deletable directory family (no orphaned scratch)
+    # deletable directory family (no orphaned scratch); stage ONCE per
+    # checkpoint lifetime (see crash-safety note above)
     src_dir = f"{checkpoint_dir}_src"
-    feed.repartition(_DQ_BATCHES, "batch_id").write.mode("overwrite").parquet(src_dir)
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(src_dir)
+    if not path.getFileSystem(spark._jsc.hadoopConfiguration()).exists(path):
+        _dq_feed(spark, sf_dir).repartition(_DQ_BATCHES, "batch_id").write.parquet(
+            src_dir
+        )
     schema = spark.read.parquet(src_dir).schema
 
     def gate(batch_df, batch_id: int) -> None:
-        manifest = dq_gate_manifest_frame(batch_df)
-        decisions = {
-            r["batch_id"]: r["decision"] for r in manifest.collect()
-        }  # O(batch ids per trigger) rows, never data
-        quarantined = [b for b, d in decisions.items() if d == "quarantine"]
-        promoted = [b for b, d in decisions.items() if d == "promote"]
-        if promoted:
-            batch_df.filter(F.col("batch_id").isin(promoted)).write.mode(
-                "append"
-            ).parquet(clean_dir)
-        if quarantined:
-            batch_df.filter(F.col("batch_id").isin(quarantined)).write.mode(
-                "append"
-            ).parquet(quarantine_dir)
-        manifest.write.mode("append").parquet(f"{checkpoint_dir}_manifest")
+        # one pass builds the manifest; the collected O(batch-ids) rows
+        # drive the routing AND re-materialize the manifest locally, so
+        # the aggregation runs once; persist the batch across the two
+        # routed writes (3 source scans otherwise)
+        batch_df.persist()
+        try:
+            mrows = dq_gate_manifest_frame(batch_df).collect()
+            quarantined = [r["batch_id"] for r in mrows if r["decision"] == "quarantine"]
+            promoted = [r["batch_id"] for r in mrows if r["decision"] == "promote"]
+            if promoted:
+                batch_df.filter(F.col("batch_id").isin(promoted)).write.mode(
+                    "append"
+                ).parquet(clean_dir)
+            if quarantined:
+                batch_df.filter(F.col("batch_id").isin(quarantined)).write.mode(
+                    "append"
+                ).parquet(quarantine_dir)
+            if mrows:
+                batch_df.sparkSession.createDataFrame(mrows).write.mode(
+                    "append"
+                ).parquet(f"{checkpoint_dir}_manifest")
+        finally:
+            batch_df.unpersist()
 
     stream = (
         spark.readStream.schema(schema)

@@ -97,6 +97,12 @@ for name, spec in registry.load_all().items():
             row[label] = "SKIP:pair-output-blowup-by-design"
             continue
         try:
+            # publish the first QUIET attempt's reading; if no attempt
+            # gets a quiet window, publish the MIN over attempts (a
+            # slower later attempt must not displace a faster earlier
+            # one) and flag the reading as contended
+            attempts: list[tuple[float, object, object]] = []
+            quiet = False
             for attempt in range(3):
                 snap0 = _cpu_snapshot()
                 t0 = time.time()
@@ -106,11 +112,15 @@ for name, spec in registry.load_all().items():
                 spec.fn(spark, sfd).count()
                 best = round(min(warm, time.time() - t0), 2)
                 f, s = _window_frac(snap0, _cpu_snapshot())
+                attempts.append((best, f, s))
                 quiet = f is None or (f <= 0.05 and (s is None or s <= 0.05))
                 if quiet:
                     break
-            row[label] = best
-            if not quiet:
+            if quiet:
+                row[label] = attempts[-1][0]
+            else:
+                best, f, s = min(attempts, key=lambda a: a[0])
+                row[label] = best
                 row[f"{label}_contended"] = {"foreign": f, "steal": s}
         except Exception as ex:  # keep sweeping; one bad query isn't the story
             row[label] = f"ERR:{type(ex).__name__}"

@@ -1027,3 +1027,24 @@ def test_erasure_gated_upsert_never_admits_erased_keys(spark, oracle_sf_dir, tmp
         for r in want.select("o_orderkey", "o_totalprice").collect()
     )
     assert got == exp
+
+
+def test_dq_gated_stream_restart_is_idempotent(spark, oracle_sf_dir, tmp_path):
+    """Re-invoking the DQ-gated runner with the SAME sink/checkpoint
+    dirs must not duplicate routed rows: the staging write is skipped
+    when the source dir exists (re-staging would mint new part-file
+    names and the checkpoint would replay the whole feed into the
+    append sinks). Second drain == no new rows."""
+    from cooler_mapreduce_spark.streaming.observe import _dq_feed, run_dq_gated_stream
+
+    clean = str(tmp_path / "clean")
+    quar = str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "ckpt")
+    for _ in range(2):
+        q = run_dq_gated_stream(spark, oracle_sf_dir, clean, quar, ckpt)
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    feed_n = _dq_feed(spark, oracle_sf_dir).count()
+    assert spark.read.parquet(clean).count() + spark.read.parquet(quar).count() == feed_n
