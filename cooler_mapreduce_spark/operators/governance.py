@@ -950,10 +950,10 @@ def erasure_propagation_manifest(
     req_docs: DataFrame,
     entities: list[tuple[str, list[str], DataFrame, DataFrame]],
 ) -> DataFrame:
-    """Erasure PROPAGATION audit over DERIVED artifacts — STAGED
-    round-12 kernel (tested library code; the r12 face composes it
-    over documents + the fingerprint artifact + the embedding corpus
-    and registers an oracle, per the staged→register template): a
+    """Erasure PROPAGATION audit over DERIVED artifacts (registered
+    face: :func:`erasure_propagation_docs` — composes it over
+    documents + the fingerprint artifact + the embedding corpus with
+    a post-CTE oracle): a
     document erasure request is not satisfied by deleting the source
     row — every DERIVED artifact keyed by the document (fingerprint
     sketches, embedding vectors, index rows) must cascade too, and
@@ -1008,3 +1008,104 @@ def erasure_propagation_manifest(
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("artifact")
+
+
+#: DuckDB oracle for the registered propagation face: every post
+#: relation is an explicit CTE and the manifest columns are computed
+#: FROM them (the takedown discipline — deleted = pre minus post,
+#: leaked = post rows matching the request set). The fingerprint
+#: artifact's key set is one row per document by construction
+#: (doc_fingerprint emits exactly one sketch row per doc_id), so its
+#: pre relation is spelled as the documents key column.
+ERASURE_PROP_ORACLE = f"""
+    WITH req AS (
+        SELECT doc_id FROM documents WHERE doc_id % {_TAKEDOWN_DOC_MOD} = 0
+    ),
+    post_d AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM req)
+    ),
+    post_f AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM req)
+    ),
+    post_e AS (
+        SELECT vec_id FROM embeddings
+        WHERE vec_id NOT IN (SELECT doc_id FROM req)
+    )
+    SELECT 'doc_fingerprint' AS artifact,
+           (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM post_f) AS n_deleted,
+           (SELECT COUNT(*) FROM post_f) AS n_retained,
+           (SELECT COUNT(*) FROM post_f
+            WHERE doc_id IN (SELECT doc_id FROM req)) AS n_leaked
+    UNION ALL
+    SELECT 'documents',
+           (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM post_d),
+           (SELECT COUNT(*) FROM post_d),
+           (SELECT COUNT(*) FROM post_d
+            WHERE doc_id IN (SELECT doc_id FROM req))
+    UNION ALL
+    SELECT 'embeddings',
+           (SELECT COUNT(*) FROM embeddings) - (SELECT COUNT(*) FROM post_e),
+           (SELECT COUNT(*) FROM post_e),
+           (SELECT COUNT(*) FROM post_e
+            WHERE vec_id IN (SELECT doc_id FROM req))
+    ORDER BY artifact
+"""
+
+
+@query(
+    "erasure_propagation_docs",
+    oracle=ERASURE_PROP_ORACLE,
+    tags=("governance", "erasure", "join", "aggregation", "llm-pipeline"),
+)
+def erasure_propagation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure PROPAGATION audit over the document corpus and its
+    DERIVED artifacts: a deterministic request set (every
+    {_TAKEDOWN_DOC_MOD}th doc_id, ~4 % of the corpus) is cascaded to
+    the source table, the bottom-k fingerprint artifact
+    (:func:`~cooler_mapreduce_spark.operators.textstats.doc_fingerprint`'s
+    kernel, keyed doc_id), and the embedding corpus (keyed vec_id —
+    the derived-key rename the manifest kernel handles), and
+    :func:`erasure_propagation_manifest` audits the post-delete
+    snapshots. The registered face materializes the CORRECT cascade
+    in-plan (keyed anti joins), so all three artifacts read zero
+    leaks here; the kernel takes the post snapshots as INPUTS, and
+    the embeddings-never-cascaded injection test proves it reports
+    exactly the requested vectors as positive leaks for the delete
+    job that stops at the source table — "the model artifacts still
+    hold the erased data", the compliance hole GDPR audits exist to
+    find (tests/test_llm_ops.py).
+
+    100 TB shape: per artifact one keyed anti join + one keyed semi
+    join + three single-row count aggregates (the allowed 1-row
+    crossJoin class); the fingerprint derivation contributes only its
+    key column, so column pruning strips the shingle/hash compute
+    from the audit plan entirely — auditing keys never recomputes
+    sketches. 3 output rows at any SF, no collects, no broadcast
+    hints.
+
+    Reference parity: beyond the reference — no governance surface
+    exists there (SURVEY.md §2); completes the erasure tier's
+    source → derived-artifact axis (cascade audit r11, versioned
+    history r11, propagation here).
+    """
+    from .textstats import doc_fingerprint
+
+    docs = table(spark, sf_dir, "documents", fan_out=False).select("doc_id")
+    emb = table(spark, sf_dir, "embeddings", fan_out=False).select("vec_id")
+    fp = doc_fingerprint(spark, sf_dir).select("doc_id")
+    req = docs.filter(F.col("doc_id") % _TAKEDOWN_DOC_MOD == 0).select("doc_id")
+    docs_post = docs.join(req, "doc_id", "left_anti")
+    fp_post = fp.join(req, "doc_id", "left_anti")
+    emb_post = emb.join(
+        req.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_anti"
+    )
+    return erasure_propagation_manifest(
+        req,
+        [
+            ("documents", ["doc_id"], docs, docs_post),
+            ("doc_fingerprint", ["doc_id"], fp, fp_post),
+            ("embeddings", ["vec_id"], emb, emb_post),
+        ],
+    )

@@ -63,6 +63,7 @@ _QUERY_MODULES = (
     "cooler_mapreduce_spark.operators.sqlapi",
     "cooler_mapreduce_spark.operators.pipeline",
     "cooler_mapreduce_spark.streaming.windows",
+    "cooler_mapreduce_spark.streaming.dedup",
     "cooler_mapreduce_spark.streaming.tiles",
     "cooler_mapreduce_spark.streaming.stateful",
     "cooler_mapreduce_spark.streaming.transform_state",
@@ -560,6 +561,15 @@ _ROUND10_WINDOW: tuple[str, ...] = (
 #: stream_bloom_gated_segments (the bloom-gated streaming enrichment's
 #: batch twin — gate first, join second; plain-join oracle).
 #:
+#: Late-r11 first-timers (2, same staged→register template): the two
+#: kernels staged mid-round for r12, registered the same round at the
+#: full bar — erasure_propagation_docs (erasure propagated to the
+#: fingerprint + embedding artifacts; post-CTE oracle) and
+#: stream_erasure_gated_upsert (the erasure-gated SCD1 upsert's batch
+#: twin; keep-latest-over-anti-join oracle). They displace the
+#: mode_quantity_by_flag and mr_grep r4 re-anchors (see the inline
+#: note at their former slots).
+#:
 #: Re-proofs (2): bloom_prefilter_hot_orders (round-10 ADVICE — the
 #: probe now materializes its k positions once into an array and
 #: foralls over it, k hash evals instead of 2k; same bits, new plan)
@@ -572,6 +582,10 @@ PRIORITY_QUERIES: tuple[str, ...] = (
     "fellegi_sunter_em_customers",    # unsupervised EM linkage (Winkler 1988)
     "rwr_weekly_deltas",              # week-over-week RWR drift (lag window)
     "stream_bloom_gated_segments",    # bloom-gated enrichment batch twin
+    # --- late-r11 first-timers: the erasure tier completed (staged
+    # kernels registered the same round, at the full bar) ---
+    "erasure_propagation_docs",       # erasure propagated to derived artifacts
+    "stream_erasure_gated_upsert",    # erasure as a standing stream invariant
     # --- re-proof rows for this round's two ADVICE-driven plan changes ---
     "bloom_prefilter_hot_orders",
     "harmonic_centrality_hubs",
@@ -621,15 +635,20 @@ PRIORITY_QUERIES: tuple[str, ...] = (
     "json_parse_quality",
     "json_roundtrip",
     "mad_order_price",
-    "mode_quantity_by_flag",
-    "mr_grep",
+    # (mode_quantity_by_flag and mr_grep — the next two r4 rows — were
+    # displaced by the late-r11 erasure-tier first-timers above, per
+    # the displacing-re-anchors-never-first-timers rule: the math/stats
+    # family keeps mad_order_price + stat_corr_qty_price in this
+    # window and the MR family keeps its mr_word_count anchor; both
+    # displaced rows join mode's r4 block at the head of the r12
+    # queue.)
     # --- mid-r11 sanctioned growth: built this round at the full bar
     # (oracle, invariance membership, scale-shape docstring, local
     # hash-green, gated debut sweep). They take the slots of the two
     # LAST alphabetical r4 re-anchors (multimodal_features,
     # mr_inverted_index — displacing re-anchors, never first-timers;
     # the multimodal family keeps its multimodal_catalog anchor and the
-    # MR family keeps mr_word_count + mr_grep in this window; both
+    # MR family keeps its mr_word_count anchor in this window; all
     # displaced rows head the r12 queue):
     "takedown_scd2_versions",         # erasure over the VERSIONED history
     "dq_gate_event_batches",          # per-batch admission gating (DQ)

@@ -16,6 +16,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..operators.governance import _TAKEDOWN_MOD
+from ..registry import query
+from ..sources.catalog import table
 from .windows import _event_stream
 
 
@@ -401,10 +404,9 @@ def run_erasure_gated_upsert(
     n_buckets: int = 8,
     max_files_per_trigger: int | None = None,
 ):
-    """ERASURE-GATED streaming upsert — STAGED round-12 kernel (tested
-    library code, pinned to the batch anti-join twin in
-    tests/test_streaming.py; the r12 face registers a batch twin with a
-    plain anti-join oracle, per the staged→register template): the SCD1
+    """ERASURE-GATED streaming upsert (registered batch twin:
+    :func:`stream_erasure_gated_upsert` — pinned to it across a
+    multi-batch replay in tests/test_streaming.py): the SCD1
     keep-latest upsert composed with the governance tier's takedown
     list (every `_TAKEDOWN_MOD`th customer) as a stream-static LEFT
     ANTI gate on every micro-batch — the streaming half of the
@@ -424,9 +426,6 @@ def run_erasure_gated_upsert(
     downstream is the upsert's documented O(touched buckets) merge.
     No extra state.
     """
-    from ..operators.governance import _TAKEDOWN_MOD
-    from ..sources.catalog import table
-
     req = (
         table(spark, sf_dir, "customer", fan_out=False)
         .filter(F.col("c_custkey") % _TAKEDOWN_MOD == 0)
@@ -441,3 +440,69 @@ def run_erasure_gated_upsert(
         max_files_per_trigger=max_files_per_trigger,
         erased_custkeys=req,
     )
+
+
+@query(
+    "stream_erasure_gated_upsert",
+    oracle=f"""
+    WITH req AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % {_TAKEDOWN_MOD} = 0
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority,
+               ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM req)
+    ) WHERE rn = 1
+    """,
+    tags=("streaming", "erasure", "upsert", "cdc", "governance"),
+)
+def stream_erasure_gated_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the ERASURE-GATED streaming upsert
+    (:func:`run_erasure_gated_upsert` — pinned equal to this
+    expression's anti-join across a multi-batch replay in
+    tests/test_streaming.py): the store's standing invariant, gate
+    first, merge second — every order row of a takedown-listed
+    customer (every {mod}th key) dies at the stream-static anti join
+    BEFORE the keep-latest merge, so a checkpoint replay or late batch
+    can never re-admit an erased subject. The face is the store's
+    exact end state: the gate composed with the runner's argmax
+    compaction (``max_by`` over (o_orderdate, o_orderkey) — the same
+    total order the oracle's ROW_NUMBER spells), which at this
+    source's unique-o_orderkey feed reduces to per-key identity; the
+    multi-batch replay in the runner's test is where the argmax
+    genuinely merges.
+
+    100 TB shape: one keyed anti join (size-based planning broadcasts
+    the takedown list while small, degrades to a shuffle join when
+    not — no hints) + one partial-aggregable argmax: each map task
+    pre-reduces to one candidate row per key before the exchange, the
+    store merge cost the streaming runner bounds at O(touched
+    buckets) per batch. No collects; output is O(retained orders).
+
+    Reference parity: beyond the reference — no streaming or
+    governance surface exists there (SURVEY.md §2.4); the streaming
+    half of the right-to-erasure tier (the takedown audit is the
+    at-rest half).
+    """
+    o = table(spark, sf_dir, "orders", fan_out=False)
+    req = (
+        table(spark, sf_dir, "customer", fan_out=False)
+        .filter(F.col("c_custkey") % _TAKEDOWN_MOD == 0)
+        .select("c_custkey")
+    )
+    gated = o.join(req, o.o_custkey == F.col("c_custkey"), "left_anti")
+    latest = gated.groupBy("o_orderkey").agg(
+        F.max_by(
+            F.struct(
+                "o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderdate", "o_orderpriority",
+            ),
+            F.struct("o_orderdate", "o_orderkey"),
+        ).alias("r")
+    )
+    return latest.select("o_orderkey", "r.*")

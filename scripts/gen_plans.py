@@ -939,6 +939,27 @@ CASES = {
             ("no cartesian / NL join", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
         ],
     ),
+    "erasure_propagation_docs": (
+        "erasure propagation audit: per artifact ONE keyed anti (deleted) + ONE keyed semi (leaked) join with single-row partial count aggregates; the fingerprint derivation is column-pruned to its key column, so the audit plan recomputes NO sketches — every documents scan reads struct<doc_id:bigint> only; 3 manifest rows at any SF",
+        [
+            ("anti-join deleted legs present", lambda p: "LeftAnti" in p),
+            ("semi-join leak legs present", lambda p: "LeftSemi" in p),
+            ("counts partial-aggregate", lambda p: "partial_count" in p),
+            ("fingerprint hash compute pruned away", lambda p: "md5" not in p and "array_sort" not in p),
+            ("documents scans pruned to the key column", lambda p: "ReadSchema: struct<doc_id:bigint>" in p),
+            ("no cartesian beyond 1-row count crosses", lambda p: "CartesianProduct" not in p),
+        ],
+    ),
+    "stream_erasure_gated_upsert": (
+        "erasure-gated upsert twin: gate FIRST (keyed LEFT ANTI against the pushed-filter takedown scan), merge second — the partial max_by argmax pre-reduces each map task to one candidate row per key, so the ONLY exchange carries O(keys x tasks) rows and a replay can never re-admit an erased subject",
+        [
+            ("anti-join gate present", lambda p: "LeftAnti" in p),
+            ("argmax partial-aggregates before the exchange", lambda p: "partial_max_by" in p),
+            ("gate below the merge (agg is the join's parent)", lambda p: p.index("partial_max_by") < p.index("LeftAnti")),
+            ("single agg exchange", lambda p: p.count("Exchange hashpartitioning") == 1),
+            ("takedown predicate pushed into the request scan", lambda p: "PushedFilters: [IsNotNull(c_custkey)]" in p),
+        ],
+    ),
     "dq_gate_event_batches": (
         "per-batch admission gating: ONE partial-aggregable groupBy folds the feed onto O(batches) manifest rows; the threshold decision is a per-row CASE — no joins, no collects, no fan-out of the scan",
         [

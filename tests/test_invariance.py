@@ -221,6 +221,11 @@ CASES = [
     # per-batch conditional-count rollup + threshold decision
     "takedown_scd2_versions",
     "dq_gate_event_batches",
+    # late-r11 growth (same rule): the propagation audit's per-artifact
+    # anti/semi count chains (incl. the pruned fingerprint derivation)
+    # and the gated upsert twin's anti-join + argmax compaction
+    "erasure_propagation_docs",
+    "stream_erasure_gated_upsert",
 ]
 
 
@@ -434,6 +439,11 @@ _AQE_CASES = [
     "stream_bloom_gated_segments",
     "takedown_scd2_versions",
     "dq_gate_event_batches",
+    # late-r11 growth: AQE broadcast-promotion of the request set must
+    # not move the propagation audit's anti/semi legs or the gated
+    # upsert twin's anti join + partial-aggregable argmax
+    "erasure_propagation_docs",
+    "stream_erasure_gated_upsert",
 ]
 
 

@@ -59,6 +59,7 @@ _NL_ALLOWED = {
     "bloom_prefilter_hot_orders",  # the ONE-row 16 KB packed bloom broadcast onto the fact scan — fixed size by construction regardless of key count
     "stream_bloom_gated_segments",  # the same ONE-row 16 KB bloom broadcast, onto the event scan (the streaming twin's batch face)
     "takedown_cascade_manifest",   # three single-row deleted/retained/leaked count aggregates cross-joined into each manifest row
+    "erasure_propagation_docs",    # the same three single-row count aggregates per audited artifact (the propagation face of the takedown kernel)
     "fellegi_sunter_em_customers",  # single-row MAX(c_custkey) scalar per dirty slice (the ER convention) + per-iteration 1-row EM parameter broadcast + the 1-row n_pairs count
 }
 
