@@ -633,14 +633,14 @@ PRIORITY_QUERIES: tuple[str, ...] = (
     "gapfill_hourly_events",
     "importance_sample_by_length",
     "json_parse_quality",
-    "json_roundtrip",
     "mad_order_price",
     # (mode_quantity_by_flag and mr_grep — the next two r4 rows — were
-    # displaced by the late-r11 erasure-tier first-timers above, per
-    # the displacing-re-anchors-never-first-timers rule: the math/stats
-    # family keeps mad_order_price + stat_corr_qty_price in this
-    # window and the MR family keeps its mr_word_count anchor; both
-    # displaced rows join mode's r4 block at the head of the r12
+    # displaced by the late-r11 erasure-tier first-timers above, and
+    # json_roundtrip by the quarantine-replay face, per the
+    # displacing-re-anchors-never-first-timers rule: the math/stats
+    # family keeps mad_order_price, the JSON family keeps
+    # json_parse_quality, and the MR family keeps its mr_word_count
+    # anchor in this window; all three displaced rows head the r12
     # queue.)
     # --- mid-r11 sanctioned growth: built this round at the full bar
     # (oracle, invariance membership, scale-shape docstring, local
@@ -652,6 +652,7 @@ PRIORITY_QUERIES: tuple[str, ...] = (
     # displaced rows head the r12 queue):
     "takedown_scd2_versions",         # erasure over the VERSIONED history
     "dq_gate_event_batches",          # per-batch admission gating (DQ)
+    "dq_quarantine_replay",           # quarantine replay + upsert convergence
 )
 
 #: The superseded round-8 window, kept for the registry's rotation

@@ -428,3 +428,262 @@ def run_dq_gated_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dq_replay_convergence_frame(
+    store: DataFrame, v1_zone: DataFrame, reference: DataFrame
+) -> DataFrame:
+    """Quarantine-REPLAY convergence audit: after an upstream fix, the
+    quarantined batches are re-driven and the whole fixed feed
+    supersedes the first-pass clean zone through the keep-latest
+    upsert — this kernel audits what that replay actually left behind.
+    ``store`` is the FINAL clean zone an independent replay job
+    produced (the falsifiability discipline: the audited artifact is
+    an INPUT, never a re-derivation of the expected answer),
+    ``v1_zone`` is the first-pass clean zone, and ``reference`` is the
+    all-clean feed the zone must converge to. Per batch it reports:
+
+    - ``n_rows`` — reference rows;
+    - ``n_readmitted`` — winning rows whose key the first-pass zone
+      never held (a quarantined batch's rows coming back);
+    - ``n_superseded`` — winning rows that REPLACED a differing
+      first-pass row: the gate's residual blind spot (corrupted rows
+      that rode a below-threshold batch into the clean zone) healed by
+      the replay — a positive count on promoted batches is the point
+      of re-driving the full fixed feed, not just the quarantine;
+    - ``n_stale`` — winning rows whose value still differs from the
+      reference (a replay that kept first-pass rows shows here);
+    - ``n_missing`` — reference keys absent from the store (a batch
+      never re-admitted shows here).
+
+    Convergence == every batch reads n_stale = n_missing = 0; the
+    injection tests drive both counters positive (a skipped-batch
+    replay and a keep-first merge) and pin them to independently
+    computed misses (tests/test_streaming.py).
+
+    100 TB shape: three keyed equi/anti joins on the store key + one
+    partial-aggregable per-batch rollup folded onto the O(batches)
+    spine with left joins; no collects, no broadcast hints, output is
+    O(batches) rows.
+
+    Reference parity: beyond the reference — no data-quality or
+    admission surface exists there (SURVEY.md §2); composes the DQ
+    admission tier with the keep-latest upsert tier (the round-11
+    handoff's gap-check candidate).
+    """
+    ref = reference.select("batch_id", "event_id", F.col("value").alias("ref_value"))
+    old = v1_zone.select("event_id", F.col("value").alias("v1_value"))
+    win = store.select("batch_id", "event_id", "value", "version")
+
+    spine = ref.groupBy("batch_id").agg(F.count("*").alias("n_rows"))
+    replayed = win.filter(F.col("version") == 2).join(old, "event_id", "left")
+    readmit = (
+        replayed.filter(F.col("v1_value").isNull())
+        .groupBy("batch_id")
+        .agg(F.count("*").alias("n_readmitted"))
+    )
+    superseded = (
+        replayed.filter(
+            F.col("v1_value").isNotNull() & (F.col("value") != F.col("v1_value"))
+        )
+        .groupBy("batch_id")
+        .agg(F.count("*").alias("n_superseded"))
+    )
+    stale = (
+        win.join(ref.select("event_id", "ref_value"), "event_id")
+        .filter(F.col("value") != F.col("ref_value"))
+        .groupBy("batch_id")
+        .agg(F.count("*").alias("n_stale"))
+    )
+    missing = (
+        ref.join(win.select("event_id"), "event_id", "left_anti")
+        .groupBy("batch_id")
+        .agg(F.count("*").alias("n_missing"))
+    )
+    out = (
+        spine.join(readmit, "batch_id", "left")
+        .join(superseded, "batch_id", "left")
+        .join(stale, "batch_id", "left")
+        .join(missing, "batch_id", "left")
+    )
+    return out.select(
+        "batch_id",
+        "n_rows",
+        F.coalesce("n_readmitted", F.lit(0)).alias("n_readmitted"),
+        F.coalesce("n_superseded", F.lit(0)).alias("n_superseded"),
+        F.coalesce("n_stale", F.lit(0)).alias("n_stale"),
+        F.coalesce("n_missing", F.lit(0)).alias("n_missing"),
+    )
+
+
+#: DuckDB oracle for the replay face: the dirty feed, the fixed feed
+#: (the upstream fix restores the source of truth, so it IS the
+#: events table resharded), both gate manifests, the two promoted
+#: zones, the version-2-wins keep-latest store, and the per-batch
+#: audit counters — every relation an explicit CTE, every counter
+#: computed FROM the store CTE (the takedown discipline).
+_DQ_REPLAY_ORACLE = f"""
+    WITH feed AS (
+        SELECT event_id % {_DQ_BATCHES} AS batch_id, event_id,
+               CASE WHEN (event_id // {_DQ_BATCHES})
+                         % ((event_id % {_DQ_BATCHES}) + 2) = 0
+                    THEN -value ELSE value END AS value
+        FROM events
+    ),
+    ref AS (
+        SELECT event_id % {_DQ_BATCHES} AS batch_id, event_id, value
+        FROM events
+    ),
+    m1 AS (
+        SELECT batch_id,
+               CASE WHEN CAST(SUM(CASE WHEN value <= 0.0 THEN 1 ELSE 0 END) AS DOUBLE)
+                         / COUNT(*) > {_DQ_THRESHOLD}
+                    THEN 'quarantine' ELSE 'promote' END AS decision
+        FROM feed GROUP BY batch_id
+    ),
+    m2 AS (
+        SELECT batch_id,
+               CASE WHEN CAST(SUM(CASE WHEN value <= 0.0 THEN 1 ELSE 0 END) AS DOUBLE)
+                         / COUNT(*) > {_DQ_THRESHOLD}
+                    THEN 'quarantine' ELSE 'promote' END AS decision
+        FROM ref GROUP BY batch_id
+    ),
+    v1 AS (
+        SELECT f.* FROM feed f JOIN m1 USING (batch_id)
+        WHERE m1.decision = 'promote'
+    ),
+    v2 AS (
+        SELECT r.* FROM ref r JOIN m2 USING (batch_id)
+        WHERE m2.decision = 'promote'
+    ),
+    store AS (
+        SELECT batch_id, event_id, value, version FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+                                         ORDER BY version DESC) AS rn
+            FROM (SELECT *, 1 AS version FROM v1
+                  UNION ALL
+                  SELECT *, 2 AS version FROM v2)
+        ) WHERE rn = 1
+    ),
+    replayed AS (
+        SELECT s.batch_id, s.event_id, s.value, o.value AS v1_value
+        FROM store s LEFT JOIN v1 o ON s.event_id = o.event_id
+        WHERE s.version = 2
+    ),
+    readmit AS (
+        SELECT batch_id, COUNT(*) AS n_readmitted FROM replayed
+        WHERE v1_value IS NULL GROUP BY batch_id
+    ),
+    sup AS (
+        SELECT batch_id, COUNT(*) AS n_superseded FROM replayed
+        WHERE v1_value IS NOT NULL AND value <> v1_value GROUP BY batch_id
+    ),
+    stale AS (
+        SELECT s.batch_id, COUNT(*) AS n_stale
+        FROM store s JOIN ref r ON s.event_id = r.event_id
+        WHERE s.value <> r.value GROUP BY s.batch_id
+    ),
+    miss AS (
+        SELECT r.batch_id, COUNT(*) AS n_missing
+        FROM ref r WHERE r.event_id NOT IN (SELECT event_id FROM store)
+        GROUP BY r.batch_id
+    ),
+    spine AS (
+        SELECT batch_id, COUNT(*) AS n_rows FROM ref GROUP BY batch_id
+    )
+    SELECT sp.batch_id,
+           m1.decision AS first_decision,
+           m2.decision AS replay_decision,
+           sp.n_rows,
+           COALESCE(readmit.n_readmitted, 0) AS n_readmitted,
+           COALESCE(sup.n_superseded, 0) AS n_superseded,
+           COALESCE(stale.n_stale, 0) AS n_stale,
+           COALESCE(miss.n_missing, 0) AS n_missing
+    FROM spine sp
+    JOIN m1 USING (batch_id) JOIN m2 USING (batch_id)
+    LEFT JOIN readmit USING (batch_id)
+    LEFT JOIN sup USING (batch_id)
+    LEFT JOIN stale USING (batch_id)
+    LEFT JOIN miss USING (batch_id)
+    ORDER BY sp.batch_id
+"""
+
+
+@query(
+    "dq_quarantine_replay",
+    oracle=_DQ_REPLAY_ORACLE,
+    tags=("streaming", "data-quality", "join", "aggregation", "upsert"),
+)
+def dq_quarantine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine REPLAY after an upstream fix — the admission story's
+    second act, composing the DQ gate with the keep-latest upsert:
+    pass 1 gates the DIRTY feed (:func:`_dq_feed` — batches 0..2
+    quarantine, 3..7 promote WITH their residual below-threshold
+    corrupted rows), the upstream fix restores the source of truth
+    (the fixed feed is the events table itself, resharded), pass 2
+    re-drives the WHOLE fixed feed through the SAME gate (everything
+    promotes), and the clean zone is the version-2-wins keep-latest
+    merge of both passes — so a re-driven feed supersedes stale rows
+    instead of duplicating them, the reason admission gating composes
+    with the upsert tier rather than plain appends.
+    :func:`dq_replay_convergence_frame` audits the merged store: the
+    quarantined batches read their full count as ``n_readmitted``, the
+    promoted batches read their silent corrupted-row count as
+    ``n_superseded`` (the gate's per-batch threshold is not row-exact
+    — the replay is what heals the rows the gate let through), and
+    convergence is ``n_stale = n_missing = 0`` everywhere, falsifiable
+    by the skipped-batch and keep-first injections
+    (tests/test_streaming.py).
+
+    100 TB shape: two partial-aggregable gate rollups onto O(batches)
+    rows, two broadcast semi joins of the feed against the 8-row
+    decision manifests, one partial-aggregable per-key argmax (map
+    tasks pre-reduce to one candidate per key per version set), and
+    the kernel's keyed audit joins. No collects; output is O(batches)
+    rows at any SF.
+    """
+    feed = _dq_feed(spark, sf_dir)
+    ref = table(spark, sf_dir, "events", fan_out=False).select(
+        (F.col("event_id") % _DQ_BATCHES).alias("batch_id"), "event_id", "value"
+    )
+    m1 = dq_gate_manifest_frame(feed).select("batch_id", "decision")
+    m2 = dq_gate_manifest_frame(ref).select("batch_id", "decision")
+    v1 = feed.select("batch_id", "event_id", "value").join(
+        m1.filter(F.col("decision") == "promote").select("batch_id"),
+        "batch_id",
+        "left_semi",
+    )
+    v2 = ref.join(
+        m2.filter(F.col("decision") == "promote").select("batch_id"),
+        "batch_id",
+        "left_semi",
+    )
+    both = v1.withColumn("version", F.lit(1)).unionByName(
+        v2.withColumn("version", F.lit(2))
+    )
+    store = (
+        both.groupBy("event_id")
+        .agg(F.max(F.struct("version", "batch_id", "value")).alias("m"))
+        .select(
+            F.col("m.batch_id").alias("batch_id"),
+            "event_id",
+            F.col("m.value").alias("value"),
+            F.col("m.version").alias("version"),
+        )
+    )
+    audit = dq_replay_convergence_frame(store, v1, ref)
+    return (
+        audit.join(m1.withColumnRenamed("decision", "first_decision"), "batch_id")
+        .join(m2.withColumnRenamed("decision", "replay_decision"), "batch_id")
+        .select(
+            "batch_id",
+            "first_decision",
+            "replay_decision",
+            "n_rows",
+            "n_readmitted",
+            "n_superseded",
+            "n_stale",
+            "n_missing",
+        )
+        .orderBy("batch_id")
+    )

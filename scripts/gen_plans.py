@@ -968,6 +968,16 @@ CASES = {
             ("no join anywhere", lambda p: "Join" not in p),
         ],
     ),
+    "dq_quarantine_replay": (
+        "quarantine replay + upsert convergence: two partial-aggregable gate rollups onto 8-row manifests, broadcast semi joins of the feed against the decisions, a partial-aggregable version-argmax merge (v2 wins), and keyed audit joins — no cartesians, no NL joins, no collects in the plan",
+        [
+            ("gate rollups + counts partial-aggregate", lambda p: "partial_count" in p and "partial_sum" in p),
+            ("decision semi joins present", lambda p: "LeftSemi" in p),
+            ("missing-keys anti join present", lambda p: "LeftAnti" in p),
+            ("version argmax partial-aggregates", lambda p: "partial_max" in p),
+            ("no cartesian / NL join", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
+        ],
+    ),
     "stream_bloom_gated_segments": (
         "bloom-gated enrichment twin: the event scan probes the 1-row 16 KB packed bloom BEFORE the join exchange (gate first, join second); false positives die in the exact verify join; windowed rollup partial-aggregates",
         [

@@ -222,10 +222,13 @@ CASES = [
     "takedown_scd2_versions",
     "dq_gate_event_batches",
     # late-r11 growth (same rule): the propagation audit's per-artifact
-    # anti/semi count chains (incl. the pruned fingerprint derivation)
-    # and the gated upsert twin's anti-join + argmax compaction
+    # anti/semi count chains (incl. the pruned fingerprint derivation),
+    # the gated upsert twin's anti-join + argmax compaction, and the
+    # quarantine replay's two-pass gate + version-argmax merge + keyed
+    # audit joins
     "erasure_propagation_docs",
     "stream_erasure_gated_upsert",
+    "dq_quarantine_replay",
 ]
 
 
@@ -440,10 +443,12 @@ _AQE_CASES = [
     "takedown_scd2_versions",
     "dq_gate_event_batches",
     # late-r11 growth: AQE broadcast-promotion of the request set must
-    # not move the propagation audit's anti/semi legs or the gated
-    # upsert twin's anti join + partial-aggregable argmax
+    # not move the propagation audit's anti/semi legs, the gated
+    # upsert twin's anti join + partial-aggregable argmax, or the
+    # replay face's manifest semi joins + version-argmax merge
     "erasure_propagation_docs",
     "stream_erasure_gated_upsert",
+    "dq_quarantine_replay",
 ]
 
 

@@ -1048,3 +1048,82 @@ def test_dq_gated_stream_restart_is_idempotent(spark, oracle_sf_dir, tmp_path):
             q.stop()
     feed_n = _dq_feed(spark, oracle_sf_dir).count()
     assert spark.read.parquet(clean).count() + spark.read.parquet(quar).count() == feed_n
+
+
+def test_dq_replay_audit_detects_faulty_replay_jobs(spark, oracle_sf_dir):
+    """Falsifiability pins for the quarantine-replay audit kernel: the
+    counters must go POSITIVE for the two classic faulty replay jobs —
+    (a) a replay that skips one quarantined batch (its reference keys
+    read as n_missing) and (b) a keep-FIRST merge that lets first-pass
+    rows beat the fixed rows (the promoted batches' silent corrupted
+    rows read as n_stale) — each pinned to an independently computed
+    miss count, so a hard-coded zero in any leg would fail here."""
+    from cooler_mapreduce_spark.streaming.observe import (
+        _DQ_BATCHES,
+        _dq_feed,
+        dq_gate_manifest_frame,
+        dq_replay_convergence_frame,
+    )
+    from cooler_mapreduce_spark.sources.catalog import table
+
+    feed = _dq_feed(spark, oracle_sf_dir)
+    ref = table(spark, oracle_sf_dir, "events", fan_out=False).select(
+        (F.col("event_id") % _DQ_BATCHES).alias("batch_id"), "event_id", "value"
+    )
+    m1 = dq_gate_manifest_frame(feed).select("batch_id", "decision")
+    v1 = feed.select("batch_id", "event_id", "value").join(
+        m1.filter(F.col("decision") == "promote").select("batch_id"),
+        "batch_id",
+        "left_semi",
+    )
+    quarantined = sorted(
+        r["batch_id"] for r in m1.filter(F.col("decision") == "quarantine").collect()
+    )
+    assert quarantined  # positive path at oracle SF
+
+    # (a) the skipped-batch replay: v2 lacks one quarantined batch
+    skipped = quarantined[0]
+    v2_partial = ref.filter(F.col("batch_id") != skipped)
+    both = v1.withColumn("version", F.lit(1)).unionByName(
+        v2_partial.withColumn("version", F.lit(2))
+    )
+    store = (
+        both.groupBy("event_id")
+        .agg(F.max(F.struct("version", "batch_id", "value")).alias("m"))
+        .select("m.batch_id", "event_id", "m.value", F.col("m.version").alias("version"))
+    )
+    rows = {r["batch_id"]: r for r in dq_replay_convergence_frame(store, v1, ref).collect()}
+    want_missing = ref.filter(F.col("batch_id") == skipped).count()
+    assert want_missing > 0
+    assert rows[skipped]["n_missing"] == want_missing
+    assert rows[skipped]["n_readmitted"] == 0
+    assert all(r["n_missing"] == 0 for b, r in rows.items() if b != skipped)
+
+    # (b) the keep-FIRST merge: version 1 wins conflicts, so promoted
+    # batches keep their silently-corrupted first-pass rows
+    both = v1.withColumn("version", F.lit(1)).unionByName(
+        ref.withColumn("version", F.lit(2))
+    )
+    keep_first = (
+        both.groupBy("event_id")
+        .agg(F.min(F.struct("version", "batch_id", "value")).alias("m"))
+        .select("m.batch_id", "event_id", "m.value", F.col("m.version").alias("version"))
+    )
+    rows = {
+        r["batch_id"]: r
+        for r in dq_replay_convergence_frame(keep_first, v1, ref).collect()
+    }
+    stale_want = {
+        r["batch_id"]: r["n"]
+        for r in v1.join(
+            ref.select("event_id", F.col("value").alias("ref_value")), "event_id"
+        )
+        .filter(F.col("value") != F.col("ref_value"))
+        .groupBy("batch_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert any(n > 0 for n in stale_want.values())
+    for b, r in rows.items():
+        assert r["n_stale"] == stale_want.get(b, 0)
+        assert r["n_missing"] == 0
