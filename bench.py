@@ -239,7 +239,18 @@ HEADLINE = [
 # dq_gate_event_batches is one conditional-agg groupBy over events
 # onto 8 manifest rows (stream_tumbling_counts times that exchange
 # class; the streaming gate's routing cost is a sink write, covered by
-# the ORC roundtrip's file I/O profile).
+# the ORC roundtrip's file I/O profile). Late-r11:
+# erasure_propagation_docs is keyed anti/semi joins over the two small
+# document-keyed tables plus 1-row counts (the takedown class above,
+# on dimension-sized inputs — below the scheduling floor);
+# stream_erasure_gated_upsert is one broadcast anti join feeding the
+# benched dedup_keep_latest argmax exchange class over orders;
+# dq_quarantine_replay re-runs the dq_gate rollup twice plus the
+# keep-latest argmax (both classes benched via stream_tumbling_counts
+# and dedup_keep_latest) with O(batches) audit joins on top;
+# retention_expiry_orders is the takedown anti/semi class over orders
+# with per-year count rollups — join_orders_customers and
+# pricing_summary time both constituents.
 
 #: REAL-STREAM surfaces (not batch twins): each starts an actual
 #: StreamingQuery over the sf dir and times a full bounded-replay drain —

@@ -1109,3 +1109,184 @@ def erasure_propagation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("embeddings", ["vec_id"], emb, emb_post),
         ],
     )
+
+
+#: retention policy for the expiry face: orders strictly older than the
+#: cutoff EXPIRE, unless the customer is on legal hold (every
+#: `_LEGAL_HOLD_MOD`th key — litigation holds override retention). The
+#: synthetic orders span 1995-01..2001-08 (NOT the classic TPC-H
+#: 1992-98 range), so the cutoff sits mid-range: both expired and
+#: active years exist at every SF, and held expired rows exist too
+#: (checked in the injection test's positive-path asserts).
+_RETENTION_CUTOFF = "1998-01-01"
+_LEGAL_HOLD_MOD = 61
+
+
+def retention_audit_frame(
+    pre: DataFrame, post: DataFrame, condemned: DataFrame
+) -> DataFrame:
+    """RETENTION-window audit: age-based deletion has TWO failure
+    modes, and this kernel counts both. ``pre`` is the pre-delete
+    table, ``post`` is what an independent expiry job left behind (the
+    falsifiability discipline: the audited artifact is an INPUT),
+    and ``condemned`` is the POLICY's expected-delete set — derived
+    from the pre snapshot and the policy predicate, never from what
+    the delete job claims. Per order-year it reports:
+
+    - ``n_rows`` / ``n_condemned`` — the year's pre rows and how many
+      the policy condemns;
+    - ``n_deleted`` — rows actually gone (pre anti post on the key);
+    - ``n_leaked`` — retained rows the policy condemns (the expiry job
+      missed them — the takedown tier's classic leak);
+    - ``n_overdeleted`` — deleted rows the policy did NOT condemn:
+      active rows, or expired rows under LEGAL HOLD — destruction of
+      evidence, the failure mode none of the erasure faces count
+      (erasure audits ask "is everything requested gone?"; retention
+      must also ask "is everything NOT condemned still here?").
+
+    A compliant job reads n_deleted == n_condemned and
+    n_leaked == n_overdeleted == 0 per year; the hold-ignoring and
+    lazy-slice injections drive each counter positive against
+    independently computed sets (tests/test_llm_ops.py).
+
+    100 TB shape: one keyed anti join (deleted), one keyed semi join
+    (leaked), one keyed anti join over the deleted set (overdeleted),
+    and partial-aggregable per-year rollups folded onto the O(years)
+    spine with left joins. No collects, no broadcast hints; output is
+    O(years) rows at any SF.
+
+    Reference parity: beyond the reference — no governance surface
+    exists there (SURVEY.md §2); completes the erasure tier's
+    policy axis (request-driven takedown r11, age-driven retention
+    here) with the over-deletion counter as the new leg.
+    """
+    yr = F.year("o_orderdate").alias("order_year")
+    spine = pre.groupBy(yr).agg(F.count("*").alias("n_rows"))
+    cond_y = condemned.groupBy(yr).agg(F.count("*").alias("n_condemned"))
+    deleted = pre.join(post.select("o_orderkey"), "o_orderkey", "left_anti")
+    del_y = deleted.groupBy(yr).agg(F.count("*").alias("n_deleted"))
+    leak_y = (
+        post.join(condemned.select("o_orderkey"), "o_orderkey", "left_semi")
+        .groupBy(yr)
+        .agg(F.count("*").alias("n_leaked"))
+    )
+    over_y = (
+        deleted.join(condemned.select("o_orderkey"), "o_orderkey", "left_anti")
+        .groupBy(yr)
+        .agg(F.count("*").alias("n_overdeleted"))
+    )
+    out = (
+        spine.join(cond_y, "order_year", "left")
+        .join(del_y, "order_year", "left")
+        .join(leak_y, "order_year", "left")
+        .join(over_y, "order_year", "left")
+    )
+    return out.select(
+        "order_year",
+        "n_rows",
+        F.coalesce("n_condemned", F.lit(0)).alias("n_condemned"),
+        F.coalesce("n_deleted", F.lit(0)).alias("n_deleted"),
+        F.coalesce("n_leaked", F.lit(0)).alias("n_leaked"),
+        F.coalesce("n_overdeleted", F.lit(0)).alias("n_overdeleted"),
+    )
+
+
+#: DuckDB oracle for the retention face: hold list, policy-condemned
+#: set, and the POST-delete relation as explicit CTEs; every counter
+#: computed FROM post / the pre-minus-post delta (the takedown
+#: discipline), rolled up per order-year onto the pre spine.
+RETENTION_ORACLE = f"""
+    WITH hold AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % {_LEGAL_HOLD_MOD} = 0
+    ),
+    condemned AS (
+        SELECT o_orderkey, o_orderdate FROM orders
+        WHERE o_orderdate < TIMESTAMP '{_RETENTION_CUTOFF} 00:00:00'
+          AND o_custkey NOT IN (SELECT c_custkey FROM hold)
+    ),
+    post AS (
+        SELECT o_orderkey, o_orderdate FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM condemned)
+    ),
+    deleted AS (
+        SELECT o_orderkey, o_orderdate FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM post)
+    ),
+    spine AS (
+        SELECT YEAR(o_orderdate) AS order_year, COUNT(*) AS n_rows
+        FROM orders GROUP BY 1
+    ),
+    c AS (
+        SELECT YEAR(o_orderdate) AS order_year, COUNT(*) AS n_condemned
+        FROM condemned GROUP BY 1
+    ),
+    d AS (
+        SELECT YEAR(o_orderdate) AS order_year, COUNT(*) AS n_deleted
+        FROM deleted GROUP BY 1
+    ),
+    l AS (
+        SELECT YEAR(o_orderdate) AS order_year, COUNT(*) AS n_leaked
+        FROM post WHERE o_orderkey IN (SELECT o_orderkey FROM condemned)
+        GROUP BY 1
+    ),
+    o AS (
+        SELECT YEAR(o_orderdate) AS order_year, COUNT(*) AS n_overdeleted
+        FROM deleted
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM condemned)
+        GROUP BY 1
+    )
+    SELECT spine.order_year, spine.n_rows,
+           COALESCE(c.n_condemned, 0) AS n_condemned,
+           COALESCE(d.n_deleted, 0) AS n_deleted,
+           COALESCE(l.n_leaked, 0) AS n_leaked,
+           COALESCE(o.n_overdeleted, 0) AS n_overdeleted
+    FROM spine
+    LEFT JOIN c USING (order_year)
+    LEFT JOIN d USING (order_year)
+    LEFT JOIN l USING (order_year)
+    LEFT JOIN o USING (order_year)
+    ORDER BY spine.order_year
+"""
+
+
+@query(
+    "retention_expiry_orders",
+    oracle=RETENTION_ORACLE,
+    tags=("governance", "retention", "join", "aggregation"),
+)
+def retention_expiry_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-window expiry with LEGAL HOLDS, audited per order-year:
+    orders strictly older than {cutoff} expire unless the customer is
+    on litigation hold (every {mod}th key — holds OVERRIDE retention),
+    the post-delete table is materialized in-plan by the CORRECT policy
+    delete (one keyed anti join against the condemned set), and
+    :func:`retention_audit_frame` audits it — n_deleted == n_condemned
+    per year with zero leaks and zero over-deletions here, and both
+    failure counters are genuinely computed: the hold-ignoring
+    injection (a job that purges everything old, holds included) reads
+    its held rows as ``n_overdeleted``, and the lazy-slice injection
+    (a job that skips one year) reads that year as ``n_leaked``
+    (tests/test_llm_ops.py).
+
+    100 TB shape: inherits the kernel's — keyed anti/semi joins plus
+    per-year partial-aggregable rollups on the O(years) spine; the
+    policy predicate is a pushed-down scan filter plus one anti join
+    against the pruned hold scan. Output is O(years) rows at any SF.
+    """
+    o = table(spark, sf_dir, "orders", fan_out=False).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    hold = (
+        table(spark, sf_dir, "customer", fan_out=False)
+        .filter(F.col("c_custkey") % _LEGAL_HOLD_MOD == 0)
+        .select("c_custkey")
+    )
+    condemned = (
+        o.filter(F.col("o_orderdate") < F.lit(_RETENTION_CUTOFF).cast("timestamp_ntz"))
+        .join(hold, o.o_custkey == F.col("c_custkey"), "left_anti")
+        .select("o_orderkey", "o_orderdate")
+    )
+    post = o.join(condemned.select("o_orderkey"), "o_orderkey", "left_anti").select(
+        "o_orderkey", "o_orderdate"
+    )
+    return retention_audit_frame(o, post, condemned).orderBy("order_year")

@@ -631,7 +631,11 @@ PRIORITY_QUERIES: tuple[str, ...] = (
     "embedding_cluster_compactness",
     "event_type_gini",
     "gapfill_hourly_events",
-    "importance_sample_by_length",
+    # (importance_sample_by_length was displaced by the late-r11
+    # retention face: the sampling family keeps
+    # stratified_sample_by_lang + train_test_split in this window, and
+    # the query stays in the bench common set; it heads the r12 queue
+    # with the other displaced r4 rows.)
     "json_parse_quality",
     "mad_order_price",
     # (mode_quantity_by_flag and mr_grep — the next two r4 rows — were
@@ -653,6 +657,7 @@ PRIORITY_QUERIES: tuple[str, ...] = (
     "takedown_scd2_versions",         # erasure over the VERSIONED history
     "dq_gate_event_batches",          # per-batch admission gating (DQ)
     "dq_quarantine_replay",           # quarantine replay + upsert convergence
+    "retention_expiry_orders",        # age-based expiry with legal holds
 )
 
 #: The superseded round-8 window, kept for the registry's rotation

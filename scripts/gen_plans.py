@@ -968,6 +968,17 @@ CASES = {
             ("no join anywhere", lambda p: "Join" not in p),
         ],
     ),
+    "retention_expiry_orders": (
+        "retention expiry with legal holds: the cutoff predicate is pushed into the orders scan on the condemned branch, the hold list is a pruned pushed-filter scan feeding a keyed anti join, and every audit leg (deleted/leaked/overdeleted) is a keyed anti/semi join with per-year partial-aggregable rollups — no cartesians, no collects, O(years) output",
+        [
+            # the literal tracks governance._RETENTION_CUTOFF
+            ("cutoff pushed into the condemned scans", lambda p: "< 1998-01-01 00:00:00" in p and "DataFilters: [isnotnull(o_orderdate" in p),
+            ("anti-join legs present", lambda p: "LeftAnti" in p),
+            ("semi-join leak leg present", lambda p: "LeftSemi" in p),
+            ("per-year rollups partial-aggregate", lambda p: "partial_count" in p),
+            ("no cartesian / NL join", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
+        ],
+    ),
     "dq_quarantine_replay": (
         "quarantine replay + upsert convergence: two partial-aggregable gate rollups onto 8-row manifests, broadcast semi joins of the feed against the decisions, a partial-aggregable version-argmax merge (v2 wins), and keyed audit joins — no cartesians, no NL joins, no collects in the plan",
         [

@@ -229,6 +229,9 @@ CASES = [
     "erasure_propagation_docs",
     "stream_erasure_gated_upsert",
     "dq_quarantine_replay",
+    # the retention audit's pushed cutoff filter + hold anti join +
+    # per-year anti/semi count rollups (same rule)
+    "retention_expiry_orders",
 ]
 
 
@@ -297,6 +300,9 @@ _TZ_CASES = [
     # r10 growth: Monday week truncation over events.ts must not see the
     # session timezone (wall_trunc convention — to_date then NTZ)
     "rwr_weekly_event_types",
+    # late-r11: midnight retention cutoff + year extraction over
+    # o_orderdate must not see the session timezone
+    "retention_expiry_orders",
 ]
 
 
@@ -449,6 +455,7 @@ _AQE_CASES = [
     "erasure_propagation_docs",
     "stream_erasure_gated_upsert",
     "dq_quarantine_replay",
+    "retention_expiry_orders",
 ]
 
 

@@ -1206,3 +1206,77 @@ def test_erasure_propagation_detects_retained_embeddings(spark, oracle_sf_dir):
     assert rows["embeddings"].n_deleted == 0
     assert rows["documents"].n_leaked == 0
     assert rows["doc_fingerprint"].n_leaked == 0
+
+
+def test_retention_audit_detects_both_failure_modes(spark, oracle_sf_dir):
+    """Falsifiability pins for the retention audit kernel's TWO failure
+    counters: (a) a hold-ignoring expiry job (purges everything old,
+    litigation holds included) must read exactly the held expired rows
+    as n_overdeleted, and (b) a lazy job that skips one year's slice
+    must read that slice as n_leaked — each pinned per year to an
+    independently computed set, so a hard-coded zero in either leg
+    fails here."""
+    from cooler_mapreduce_spark.operators.governance import (
+        _LEGAL_HOLD_MOD,
+        _RETENTION_CUTOFF,
+        retention_audit_frame,
+    )
+    from cooler_mapreduce_spark.sources.catalog import table
+
+    o = table(spark, oracle_sf_dir, "orders", fan_out=False).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    hold = (
+        table(spark, oracle_sf_dir, "customer", fan_out=False)
+        .filter(F.col("c_custkey") % _LEGAL_HOLD_MOD == 0)
+        .select("c_custkey")
+    )
+    cutoff = F.lit(_RETENTION_CUTOFF).cast("timestamp_ntz")
+    expired = o.filter(F.col("o_orderdate") < cutoff)
+    condemned = expired.join(
+        hold, o.o_custkey == F.col("c_custkey"), "left_anti"
+    ).select("o_orderkey", "o_orderdate")
+    held_expired = expired.join(
+        hold, expired.o_custkey == F.col("c_custkey"), "left_semi"
+    )
+    assert held_expired.count() > 0  # positive path at oracle SF
+
+    # (a) hold-ignoring job: deletes ALL expired rows, holds included
+    post_a = o.filter(F.col("o_orderdate") >= cutoff).select(
+        "o_orderkey", "o_orderdate"
+    )
+    rows = {
+        r["order_year"]: r
+        for r in retention_audit_frame(o, post_a, condemned).collect()
+    }
+    over_want = {
+        r["order_year"]: r["n"]
+        for r in held_expired.groupBy(
+            F.year("o_orderdate").alias("order_year")
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    assert any(n > 0 for n in over_want.values())
+    for y, r in rows.items():
+        assert r["n_overdeleted"] == over_want.get(y, 0)
+        assert r["n_leaked"] == 0  # it deleted everything condemned, and then some
+
+    # (b) lazy job: correct policy delete except it skips one year
+    skip_year = 1996
+    kept_slice = condemned.filter(F.year("o_orderdate") == skip_year)
+    n_slice = kept_slice.count()
+    assert n_slice > 0
+    post_b = o.join(
+        condemned.filter(F.year("o_orderdate") != skip_year).select("o_orderkey"),
+        "o_orderkey",
+        "left_anti",
+    ).select("o_orderkey", "o_orderdate")
+    rows = {
+        r["order_year"]: r
+        for r in retention_audit_frame(o, post_b, condemned).collect()
+    }
+    assert rows[skip_year]["n_leaked"] == n_slice
+    assert rows[skip_year]["n_deleted"] == 0
+    for y, r in rows.items():
+        assert r["n_overdeleted"] == 0
+        if y != skip_year:
+            assert r["n_leaked"] == 0
