@@ -687,3 +687,123 @@ def dq_quarantine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch_id")
     )
+
+
+def _replay_merge_batch(store_dir: str):
+    """foreachBatch body shared by both phases of the replay runner:
+    version-argmax merge of the micro-batch's gate-promoted rows into
+    the bucketed store (bucket == the data-derived ``batch_id``, so a
+    micro-batch touches only its own batch partitions — the
+    run_streaming_upsert locality bound). Idempotent under checkpoint
+    replays: re-merging the same (event_id, version) rows is a no-op
+    because the argmax is."""
+
+    def merge(batch_df, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        mrows = dq_gate_manifest_frame(batch_df.drop("version")).collect()
+        promoted = [r["batch_id"] for r in mrows if r["decision"] == "promote"]
+        if not promoted:
+            return
+        # prune to the store schema BEFORE the merge: the staged feed
+        # carries the full event payload, the store only the audit
+        # columns, and unionByName is schema-exact
+        fresh = batch_df.filter(F.col("batch_id").isin(promoted)).select(
+            "event_id", "batch_id", "value", "version"
+        )
+        touched = promoted
+        jvm = sp._jvm
+        path = jvm.org.apache.hadoop.fs.Path(store_dir)
+        if path.getFileSystem(sp._jsc.hadoopConfiguration()).exists(path):
+            old = sp.read.parquet(store_dir).where(F.col("batch_id").isin(touched))
+            src = old.unionByName(fresh)
+        else:
+            src = fresh
+        merged = (
+            src.groupBy("event_id")
+            .agg(F.max(F.struct("version", "batch_id", "value")).alias("m"))
+            .select(
+                "event_id",
+                F.col("m.batch_id").alias("batch_id"),
+                F.col("m.value").alias("value"),
+                F.col("m.version").alias("version"),
+            )
+        )
+        (
+            merged.localCheckpoint(eager=True)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(store_dir)
+        )
+
+    return merge
+
+
+def run_dq_replay_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """END-TO-END quarantine-replay runner — STAGED round-12 kernel
+    (tested library code, pinned to the registered
+    :func:`dq_quarantine_replay` batch face in tests/test_streaming.py;
+    the r12 face would register a drained-store audit with the same
+    oracle, per the staged→register template): the admission story
+    driven as TWO real streams against ONE versioned upsert store.
+
+    Phase 1 streams the DIRTY feed (maxFilesPerTrigger=1, the
+    run_dq_gated_stream staging convention) and merges each
+    micro-batch's gate-PROMOTED rows into the store at version 1 —
+    quarantined batches never reach the store, exactly the routing the
+    gated runner performs. Phase 2 streams the FIXED feed (the
+    upstream fix restores the source of truth) through the SAME gate
+    expression and merges at version 2 — the version-argmax supersedes
+    phase-1 rows instead of duplicating them, so the drained store IS
+    the registered face's in-plan merge, row for row (the stream==twin
+    pin), and re-running phase 2 over its checkpoint is a no-op (the
+    idempotence pin).
+
+    Checkpoint interplay this runner exists to pin: the two phases
+    share the store but NOT a checkpoint (each phase is its own
+    bounded AvailableNow query over its own staged source), and a
+    crash between the phases leaves a store that is exactly the
+    phase-1 gated zone — re-invoking resumes phase 2 from its own
+    checkpoint without re-admitting anything phase 1 quarantined.
+
+    100 TB shape: per micro-batch one O(rows)->O(batch-ids) manifest
+    aggregate (2-row collect of decisions, never data), then the
+    touched-bucket argmax merge (bucket == batch_id, so cost per
+    micro-batch is O(its own batches' store slice), not O(store)).
+    """
+    for version, feed in ((1, _dq_feed(spark, sf_dir)), (2, None)):
+        if feed is None:
+            feed = table(spark, sf_dir, "events", fan_out=False).select(
+                (F.col("event_id") % _DQ_BATCHES).alias("batch_id"),
+                "event_id",
+                "user_id",
+                "ts",
+                "event_type",
+                "value",
+            )
+        src_dir = f"{checkpoint_dir}_src_v{version}"
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(src_dir)
+        if not path.getFileSystem(spark._jsc.hadoopConfiguration()).exists(path):
+            feed.withColumn("version", F.lit(version)).repartition(
+                _DQ_BATCHES, "batch_id"
+            ).write.parquet(src_dir)
+        schema = spark.read.parquet(src_dir).schema
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .writeStream.foreachBatch(_replay_merge_batch(store_dir))
+            .option("checkpointLocation", f"{checkpoint_dir}_v{version}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()

@@ -1127,3 +1127,98 @@ def test_dq_replay_audit_detects_faulty_replay_jobs(spark, oracle_sf_dir):
     for b, r in rows.items():
         assert r["n_stale"] == stale_want.get(b, 0)
         assert r["n_missing"] == 0
+
+
+def test_dq_replay_stream_converges_to_batch_face(spark, oracle_sf_dir, tmp_path):
+    """STAGED r12 kernel: the two-phase replay runner's drained store
+    must equal the registered dq_quarantine_replay face's in-plan
+    version-argmax store row for row (stream == twin), a crash between
+    the phases must leave exactly the phase-1 gated zone (no erased or
+    quarantined rows re-admitted), and re-running phase 2 over its own
+    checkpoint must be a no-op (idempotence)."""
+    from cooler_mapreduce_spark.sources.catalog import table
+    from cooler_mapreduce_spark.streaming.observe import (
+        _DQ_BATCHES,
+        _dq_feed,
+        dq_gate_manifest_frame,
+        run_dq_replay_stream,
+    )
+
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    run_dq_replay_stream(spark, oracle_sf_dir, store, ckpt)
+
+    # the batch twin's store: promoted zones of both passes, v2 wins
+    feed = _dq_feed(spark, oracle_sf_dir)
+    ref = table(spark, oracle_sf_dir, "events", fan_out=False).select(
+        (F.col("event_id") % _DQ_BATCHES).alias("batch_id"), "event_id", "value"
+    )
+    m1 = dq_gate_manifest_frame(feed).select("batch_id", "decision")
+    m2 = dq_gate_manifest_frame(ref).select("batch_id", "decision")
+    v1 = feed.select("batch_id", "event_id", "value").join(
+        m1.filter(F.col("decision") == "promote").select("batch_id"),
+        "batch_id",
+        "left_semi",
+    )
+    v2 = ref.join(
+        m2.filter(F.col("decision") == "promote").select("batch_id"),
+        "batch_id",
+        "left_semi",
+    )
+    twin = (
+        v1.withColumn("version", F.lit(1))
+        .unionByName(v2.withColumn("version", F.lit(2)))
+        .groupBy("event_id")
+        .agg(F.max(F.struct("version", "batch_id", "value")).alias("m"))
+        .select("event_id", "m.batch_id", "m.value", F.col("m.version").alias("version"))
+    )
+
+    def rows(df):
+        return sorted(
+            (r["event_id"], r["batch_id"], r["value"], r["version"])
+            for r in df.select("event_id", "batch_id", "value", "version").collect()
+        )
+
+    got = rows(spark.read.parquet(store))
+    assert got == rows(twin)
+    assert all(r[3] == 2 for r in got)  # the fixed feed superseded everything
+
+    # idempotence: re-running the whole runner (both checkpoints
+    # resume, staged sources already exist) changes nothing
+    run_dq_replay_stream(spark, oracle_sf_dir, store, ckpt)
+    assert rows(spark.read.parquet(store)) == got
+
+    # crash-between-phases: a fresh store drained through phase 1 only
+    # is exactly the gated zone — no quarantined batch reaches it
+    store1 = str(tmp_path / "store_p1")
+    ckpt1 = str(tmp_path / "ckpt_p1")
+    src = f"{ckpt1}_src_v1"
+    _dq_feed(spark, oracle_sf_dir).withColumn("version", F.lit(1)).repartition(
+        _DQ_BATCHES, "batch_id"
+    ).write.parquet(src)
+    from cooler_mapreduce_spark.streaming.observe import _replay_merge_batch
+
+    schema = spark.read.parquet(src).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(_replay_merge_batch(store1))
+        .option("checkpointLocation", f"{ckpt1}_v1")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    p1 = spark.read.parquet(store1)
+    quarantined = [
+        r["batch_id"] for r in m1.filter(F.col("decision") == "quarantine").collect()
+    ]
+    assert quarantined
+    assert p1.filter(F.col("batch_id").isin(quarantined)).count() == 0
+    assert (
+        sorted((r["event_id"], r["value"]) for r in p1.collect())
+        == sorted((r["event_id"], r["value"]) for r in v1.collect())
+    )
