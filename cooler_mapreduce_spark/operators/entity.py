@@ -468,16 +468,23 @@ def fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-green DP noise tier.
 
     100 TB shape: ONE capped blocked equi-join (pair count
-    O(|dirty| x cap), the ER discipline), one O(1)-row parameter
-    aggregate broadcast back over the pairs (the allowed single-row
-    crossJoin class), one O(pairs) -> 3-row decision rollup. No
-    windows, no collects, no corpus broadcasts.
+    O(|dirty| x cap), the ER discipline) materialized once via
+    localCheckpoint so the m/u estimation and the scoring pass share a
+    single execution, one O(1)-row parameter aggregate broadcast back
+    over the pairs (the allowed single-row crossJoin class), one
+    O(pairs) -> 3-row decision rollup. No windows, no collects, no
+    corpus broadcasts.
 
     Reference parity: beyond the reference — no record-linkage surface
     exists there (SURVEY.md §2); adds the PROBABILISTIC member to the
     block->score->resolve family (round-10 growth).
     """
-    cand = _fs_candidate_pairs(spark, sf_dir)
+    # the blocked-levenshtein spine feeds BOTH the m/u estimation and
+    # the scoring pass; Catalyst does not reuse the exchange between
+    # the two consumers (verified: the un-checkpointed plan carries the
+    # levenshtein join twice, zero ReusedExchange), so materialize it
+    # once — the EM twin's existing pattern
+    cand = _fs_candidate_pairs(spark, sf_dir).localCheckpoint(eager=True)
 
     def mu(agree: str, matched: bool) -> F.Column:
         gate = F.col("is_match") == (1 if matched else 0)

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..functions.hashing import md5int_duckdb, md5int_spark
 from ..registry import query
 from ..sources.catalog import table
+from .merge import SCD2_VERSIONS_CTE
 
 #: quasi-identifier class-size bands for the census (k < 5 is the
 #: classic "violates k-anonymity at k=5" line).
@@ -802,19 +803,14 @@ def takedown_cascade_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: DuckDB oracle for the SCD2-erasure face: the versioned history CTE
-#: (the exact spelling of scd2_customer_history's oracle,
-#: operators/merge.py), the request set, the POST-delete history as an
-#: explicit CTE, and the per-version-class manifest computed FROM the
-#: post relation (the takedown discipline: deleted = pre minus post,
+#: (merge.py's shared SCD2_VERSIONS_CTE — the same relation
+#: scd2_customer_history's oracle reads, by construction rather than
+#: by copy), the request set, the POST-delete history as an explicit
+#: CTE, and the per-version-class manifest computed FROM the post
+#: relation (the takedown discipline: deleted = pre minus post,
 #: leaked = post rows matching the erasure predicate).
 TAKEDOWN_SCD2_ORACLE = f"""
-    WITH versions AS (
-        SELECT o_custkey AS custkey, o_orderdate AS valid_from, o_totalprice AS attr,
-               ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS vn,
-               LEAD(o_orderdate) OVER (PARTITION BY o_custkey
-                                       ORDER BY o_orderdate, o_orderkey) AS next_from
-        FROM orders
-    ),
+    WITH {SCD2_VERSIONS_CTE},
     hist AS (
         SELECT custkey, vn AS version, (next_from IS NULL) AS is_current
         FROM versions

@@ -102,16 +102,25 @@ def merge_cdc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.union(applied)
 
 
-@query(
-    "scd2_customer_history",
-    oracle="""
-    WITH versions AS (
+#: The SCD2 versions CTE — the ONE spelling of "orders as a versioned
+#: change feed" shared by every oracle that reads the history
+#: (scd2_customer_history / scd2_snapshot_asof /
+#: scd2_point_in_time_join here, TAKEDOWN_SCD2_ORACLE in
+#: governance.py): a drifted copy would silently audit a different
+#: history than the kernels build.
+SCD2_VERSIONS_CTE = """versions AS (
         SELECT o_custkey AS custkey, o_orderdate AS valid_from, o_totalprice AS attr,
                ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS vn,
                LEAD(o_orderdate) OVER (PARTITION BY o_custkey
                                        ORDER BY o_orderdate, o_orderkey) AS next_from
         FROM orders
-    )
+    )"""
+
+
+@query(
+    "scd2_customer_history",
+    oracle=f"""
+    WITH {SCD2_VERSIONS_CTE}
     SELECT custkey, vn AS version, valid_from,
            CAST(COALESCE(next_from, TIMESTAMP '2200-01-01 00:00:00') AS TIMESTAMP) AS valid_to,
            (next_from IS NULL) AS is_current,
@@ -168,13 +177,7 @@ _ASOF_TS = "1998-06-15 00:00:00"
 @query(
     "scd2_snapshot_asof",
     oracle=f"""
-    WITH versions AS (
-        SELECT o_custkey AS custkey, o_orderdate AS valid_from, o_totalprice AS attr,
-               ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS vn,
-               LEAD(o_orderdate) OVER (PARTITION BY o_custkey
-                                       ORDER BY o_orderdate, o_orderkey) AS next_from
-        FROM orders
-    )
+    WITH {SCD2_VERSIONS_CTE}
     SELECT custkey, vn AS version, valid_from, attr
     FROM versions
     WHERE valid_from <= TIMESTAMP '{_ASOF_TS}'
@@ -269,13 +272,7 @@ def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "scd2_point_in_time_join",
     oracle=f"""
-    WITH versions AS (
-        SELECT o_custkey AS custkey, o_orderdate AS valid_from, o_totalprice AS attr,
-               ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS vn,
-               LEAD(o_orderdate) OVER (PARTITION BY o_custkey
-                                       ORDER BY o_orderdate, o_orderkey) AS next_from
-        FROM orders
-    )
+    WITH {SCD2_VERSIONS_CTE}
     SELECT e.user_id, e.event_id, v.vn AS version, v.attr
     FROM events e
     JOIN versions v

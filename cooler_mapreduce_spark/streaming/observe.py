@@ -262,6 +262,22 @@ def _dq_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_once(spark: SparkSession, df: DataFrame, src_dir: str) -> None:
+    """Stage ``df`` as the parquet stream source at ``src_dir``, at most
+    once per checkpoint lifetime: the skip guard keys on the writer's
+    ``_SUCCESS`` marker, NOT bare directory existence — a crash
+    mid-staging leaves a partial dir without the marker (and without a
+    stream checkpoint, since the stream only starts after staging
+    returns), and the re-invocation must re-stage with OVERWRITE rather
+    than silently stream an incomplete feed. Once the marker exists,
+    re-staging is what would corrupt the run (fresh UUID part names
+    would replay every row through the checkpoint), so it is skipped."""
+    jvm = spark._jvm
+    marker = jvm.org.apache.hadoop.fs.Path(f"{src_dir}/_SUCCESS")
+    if not marker.getFileSystem(spark._jsc.hadoopConfiguration()).exists(marker):
+        df.write.mode("overwrite").parquet(src_dir)
+
+
 def dq_gate_manifest_frame(feed: DataFrame) -> DataFrame:
     """Per-batch data-quality GATE manifest over a feed carrying
     ``batch_id`` and ``value``: one partial-aggregable groupBy computes
@@ -372,24 +388,24 @@ def run_dq_gated_stream(
     O(batch_ids) aggregate (a 2-row collect of batch-level decisions —
     O(batches-per-trigger), never data), then one append write per
     zone. State store: none (the gate is stateless per batch; dedup or
-    watermarking compose upstream). Crash safety: the staging write is
-    SKIPPED when the source dir already exists (re-staging would mint
-    new UUID part-file names, the checkpoint would see an all-new file
-    set, and every routed row would duplicate into the append sinks —
-    the re-invocation instead resumes the checkpoint over the original
-    files), so restarts replay only unprocessed files; the manifest is
-    the idempotence audit trail.
+    watermarking compose upstream). Crash safety, both directions: the
+    staging write is skipped only once its ``_SUCCESS`` marker exists
+    (:func:`_stage_once` — re-staging a COMPLETED source would mint new
+    UUID part names and replay every row through the checkpoint, while
+    a PARTIAL crash-interrupted staging is overwritten), and every zone
+    write targets a per-micro-batch ``mb=<id>`` subdirectory with
+    overwrite — foreachBatch is at-least-once, so a crash between a
+    zone write and the checkpoint commit replays the micro-batch, and
+    the replay rewrites its own directory instead of appending
+    duplicates; the manifest is the idempotence audit trail.
     """
     # stage inside the caller's checkpoint tree so the whole run is one
     # deletable directory family (no orphaned scratch); stage ONCE per
     # checkpoint lifetime (see crash-safety note above)
     src_dir = f"{checkpoint_dir}_src"
-    jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(src_dir)
-    if not path.getFileSystem(spark._jsc.hadoopConfiguration()).exists(path):
-        _dq_feed(spark, sf_dir).repartition(_DQ_BATCHES, "batch_id").write.parquet(
-            src_dir
-        )
+    _stage_once(
+        spark, _dq_feed(spark, sf_dir).repartition(_DQ_BATCHES, "batch_id"), src_dir
+    )
     schema = spark.read.parquet(src_dir).schema
 
     def gate(batch_df, batch_id: int) -> None:
@@ -402,18 +418,26 @@ def run_dq_gated_stream(
             mrows = dq_gate_manifest_frame(batch_df).collect()
             quarantined = [r["batch_id"] for r in mrows if r["decision"] == "quarantine"]
             promoted = [r["batch_id"] for r in mrows if r["decision"] == "promote"]
+            # foreachBatch is AT-LEAST-ONCE: a crash between a zone
+            # write and the checkpoint commit replays this micro-batch,
+            # so each zone write targets a per-micro-batch subdirectory
+            # (`mb=<id>` — a deterministic function of the replayed
+            # batch) with OVERWRITE: the replay rewrites its own
+            # directory instead of appending duplicates, making the
+            # routing effectively exactly-once (readers of the parent
+            # dir see `mb` as one more discovered partition column)
             if promoted:
                 batch_df.filter(F.col("batch_id").isin(promoted)).write.mode(
-                    "append"
-                ).parquet(clean_dir)
+                    "overwrite"
+                ).parquet(f"{clean_dir}/mb={batch_id}")
             if quarantined:
                 batch_df.filter(F.col("batch_id").isin(quarantined)).write.mode(
-                    "append"
-                ).parquet(quarantine_dir)
+                    "overwrite"
+                ).parquet(f"{quarantine_dir}/mb={batch_id}")
             if mrows:
                 batch_df.sparkSession.createDataFrame(mrows).write.mode(
-                    "append"
-                ).parquet(f"{checkpoint_dir}_manifest")
+                    "overwrite"
+                ).parquet(f"{checkpoint_dir}_manifest/mb={batch_id}")
         finally:
             batch_df.unpersist()
 
@@ -787,12 +811,13 @@ def run_dq_replay_stream(
                 "value",
             )
         src_dir = f"{checkpoint_dir}_src_v{version}"
-        jvm = spark._jvm
-        path = jvm.org.apache.hadoop.fs.Path(src_dir)
-        if not path.getFileSystem(spark._jsc.hadoopConfiguration()).exists(path):
+        _stage_once(
+            spark,
             feed.withColumn("version", F.lit(version)).repartition(
                 _DQ_BATCHES, "batch_id"
-            ).write.parquet(src_dir)
+            ),
+            src_dir,
+        )
         schema = spark.read.parquet(src_dir).schema
         q = (
             spark.readStream.schema(schema)

@@ -882,11 +882,12 @@ CASES = {
         ],
     ),
     "fellegi_sunter_weights": (
-        "probabilistic linkage: ONE capped blocked equi-join generates the scored pair set (never all-pairs); the m/u parameters are a single-row partial aggregate broadcast back over the pairs; the decision rollup is O(pairs) -> 3 rows",
+        "probabilistic linkage: ONE capped blocked equi-join generates the pair set, checkpointed so the m/u estimation and the scoring pass share one execution (the plan reads the materialized pair state twice, the levenshtein join never runs twice); the m/u parameters are a single-row partial aggregate broadcast back over the pairs; the decision rollup is O(pairs) -> 3 rows",
         [
             ("no cartesian product (1-row broadcasts only)", lambda p: "CartesianProduct" not in p),
             ("m/u estimation partial-aggregates", lambda p: "partial_sum" in p),
-            ("pair generation is an equi-join, not NL over data", lambda p: any(j in p for j in ("ShuffledHashJoin", "SortMergeJoin", "BroadcastHashJoin"))),
+            ("checkpointed pair state shared by both consumers", lambda p: p.count("Scan ExistingRDD") >= 2),
+            ("pair build not re-executed in the registered plan", lambda p: "levenshtein" not in p),
         ],
     ),
     "harmonic_centrality_hubs": (
