@@ -494,21 +494,7 @@ def _labelmean_centroids(spark: SparkSession, sf_dir: str) -> list:
     cents = _LM_CENT_CACHE.get(sf_dir)
     if cents is not None:
         return cents
-    emb = table(spark, sf_dir, "embeddings")
-    el = emb.select("label", F.posexplode("embedding").alias("pos0", "val")).select(
-        "label", (F.col("pos0") + 1).alias("idx"), "val"
-    )
-    q = F.floor(F.col("val").cast("double") * F.lit(1073741824.0))
-    rows = (
-        el.groupBy("label", "idx")
-        .agg((F.sum(q).cast("double") / F.lit(1073741824.0) / F.count("*")).alias("m"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("idx", "m"))).alias("pm"))
-        .select("label", F.expr("transform(pm, s -> s.m)").alias("c"))
-        .orderBy("label")
-        .collect()
-    )
-    cents = [(int(r["label"]), list(r["c"])) for r in rows]
+    cents = _labelmean_centroids_frame(table(spark, sf_dir, "embeddings"))
     _LM_CENT_CACHE[sf_dir] = cents
     return cents
 
@@ -2034,3 +2020,119 @@ def ann_recall_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
     return _recall_df(ann_topk_bruteforce(spark, sf_dir), approx)
+
+
+# --- incremental IVF index maintenance (STAGED round-12 kernel) ----------
+
+#: every `_IVF_DELTA_MOD`th vec_id arrives as the incremental batch;
+#: the quantizer is fit on the base only (the offline-fit story).
+_IVF_DELTA_MOD = 5
+#: per-cell drifted fraction (delta rows whose own label disagrees with
+#: their assigned cell) above which the cell flags a quantizer refit.
+_IVF_REFIT_DRIFT = 0.2
+
+
+def _labelmean_centroids_frame(emb) -> list:
+    """Per-label fixed-point mean centroids over an ARBITRARY embedding
+    frame (``label``, ``embedding``) — the body of
+    :func:`_labelmean_centroids`, parameterized so the incremental tier
+    can fit on the base corpus only. Same bit-stable arithmetic
+    (floor(val·2³⁰) summed as integers), same O(labels × dim) offline
+    collect."""
+    el = emb.select("label", F.posexplode("embedding").alias("pos0", "val")).select(
+        "label", (F.col("pos0") + 1).alias("idx"), "val"
+    )
+    q = F.floor(F.col("val").cast("double") * F.lit(1073741824.0))
+    rows = (
+        el.groupBy("label", "idx")
+        .agg((F.sum(q).cast("double") / F.lit(1073741824.0) / F.count("*")).alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("idx", "m"))).alias("pm"))
+        .select("label", F.expr("transform(pm, s -> s.m)").alias("c"))
+        .orderBy("label")
+        .collect()
+    )
+    return [(int(r["label"]), list(r["c"])) for r in rows]
+
+
+def ivf_delta_assign_frame(base: DataFrame, delta: DataFrame, cents: list) -> DataFrame:
+    """Incremental IVF index MAINTENANCE — STAGED round-12 kernel
+    (tested library code, pinned to a sequential Python mirror and a
+    label-permutation drift injection in tests/test_llm_ops.py; the r12
+    face splits the embeddings table into base/delta on
+    ``_IVF_DELTA_MOD``, fits the quantizer on the base only, and
+    registers a full oracle via the label-mean CTE chain, per the
+    staged→register template).
+
+    At 100 TB the IVF index is NOT refit per ingest batch — new vectors
+    are assigned to the EXISTING centroids (one scan against k literal
+    cells, the ann_topk_ivf plan shape) and appended to their posting
+    cells, and the index owner watches a maintenance manifest to decide
+    when a real refit is due. This kernel produces that manifest, per
+    cell: ``n_base`` (existing postings), ``n_added`` (delta vectors
+    assigned here), ``n_drifted`` (added vectors whose OWN label
+    disagrees with the cell — the quantizer-staleness signal: new data
+    the old partitioning no longer describes), ``added_share``
+    (post-merge fraction the delta contributes — the cell-skew signal),
+    and ``refit`` (drifted fraction above ``_IVF_REFIT_DRIFT``). Ties
+    in the argmax assignment break to the LOWEST cell id over the
+    round-9 scores — the deterministic total order both engines spell.
+
+    100 TB shape: assignment is ONE scan per side against k×dim literal
+    centroids (scores constant-fold their norms; no join, no shuffle
+    before the O(cells) rollup); the manifest is O(cells) rows; the
+    only collect anywhere is the offline centroid fit the caller did.
+    Composes the similarity tier with the incremental-batch discipline
+    (dedup_incremental_new_batch / semdedup_incremental are the
+    dedup-side members).
+
+    Reference parity: beyond the reference — no similarity surface
+    exists there (SURVEY.md §2).
+    """
+    structs = _cell_score_structs(cents)
+    pick = (
+        f"array_sort(transform({structs},"
+        f" s -> struct(-s.score AS ns, s.cell AS cell)))[0].cell"
+    )
+
+    def assign(df: DataFrame) -> DataFrame:
+        e = df.select(
+            "vec_id",
+            "label",
+            F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("emb_d"),
+        ).withColumn("nrm", F.expr(_SPARK_NORM.format(a="emb_d")))
+        return e.select("vec_id", "label", F.expr(pick).alias("cell"))
+
+    nb = assign(base).groupBy("cell").agg(F.count("*").alias("n_base"))
+    da = (
+        assign(delta)
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_added"),
+            F.sum(F.when(F.col("label") != F.col("cell"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_drifted"),
+        )
+    )
+    out = nb.join(da, "cell", "full_outer").select(
+        "cell",
+        F.coalesce("n_base", F.lit(0)).alias("n_base"),
+        F.coalesce("n_added", F.lit(0)).alias("n_added"),
+        F.coalesce("n_drifted", F.lit(0)).alias("n_drifted"),
+    )
+    share = F.round(
+        F.col("n_added").cast("double")
+        / (F.col("n_base") + F.col("n_added")).cast("double"),
+        9,
+    )
+    drift_frac = F.when(F.col("n_added") > 0,
+                        F.col("n_drifted").cast("double") / F.col("n_added").cast("double")
+                        ).otherwise(F.lit(0.0))
+    return out.select(
+        "cell",
+        "n_base",
+        "n_added",
+        "n_drifted",
+        share.alias("added_share"),
+        (drift_frac > _IVF_REFIT_DRIFT).alias("refit"),
+    ).orderBy("cell")

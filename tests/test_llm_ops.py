@@ -1280,3 +1280,105 @@ def test_retention_audit_detects_both_failure_modes(spark, oracle_sf_dir):
         assert r["n_overdeleted"] == 0
         if y != skip_year:
             assert r["n_leaked"] == 0
+
+
+def test_ivf_delta_assign_matches_sequential_mirror(spark, oracle_sf_dir):
+    """STAGED r12 kernel: the incremental IVF maintenance manifest must
+    equal a sequential Python mirror (same fixed-point centroid fit on
+    the base, same round-9 cosine, same lowest-cell tie-break) on the
+    real base/delta split, and the label-permutation injection (a delta
+    batch whose labels were rotated) must drive n_drifted positive and
+    flag refits — pinned per cell to the mirror's counts."""
+    import math
+
+    from cooler_mapreduce_spark.operators.similarity import (
+        _IVF_DELTA_MOD,
+        _IVF_REFIT_DRIFT,
+        _labelmean_centroids_frame,
+        ivf_delta_assign_frame,
+    )
+    from cooler_mapreduce_spark.sources.catalog import table
+
+    emb = table(spark, oracle_sf_dir, "embeddings", fan_out=False)
+    base = emb.filter(F.col("vec_id") % _IVF_DELTA_MOD != 0)
+    delta = emb.filter(F.col("vec_id") % _IVF_DELTA_MOD == 0)
+    cents = _labelmean_centroids_frame(base)
+
+    # sequential mirror: same fixed-point fit, same assignment
+    rows = emb.select("vec_id", "label", "embedding").collect()
+    base_rows = [r for r in rows if r["vec_id"] % _IVF_DELTA_MOD != 0]
+    delta_rows = [r for r in rows if r["vec_id"] % _IVF_DELTA_MOD == 0]
+    sums: dict[int, list[int]] = {}
+    counts: dict[int, int] = {}
+    dim = len(rows[0]["embedding"])
+    for r in base_rows:
+        acc = sums.setdefault(r["label"], [0] * dim)
+        for i, v in enumerate(r["embedding"]):
+            acc[i] += math.floor(float(v) * 1073741824.0)
+        counts[r["label"]] = counts.get(r["label"], 0) + 1
+    mirror_cents = {
+        lab: [(s / 1073741824.0) / counts[lab] for s in acc]
+        for lab, acc in sums.items()
+    }
+    assert {c for c, _ in cents} == set(mirror_cents)
+    for c, vec in cents:
+        assert vec == pytest.approx(mirror_cents[c], abs=0.0)
+
+    def mirror_assign(r):
+        v = [float(x) for x in r["embedding"]]
+        nrm = math.sqrt(sum(x * x for x in v))
+        best = None
+        for cell, cvec in sorted(mirror_cents.items()):
+            nc = math.sqrt(sum(x * x for x in cvec))
+            score = round(sum(a * b for a, b in zip(v, cvec)) / (nrm * nc), 9)
+            if best is None or score > best[1]:
+                best = (cell, score)
+        return best[0]
+
+    from collections import defaultdict
+
+    m_base = defaultdict(int)
+    for r in base_rows:
+        m_base[mirror_assign(r)] += 1
+    m_add = defaultdict(int)
+    m_drift = defaultdict(int)
+    for r in delta_rows:
+        c = mirror_assign(r)
+        m_add[c] += 1
+        if r["label"] != c:
+            m_drift[c] += 1
+
+    got = {r["cell"]: r for r in ivf_delta_assign_frame(base, delta, cents).collect()}
+    cells = set(m_base) | set(m_add)
+    assert set(got) == cells
+    for c in cells:
+        assert got[c]["n_base"] == m_base.get(c, 0), c
+        assert got[c]["n_added"] == m_add.get(c, 0), c
+        assert got[c]["n_drifted"] == m_drift.get(c, 0), c
+        tot = m_base.get(c, 0) + m_add.get(c, 0)
+        assert got[c]["added_share"] == pytest.approx(
+            round(m_add.get(c, 0) / tot, 9), abs=0.0
+        )
+    assert sum(r["n_added"] for r in got.values()) == len(delta_rows)
+
+    # drift injection: rotate the delta labels — the vectors still land
+    # in their true cells, but their claimed labels now disagree
+    n_labels = len(mirror_cents)
+    rotated = delta.withColumn("label", (F.col("label") + 1) % n_labels)
+    inj = {
+        r["cell"]: r
+        for r in ivf_delta_assign_frame(base, rotated, cents).collect()
+    }
+    want_drift = defaultdict(int)
+    for r in delta_rows:
+        c = mirror_assign(r)
+        if (r["label"] + 1) % n_labels != c:
+            want_drift[c] += 1
+    assert sum(want_drift.values()) > 0
+    for c, r in inj.items():
+        assert r["n_drifted"] == want_drift.get(c, 0), c
+        if r["n_added"] > 0:
+            assert r["refit"] == (
+                want_drift.get(c, 0) / r["n_added"] > _IVF_REFIT_DRIFT
+            )
+    assert any(r["refit"] for r in inj.values())
