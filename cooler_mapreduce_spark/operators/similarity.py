@@ -2136,3 +2136,86 @@ def ivf_delta_assign_frame(base: DataFrame, delta: DataFrame, cents: list) -> Da
         share.alias("added_share"),
         (drift_frac > _IVF_REFIT_DRIFT).alias("refit"),
     ).orderBy("cell")
+
+
+#: DuckDB oracle for the (r12-staged) IVF maintenance face — the
+#: label-mean CTE chain ann_recall_ivf already spells, with the fit
+#: restricted to the BASE corpus and the manifest rolled up per cell
+#: from the same round-9 scores and lowest-cell tie-break. Kept beside
+#: the kernel and hash-matched in tests (the takedown template), so
+#: the r12 registration is the one-line @query move.
+IVF_DELTA_ORACLE = f"""
+    WITH el AS (
+        SELECT label, u.idx, CAST(u.val AS DOUBLE) AS val
+        FROM embeddings,
+             LATERAL (SELECT unnest(embedding) AS val,
+                             generate_subscripts(embedding, 1) AS idx) u
+        WHERE vec_id % {_IVF_DELTA_MOD} != 0
+    ),
+    means AS (
+        SELECT label, idx,
+               CAST(SUM(CAST(floor(val * 1073741824.0) AS BIGINT)) AS DOUBLE)
+                   / 1073741824.0 / COUNT(*) AS m
+        FROM el GROUP BY label, idx
+    ),
+    cents AS (
+        SELECT label AS cell, list(m ORDER BY idx) AS c FROM means GROUP BY label
+    ),
+    cnorm AS (
+        SELECT cell, c,
+               sqrt(list_aggregate(list_transform(generate_series(1, {_DIM}),
+                    i -> c[i] * c[i]), 'sum')) AS nc
+        FROM cents
+    ),
+    cell_scores AS (
+        SELECT e.vec_id, e.label, (e.vec_id % {_IVF_DELTA_MOD} = 0) AS is_delta,
+               k.cell,
+               round(list_aggregate(list_transform(generate_series(1, {_DIM}),
+                         i -> CAST(e.embedding[i] AS DOUBLE) * k.c[i]), 'sum')
+                     / ({_DUCK_NORM.format(a='e.embedding', dim=_DIM)} * k.nc), 9) AS score
+        FROM embeddings e, cnorm k
+    ),
+    assigned AS (
+        SELECT vec_id, label, is_delta, cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY score DESC, cell) AS rn
+            FROM cell_scores
+        ) WHERE rn = 1
+    ),
+    b AS (
+        SELECT cell, COUNT(*) AS n_base FROM assigned
+        WHERE NOT is_delta GROUP BY cell
+    ),
+    d AS (
+        SELECT cell, COUNT(*) AS n_added,
+               CAST(SUM(CASE WHEN label <> cell THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_drifted
+        FROM assigned WHERE is_delta GROUP BY cell
+    )
+    SELECT COALESCE(b.cell, d.cell) AS cell,
+           COALESCE(b.n_base, 0) AS n_base,
+           COALESCE(d.n_added, 0) AS n_added,
+           COALESCE(d.n_drifted, 0) AS n_drifted,
+           round(CAST(COALESCE(d.n_added, 0) AS DOUBLE)
+                 / (COALESCE(b.n_base, 0) + COALESCE(d.n_added, 0)), 9)
+               AS added_share,
+           (CASE WHEN COALESCE(d.n_added, 0) > 0
+                 THEN CAST(d.n_drifted AS DOUBLE) / d.n_added
+                 ELSE 0.0 END) > {_IVF_REFIT_DRIFT} AS refit
+    FROM b FULL OUTER JOIN d ON b.cell = d.cell
+    ORDER BY cell
+"""
+
+
+def ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The staged IVF maintenance kernel's face (UNREGISTERED — r12
+    registers it with :data:`IVF_DELTA_ORACLE`, already hash-matched
+    in tests/test_llm_ops.py): embeddings split base/delta on
+    ``_IVF_DELTA_MOD``, the quantizer fit on the base only
+    (:func:`_labelmean_centroids_frame` — the offline-fit collect),
+    and :func:`ivf_delta_assign_frame` audits the incremental
+    assignment. See the kernel's docstring for the 100 TB shape."""
+    emb = table(spark, sf_dir, "embeddings", fan_out=False)
+    base = emb.filter(F.col("vec_id") % _IVF_DELTA_MOD != 0)
+    delta = emb.filter(F.col("vec_id") % _IVF_DELTA_MOD == 0)
+    return ivf_delta_assign_frame(base, delta, _labelmean_centroids_frame(base))

@@ -1382,3 +1382,21 @@ def test_ivf_delta_assign_matches_sequential_mirror(spark, oracle_sf_dir):
                 want_drift.get(c, 0) / r["n_added"] > _IVF_REFIT_DRIFT
             )
     assert any(r["refit"] for r in inj.values())
+
+
+def test_ivf_maintenance_face_matches_staged_oracle(spark, oracle_sf_dir):
+    """The staged r12 face must already hash-match its kept-beside
+    oracle (the takedown template: registration becomes a one-line
+    @query move with zero new risk)."""
+    from cooler_mapreduce_spark.operators.similarity import (
+        IVF_DELTA_ORACLE,
+        ivf_index_maintenance,
+    )
+    from tests.oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        ivf_index_maintenance(spark, oracle_sf_dir),
+        IVF_DELTA_ORACLE,
+        oracle_sf_dir,
+        name="ivf_index_maintenance(staged)",
+    )
