@@ -1374,3 +1374,132 @@ def test_grouped_rwr_equals_sequential_replica(spark, edges):
     }
     want = _grouped_rwr_py(edges, 1, _PR_ITERATIONS, _DAMPING)
     assert got == want
+
+
+# ------------------------------------------------- retention audit ----------
+
+#: rows of (orderkey, year, condemned?, retained-in-post?) — the two
+#: booleans make every leg combination reachable: leaks (condemned ∧
+#: retained), over-deletes (not condemned ∧ not retained), compliant
+#: deletes and keeps.
+_ret_rows = st.lists(
+    st.tuples(
+        st.integers(0, 40),
+        st.integers(1995, 2000),
+        st.booleans(),
+        st.booleans(),
+    ),
+    min_size=1,
+    max_size=30,
+).map(lambda rows: list({r[0]: r for r in rows}.values()))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(rows=_ret_rows)
+def test_retention_audit_matches_brute_force(spark, rows):
+    """retention_audit_frame over ARBITRARY pre/post/condemned
+    combinations must equal the set-algebra brute force per year — the
+    property form of the hold-ignoring / lazy-slice injections (which
+    pin two specific faulty jobs; this pins all of them)."""
+    import datetime as dt
+
+    from cooler_mapreduce_spark.operators.governance import retention_audit_frame
+
+    def frame(keys):
+        data = [
+            (k, dt.datetime(y, 1, 15))
+            for k, y, _c, _p in rows
+            if k in keys
+        ]
+        return spark.createDataFrame(
+            data, "o_orderkey long, o_orderdate timestamp_ntz"
+        )
+
+    all_keys = {k for k, _y, _c, _p in rows}
+    condemned_keys = {k for k, _y, c, _p in rows if c}
+    post_keys = {k for k, _y, _c, p in rows if p}
+    got = {
+        r["order_year"]: r
+        for r in retention_audit_frame(
+            frame(all_keys), frame(post_keys), frame(condemned_keys)
+        ).collect()
+    }
+    years = {y for _k, y, _c, _p in rows}
+    assert set(got) == years
+    for y in years:
+        keys_y = {k for k, yy, _c, _p in rows if yy == y}
+        deleted = keys_y - post_keys
+        assert got[y]["n_rows"] == len(keys_y)
+        assert got[y]["n_condemned"] == len(keys_y & condemned_keys)
+        assert got[y]["n_deleted"] == len(deleted)
+        assert got[y]["n_leaked"] == len(keys_y & post_keys & condemned_keys)
+        assert got[y]["n_overdeleted"] == len(deleted - condemned_keys)
+
+
+# ------------------------------------------- replay convergence audit -------
+
+#: per event: (event_id, batch_id, in-v1?, v1-value-differs?, store
+#: version or absent, store-value-differs?) — covers readmits,
+#: supersedes, stale keeps, and missing keys in one generator.
+_replay_rows = st.lists(
+    st.tuples(
+        st.integers(0, 30),
+        st.integers(0, 3),
+        st.booleans(),
+        st.booleans(),
+        st.sampled_from([None, 1, 2]),
+        st.booleans(),
+    ),
+    min_size=1,
+    max_size=25,
+).map(lambda rows: list({r[0]: r for r in rows}.values()))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(rows=_replay_rows)
+def test_dq_replay_convergence_matches_brute_force(spark, rows):
+    """dq_replay_convergence_frame over ARBITRARY store/v1/reference
+    states must equal the brute-force per-batch counters — the
+    property form of the skipped-batch / keep-first injections."""
+    from cooler_mapreduce_spark.streaming.observe import dq_replay_convergence_frame
+
+    ref = [(b, e, float(e)) for e, b, _v1, _vd, _sv, _sd in rows]
+    v1 = [
+        (b, e, float(e) + (10000.0 if vd else 0.0))
+        for e, b, in_v1, vd, _sv, _sd in rows
+        if in_v1
+    ]
+    store = [
+        (b, e, float(e) + (20000.0 if sd else 0.0), sv)
+        for e, b, _v1, _vd, sv, sd in rows
+        if sv is not None
+    ]
+    ref_df = spark.createDataFrame(ref, "batch_id long, event_id long, value double")
+    v1_df = spark.createDataFrame(v1, "batch_id long, event_id long, value double")
+    store_df = spark.createDataFrame(
+        store, "batch_id long, event_id long, value double, version int"
+    )
+    got = {
+        r["batch_id"]: r
+        for r in dq_replay_convergence_frame(store_df, v1_df, ref_df).collect()
+    }
+    v1_by_key = {e: v for _b, e, v in v1}
+    ref_by_key = {e: v for _b, e, v in ref}
+    batches = {b for _e, b, *_ in rows}
+    assert set(got) == batches
+    for bb in batches:
+        keys_b = {e for e, b, *_ in rows if b == bb}
+        store_b = [(e, v, sv) for b, e, v, sv in store if b == bb]
+        assert got[bb]["n_rows"] == len(keys_b)
+        readmit = sum(1 for e, _v, sv in store_b if sv == 2 and e not in v1_by_key)
+        sup = sum(
+            1
+            for e, v, sv in store_b
+            if sv == 2 and e in v1_by_key and v != v1_by_key[e]
+        )
+        stale = sum(1 for e, v, _sv in store_b if v != ref_by_key[e])
+        missing = sum(1 for e in keys_b if e not in {s[0] for s in store_b})
+        assert got[bb]["n_readmitted"] == readmit
+        assert got[bb]["n_superseded"] == sup
+        assert got[bb]["n_stale"] == stale
+        assert got[bb]["n_missing"] == missing
