@@ -181,11 +181,20 @@ def pagerank_frame(
     # case, unlike a forced broadcast which must fit ONE executor whole).
     # Measured at sf0.1, identical top-20 hash: 6.3 s → ~4 s steady.
     for _ in range(iterations):
+        # `floor` already yields BIGINT; summing the longs directly is
+        # bit-identical to the former decimal(38,0) staging (each
+        # per-destination sum is bounded by the total quantized rank
+        # mass q = 1e15 ≪ 2^63, and integer addition is exact and
+        # order-free in both widths — ANSI would error loudly, never
+        # wrap, if the bound were ever violated) while the aggregate
+        # buffer stays a compact 8-byte long instead of a 128-bit
+        # decimal. Interleaved A/B at sf0.1, identical top-20 hash:
+        # 3.84 s → 3.30 s steady (guide §2.3 "narrower types").
         contribs = ranks.hint("shuffle_hash").join(
             edges, F.col("node") == F.col("src")
         ).select(
             F.col("dst").alias("to"),
-            F.floor(F.col("rank") / F.col("outdeg") * q).cast("decimal(38,0)").alias("c"),
+            F.floor(F.col("rank") / F.col("outdeg") * q).alias("c"),
         )
         sums = contribs.groupBy("to").agg(F.sum("c").alias("s"))
         ranks = (
@@ -880,7 +889,7 @@ def weighted_pagerank_frame(
     oracled via the same unrolled-CTE construction as
     `pagerank_supplier_customer`. Same determinism discipline as the
     uniform kernel: contributions are floor-quantized to 1e-15 and
-    summed as exact decimals, so per-iteration sums are order-free;
+    summed as exact 64-bit integers, so per-iteration sums are order-free;
     same scale shape: one O(|edges|) keyed shuffle per iteration with
     map-side partial sums, state O(|nodes|), nothing collected. Nodes
     are the distinct sources; a mirrored (symmetric) edge set has no
@@ -904,9 +913,11 @@ def weighted_pagerank_frame(
             edges, F.col("node") == F.col("src")
         ).select(
             F.col("dst").alias("to"),
-            F.floor(F.col("rank") * F.col("w") / F.col("outw") * q)
-            .cast("decimal(38,0)")
-            .alias("c"),
+            # bigint sums: exact and bit-identical to the decimal(38,0)
+            # staging (per-destination sums bounded by q = 1e15 ≪ 2^63
+            # since total rank mass is 1) with an 8-byte agg buffer —
+            # see pagerank_frame's A/B note
+            F.floor(F.col("rank") * F.col("w") / F.col("outw") * q).alias("c"),
         )
         sums = contribs.groupBy("to").agg(F.sum("c").alias("s"))
         ranks = (
@@ -1135,7 +1146,9 @@ def personalized_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFra
             edges, F.col("node") == F.col("src")
         ).select(
             F.col("dst").alias("to"),
-            F.floor(F.col("rank") / F.col("outdeg") * q).cast("decimal(38,0)").alias("c"),
+            # bigint sums — exact, bounded by q = 1e15 ≪ 2^63 per
+            # destination; see pagerank_frame's A/B note
+            F.floor(F.col("rank") / F.col("outdeg") * q).alias("c"),
         )
         sums = contribs.groupBy("to").agg(F.sum("c").alias("s"))
         ranks = sums.join(deg.hint("shuffle_hash"), F.col("to") == F.col("src")).select(
@@ -1251,9 +1264,10 @@ def rwr_grouped_frame(
         ).select(
             F.col("e_week").alias("cweek"),
             F.col("e_dst").alias("to"),
-            F.floor(F.col("rank") * F.col("e_w") / F.col("outw") * q)
-            .cast("decimal(38,0)")
-            .alias("c"),
+            # bigint sums — exact, bounded by q = 1e15 ≪ 2^63 per
+            # (week, destination) since each week's walk mass is 1;
+            # see pagerank_frame's A/B note
+            F.floor(F.col("rank") * F.col("e_w") / F.col("outw") * q).alias("c"),
         )
         sums = contribs.groupBy("cweek", "to").agg(F.sum("c").alias("s"))
         ranks = sums.join(

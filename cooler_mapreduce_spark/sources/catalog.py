@@ -101,7 +101,7 @@ def table(
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if fan_out is False:
         return df
-    return _fan_out(spark, df, f"{sf_dir}/{name}.parquet")
+    return _fan_out(spark, df, f"{sf_dir}/{name}.parquet", name)
 
 
 #: materialized partitioned-layout path per (sf_dir, table, cols) — the
@@ -232,8 +232,32 @@ def zordered_layout(
 #: plan construction per call.
 _FANOUT_CACHE: dict[tuple[str, int], bool] = {}
 
+#: Primary-key columns per table — the deterministic hash key for the
+#: fan-out exchange. A keyless ``repartition(n)`` is round-robin, and
+#: since SPARK-23207 every round-robin exchange first pays a LOCAL SORT
+#: of its entire input so retried map tasks reproduce the same
+#: row-to-partition assignment. Hash-partitioning on the table's unique
+#: key needs no such sort (the assignment is deterministic by value) and
+#: spreads as evenly (unique keys, murmur3). Interleaved A/B at sf0.1,
+#: identical results: pricing_summary 2.18 s round-robin vs 0.80 s hash
+#: fan-out steady — the sort was most of the fan-out's cost. This is the
+#: guide's "derive the synthetic key deterministically" rule applied to
+#: every catalog scan.
+_TABLE_KEYS: dict[str, tuple[str, ...]] = {
+    "region": ("r_regionkey",),
+    "nation": ("n_nationkey",),
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey",),
+    "lineitem": ("l_orderkey", "l_linenumber"),
+    "events": ("event_id",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
 
-def _fan_out(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+
+def _fan_out(spark: SparkSession, df: DataFrame, path: str, name: str) -> DataFrame:
     import os
 
     target = spark.sparkContext.defaultParallelism
@@ -250,7 +274,12 @@ def _fan_out(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
             and df.rdd.getNumPartitions() < max(2, target // 2)
         )
         _FANOUT_CACHE[key] = fan
-    return df.repartition(target) if fan else df
+    if not fan:
+        return df
+    keys = _TABLE_KEYS.get(name)
+    if keys:
+        return df.repartition(target, *[F.col(k) for k in keys])
+    return df.repartition(target)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

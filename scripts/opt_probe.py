@@ -139,6 +139,51 @@ def main() -> None:
 
     cases["pricing_narrow_dec"] = pricing_narrow_dec
 
+    def pricing_bigint():
+        # exact fixed-point longs: values are exact ≤s-decimal rationals,
+        # so round(v * 10^s) recovers the integer numerator exactly; the
+        # final decimal(38,s) re-scale reproduces dsum's double bit-for-bit
+        def bsum2(c, scale=2):
+            if isinstance(c, str):
+                c = F.col(c)
+            s = F.sum(F.round(c * F.lit(float(10**scale))).cast("bigint"))
+            return (s.cast("decimal(38,0)") / F.lit(10**scale).cast("decimal(20,0)")).cast("double")
+
+        def bavg(c, scale=2):
+            return bsum2(c, scale) / F.count(F.col(c) if isinstance(c, str) else c)
+
+        li = table(spark, SF_DIR, "lineitem")
+        return _pricing_body(li, bsum2, bavg)
+
+    cases["pricing_bigint"] = pricing_bigint
+
+    def ols_bigint_fanout():
+        def bsum2(c, scale=2):
+            if isinstance(c, str):
+                c = F.col(c)
+            s = F.sum(F.round(c * F.lit(float(10**scale))).cast("bigint"))
+            return (s.cast("decimal(38,0)") / F.lit(10**scale).cast("decimal(20,0)")).cast("double")
+
+        from cooler_mapreduce_spark.operators.aggregates import _MLR_EXPRS
+
+        li = table(spark, SF_DIR, "lineitem")
+        q = F.col("l_quantity").cast("bigint")
+        comp = li.groupBy("l_returnflag").agg(
+            F.count("*").alias("n_rows"),
+            F.count("*").cast("double").alias("nd"),
+            F.sum(q).cast("double").alias("sx1"),
+            bsum2("l_discount").alias("sx2"),
+            bsum2("l_extendedprice").alias("sy"),
+            F.sum(q * q).cast("double").alias("s11"),
+            bsum2(F.col("l_quantity") * F.col("l_discount")).alias("s12"),
+            bsum2(F.col("l_discount") * F.col("l_discount"), 4).alias("s22"),
+            bsum2(F.col("l_quantity") * F.col("l_extendedprice")).alias("s1y"),
+            bsum2(F.col("l_discount") * F.col("l_extendedprice"), 4).alias("s2y"),
+        )
+        return comp.select("l_returnflag", "n_rows", *[F.expr(e) for e in _MLR_EXPRS])
+
+    cases["ols_bigint_fanout"] = ols_bigint_fanout
+
     def pricing_nofan():
         from cooler_mapreduce_spark.functions.numeric import davg, dsum
 
@@ -191,6 +236,121 @@ def main() -> None:
         )
 
     cases["pagerank_bigint"] = pagerank_bigint
+
+    # ---- pagerank: fold dst outdeg into the edge checkpoint -------------
+    def pagerank_dstdeg():
+        from cooler_mapreduce_spark.operators.graph import (
+            _DAMPING,
+            _PR_ITERATIONS,
+            _Q,
+        )
+
+        li = table(spark, SF_DIR, "lineitem", fan_out=False)
+        o = table(spark, SF_DIR, "orders", fan_out=False)
+        fwd = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .select(
+                (F.col("l_suppkey") * 2).alias("src"),
+                (F.col("o_custkey") * 2 + 1).alias("dst"),
+            )
+            .distinct()
+        )
+        edges0 = fwd.union(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        edges0 = edges0.repartition("src").localCheckpoint(eager=True)
+        deg = edges0.groupBy("src").agg(F.count("*").alias("outdeg"))
+        dd = deg.select(F.col("src").alias("d_dst"), F.col("outdeg").alias("dst_outdeg"))
+        edges = (
+            edges0.join(dd.hint("shuffle_hash"), F.col("dst") == F.col("d_dst"))
+            .select("src", "dst", "dst_outdeg")
+            .repartition("src")
+            .localCheckpoint(eager=True)
+        )
+        deg = deg.localCheckpoint(eager=True)
+        n = deg.agg(F.count("*").alias("n_nodes"))
+        ranks = deg.crossJoin(F.broadcast(n)).select(
+            F.col("src").alias("node"),
+            "outdeg",
+            (F.lit(1.0) / F.col("n_nodes")).alias("rank"),
+        )
+        q = F.lit(float(_Q))
+        for _ in range(_PR_ITERATIONS):
+            contribs = ranks.hint("shuffle_hash").join(
+                edges, F.col("node") == F.col("src")
+            ).select(
+                F.col("dst").alias("to"),
+                F.col("dst_outdeg").alias("od"),
+                F.floor(F.col("rank") / F.col("outdeg") * q).alias("c"),
+            )
+            sums = contribs.groupBy("to").agg(
+                F.sum("c").alias("s"), F.max("od").alias("od")
+            )
+            ranks = sums.crossJoin(F.broadcast(n)).select(
+                F.col("to").alias("node"),
+                F.col("od").alias("outdeg"),
+                (
+                    F.lit(0.15) / F.col("n_nodes")
+                    + F.lit(_DAMPING) * (F.col("s").cast("double") / q)
+                ).alias("rank"),
+            )
+        return (
+            ranks.orderBy(F.desc("rank"), F.asc("node"))
+            .limit(20)
+            .select("node", F.round("rank", 12).alias("rank"))
+        )
+
+    cases["pagerank_dstdeg"] = pagerank_dstdeg
+
+    # ---- triangle: orderkey-partitioned basket build --------------------
+    def tri_fanout_graph():
+        cpus_ = spark.sparkContext.defaultParallelism
+        li = table(spark, SF_DIR, "lineitem", fan_out=False).select(
+            "l_orderkey", "l_partkey"
+        )
+        li = li.repartition(cpus_, "l_orderkey")
+        basket = li.groupBy("l_orderkey").agg(
+            F.sort_array(F.collect_set("l_partkey")).alias("ps")
+        )
+        edges = (
+            basket.select(
+                F.explode(
+                    F.flatten(
+                        F.expr(
+                            "transform(ps, (x, i) -> transform("
+                            "slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v)))"
+                        )
+                    )
+                ).alias("p")
+            )
+            .select("p.u", "p.v")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        du = deg.select(F.col("node").alias("u"), F.col("d").alias("du")).hint(
+            "shuffle_hash"
+        )
+        dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv")).hint(
+            "shuffle_hash"
+        )
+        ranked = edges.join(du, "u").join(dv, "v")
+        lower_first = (F.col("du") < F.col("dv")) | (
+            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+        )
+        oriented = ranked.select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        ).localCheckpoint(eager=True)
+        return oriented.limit(1)
+
+    cases["tri_fanout_graph"] = tri_fanout_graph
 
     # ---- triangle census stage split ------------------------------------
     def tri_graph_only():
