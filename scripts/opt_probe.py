@@ -302,6 +302,78 @@ def main() -> None:
 
     cases["pagerank_dstdeg"] = pagerank_dstdeg
 
+    # ---- pagerank: visible partitioning via ckpt-then-repartition -------
+    # localCheckpoint does NOT preserve outputPartitioning (probed on
+    # Spark 4.1: Scan ExistingRDD comes back UnknownPartitioning), so the
+    # committed repartition("src").localCheckpoint pattern re-exchanges
+    # edges AND deg every iteration. Variant: checkpoint the raw frame,
+    # then put an explicit repartition(n, key) ON TOP — the planner sees
+    # the hash partitioning (zero ENSURE_REQUIREMENTS exchanges in the
+    # loop except the groupBy), and AQE's stage cache runs the identical
+    # REPARTITION_BY_NUM exchange once, reusing it across iterations.
+    def pagerank_reuse():
+        from cooler_mapreduce_spark.operators.graph import (
+            _DAMPING,
+            _PR_ITERATIONS,
+            _Q,
+        )
+
+        cpus_ = spark.sparkContext.defaultParallelism
+        li = table(spark, SF_DIR, "lineitem", fan_out=False)
+        o = table(spark, SF_DIR, "orders", fan_out=False)
+        fwd = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .select(
+                (F.col("l_suppkey") * 2).alias("src"),
+                (F.col("o_custkey") * 2 + 1).alias("dst"),
+            )
+            .distinct()
+        )
+        edges0 = fwd.union(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).localCheckpoint(eager=True)
+        edges = edges0.repartition(cpus_, "src")
+        deg = (
+            edges0.groupBy("src")
+            .agg(F.count("*").alias("outdeg"))
+            .localCheckpoint(eager=True)
+            .repartition(cpus_, "src")
+        )
+        n = deg.agg(F.count("*").alias("n_nodes"))
+        ranks = deg.crossJoin(F.broadcast(n)).select(
+            F.col("src").alias("node"),
+            "outdeg",
+            (F.lit(1.0) / F.col("n_nodes")).alias("rank"),
+        )
+        q = F.lit(float(_Q))
+        for _ in range(_PR_ITERATIONS):
+            contribs = ranks.hint("shuffle_hash").join(
+                edges, F.col("node") == F.col("src")
+            ).select(
+                F.col("dst").alias("to"),
+                F.floor(F.col("rank") / F.col("outdeg") * q).alias("c"),
+            )
+            sums = contribs.groupBy("to").agg(F.sum("c").alias("s"))
+            ranks = (
+                sums.join(deg.hint("shuffle_hash"), F.col("to") == F.col("src"))
+                .crossJoin(F.broadcast(n))
+                .select(
+                    F.col("to").alias("node"),
+                    "outdeg",
+                    (
+                        F.lit(0.15) / F.col("n_nodes")
+                        + F.lit(_DAMPING) * (F.col("s").cast("double") / q)
+                    ).alias("rank"),
+                )
+            )
+        return (
+            ranks.orderBy(F.desc("rank"), F.asc("node"))
+            .limit(20)
+            .select("node", F.round("rank", 12).alias("rank"))
+        )
+
+    cases["pagerank_reuse"] = pagerank_reuse
+
     # ---- triangle: orderkey-partitioned basket build --------------------
     def tri_fanout_graph():
         cpus_ = spark.sparkContext.defaultParallelism
