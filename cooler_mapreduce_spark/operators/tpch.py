@@ -248,8 +248,17 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue-desc/orderkey tiebreak is a total order (deterministic
     top-k, bit-stable revenue via decimal sums).
     """
-    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    orders = table(spark, sf_dir, "orders").filter(
+    # fan_out=False on both dimension sides: each feeds a broadcast
+    # BUILD at test SF (the collect to the driver serializes anyway), so
+    # the single-split fan-out exchange shuffles the table for zero
+    # downstream parallelism. Interleaved A/B at sf0.1, identical rows:
+    # 1.356 -> 0.965 s steady. At 100 TB the flag is inert (multi-split
+    # scans never trigger the guard) and both joins degrade to shuffle
+    # joins by size.
+    cust = table(spark, sf_dir, "customer", fan_out=False).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = table(spark, sf_dir, "orders", fan_out=False).filter(
         F.col("o_orderdate") < "1998-07-01"
     )
     li = table(spark, sf_dir, "lineitem", fan_out=False).filter(
@@ -520,7 +529,13 @@ def large_orders_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = table(spark, sf_dir, "lineitem", fan_out=False)
     o = table(spark, sf_dir, "orders")
-    c = table(spark, sf_dir, "customer")
+    # customer is a broadcast BUILD side here (the enriched survivor set
+    # probes it), so its single-split fan-out exchange bought no
+    # parallelism — the build collects to the driver either way.
+    # Interleaved A/B at sf0.1, identical rows: 1.423 -> 1.298 s steady.
+    # orders keeps the default: it STREAMS through both broadcast joins,
+    # so the fan-out is what parallelizes the probe+project pipeline.
+    c = table(spark, sf_dir, "customer", fan_out=False)
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(9,2)")).alias("q"))
@@ -778,10 +793,16 @@ def market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     no hint — broadcast by size at test SF, shuffle joins at 100 TB.
     """
     li = table(spark, sf_dir, "lineitem", fan_out=False)
-    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
-    o = table(spark, sf_dir, "orders")
-    c = table(spark, sf_dir, "customer")
-    s = table(spark, sf_dir, "supplier")
+    # fan_out=False on all four SF-scaled dimensions: every one is a
+    # broadcast BUILD side at test SF (lineitem is the only streamed
+    # side), so their single-split fan-out exchanges shuffled each table
+    # for zero downstream parallelism. Interleaved A/B at sf0.1,
+    # identical rows: 1.551 -> 1.352 s steady. Inert at 100 TB, where
+    # these joins degrade to shuffle joins by size anyway.
+    p = table(spark, sf_dir, "part", fan_out=False).filter(F.col("p_type") == "PROMO")
+    o = table(spark, sf_dir, "orders", fan_out=False)
+    c = table(spark, sf_dir, "customer", fan_out=False)
+    s = table(spark, sf_dir, "supplier", fan_out=False)
     n1 = table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
     )
@@ -1037,7 +1058,11 @@ def product_type_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-deterministic at any partition count.
     """
     li = table(spark, sf_dir, "lineitem", fan_out=False)
-    o = table(spark, sf_dir, "orders")
+    # orders is a broadcast BUILD side at test SF (lineitem streams), so
+    # its single-split fan-out exchange was a shuffle for zero downstream
+    # parallelism. Interleaved A/B at sf0.1, identical rows:
+    # 1.388 -> 1.065 s steady. Inert at 100 TB (multi-split scan).
+    o = table(spark, sf_dir, "orders", fan_out=False)
     p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
