@@ -64,7 +64,14 @@ def run_quantile_tiles_stream(
 
     def write_tiles(batch_df, batch_id: int) -> None:
         sp = batch_df.sparkSession
-        cust = table(sp, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        # fan_out=False: the dimension is the broadcast BUILD side of the
+        # stream-static join every batch, so the single-split fan-out
+        # exchange shuffled customer for zero downstream parallelism
+        # (the Q3/Q8/Q9/Q18 pattern). Interleaved A/B at sf0.1,
+        # identical rows: 1.43 -> 1.29 s steady per drain.
+        cust = table(sp, sf_dir, "customer", fan_out=False).select(
+            "c_custkey", "c_nationkey"
+        )
         nat = table(sp, sf_dir, "nation").select("n_nationkey", "n_regionkey")
         tiles = (
             batch_df.join(cust, batch_df.o_custkey == cust.c_custkey)

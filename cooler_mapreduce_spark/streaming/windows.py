@@ -255,7 +255,10 @@ def stream_enriched_segment_counts(spark: SparkSession, sf_dir: str) -> DataFram
     threshold broadcasts it at test SF (only shuffle is the windowed
     agg) and degrades to a shuffle join at 100 TB."""
     ev = table(spark, sf_dir, "events")
-    cust = table(spark, sf_dir, "customer")
+    # fan_out=False: customer is the broadcast BUILD side here (events
+    # streams), so its single-split fan-out exchange bought nothing —
+    # the tiles-stream A/B (tiles.py) measured the identical pattern.
+    cust = table(spark, sf_dir, "customer", fan_out=False)
     return (
         ev.join(cust, ev.user_id == cust.c_custkey)
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("c_mktsegment").alias("segment"))
@@ -287,7 +290,10 @@ def run_enriched_stream(
     pipeline avoids when one side is a dimension.
     """
     ev = _event_stream(spark, sf_dir)
-    cust = table(spark, sf_dir, "customer")
+    # fan_out=False: broadcast BUILD side, re-planned per micro-batch —
+    # the fan-out exchange would re-shuffle customer every trigger for
+    # zero parallelism gain (see the tiles-stream A/B, tiles.py).
+    cust = table(spark, sf_dir, "customer", fan_out=False)
     agg = (
         ev.withWatermark("ts", watermark)
         .join(cust, ev.user_id == cust.c_custkey)
