@@ -1250,7 +1250,6 @@ def dq_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
-    c = table(spark, sf_dir, "customer")
     s = table(spark, sf_dir, "supplier")
 
     def cnt(cond):
@@ -1268,12 +1267,19 @@ def dq_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt(F.col("o_custkey").isNull()).alias("orders.null_custkey"),
     )
     s_counts = s.agg(cnt(F.col("s_acctbal") < 0).alias("supplier.negative_acctbal"))
+    # un-fanned scans for the broadcast PROBE sides of the referential
+    # checks: the keys-only frames are broadcast builds at test SF, so
+    # the fan-out exchange bought nothing (the Q3/Q8/Q9/Q18 pattern).
+    # The fanned `o`/`c` frames above keep their parallel scans for the
+    # conditional-aggregation passes and the streamed anti-join side.
+    o_keys = table(spark, sf_dir, "orders", fan_out=False).select("o_orderkey")
+    c_keys = table(spark, sf_dir, "customer", fan_out=False).select("c_custkey")
     orphan_li = (
-        li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti")
+        li.join(o_keys, li.l_orderkey == F.col("o_orderkey"), "left_anti")
         .agg(F.count("*").alias("lineitem.orphan_orderkey"))
     )
     orphan_o = (
-        o.join(c.select("c_custkey"), o.o_custkey == F.col("c_custkey"), "left_anti")
+        o.join(c_keys, o.o_custkey == F.col("c_custkey"), "left_anti")
         .agg(F.count("*").alias("orders.orphan_custkey"))
     )
 

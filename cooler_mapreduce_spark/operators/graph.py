@@ -143,15 +143,19 @@ def _uniform_trade_graph(spark: SparkSession, sf_dir: str):
     # bench entry at sf0.1; the values are bit-identical either way).
     # At cluster scale this is `edges.checkpoint()` to a reliable store.
     #
-    # Partition by the join key BEFORE checkpointing: localCheckpoint
-    # preserves outputPartitioning, so every iteration's ranks⋈edges
-    # join co-locates against the cached edge partitions instead of
-    # re-exchanging the full edge list per round, and the deg groupBy
-    # consumes the same partitioning exchange-free. Measured at sf0.1:
-    # steady-state 5.97 → 5.5 s and first-run 17.7 → 5.8 s, values
-    # bit-identical. This is exactly the "reuse one partitioning across
-    # stages" discipline that matters at 100 TB: the O(|edges|) frame
-    # crosses the network once, at materialization.
+    # Partition by the join key BEFORE checkpointing. NOTE (r11,
+    # measured): on Spark 4.1 the checkpoint scans back as ExistingRDD
+    # with UNKNOWN partitioning in the initial plan — the co-location
+    # is restored at RUNTIME by AQE's stage cache, which canonicalizes
+    # the per-iteration edge/deg exchanges into ReusedExchange (final
+    # executed plan: ReusedExchange ×12), so the O(|edges|) frame still
+    # crosses the network once. The explicit alternative (checkpoint
+    # first, repartition(n, key) on top) makes the partitioning visible
+    # to the planner but PINS the partition count, disabling AQE
+    # coalescing — interleaved A/B at sf0.1, identical top-20: status
+    # quo min 4.93 s (58 stages) vs explicit min 7.1 s (52 stages).
+    # Measured when first introduced: steady-state 5.97 → 5.5 s and
+    # first-run 17.7 → 5.8 s, values bit-identical.
     edges = edges.repartition("src").localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).localCheckpoint(eager=True)
     return edges, deg

@@ -76,7 +76,9 @@ def join_left_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     skips the NULLs from non-matches — same semantics both engines.
     """
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    # fan_out=False: orders is the broadcast BUILD side (left-outer must
+    # stream the preserved customer side) — the Q3/Q8/Q9/Q18 pattern.
+    o = table(spark, sf_dir, "orders", fan_out=False)
     return (
         c.join(o, o.o_custkey == c.c_custkey, "left")
         .groupBy("c_custkey")
@@ -101,7 +103,9 @@ def join_anti_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     gets subtly wrong on duplicates.
     """
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders").select("o_custkey")
+    # fan_out=False: the single-column probe side of the anti join is a
+    # broadcast BUILD at test SF — the Q3/Q8/Q9/Q18 pattern.
+    o = table(spark, sf_dir, "orders", fan_out=False).select("o_custkey")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 

@@ -588,10 +588,14 @@ def doc_unigram_nll(
     distribution — the LM-based quality signal corpus-curation pipelines
     (CCNet-style) gate on, with the corpus itself as the model.
 
-    Shape: ONE tokenize scan → (doc,term) partial-agg shuffle (tf). The
-    model side chains off tf (term-level re-agg → vocab stf, plus a
-    single-row corpus total T), so Catalyst reuses tf's exchange for
-    both the scoring side and the model side — no second scan. The
+    Shape: a tokenize → (doc,term) partial-agg diamond (tf), consumed
+    by the scoring side and the model side (term-level re-agg → vocab
+    stf, plus a single-row corpus total T). The three legs instantiate
+    the tokenize subtree separately in the plan and run concurrently
+    inside one job; checkpointing tf once to dedup them was A/B'd in
+    r11 (1.380 → 1.491 s steady, identical rows) — the materialization
+    barrier costs more than the warm re-scans at any bench SF, so the
+    diamond stays. The
     vocab table (term, lp) joins back onto tf SIZE-BASED (no hint —
     round-8: the vocabulary scales with the corpus under Heaps' law, so
     a forced broadcast is a forced OOM at 100 TB; the 64 MB threshold

@@ -163,8 +163,12 @@ def revenue_topn_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     is high-cardinality, so partial agg + AQE coalescing matter; the
     final top-20 is TakeOrdered, never a global sort.
     """
-    cust = table(spark, sf_dir, "customer")
-    orders = table(spark, sf_dir, "orders")
+    # fan_out=False on both dimensions: each is a broadcast BUILD side
+    # at test SF (lineitem streams), so the single-split fan-out
+    # exchange was a shuffle for zero downstream parallelism (the
+    # Q3/Q8/Q9/Q18 pattern, A/B'd there). Inert at 100 TB.
+    cust = table(spark, sf_dir, "customer", fan_out=False)
+    orders = table(spark, sf_dir, "orders", fan_out=False)
     li = table(spark, sf_dir, "lineitem", fan_out=False)
     joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
         cust, orders.o_custkey == cust.c_custkey
@@ -334,7 +338,9 @@ def priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     date-pruned at the scan; the join shuffles only (orderkey, linestatus)
     against (orderkey, orderpriority).
     """
-    orders = table(spark, sf_dir, "orders")
+    # fan_out=False: orders is the broadcast BUILD side (the date-pruned
+    # lineitem streams) — the Q3/Q8/Q9/Q18 pattern, A/B'd there.
+    orders = table(spark, sf_dir, "orders", fan_out=False)
     li = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-01-01")
         & (F.col("l_shipdate") < "1998-01-01")
@@ -634,11 +640,13 @@ def local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation. Date predicate pushed to the orders scan.
     """
     li = table(spark, sf_dir, "lineitem", fan_out=False)
-    o = table(spark, sf_dir, "orders").filter(
+    # fan_out=False on orders/customer: broadcast BUILD sides at test SF
+    # (lineitem streams) — the Q3/Q8/Q9/Q18 pattern, A/B'd there.
+    o = table(spark, sf_dir, "orders", fan_out=False).filter(
         (F.col("o_orderdate") >= "1996-01-01 00:00:00")
         & (F.col("o_orderdate") < "1998-01-01 00:00:00")
     )
-    c = table(spark, sf_dir, "customer")
+    c = table(spark, sf_dir, "customer", fan_out=False)
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -686,7 +694,10 @@ def customer_order_distribution_q13(spark: SparkSession, sf_dir: str) -> DataFra
     and the second aggregate is O(distinct counts) — tiny.
     """
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders").filter(
+    # fan_out=False: the pre-filtered orders side is the broadcast BUILD
+    # of the left-outer join (customer streams as the preserved side) —
+    # the Q3/Q8/Q9/Q18 pattern, A/B'd there.
+    o = table(spark, sf_dir, "orders", fan_out=False).filter(
         F.col("o_orderpriority") != "1-URGENT"
     )
     c_orders = (
@@ -730,8 +741,10 @@ def volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     at test scale.
     """
     li = table(spark, sf_dir, "lineitem", fan_out=False)
-    o = table(spark, sf_dir, "orders")
-    c = table(spark, sf_dir, "customer")
+    # fan_out=False on orders/customer: broadcast BUILD sides at test SF
+    # (lineitem streams) — the Q3/Q8/Q9/Q18 pattern, A/B'd there.
+    o = table(spark, sf_dir, "orders", fan_out=False)
+    c = table(spark, sf_dir, "customer", fan_out=False)
     s = table(spark, sf_dir, "supplier")
     n1 = table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
@@ -930,7 +943,11 @@ def late_shipper_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast at test SF, shuffle at 100 TB).
     """
     s = table(spark, sf_dir, "supplier")
-    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    # fan_out=False: the status-filtered orders side is a broadcast
+    # BUILD at test SF (l1 streams) — the Q3/Q8/Q9/Q18 pattern.
+    o = table(spark, sf_dir, "orders", fan_out=False).filter(
+        F.col("o_orderstatus") == "F"
+    )
     l1 = table(spark, sf_dir, "lineitem", fan_out=False).alias("l1")
     l2 = table(spark, sf_dir, "lineitem", fan_out=False).select(
         F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
