@@ -534,13 +534,15 @@ def large_orders_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines.
     """
     li = table(spark, sf_dir, "lineitem", fan_out=False)
-    o = table(spark, sf_dir, "orders")
-    # customer is a broadcast BUILD side here (the enriched survivor set
-    # probes it), so its single-split fan-out exchange bought no
-    # parallelism — the build collects to the driver either way.
-    # Interleaved A/B at sf0.1, identical rows: 1.423 -> 1.298 s steady.
-    # orders keeps the default: it STREAMS through both broadcast joins,
-    # so the fan-out is what parallelizes the probe+project pipeline.
+    # fan_out=False on BOTH dimension sides. customer is a broadcast
+    # BUILD (the enriched survivor set probes it): A/B 1.423 -> 1.298 s.
+    # orders too — the planner broadcasts the ~5 MB orders projection
+    # rather than the survivor agg (whose post-HAVING estimate it cannot
+    # see), so the fan-out exchange fed a broadcast build there as well:
+    # A/B on top of the customer fix, identical rows, 1.008 -> 0.884 s
+    # steady. Both flags are inert at 100 TB (multi-split scans; both
+    # joins degrade to shuffle joins by size).
+    o = table(spark, sf_dir, "orders", fan_out=False)
     c = table(spark, sf_dir, "customer", fan_out=False)
     big = (
         li.groupBy("l_orderkey")
