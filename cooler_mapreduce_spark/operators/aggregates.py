@@ -491,7 +491,10 @@ def global_sort_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     needed. The (o_orderdate, o_orderkey) key is a total order, so output
     is deterministic row-for-row.
     """
-    o = table(spark, sf_dir, "orders")
+    # fan_out=False: the RangePartitioning exchange immediately
+    # re-shuffles this scan; the fan-out pass was redundant (r11 A/B on
+    # the same shape: window_running_total 0.881 -> 0.427 s)
+    o = table(spark, sf_dir, "orders", fan_out=False)
     return (
         o.filter(F.col("o_orderstatus") == "O")
         .select("o_orderkey", "o_orderdate", "o_totalprice")

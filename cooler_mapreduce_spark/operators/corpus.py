@@ -455,7 +455,10 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartition + sortWithinPartitions write of shard files. No global
     sort, no skew (md5 is uniform by construction).
     """
-    d = table(spark, sf_dir, "documents")
+    # fan_out=False: the shard exchange immediately re-partitions this
+    # scan and the per-row work before it is two md5 calls — redundant
+    # fan-out shuffle (r11 window-family A/B)
+    d = table(spark, sf_dir, "documents", fan_out=False)
     seed_expr = f"concat('{_SHUFFLE_SEED}:', CAST(doc_id AS STRING))"
     keyed = d.select(
         "doc_id",

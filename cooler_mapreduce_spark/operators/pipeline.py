@@ -190,7 +190,8 @@ def pipeline_behavioral_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded divisions.  100 TB: both exchanges carry four narrow
     columns, per-user sorted chains, O(sessions) final state.
     """
-    ev = table(spark, sf_dir, "events")
+    # fan_out=False: redundant pre-window shuffle (r11 window-family A/B)
+    ev = table(spark, sf_dir, "events", fan_out=False)
     wdt = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     same_gap = us_between(F.lag("ts").over(wdt), F.col("ts"))
     kept = (

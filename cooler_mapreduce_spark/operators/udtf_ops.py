@@ -113,7 +113,10 @@ def pandas_udaf_second_max(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # grouped-agg pandas UDFs cannot mix with JVM aggregates in one agg,
     # so the max rides the same Arrow path
-    li = table(spark, sf_dir, "lineitem")
+    # fan_out=False: pandas UDAFs have no partial aggregation, so the
+    # groupBy exchange ships every row regardless — the fan-out shuffle
+    # before it was redundant (r11 window-family A/B)
+    li = table(spark, sf_dir, "lineitem", fan_out=False)
     return li.groupBy("l_returnflag").agg(
         pandas_max("l_quantity").alias("max_qty"),
         second_max("l_quantity").alias("second_max_qty"),

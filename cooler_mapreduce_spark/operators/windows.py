@@ -58,7 +58,11 @@ def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFram
 )
 def window_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank / dense_rank / ntile over account balance within segment."""
-    c = table(spark, sf_dir, "customer")
+    # fan_out=False: the window exchange immediately re-partitions this
+    # scan and nothing but projection runs before it, so the single-split
+    # fan-out was a redundant full shuffle (r11 A/B on the same shape:
+    # window_running_total 0.881 -> 0.427 s, sessionize 1.033 -> 0.515 s).
+    c = table(spark, sf_dir, "customer", fan_out=False)
     w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
     return c.select(
         "c_custkey",
@@ -88,7 +92,8 @@ def window_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     The gap is computed on integer epoch-microseconds, exact in both
     engines (no float time arithmetic).
     """
-    ev = table(spark, sf_dir, "events")
+    # fan_out=False: redundant pre-window shuffle (see window_rank note)
+    ev = table(spark, sf_dir, "events", fan_out=False)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
         "event_id",
@@ -118,7 +123,8 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative spend per customer — unbounded-preceding frame over an
     exact decimal sum (running double sums are order-*and*-algorithm
     dependent across engines; decimal is bit-stable)."""
-    o = table(spark, sf_dir, "orders")
+    # fan_out=False: redundant pre-window shuffle; A/B 0.881 -> 0.427 s
+    o = table(spark, sf_dir, "orders", fan_out=False)
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
@@ -147,7 +153,8 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-row moving sum — a bounded sliding frame."""
-    o = table(spark, sf_dir, "orders")
+    # fan_out=False: redundant pre-window shuffle (see window_rank note)
+    o = table(spark, sf_dir, "orders", fan_out=False)
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
@@ -189,7 +196,8 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id, one sort; the streaming twin (``streaming.windows``) uses
     ``session_window`` with a watermark for the unbounded case.
     """
-    ev = table(spark, sf_dir, "events")
+    # fan_out=False: redundant pre-window shuffle; A/B 1.033 -> 0.515 s
+    ev = table(spark, sf_dir, "events", fan_out=False)
     wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     gap_us = us_between(F.lag("ts").over(wo), F.col("ts"))
@@ -241,7 +249,8 @@ def window_range_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic under the event_id tiebreak), and the partition's
     first event id. One shuffle on event_type; the range frame streams
     the sorted partition with a sliding pointer — no per-row rescan."""
-    ev = table(spark, sf_dir, "events").withColumn(
+    # fan_out=False: redundant pre-window shuffle (see window_rank note)
+    ev = table(spark, sf_dir, "events", fan_out=False).withColumn(
         "sec", sec_since_epoch(F.col("ts"))
     )
     wr = (
@@ -413,7 +422,8 @@ def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dropDuplicatesWithinWatermark`` semantics; at 100 TB both forms
     hold state/sort bounded per key, never globally.
     """
-    ev = table(spark, sf_dir, "events")
+    # fan_out=False: redundant pre-window shuffle (see window_rank note)
+    ev = table(spark, sf_dir, "events", fan_out=False)
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     gap = us_between(F.lag("ts").over(w), F.col("ts"))
     g = ev.select("event_type", gap.alias("gap_us"))
