@@ -270,7 +270,9 @@ def quantile_bin_rollup_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by region (25 nations × ≤64 bins — never single-task).
     """
     o = table(spark, sf_dir, "orders")
-    c = table(spark, sf_dir, "customer")
+    # fan_out=False: customer is the broadcast BUILD side (orders
+    # streams into the tile aggregate) — the Q3/Q8/Q9/Q18 pattern
+    c = table(spark, sf_dir, "customer", fan_out=False)
     n = table(spark, sf_dir, "nation")
     joined = o.join(c, o.o_custkey == c.c_custkey).join(
         n, F.col("c_nationkey") == F.col("n_nationkey")
@@ -1030,7 +1032,8 @@ def chisq_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything after operates on 25 rows.
     """
     o = table(spark, sf_dir, "orders")
-    c = table(spark, sf_dir, "customer")
+    # fan_out=False: customer is the broadcast BUILD side — Q3/Q8 pattern
+    c = table(spark, sf_dir, "customer", fan_out=False)
     obs = (
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pri"))

@@ -110,7 +110,9 @@ def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     full history — shuffles every event's payload; this form reduces
     first.)
     """
-    ev = table(spark, sf_dir, "events")
+    # fan_out=False: every leg re-partitions on user_id at its join
+    # (two are broadcast builds at test SF) — redundant fan-out shuffle
+    ev = table(spark, sf_dir, "events", fan_out=False)
     per_user = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup")
     )
@@ -567,7 +569,9 @@ def attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup is decimal-staged — bit-deterministic at any partition
     count.
     """
-    ev = table(spark, sf_dir, "events")
+    # fan_out=False: both filtered legs re-partition on user_id at the
+    # candidate join (broadcast builds at test SF) — redundant fan-out
+    ev = table(spark, sf_dir, "events", fan_out=False)
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("p_id"),
         F.col("user_id").alias("p_user"),

@@ -305,7 +305,9 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamp flavor end-to-end.
     """
     hist = scd2_customer_history(spark, sf_dir)
-    ev = table(spark, sf_dir, "events").filter(
+    # fan_out=False: the filtered purchase slice is the broadcast BUILD
+    # side of the point-in-time join — Q3/Q8 pattern
+    ev = table(spark, sf_dir, "events", fan_out=False).filter(
         F.col("event_type") == "purchase"
     )
     ts_type = hist.schema["valid_from"].dataType

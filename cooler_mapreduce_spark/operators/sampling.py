@@ -282,7 +282,8 @@ def kfold_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-deterministic at any partition count.
     """
     o = table(spark, sf_dir, "orders")
-    c = table(spark, sf_dir, "customer")
+    # fan_out=False: customer is the broadcast BUILD side — Q3/Q8 pattern
+    c = table(spark, sf_dir, "customer", fan_out=False)
     base = o.join(c, o.o_custkey == c.c_custkey).select(
         F.col("c_mktsegment").alias("segment"),
         F.expr(_SPARK_FOLD).alias("fold"),

@@ -15,7 +15,11 @@ from ..sources.catalog import table
 
 
 def _year_custkeys(spark: SparkSession, sf_dir: str, year: int) -> DataFrame:
-    o = table(spark, sf_dir, "orders")
+    # fan_out=False: the set-op re-partitions (dedup agg / semi join)
+    # immediately after the filter+project, so the fan-out shuffle was
+    # redundant on BOTH legs (r11 window-family A/B; one leg is also a
+    # broadcast build at test SF)
+    o = table(spark, sf_dir, "orders", fan_out=False)
     return o.filter(F.year("o_orderdate") == year).select("o_custkey")
 
 

@@ -331,7 +331,10 @@ def stream_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     click by the same user within the preceding 30 minutes. Equi-join on
     user_id with a time-range residual — a hash join, never a cross
     product."""
-    ev = table(spark, sf_dir, "events")
+    # fan_out=False: both filtered legs re-partition on user_id at the
+    # join (one is a broadcast build at test SF) — the fan-out shuffle
+    # was redundant (r11 window-family A/B)
+    ev = table(spark, sf_dir, "events", fan_out=False)
     c = ev.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"),
         "user_id",
@@ -510,7 +513,10 @@ def stream_stream_left_outer_clicks(spark: SparkSession, sf_dir: str) -> DataFra
     time-range residual — hash-partitioned, never a cross product, and
     the null-extension adds no extra exchange.
     """
-    ev = table(spark, sf_dir, "events")
+    # fan_out=False: both filtered legs re-partition on user_id at the
+    # join (one is a broadcast build at test SF) — the fan-out shuffle
+    # was redundant (r11 window-family A/B)
+    ev = table(spark, sf_dir, "events", fan_out=False)
     c = ev.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"),
         "user_id",
