@@ -354,6 +354,16 @@ def frame_dedup_pairs(
     duplicates), so the registered query's honest answer there is the
     empty pair set, verified against the oracle; the positive path is
     pinned in tests/test_llm_ops.py."""
+    # Measured negative result (optimization round 11 — don't re-try):
+    # folding this DISTINCT into the bucket aggregate (drop .distinct(),
+    # let collect_set dedup) removes one exchange but read WORSE in both
+    # interleaved A/B rounds at sf0.1 (0.83/0.98 s → 1.01/1.44 s).
+    # Unlike the inverted-index fold, fh is HIGH-cardinality (md5 per
+    # frame, mostly unique), so the map-side partial ObjectHashAggregate
+    # builds a one-element array buffer per key with no row reduction —
+    # strictly heavier than the codegen'd two-column dedup HashAggregate
+    # it replaced. The fold only pays when the group key collapses
+    # map-side (bounded vocabularies), not on fingerprint keys.
     fr = frames.select("doc_id", F.md5(F.hex("frame")).alias("fh")).distinct()
     per = (
         fr.groupBy("fh")

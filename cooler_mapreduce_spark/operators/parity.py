@@ -128,12 +128,16 @@ def weather_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference inverted-index design: word → sorted list of doc ids.
 
-    tokenize → explode → per-(word, doc) dedup → collect into a sorted
-    array. The distinct happens *before* collect_list, so the shuffled
-    payload is (word, doc_id) pairs, not full posting lists; Spark's
-    ObjectHashAggregate builds the lists spillably. Posting lists for stop
-    words get large at 100 TB — real deployments cap or bucket them; here
-    the vocabulary is small and lists are bounded by document count.
+    tokenize → explode → collect each word's doc ids as a SET. The
+    per-(word, doc) dedup is folded into the aggregate itself
+    (optimization round 11, guide §2.4): ``collect_set`` dedups exactly
+    what the earlier separate DISTINCT did, but map-side partial
+    aggregation now ships per-task-deduped postings through ONE word-keyed
+    exchange instead of a (doc_id, word)-keyed dedup exchange FOLLOWED by
+    the word-keyed one; Spark's ObjectHashAggregate builds the sets
+    spillably. Posting lists for stop words get large at 100 TB — real
+    deployments cap or bucket them; here the vocabulary is small and
+    lists are bounded by document count.
 
     The sorted posting list is emitted as a comma-joined string (not an
     array column) so any hash-comparing harness can canonicalize the cell
@@ -142,13 +146,12 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return (
         docs.select(F.col("doc_id"), F.explode(word_tokens("text")).alias("word"))
-        .distinct()
         .groupBy("word")
-        .agg(
-            F.array_join(
-                F.array_sort(F.collect_list("doc_id")).cast("array<string>"), ","
-            ).alias("docs"),
-            F.count("*").alias("n_docs"),
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .select(
+            "word",
+            F.array_join(F.col("ids").cast("array<string>"), ",").alias("docs"),
+            F.size("ids").cast("bigint").alias("n_docs"),
         )
     )
 
@@ -285,19 +288,39 @@ def positional_index_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     by word.  100 TB: one explode-shuffle on word, posting lists bounded
     per word by document frequency — the classic search-index build as
     a two-aggregate plan.
+
+    n_docs and n_occurrences are DERIVED from the collected posting
+    array rather than aggregated alongside it (optimization round 11,
+    guide §2.4): a ``countDistinct`` next to a ``collect_list`` made
+    Spark plan the distinct's own (word, doc_id)-keyed exchange + a
+    second word-keyed one, while the posting list — which the query
+    collects anyway — already determines both counts: the encoded
+    doc component (posting div 10⁵) counted distinct is n_docs, the
+    array size is n_occurrences. One exchange instead of two, and the
+    per-group state (the posting list) is unchanged.
     """
     d = table(spark, sf_dir, "documents")
     words = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word")
     ).select("doc_id", "word", (F.col("pos0") + 1).alias("pos"))
-    agg = words.groupBy("word").agg(
-        F.countDistinct("doc_id").alias("n_docs"),
-        F.count("*").alias("n_occurrences"),
-        F.array_join(
+    agg = (
+        words.groupBy("word")
+        .agg(
             F.sort_array(
                 F.collect_list(F.col("doc_id") * 100000 + F.col("pos"))
-            ).cast("array<string>"),
-            ",",
-        ).alias("postings"),
+            ).alias("parr")
+        )
+        .select(
+            "word",
+            F.size(
+                F.array_distinct(F.expr("transform(parr, x -> x div 100000)"))
+            )
+            .cast("bigint")
+            .alias("n_docs"),
+            F.size("parr").cast("bigint").alias("n_occurrences"),
+            F.array_join(F.col("parr").cast("array<string>"), ",").alias(
+                "postings"
+            ),
+        )
     )
     return agg.orderBy(F.desc("n_occurrences"), F.asc("word")).limit(25)

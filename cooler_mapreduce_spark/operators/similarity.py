@@ -215,6 +215,13 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("table_id").alias("q_table_id"),
         F.col("bucket").alias("q_bucket"),
     )
+    # Dedup candidate pairs on the ID pair, not on the full row
+    # (optimization round 11, guide §2.3 "shuffle keys and metadata
+    # instead of payloads"): (query_id, vec_id) determines every payload
+    # column (each id has one embedding/norm), so dropDuplicates on the
+    # two bigints is the same row set as the old full-row DISTINCT — but
+    # the dedup exchange now hashes/compares 16 bytes of keys per row
+    # instead of grouping on four array/double payload columns.
     cand = (
         e.join(
             F.broadcast(q),
@@ -223,7 +230,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("vec_id") != F.col("query_id")),
         )
         .select("query_id", "vec_id", "q_emb", "q_nrm", "emb_d", "nrm")
-        .distinct()
+        .dropDuplicates(["query_id", "vec_id"])
     )
     scored = cand.select(
         "query_id",

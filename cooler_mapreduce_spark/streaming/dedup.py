@@ -233,6 +233,13 @@ def run_streaming_upsert(
 
     def merge_batch(batch_df, batch_id: int) -> None:
         sp = batch_df.sparkSession
+        # localCheckpoint: `fresh` has TWO actions against it — the
+        # touched-bucket collect and the merge union — and foreachBatch
+        # re-computes the batch scan + argmax for each without it
+        # (optimization round 11, guide §5 reuse note; interleaved A/B at
+        # sf0.1 on the bench drain's full-orders batch: 2.25/2.13/1.19 →
+        # 1.83/1.35/1.08 s across three quiet alternations). The
+        # materialized set is O(batch keys), the pattern's cost bound.
         fresh = (
             batch_df.withColumn("bucket", F.pmod(F.col("o_orderkey"), n_buckets))
             .groupBy("o_orderkey", "bucket")
@@ -246,6 +253,7 @@ def run_streaming_upsert(
                 ).alias("r")
             )
             .select("o_orderkey", "bucket", "r.*")
+            .localCheckpoint(eager=True)
         )
         touched = [r["bucket"] for r in fresh.select("bucket").distinct().collect()]
         # Gate the read-back on EXISTENCE, not on "any read failure": a
@@ -296,6 +304,60 @@ def run_streaming_upsert(
     )
 
 
+def _scd2_rebuild_frame(sp: SparkSession, raw_dir: str, touched) -> DataFrame:
+    """History of the touched buckets, rebuilt from the raw change store,
+    with replay dedup FOLDED into the versioning window (optimization
+    round 11, guide §2.4 "remove shuffles outright").
+
+    A replayed micro-batch appends byte-identical rows, so duplicates are
+    FULL-ROW duplicates — but ``change_id`` alone is NOT a dedup key: a
+    legitimate update feed re-uses the same change_id with a later
+    valid_from (the convergence test's update wave does exactly that), so
+    the drop condition must compare the whole change row. Ordering the
+    dedup window by (valid_from, change_id, attr) makes identical rows
+    adjacent (custkey is the partition key and bucket is a function of
+    it, so those three columns determine the row), and a ``lag`` of their
+    struct marks every copy but the first — all inside the SAME custkey
+    partitioning the versioning window needs anyway. The separate
+    DISTINCT this replaces paid a full extra exchange (hash on all five
+    columns) plus a two-phase aggregate per rebuild. Interleaved A/B at
+    sf0.1 on the bench drain's store (full orders as one batch): rebuild
+    0.72 → 0.55 s steady; plan 2 exchanges → 1. Equality with the
+    DISTINCT spelling on a store WITH replayed appends, and convergence
+    with the batch twin under same-change_id update waves, are pinned in
+    tests/test_streaming.py.
+    """
+    from pyspark.sql import Window
+
+    seen = sp.read.parquet(raw_dir).where(F.col("bucket").isin(list(touched)))
+    dw = Window.partitionBy("custkey").orderBy("valid_from", "change_id", "attr")
+    row_key = F.struct("valid_from", "change_id", "attr")
+    deduped = (
+        seen.withColumn("_prev", F.lag(row_key).over(dw))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != row_key))
+        .drop("_prev")
+    )
+    w = Window.partitionBy("custkey").orderBy("valid_from", "change_id")
+    return deduped.select(
+        "custkey",
+        "bucket",
+        "valid_from",
+        "attr",
+        F.row_number().over(w).alias("version"),
+        F.lead("valid_from").over(w).alias("next_from"),
+    ).select(
+        "custkey",
+        "bucket",
+        "version",
+        "valid_from",
+        F.coalesce(
+            F.col("next_from"), F.lit("2200-01-01").cast("timestamp_ntz")
+        ).alias("valid_to"),
+        F.col("next_from").isNull().alias("is_current"),
+        "attr",
+    )
+
+
 def run_streaming_scd2(
     spark: SparkSession,
     sf_dir: str,
@@ -316,11 +378,11 @@ def run_streaming_scd2(
     1. appends its raw change rows to a bucketed RAW store (cheap,
        append-only, no read);
     2. REBUILDS the history of only the touched ``bucket=`` partitions
-       from the raw rows seen so far: DISTINCT on the change key
-       (custkey, valid_from, orderkey — orderkey is unique, so replayed
-       appends dedup away and the rebuild is idempotent), then the same
-       single window pass as the batch twin
-       (``operators.merge.scd2_customer_history``);
+       from the raw rows seen so far, with replay dedup FOLDED into the
+       batch twin's window pass (``_scd2_rebuild_frame`` — replayed
+       appends dedup away inside the same custkey exchange, so the
+       rebuild stays idempotent at one shuffle instead of the two a
+       separate DISTINCT paid);
     3. dynamic-partition-overwrites those history partitions.
 
     Convergence is therefore ARRIVAL-ORDER-FREE: any interleaving of
@@ -331,8 +393,6 @@ def run_streaming_scd2(
     rebuilds a bounded slice. The 2200-01-01 open-version sentinel
     matches the batch twin (Arrow ns timestamps top out in 2262).
     """
-    from pyspark.sql import Window
-
     schema = (
         "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
         " o_totalprice double, o_orderdate timestamp_ntz,"
@@ -354,32 +414,9 @@ def run_streaming_scd2(
         ).localCheckpoint(eager=True)
         touched = [r["bucket"] for r in changes.select("bucket").distinct().collect()]
         changes.write.mode("append").partitionBy("bucket").parquet(raw_dir)
-        # rebuild touched buckets from ALL raw rows seen so far; DISTINCT
-        # makes checkpoint replays (same rows appended twice) a no-op
-        seen = (
-            sp.read.parquet(raw_dir)
-            .where(F.col("bucket").isin(touched))
-            .distinct()
-        )
-        w = Window.partitionBy("custkey").orderBy("valid_from", "change_id")
-        hist = seen.select(
-            "custkey",
-            "bucket",
-            "valid_from",
-            "attr",
-            F.row_number().over(w).alias("version"),
-            F.lead("valid_from").over(w).alias("next_from"),
-        ).select(
-            "custkey",
-            "bucket",
-            "version",
-            "valid_from",
-            F.coalesce(
-                F.col("next_from"), F.lit("2200-01-01").cast("timestamp_ntz")
-            ).alias("valid_to"),
-            F.col("next_from").isNull().alias("is_current"),
-            "attr",
-        )
+        # rebuild touched buckets from ALL raw rows seen so far; replay
+        # dedup is folded into the versioning window (_scd2_rebuild_frame)
+        hist = _scd2_rebuild_frame(sp, raw_dir, touched)
         (
             hist.localCheckpoint(eager=True)
             .write.mode("overwrite")

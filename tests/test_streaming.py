@@ -656,6 +656,65 @@ def test_streaming_scd2_equals_batch_history(spark, sf_dir, tmp_path):
     assert sum(1 for r in got if r[4]) == n_keys
 
 
+def test_scd2_rebuild_dedups_replayed_appends(spark, sf_dir, tmp_path):
+    """The rebuild's window-folded replay dedup (r11 optimization: the
+    separate DISTINCT folded into the versioning window as an
+    adjacent-duplicate drop) must be exactly as idempotent as the
+    DISTINCT it replaced: a raw store holding a REPLAYED append (the
+    same change rows written twice — what a crash between the raw append
+    and the checkpoint commit produces) rebuilds the identical history,
+    byte for byte, as the deduplicated store."""
+    from pyspark.sql import Window
+
+    from cooler_mapreduce_spark.streaming.dedup import _scd2_rebuild_frame
+
+    n_buckets = 8
+    changes = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("custkey"),
+        F.pmod(F.col("o_custkey"), n_buckets).alias("bucket"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.col("o_orderkey").alias("change_id"),
+        F.col("o_totalprice").alias("attr"),
+    )
+    raw = str(tmp_path / "scd2_raw_replayed")
+    changes.write.mode("append").partitionBy("bucket").parquet(raw)
+    # the replay: a PARTIAL second append (a crash can replay any prefix)
+    changes.filter(F.col("change_id") % 3 == 0).write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(raw)
+
+    got = {
+        tuple(r)
+        for r in _scd2_rebuild_frame(spark, raw, range(n_buckets)).collect()
+    }
+    # expectation spelled with the independent DISTINCT formulation the
+    # fold replaced
+    seen = spark.read.parquet(raw).distinct()
+    w = Window.partitionBy("custkey").orderBy("valid_from", "change_id")
+    want_df = seen.select(
+        "custkey",
+        "bucket",
+        "valid_from",
+        "attr",
+        F.row_number().over(w).alias("version"),
+        F.lead("valid_from").over(w).alias("next_from"),
+    ).select(
+        "custkey",
+        "bucket",
+        "version",
+        "valid_from",
+        F.coalesce(
+            F.col("next_from"), F.lit("2200-01-01").cast("timestamp_ntz")
+        ).alias("valid_to"),
+        F.col("next_from").isNull().alias("is_current"),
+        "attr",
+    )
+    want = {tuple(r) for r in want_df.collect()}
+    assert got == want
+    # duplicates really were dropped: row count equals the deduped store's
+    assert len(got) == seen.count()
+
+
 def test_quantile_tiles_multibatch_equals_batch_rollup(spark, sf_dir, tmp_path):
     """Tile maintenance across REAL micro-batch boundaries: split orders
     into 4 files, drive the stream one file per trigger (≥4 batches,
