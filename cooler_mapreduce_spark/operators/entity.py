@@ -239,8 +239,15 @@ def resolve_records(dirty: DataFrame, master: DataFrame) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("rec_id", "c_custkey", "name_lev", "a_bal", "d_bal")
     )
+    # SHUFFLE_HASH on the best-match side of the survivorship join (the
+    # _copurchase_graph degree-join rationale): sort-merge sorts the
+    # O(dirty) probe side for zero information, while a shuffled-hash
+    # build of the at-most-one-row-per-rec_id match table streams dirty
+    # unsorted — per-task build is O(|matches|/partitions), bounded at
+    # any scale. Interleaved A/B at sf0.1 (optimization round 11), three
+    # alternations, identical rows: 1.47/1.04/0.90 → 1.21/0.97/0.84 s.
     return (
-        dirty.join(best.withColumnRenamed("rec_id", "b_rec_id"),
+        dirty.join(best.withColumnRenamed("rec_id", "b_rec_id").hint("shuffle_hash"),
                    dirty.rec_id == F.col("b_rec_id"), "left")
         .select(
             "rec_id",
