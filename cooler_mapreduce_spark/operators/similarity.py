@@ -1243,8 +1243,16 @@ def semdedup_prune_cells(
     assigned, pruned_ids = _semdedup_frames(spark, sf_dir, thr)
     pruned = pruned_ids.groupBy("cell").agg(F.count("*").alias("n_pruned"))
     census = assigned.groupBy("cell").agg(F.count("*").alias("n_total"))
+    # SHUFFLE_HASH on the pruned side of the census join (optimization
+    # round 11): both sides are O(|cells|)-row aggregates, but the
+    # checkpointed assignment scans back as an ExistingRDD with no size
+    # statistics, so the planner fell back to sort-merge and sorted both
+    # for zero information. The hash build is O(|cells|/partitions) per
+    # task at any scale. Interleaved A/B at sf0.1, identical rows:
+    # 2.19/1.78 → 1.87/1.71 s across two alternations
+    # (plan: SortMergeJoin LeftOuter → ShuffledHashJoin BuildRight).
     return (
-        census.join(pruned, "cell", "left")
+        census.join(pruned.hint("shuffle_hash"), "cell", "left")
         .select(
             "cell",
             "n_total",
