@@ -22,7 +22,7 @@ CASES = {
         [
             ("filter pushed into scan", lambda p: "l_shipdate" in _scan_line(p)),
             ("partial agg before shuffle", lambda p: "partial_sum" in p),
-            ("single agg shuffle", lambda p: p.count("Exchange hashpartitioning") == 1),
+            ("single required agg shuffle", lambda p: _n_required_shuffles(p) == 1),
         ],
     ),
     "revenue_by_nation": (
@@ -30,7 +30,7 @@ CASES = {
         [
             ("2 broadcast joins", lambda p: p.count("BroadcastHashJoin") == 2),
             ("no sort-merge join", lambda p: "SortMergeJoin" not in p),
-            ("single agg shuffle", lambda p: p.count("Exchange hashpartitioning") == 1),
+            ("single required agg shuffle", lambda p: _n_required_shuffles(p) == 1),
         ],
     ),
     "revenue_topn_customers": (
@@ -57,7 +57,7 @@ CASES = {
     ),
     "window_top_orders_per_customer": (
         "ranking window: one hash-partitioned shuffle on the window key",
-        [("single shuffle", lambda p: p.count("Exchange hashpartitioning") == 1)],
+        [("single shuffle", lambda p: _n_required_shuffles(p) == 1)],
     ),
     "forecast_revenue_change": (
         "pushdown probe: every predicate reaches the scan, 4-column ReadSchema, zero joins",
@@ -83,7 +83,7 @@ CASES = {
         "argmax compaction: partial max(struct) before the shuffle",
         [
             ("partial agg before shuffle", lambda p: "partial_max" in p),
-            ("single shuffle", lambda p: p.count("Exchange hashpartitioning") == 1),
+            ("single shuffle", lambda p: _n_required_shuffles(p) == 1),
         ],
     ),
     "join_interval_overlap": (
@@ -104,7 +104,7 @@ CASES = {
         "co-moment statistics: all five sums partial-aggregated in one pass, ONE shuffle",
         [
             ("partial agg before shuffle", lambda p: "partial_sum" in p),
-            ("single shuffle", lambda p: p.count("Exchange hashpartitioning") == 1),
+            ("single shuffle", lambda p: _n_required_shuffles(p) == 1),
         ],
     ),
     "argmax_customer_by_nation": (
@@ -112,7 +112,7 @@ CASES = {
         [
             ("dim broadcast", lambda p: "BroadcastHashJoin" in p),
             ("partial argmax before shuffle", lambda p: "partial_max_by" in p or "partial_max" in p),
-            ("single agg shuffle", lambda p: p.count("Exchange hashpartitioning") == 1),
+            ("single required agg shuffle", lambda p: _n_required_shuffles(p) == 1),
         ],
     ),
     "small_quantity_revenue_q17": (
@@ -140,20 +140,20 @@ CASES = {
         "corpus scrub: pure codegen map work, only the tiny audit aggregate exchanges",
         [
             ("no join anywhere", lambda p: "Join" not in p),
-            ("single agg shuffle", lambda p: p.count("Exchange hashpartitioning") == 1),
+            ("single required agg shuffle", lambda p: _n_required_shuffles(p) == 1),
         ],
     ),
     "pipeline_training_corpus": (
         "5-stage corpus pipeline fused: scrub+gate+hash in one codegen stage, 1 dedup shuffle + 2-phase distinct rollup, no join",
         [
             ("no join anywhere", lambda p: "Join" not in p),
-            ("3 agg shuffles (dedup + count-distinct expansion)", lambda p: p.count("Exchange hashpartitioning") == 3),
+            ("3 agg shuffles (dedup + count-distinct expansion)", lambda p: _n_required_shuffles(p) == 3),
         ],
     ),
     "pipeline_behavioral_sessions": (
         "debounce→sessionize→audit fused into 2 wide exchanges; session windows + per-session agg share one partitioning",
         [
-            ("two wide exchanges", lambda p: p.count("Exchange hashpartitioning") == 2),
+            ("two wide exchanges", lambda p: _n_required_shuffles(p) == 2),
             ("no join anywhere", lambda p: "Join" not in p),
         ],
     ),
@@ -162,7 +162,10 @@ CASES = {
         [
             ("single corpus text scan", lambda p: len(re.findall(r"FileScan parquet \[doc_id#\d+L?,text#\d+L?\]", p)) == 1),
             ("no sort-merge/shuffled join", lambda p: "SortMergeJoin" not in p and "ShuffledHashJoin" not in p),
-            ("two agg shuffles", lambda p: p.count("Exchange hashpartitioning") == 2),
+            # the hash-keyed fan-out (doc_id) satisfies the tf agg's
+            # clustering, so only the term-keyed df shuffle is required
+            ("one required agg shuffle (tf rides the doc_id fan-out)",
+             lambda p: _n_required_shuffles(p) == 1),
             ("top-100 never global-sorts", lambda p: "TakeOrderedAndProject" in p),
         ],
     ),
@@ -170,14 +173,14 @@ CASES = {
         "importance sampling: pure scan-stage filter, zero shuffle, zero join",
         [
             ("no join anywhere", lambda p: "Join" not in p),
-            ("no agg shuffle", lambda p: p.count("Exchange hashpartitioning") == 0),
+            ("no agg shuffle", lambda p: _n_required_shuffles(p) == 0),
         ],
     ),
     "repetition_filter": (
         "Gopher repetition gate: per-doc array math in one codegen map stage, only the ~10-key language rollup exchanges",
         [
             ("no join anywhere", lambda p: "Join" not in p),
-            ("single agg shuffle", lambda p: p.count("Exchange hashpartitioning") == 1),
+            ("single required agg shuffle", lambda p: _n_required_shuffles(p) == 1),
             ("partial agg before shuffle", lambda p: "partial_count" in p or "partial_sum" in p),
         ],
     ),
@@ -201,7 +204,7 @@ CASES = {
         "seeded epoch shuffle: ONE hash shuffle on shard + in-partition sort (the shard-file write shape), no join, no pre-window global sort",
         [
             ("no join anywhere", lambda p: "Join" not in p),
-            ("single shard shuffle", lambda p: p.count("Exchange hashpartitioning") == 1),
+            ("single shard shuffle", lambda p: _n_required_shuffles(p) == 1),
             ("window present", lambda p: "Window" in p),
         ],
     ),
@@ -217,7 +220,7 @@ CASES = {
         "Q8: 8-relation join with every dimension broadcast — the fact table reaches its single aggregate shuffle unpartitioned",
         [
             ("all joins broadcast", lambda p: "SortMergeJoin" not in p and "ShuffledHashJoin" not in p),
-            ("single agg shuffle", lambda p: p.count("Exchange hashpartitioning") <= 2),
+            ("single required agg shuffle", lambda p: _n_required_shuffles(p) <= 2),
             ("no cartesian", lambda p: "Cartesian" not in p),
         ],
     ),
@@ -242,7 +245,7 @@ CASES = {
         [
             ("sort-merge left join (no forced broadcast)", lambda p: "SortMergeJoin" in p and "LeftOuter" in p),
             ("no broadcast of the corpus-scaled verdict", lambda p: "BroadcastHashJoin" not in p),
-            ("one exchange per join side", lambda p: p.count("Exchange hashpartitioning") <= 2),
+            ("one exchange per join side", lambda p: _n_required_shuffles(p) <= 2),
         ],
     ),
     "multimodal_resize_stats": (
@@ -250,7 +253,7 @@ CASES = {
         [
             ("Arrow-batched python stage", lambda p: "MapInPandas" in p),
             ("no join anywhere", lambda p: "Join" not in p),
-            ("no shuffle", lambda p: p.count("Exchange hashpartitioning") == 0),
+            ("no shuffle", lambda p: _n_required_shuffles(p) == 0),
         ],
     ),
     "corpus_decontaminate_apply": (
@@ -258,7 +261,7 @@ CASES = {
         [
             ("bench probe is broadcast", lambda p: "BroadcastHashJoin" in p),
             ("no sort-merge join", lambda p: "SortMergeJoin" not in p),
-            ("two agg shuffles (bench distinct + per-doc rollup)", lambda p: p.count("Exchange hashpartitioning") == 2),
+            ("one required agg shuffle (per-doc rollup rides the doc_id fan-out)", lambda p: _n_required_shuffles(p) == 1),
             ("partial agg before shuffle", lambda p: "partial_count" in p or "partial_sum" in p),
         ],
     ),
@@ -266,7 +269,7 @@ CASES = {
         "context-length chunking: sequence/slice projections fused into the scan — zero shuffle, zero join, zero Python",
         [
             ("no join anywhere", lambda p: "Join" not in p),
-            ("no shuffle", lambda p: p.count("Exchange hashpartitioning") == 0),
+            ("no shuffle", lambda p: _n_required_shuffles(p) == 0),
             ("no python stage", lambda p: "MapInPandas" not in p and "BatchEvalPython" not in p),
         ],
     ),
@@ -275,7 +278,7 @@ CASES = {
         [
             ("Arrow-batched python stage", lambda p: "MapInPandas" in p),
             ("no join anywhere", lambda p: "Join" not in p),
-            ("single agg shuffle", lambda p: p.count("Exchange hashpartitioning") == 1),
+            ("single required agg shuffle", lambda p: _n_required_shuffles(p) == 1),
             ("partial agg before shuffle", lambda p: "partial_count" in p or "partial_sum" in p),
         ],
     ),
@@ -340,7 +343,7 @@ CASES = {
         [
             ("name filter pushed to the part scan", lambda p: any(
                 "part.parquet" in ln and "p_name" in ln for ln in p.splitlines() if "FileScan" in ln)),
-            ("partial profit sums before the one agg shuffle", lambda p: "partial_sum" in p and p.count("Exchange hashpartitioning") == 1),
+            ("partial profit sums before the one agg shuffle", lambda p: "partial_sum" in p and _n_required_shuffles(p) == 1),
             ("every join broadcast", lambda p: "SortMergeJoin" not in p),
         ],
     ),
@@ -379,7 +382,7 @@ CASES = {
     "ohlc_hourly_by_type": (
         "OHLC downsample: struct-extremum open/close — ONE partial-aggregated exchange, no window pass, no second scan",
         [
-            ("single agg exchange, no window", lambda p: p.count("Exchange hashpartitioning") == 1 and "Window" not in p),
+            ("single agg exchange, no window", lambda p: _n_required_shuffles(p) == 1 and "Window" not in p),
             ("candle partial-aggregates map-side", lambda p: "partial_min" in p and "partial_sum" in p),
             ("one events scan", lambda p: p.count("FileScan") == 1),
         ],
@@ -405,7 +408,7 @@ CASES = {
         "temporal AS-OF: one window exchange builds the history, the snapshot cut is a residual filter — no join, no second scan",
         [
             ("single window over the key", lambda p: p.count("Window") == 1),
-            ("one exchange", lambda p: p.count("Exchange hashpartitioning") == 1),
+            ("one exchange", lambda p: _n_required_shuffles(p) == 1),
             ("no join anywhere", lambda p: "Join" not in p),
         ],
     ),
@@ -413,7 +416,7 @@ CASES = {
         "change-feed derivation: both snapshot states from ONE conditional-agg scan — no snapshot join, one partial-aggregated exchange",
         [
             ("single orders scan", lambda p: p.count("FileScan") == 1),
-            ("one partial-aggregated exchange", lambda p: "partial_sum" in p and p.count("Exchange hashpartitioning") == 1),
+            ("one partial-aggregated exchange", lambda p: "partial_sum" in p and _n_required_shuffles(p) == 1),
             ("no join anywhere", lambda p: "Join" not in p),
         ],
     ),
@@ -479,7 +482,7 @@ CASES = {
         [
             ("recursion executes as UnionLoop", lambda p: "UnionLoop" in p),
             ("no exchange inside the loop (arithmetic-only recursive term)", lambda p: "Exchange" not in p.split("UnionLoop", 1)[1].split("UnionLoopRef", 1)[0]),
-            ("single partial-aggregated rollup exchange", lambda p: "partial_count" in p and p.count("Exchange hashpartitioning") == 1),
+            ("single partial-aggregated rollup exchange", lambda p: "partial_count" in p and _n_required_shuffles(p) == 1),
         ],
     ),
     "dpp_partitioned_join": (
@@ -526,7 +529,7 @@ CASES = {
         "time-weighted average: LEAD tap and the per-user rollup share ONE user_id exchange (the groupBy reuses the window's partitioning)",
         [
             ("single events scan", lambda p: p.count("FileScan") == 1),
-            ("one keyed exchange for window + agg", lambda p: p.count("Exchange hashpartitioning") == 1),
+            ("one keyed exchange for window + agg", lambda p: _n_required_shuffles(p) == 1),
             ("per-user sums partial-aggregate on the sorted stream", lambda p: "partial_sum" in p or "partial_count" in p),
         ],
     ),
@@ -627,7 +630,7 @@ CASES = {
         [
             ("partial agg before the single shuffle", lambda p: "partial_sum" in p),
             ("exactly one aggregation exchange", lambda p:
-                p.count("Exchange hashpartitioning") == 1),
+                _n_required_shuffles(p) == 1),
             ("no join anywhere", lambda p: "Join" not in p),
         ],
     ),
@@ -707,11 +710,11 @@ CASES = {
         ],
     ),
     "embedding_pq_fidelity": (
-        "PQ encode: codes + reconstruction are literal-codebook expressions over ONE scan — no join, no key shuffle (the only exchange is the catalog's single-split fan-out guard, round-robin), no Python stage",
+        "PQ encode: codes + reconstruction are literal-codebook expressions over ONE scan — no join, no required key shuffle (the only exchange is the catalog's hash-keyed single-split fan-out guard), no Python stage",
         [
             ("no join anywhere", lambda p: "Join" not in p),
-            ("no key shuffle (hash/range exchange)", lambda p:
-                "Exchange hashpartitioning" not in p and "Exchange rangepartitioning" not in p),
+            ("no required key shuffle (hash/range exchange)", lambda p:
+                _n_required_shuffles(p) == 0 and "Exchange rangepartitioning" not in p),
             ("no Python/Arrow stage", lambda p: "MapInPandas" not in p and "ArrowEvalPython" not in p and "BatchEvalPython" not in p),
         ],
     ),
@@ -769,14 +772,14 @@ CASES = {
         [
             ("TakeOrdered, not Sort+Limit", lambda p: "TakeOrderedAndProject" in p),
             ("no global range sort", lambda p: "rangepartitioning" not in p),
-            ("no shuffle in either branch", lambda p: "Exchange hashpartitioning" not in p),
+            ("no shuffle in either branch", lambda p: _n_required_shuffles(p) == 0),
         ],
     ),
     "dp_noisy_quantiles_price": (
         "DP histogram release: ONE partial-aggregated shuffle onto the literal 64-bin grid; the full-spine left join (empty bins get draws too) is broadcast; the noisy-CDF window and quantile picks run over grid rows only",
         [
             ("grid count partial-aggregates", lambda p: "partial_count" in p),
-            ("one data shuffle, diamond reused", lambda p: p.count("Exchange hashpartitioning") == 1 and "ReusedExchange" in p),
+            ("one data shuffle, diamond reused", lambda p: _n_required_shuffles(p) == 1 and "ReusedExchange" in p),
             ("spine join broadcast (counts side is <=64 rows)", lambda p: "BroadcastHashJoin" in p),
             ("no cartesian over data (1-row/4-row literals only)", lambda p: "CartesianProduct" not in p),
         ],
@@ -785,7 +788,7 @@ CASES = {
         "DP 2-D QI grid release: ONE partial-aggregated shuffle onto the nation x segment cells; the literal 125-cell public domain joins broadcast so empty cells carry draws; everything after the scan is O(cells)",
         [
             ("cell count partial-aggregates", lambda p: "partial_count" in p),
-            ("one data shuffle", lambda p: p.count("Exchange hashpartitioning") == 1),
+            ("one data shuffle", lambda p: _n_required_shuffles(p) == 1),
             ("domain join broadcast", lambda p: "BroadcastHashJoin" in p),
             ("no cartesian over data (the 25x5 literal grid only)", lambda p: "CartesianProduct" not in p),
         ],
@@ -794,7 +797,7 @@ CASES = {
         "bucketed-layout sampling: the pruned leg scans only the buckets the probe keys hash into (SelectedBucketsCount < 16) and rolls up per key exchange-free off the bucket layout; the hash-gate leg is a pushdown filter scan; ZERO hash exchanges anywhere",
         [
             ("bucket pruning engaged", lambda p: (lambda m: m is not None and int(m.group(1)) < int(m.group(2)))(re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", p))),
-            ("zero hash exchanges (bucket layout pays the shuffle)", lambda p: p.count("Exchange hashpartitioning") == 0),
+            ("zero hash exchanges (bucket layout pays the shuffle)", lambda p: _n_required_shuffles(p) == 0),
             ("partial agg before the single-group fold", lambda p: "partial_sum" in p),
         ],
     ),
@@ -867,7 +870,7 @@ CASES = {
         "Incognito lattice census: the whole 2^3-node lattice in ONE Expand + partial-aggregated shuffle (grouping sets), then the per-node rollup on class rows only; no joins, no fan-out shuffle of the scan",
         [
             ("grouping-sets Expand feeds a partial aggregate", lambda p: "Expand" in p and "partial_count" in p),
-            ("two keyed exchanges only (classes, then gid nodes)", lambda p: p.count("Exchange hashpartitioning") == 2),
+            ("two keyed exchanges only (classes, then gid nodes)", lambda p: _n_required_shuffles(p) == 2),
             ("no join anywhere", lambda p: "Join" not in p),
             ("no fan-out shuffle of the scan", lambda p: "RoundRobinPartitioning" not in p),
         ],
@@ -957,7 +960,7 @@ CASES = {
             ("anti-join gate present", lambda p: "LeftAnti" in p),
             ("argmax partial-aggregates before the exchange", lambda p: "partial_max_by" in p),
             ("gate below the merge (agg is the join's parent)", lambda p: p.index("partial_max_by") < p.index("LeftAnti")),
-            ("single agg exchange", lambda p: p.count("Exchange hashpartitioning") == 1),
+            ("single agg exchange", lambda p: _n_required_shuffles(p) == 1),
             ("takedown predicate pushed into the request scan", lambda p: "PushedFilters: [IsNotNull(c_custkey)]" in p),
         ],
     ),
@@ -965,7 +968,7 @@ CASES = {
         "per-batch admission gating: ONE partial-aggregable groupBy folds the feed onto O(batches) manifest rows; the threshold decision is a per-row CASE — no joins, no collects, no fan-out of the scan",
         [
             ("violation counts partial-aggregate", lambda p: "partial_count" in p or "partial_sum" in p),
-            ("single keyed exchange onto batch rows", lambda p: p.count("Exchange hashpartitioning") <= 2),
+            ("single keyed exchange onto batch rows", lambda p: _n_required_shuffles(p) <= 2),
             ("no join anywhere", lambda p: "Join" not in p),
         ],
     ),
@@ -1048,6 +1051,19 @@ def _scan_line(plan: str) -> str:
         if "FileScan" in line or "Scan parquet" in line:
             return line
     return ""
+
+
+def _n_required_shuffles(plan: str) -> int:
+    """Planner-REQUIRED hash exchanges (ENSURE_REQUIREMENTS) only — the
+    deliberate single-split fan-out repartition became a hash exchange
+    too when catalog._fan_out moved to hash-keyed repartitioning
+    (optimization round 11), so a bare hashpartitioning count would
+    miscount it as an agg/join shuffle."""
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line and "ENSURE_REQUIREMENTS" in line
+    )
 
 
 def main() -> None:
