@@ -25,7 +25,18 @@ ORACLE_SF = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_session("cooler-mapreduce-spark-tests", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    # Parallelism sized to the TEST data (sf0.001/sf0.01, ≤2 MB), not the
+    # host: r11's driver scaling block measured the suite's query shapes
+    # FASTER at 8 cores than 32 on small inputs (per-task scheduling and
+    # state-store commits dominate), so more cores only slow the suite.
+    cpus = min(int(os.environ.get("SPARK_GRAFT_CPUS", "8") or 8), 8)
+    s = get_session("cooler-mapreduce-spark-tests", cpus=cpus)
+    # Initial shuffle width sized to the oracle SF the tests query
+    # (~2 MB → a handful of partitions); AQE already coalesces batch
+    # shuffles, this additionally right-sizes streaming state stores and
+    # un-coalesced widths. Tests that probe width sensitivity set their
+    # own values explicitly (test_invariance).
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     yield s
     s.stop()
 

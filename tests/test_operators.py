@@ -442,3 +442,17 @@ def test_quantile_bin_rollup_accuracy_and_merge_identity(spark, oracle_sf_dir):
     assert sorted(map(tuple, via_tiles.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_positional_index_posting_encoding_bound(spark, sf_dir, oracle_sf_dir):
+    """r11 ADVICE: positional_index_top_terms derives n_docs from the
+    posting encoding (posting div 100000), which is exact only while every
+    document stays under 100000 tokens. Pin that corpus invariant so a
+    future data change fails loudly here instead of silently inflating
+    n_docs."""
+    for d in (sf_dir, oracle_sf_dir):
+        docs = table(spark, d, "documents", fan_out=False)
+        mx = docs.select(
+            F.max(F.size(F.split("text", " "))).alias("m")
+        ).collect()[0]["m"]
+        assert mx is not None and mx < 100000, (d, mx)

@@ -80,8 +80,29 @@ _LOCAL_RESULT = {"bpe_train_merges", "bpe_encode_stats",
                  "pca_power_embeddings"}
 
 
+#: frame/plan caches — FOUR audits walk every registered query (cartesian,
+#: nested-loop, forced-broadcast, order-only window), and building the same
+#: logical frame four times was ~a third of the whole suite's wall time
+#: (r12: the driver's pytest gate timed out at ~40 min). The audits only
+#: READ plans, never execute, so sharing one frame per query is safe.
+_FRAMES: dict[str, object] = {}
+_PLANS: dict[str, str] = {}
+
+
+def _frame(spark, name, sf_dir):
+    df = _FRAMES.get(name)
+    if df is None:
+        df = _FRAMES[name] = SPECS[name].fn(spark, sf_dir)
+    return df
+
+
 def _plan(spark, name, sf_dir):
-    return SPECS[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    p = _PLANS.get(name)
+    if p is None:
+        p = _PLANS[name] = (
+            _frame(spark, name, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        )
+    return p
 
 
 @pytest.mark.parametrize("name", sorted(set(SPECS) - _LOCAL_RESULT))
@@ -389,7 +410,7 @@ class TestReducerRule:
 
 @pytest.mark.parametrize("name", sorted(set(SPECS) - _LOCAL_RESULT))
 def test_no_forced_broadcast_of_sf_scaled_tables(spark, oracle_sf_dir, name):
-    flagged = _hinted_sf_tables(SPECS[name].fn(spark, oracle_sf_dir))
+    flagged = _hinted_sf_tables(_frame(spark, name, oracle_sf_dir))
     allowed = _HINT_ALLOWED.get(name, set())
     assert flagged <= allowed, (
         f"{name} forces a broadcast of SF-scaled table(s) {sorted(flagged - allowed)}; "
