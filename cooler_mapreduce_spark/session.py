@@ -31,6 +31,53 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 8)
 
 
+#: Compressed input bytes per INITIAL shuffle partition. The initial
+#: shuffle width only matters where AQE cannot resize it at runtime —
+#: streaming state stores (partition count is frozen into the checkpoint
+#: at query start) and explicit repartition(n, ...) pins — so it should
+#: track DATA volume, not core count (r11 verdict: the 32-core bench ran
+#: 15% slower than the 8-core run at sf0.1 because 17 MB of input paid
+#: 32-way task scheduling and 32-partition state commits everywhere).
+#: 2 MiB of compressed parquet is ~8-16 MiB in flight — small against the
+#: guide's 100 MB-1 GB cluster band deliberately: at test SFs the binding
+#: cost is per-task scheduling + per-partition state commits, and AQE
+#: still coalesces every ENSURE_REQUIREMENTS exchange by its own advisory
+#: size. On a cluster the same formula saturates at the core count (the
+#: clamp below), where AQE coalescing takes over — so the knob never
+#: needs cluster-side retuning, only the env override.
+_SHUFFLE_TARGET_BYTES = 2 << 20
+
+
+def _input_dir_bytes() -> int:
+    """Total bytes under $SPARK_GRAFT_SF_DIR (0 = unknown)."""
+    d = os.environ.get("SPARK_GRAFT_SF_DIR", "")
+    if not d or not os.path.isdir(d):
+        return 0
+    total = 0
+    for root, _dirs, files in os.walk(d):
+        for fn in files:
+            try:
+                total += os.path.getsize(os.path.join(root, fn))
+            except OSError:
+                pass
+    return total
+
+
+def default_shuffle_partitions(cpus: int) -> int:
+    """Initial shuffle width sized to the data, clamped to the core count.
+
+    ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` overrides (the cluster knob);
+    without a known input dir the historical cores-sized default stands.
+    """
+    override = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "0") or 0)
+    if override > 0:
+        return override
+    size = _input_dir_bytes()
+    if size <= 0:
+        return cpus
+    return max(1, min(cpus, -(-size // _SHUFFLE_TARGET_BYTES)))
+
+
 def ship_package(spark: SparkSession) -> None:
     """Make this package importable on executors via ``addPyFile``.
 
@@ -79,7 +126,7 @@ def get_session(app_name: str = "cooler-mapreduce-spark", cpus: int | None = Non
     spark = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{n}]")
-        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.shuffle.partitions", str(default_shuffle_partitions(n)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -113,6 +160,28 @@ def apply_session_defaults(spark: SparkSession) -> SparkSession:
         # connectors implement pushFilters; the API asserts if this is
         # off while a reader implements it)
         ("spark.sql.python.filterPushdown.enabled", "true"),
+        # Data-proportional initial shuffle width (see
+        # default_shuffle_partitions): runtime-settable, result-neutral
+        # (tests pin invariance under shuffle.partitions), and the only
+        # way the streaming state-store partition count tracks input
+        # volume instead of the hosting session's core count. Only set
+        # when the input dir (or the env override) actually determines a
+        # value — otherwise the hosting session's own choice stands.
+        *(
+            (
+                (
+                    "spark.sql.shuffle.partitions",
+                    str(
+                        default_shuffle_partitions(
+                            spark.sparkContext.defaultParallelism
+                        )
+                    ),
+                ),
+            )
+            if _input_dir_bytes() > 0
+            or int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "0") or 0) > 0
+            else ()
+        ),
     ):
         try:
             spark.conf.set(k, v)

@@ -257,11 +257,37 @@ _TABLE_KEYS: dict[str, tuple[str, ...]] = {
 }
 
 
+#: Compressed bytes per fan-out partition, and per-table COMPUTE-DENSITY
+#: weights (how much downstream work a compressed byte usually buys:
+#: documents explode to tokens/shingles, embeddings decode to dense float
+#: arrays, events feed sessionization windows; the TPC-H tables are
+#: near-flat scans+aggs). r12 A/B (scripts/opt_probe6.py, 26 queries × 3
+#: policies × 3 interleaved rounds at sf0.1/32c): sizing the fan-out by
+#: bytes×weight instead of defaultParallelism won or tied 22/27 probes
+#: (word_count 0.524→0.293, tfidf 0.470→0.347, ann_topk 0.469→0.384,
+#: dedup_exact 0.213→0.171, pagerank 3.022→2.817, triangle 4.188→4.009,
+#: stat_corr 0.763→0.667) and cost ≤0.12 s on the five losers
+#: (pricing_summary 0.771→0.889 the worst). This is the r11 verdict's
+#: "size partitions to data, not cores": at 100 TB the single-split guard
+#: below never fires (multi-split scans), so the weights only shape
+#: LOCAL/small-file behavior; the clamp to defaultParallelism is what a
+#: cluster sees.
+#: The two TPC-H fact tables carry weight 2: their scans feed the
+#: decimal-heavy aggregate/join tier (8 decimal aggregates per
+#: pricing_summary row, the OLS ten-sum fan-in), which is CPU-bound per
+#: compressed byte well past weight 1. Follow-up interleaved A/B
+#: (weight 1 vs 2, 9 queries × 4 rounds): pricing_summary 0.932→0.828,
+#: large_orders_q18 1.056→0.933, shipping_priority_topk 0.621→0.568,
+#: market_share_q8 1.239→1.159, multiple_ols 0.751→0.705, rest flat.
+_FANOUT_TARGET_BYTES = 512 * 1024
+_FANOUT_WEIGHTS = {"documents": 16, "embeddings": 8, "events": 4, "lineitem": 2, "orders": 2}
+
+
 def _fan_out(spark: SparkSession, df: DataFrame, path: str, name: str) -> DataFrame:
     import os
 
-    target = spark.sparkContext.defaultParallelism
-    key = (path, target)
+    cores = spark.sparkContext.defaultParallelism
+    key = (path, cores)
     fan = _FANOUT_CACHE.get(key)
     if fan is None:
         try:
@@ -270,12 +296,18 @@ def _fan_out(spark: SparkSession, df: DataFrame, path: str, name: str) -> DataFr
             size = 0
         fan = (
             size >= _FANOUT_MIN_BYTES
-            and target >= 4
-            and df.rdd.getNumPartitions() < max(2, target // 2)
+            and cores >= 4
+            and df.rdd.getNumPartitions() < max(2, cores // 2)
         )
         _FANOUT_CACHE[key] = fan
     if not fan:
         return df
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        size = 0
+    weight = _FANOUT_WEIGHTS.get(name, 1)
+    target = max(2, min(cores, -(-size * weight // _FANOUT_TARGET_BYTES)))
     keys = _TABLE_KEYS.get(name)
     if keys:
         return df.repartition(target, *[F.col(k) for k in keys])

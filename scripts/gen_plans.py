@@ -1053,17 +1053,39 @@ def _scan_line(plan: str) -> str:
     return ""
 
 
+def _fanout_key_names() -> set[str]:
+    from cooler_mapreduce_spark.sources.catalog import _TABLE_KEYS
+
+    return {k for keys in _TABLE_KEYS.values() for k in keys}
+
+
+_FANOUT_KEYS = _fanout_key_names()
+
+
 def _n_required_shuffles(plan: str) -> int:
-    """Planner-REQUIRED hash exchanges (ENSURE_REQUIREMENTS) only — the
-    deliberate single-split fan-out repartition became a hash exchange
-    too when catalog._fan_out moved to hash-keyed repartitioning
-    (optimization round 11), so a bare hashpartitioning count would
-    miscount it as an agg/join shuffle."""
-    return sum(
-        1
-        for line in plan.splitlines()
-        if "Exchange hashpartitioning" in line and "ENSURE_REQUIREMENTS" in line
-    )
+    """Hash exchanges that are NOT the catalog's single-split fan-out.
+
+    The deliberate fan-out repartition became a hash exchange when
+    catalog._fan_out moved to hash-keyed repartitioning (optimization
+    round 11), so a bare hashpartitioning count would miscount it as an
+    agg/join shuffle. r11 ADVICE flagged the first fix (counting only
+    ENSURE_REQUIREMENTS) as too loose — it silently exempted EVERY
+    repartition-origin exchange, so a regression that introduced a new
+    REPARTITION shuffle would still pass the '== 0' claims. This version
+    exempts only the fan-out's signature: a REPARTITION-origin hash
+    exchange keyed on a catalog table's primary-key column(s). All other
+    hash exchanges (ENSURE_REQUIREMENTS, REBALANCE, repartitions on
+    derived keys) count."""
+    n = 0
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" not in line:
+            continue
+        if "REPARTITION" in line and "ENSURE_REQUIREMENTS" not in line and any(
+            f"{k}#" in line for k in _FANOUT_KEYS
+        ):
+            continue  # the catalog fan-out: hash on a table's unique key
+        n += 1
+    return n
 
 
 def main() -> None:
