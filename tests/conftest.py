@@ -36,7 +36,10 @@ def spark():
     # shuffles, this additionally right-sizes streaming state stores and
     # un-coalesced widths. Tests that probe width sensitivity set their
     # own values explicitly (test_invariance).
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_TEST_SHUFFLE", "4"),
+    )
     yield s
     s.stop()
 
