@@ -195,7 +195,7 @@ def pagerank_frame(
     # per-task hash map stays executor-sized (this is the textbook SHJ
     # case, unlike a forced broadcast which must fit ONE executor whole).
     # Measured at sf0.1, identical top-20 hash: 6.3 s → ~4 s steady.
-    for _ in range(iterations):
+    for i in range(iterations):
         # `floor` already yields BIGINT; summing the longs directly is
         # bit-identical to the former decimal(38,0) staging (each
         # per-destination sum is bounded by the total quantized rank
@@ -223,6 +223,19 @@ def pagerank_frame(
                 ).alias("rank"),
             )
         )
+        # ONE mid-loop truncation of the O(|nodes|) rank state (r12,
+        # measured): unlike the REJECTED checkpoint-then-repartition
+        # variant (r11 — pinning partition counts disabled AQE
+        # coalescing, 7.1 vs 4.93 s), a plain localCheckpoint keeps AQE
+        # free to size every exchange while halving the plan depth the
+        # later iterations re-optimize. Interleaved A/B at sf0.1
+        # (scripts/opt_probe13 snapshot), identical top-20: none 2.600 /
+        # ckpt-after-iter-3 2.434 s min with the tightest spread. The
+        # materialized state is O(|nodes|) rows — the same class as the
+        # static-side checkpoints above; at cluster scale this also
+        # bounds the retry-lineage depth of the unrolled loop.
+        if i == 2:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
