@@ -29,7 +29,10 @@ def spark():
     # host: r11's driver scaling block measured the suite's query shapes
     # FASTER at 8 cores than 32 on small inputs (per-task scheduling and
     # state-store commits dominate), so more cores only slow the suite.
-    cpus = min(int(os.environ.get("SPARK_GRAFT_CPUS", "8") or 8), 8)
+    cpus = int(
+        os.environ.get("SPARK_GRAFT_TEST_CPUS", "0")
+        or min(int(os.environ.get("SPARK_GRAFT_CPUS", "8") or 8), 8)
+    )
     s = get_session("cooler-mapreduce-spark-tests", cpus=cpus)
     # Initial shuffle width sized to the oracle SF the tests query
     # (~2 MB → a handful of partitions); AQE already coalesces batch
